@@ -20,7 +20,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark 4 has no
+    * native type for (PARQUET_TYPE_ILLEGAL by default). Read it as a
+    * nanos long via the legacy conf, then floor-truncate to a
+    * microsecond TimestampType — the same ns→µs truncation DuckDB
+    * applies when casting TIMESTAMP_NS to TIMESTAMP, so oracle
+    * comparisons stay exact.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // cast to NTZ (session tz is UTC, so wall-clock identical) to match
+    // how Spark infers the other tables' parquet timestamps
+    // (inferTimestampNTZ) — keeps result-parquet logical types uniform.
+    table(s, d, "events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000L"))
+        .cast("timestamp_ntz"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

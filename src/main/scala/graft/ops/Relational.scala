@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -12,12 +13,17 @@ import graft.Tables._
   *   - every aggregate is a hash aggregate with map-side partial agg
   *     (Catalyst default for `groupBy.agg`);
   *   - dimension tables (region/nation/part/supplier/customer at TPC-H
-  *     proportions) are explicitly `broadcast()` so fact-side scans never
-  *     shuffle for the join;
+  *     proportions) are explicitly `broadcast()` so the fact-side scan
+  *     joins without a shuffle of the big side;
   *   - all outputs are explicitly ordered and double aggregates rounded
-  *     to 2 decimals so the DuckDB hash-compare is stable across engines.
+  *     to 2 decimals so the DuckDB hash-compare is stable across engines;
+  *   - window/sessionization keys are (user_id) — the natural shuffle
+  *     key — with in-partition sorts, so state never exceeds one user's
+  *     events per task.
   */
 object Relational {
+
+  private def ts(s: String) = lit(s).cast("timestamp")
 
   /** Pricing summary (TPC-H Q1 shape): scan → filter → partial+final
     * hash agg → sort. Reference surface: A1 groupBy/agg, P4 filter, O1
@@ -25,7 +31,7 @@ object Relational {
     */
   def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
-      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
@@ -55,11 +61,416 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Shipping priority (TPC-H Q3 shape): 3-way fact join + topN.
+    * customer is filtered then broadcast; orders⋈lineitem shuffles on
+    * the join key only.  J1/A1/O2 surface.
+    */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, dir).filter(col("o_orderdate") < ts("1998-01-01"))
+    val l = lineitem(s, dir).filter(col("l_shipdate") > ts("1998-01-01"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Oracle: String =
+    """SELECT l_orderkey, o_orderdate,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Order-priority checking (TPC-H Q4 shape): EXISTS as a left-semi
+    * join (J3 anti/semi surface) — no row explosion, shuffle on the
+    * orderkey only.
+    */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1997-01-01"))
+    o.join(lineitem(s, dir).select("l_orderkey").distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4Oracle: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Local-supplier volume (TPC-H Q5 shape): 5-way join; all dimension
+    * sides broadcast, single shuffle for the final agg.
+    */
+  def q5NationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = lineitem(s, dir)
+    val o = orders(s, dir).filter(col("o_orderdate") >= ts("1996-01-01") &&
+      col("o_orderdate") < ts("1998-01-01"))
+    val c = customer(s, dir)
+    val sup = supplier(s, dir)
+    val n = nation(s, dir)
+    val r = region(s, dir).filter(col("r_name") === "EUROPE")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Oracle: String =
+    """SELECT n_name,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Revenue-change forecast (TPC-H Q6 shape): pure filter+agg; the
+    * whole predicate pushes into the parquet scan.
+    */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1997-01-01") &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  val q6Oracle: String =
+    """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue,
+      | count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.02 AND 0.06
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Exact distinct cardinality by group (shuffle on (event_type,
+    * user_id) via Spark's two-phase distinct-agg expansion).
+    */
+  def q7DistinctUsers(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  val q7Oracle: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      | count(*) AS n_events
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Top-N per group via row_number window (deterministic tiebreak on
+    * the key). Partition key = c_mktsegment: 5 groups, so at cluster
+    * scale this benefits from AQE skew handling; output is tiny.
+    */
+  def q8TopOrdersPerSegment(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val c = customer(s, dir)
+    val joined = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    joined
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  val q8Oracle: String =
+    """SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+      |WHERE rn <= 3
+      |ORDER BY c_mktsegment, rn""".stripMargin
+
+  /** Per-user running total over event time (window agg with a
+    * deterministic frame; ms-epoch used so both engines order
+    * identically under ns→µs truncation).
+    */
+  def q9RunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+      .withColumn("running_value", round(sum(col("value")).over(w), 2))
+      .select("user_id", "event_id", "ms", "running_value")
+      .orderBy("user_id", "ms", "event_id")
+  }
+
+  val q9Oracle: String =
+    """SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      | round(sum(value) OVER (PARTITION BY user_id
+      |   ORDER BY epoch_ms(ts), event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2)
+      |   AS running_value
+      |FROM events
+      |ORDER BY user_id, ms, event_id""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity): lag → new-session
+    * flag → cumulative session id → per-session agg. The batch
+    * equivalent of `session_window`, expressed with windows so the
+    * DuckDB oracle can replicate it exactly. Shuffles once on user_id.
+    */
+  def q10Sessions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    val e = events(s, dir)
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull ||
+          col("ms") - col("prev_ms") > 30L * 60 * 1000, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    e.groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ms")).as("start_ms"),
+        max(col("ms")).as("end_ms"),
+        round(sum(col("value")), 2).as("session_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  val q10Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+      |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts), event_id) AS prev_ms
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+      |    THEN 1 ELSE 0 END AS new_sess FROM e),
+      |sess AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+      |    ORDER BY ms, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      | min(ms) AS start_ms, max(ms) AS end_ms,
+      | round(sum(value),2) AS session_value
+      |FROM sess
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  /** NOT EXISTS as a left-anti join (J3) — customers with no orders. */
+  def q11CustomersWithoutOrders(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(orders(s, dir).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  val q11Oracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** ROLLUP grouping-sets aggregate; rolled-up keys surfaced as 'ALL'
+    * so null-ordering differences between engines can't bite.
+    */
+  def q12Rollup(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("qty"))
+      .orderBy("returnflag", "linestatus")
+
+  val q12Oracle: String =
+    """SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+      | coalesce(l_linestatus,'ALL') AS linestatus,
+      | count(*) AS n, round(sum(l_quantity),2) AS qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Broadcast-join fact-to-dim rollup by brand (J1 + A1). */
+  def q13BrandRevenue(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .join(broadcast(part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+
+  val q13Oracle: String =
+    """SELECT p_brand,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** Two-level aggregation: per-order lineitem stats re-aggregated by
+    * order status (tests partial-agg reuse across levels).
+    */
+  def q14OrderStats(s: SparkSession, dir: String): DataFrame = {
+    val perOrder = lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("qty"))
+    orders(s, dir)
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(avg(col("n_items")), 2).as("avg_items"),
+        round(avg(col("qty")), 2).as("avg_qty"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q14Oracle: String =
+    """WITH per_order AS (
+      |  SELECT l_orderkey, count(*) AS n_items, sum(l_quantity) AS qty
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT o_orderstatus, count(*) AS n_orders,
+      | round(avg(n_items),2) AS avg_items, round(avg(qty),2) AS avg_qty
+      |FROM orders JOIN per_order ON o_orderkey = l_orderkey
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** Timestamp min/max passthrough — exercises timestamp parity between
+    * engines end-to-end (parquet ms → µs → result parquet).
+    */
+  def q15DateBounds(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).agg(
+      min(col("l_shipdate")).as("min_ship"),
+      max(col("l_shipdate")).as("max_ship"))
+
+  val q15Oracle: String =
+    """SELECT CAST(min(l_shipdate) AS TIMESTAMP) AS min_ship,
+      | CAST(max(l_shipdate) AS TIMESTAMP) AS max_ship
+      |FROM lineitem""".stripMargin
+
+  /** INTERSECT (distinct set-op, O4-family): customers having both an
+    * open and a fulfilled order.
+    */
+  def q16SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    val done = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+    open.intersect(done).orderBy("o_custkey")
+  }
+
+  val q16Oracle: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Semi-structured extraction: pull `k` out of the JSON props column
+    * and aggregate (F-family + events).
+    */
+  def q17JsonProps(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(round(avg(col("k")), 2).as("avg_k"),
+        max(col("k")).as("max_k"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  val q17Oracle: String =
+    """SELECT event_type,
+      | round(avg(CAST(json_extract_string(props,'$.k') AS BIGINT)),2) AS avg_k,
+      | max(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS max_k,
+      | count(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Time-bucketed rollup: date_trunc to the hour (F4 surface on the
+    * events table; output cast to µs-precision timestamp both sides).
+    */
+  def q18HourlyEvents(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("hour", date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+      .groupBy("hour", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("hour", "event_type")
+
+  val q18Oracle: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+      | count(*) AS n, round(sum(value),2) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> (q1PricingSummary _)
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q5_nation_revenue" -> (q5NationRevenue _),
+    "q6_forecast" -> (q6Forecast _),
+    "q7_distinct_users" -> (q7DistinctUsers _),
+    "q8_top_orders_per_segment" -> (q8TopOrdersPerSegment _),
+    "q9_running_total" -> (q9RunningTotal _),
+    "q10_sessionization" -> (q10Sessions _),
+    "q11_customers_without_orders" -> (q11CustomersWithoutOrders _),
+    "q12_rollup" -> (q12Rollup _),
+    "q13_brand_revenue" -> (q13BrandRevenue _),
+    "q14_order_stats" -> (q14OrderStats _),
+    "q15_date_bounds" -> (q15DateBounds _),
+    "q16_set_ops" -> (q16SetOps _),
+    "q17_json_props" -> (q17JsonProps _),
+    "q18_hourly_events" -> (q18HourlyEvents _)
   )
 
   def oracles: Map[String, String] = Map(
-    "q1_pricing_summary" -> q1Oracle
+    "q1_pricing_summary" -> q1Oracle,
+    "q3_shipping_priority" -> q3Oracle,
+    "q4_order_priority" -> q4Oracle,
+    "q5_nation_revenue" -> q5Oracle,
+    "q6_forecast" -> q6Oracle,
+    "q7_distinct_users" -> q7Oracle,
+    "q8_top_orders_per_segment" -> q8Oracle,
+    "q9_running_total" -> q9Oracle,
+    "q10_sessionization" -> q10Oracle,
+    "q11_customers_without_orders" -> q11Oracle,
+    "q12_rollup" -> q12Oracle,
+    "q13_brand_revenue" -> q13Oracle,
+    "q14_order_stats" -> q14Oracle,
+    "q15_date_bounds" -> q15Oracle,
+    "q16_set_ops" -> q16Oracle,
+    "q17_json_props" -> q17Oracle,
+    "q18_hourly_events" -> q18Oracle
   )
 }
