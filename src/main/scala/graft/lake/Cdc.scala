@@ -1,0 +1,80 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental read/write between versioned tables — the reference's
+  * signature capability (SURVEY.md §2.8; patient_notes/src/
+  * patient_notes/datalake.py:52-99 and 142-239).
+  *
+  * Contract:
+  *  - C1 read the inclusive version range [low, high] of the source CDF;
+  *  - C4 when low > high return an empty-but-schema'd frame and do not
+  *    advance the watermark;
+  *  - C5 advance the watermark to high+1 only after a successful write
+  *    (at-least-once; merge idempotence makes replay safe);
+  *  - C6 reject update changes — only insert/delete flow downstream;
+  *  - C7 first write to a missing target creates it with the CDC
+  *    metadata columns dropped.
+  */
+object Cdc {
+
+  final case class TableUpdate(df: DataFrame, low: Long, high: Long)
+
+  /** datalake.py:52-99 — CDF read of everything at or above the low
+    * watermark.
+    */
+  def readTableUpdate(spark: SparkSession, sourcePath: String,
+      watermark: Watermark, activity: String, tableName: String): TableUpdate = {
+    val low = watermark.lowWatermark(activity, tableName)
+    val high = watermark.highWatermark(sourcePath)
+    val source = MiniLake(spark, sourcePath)
+    val df =
+      if (low > high) MiniLake.emptyDf(spark, MiniLake.changeSchema(source.schema))
+      else source.readChanges(low, high)
+    TableUpdate(df, low, high)
+  }
+
+  /** datalake.py:142-239 — apply a change-set to the target and advance
+    * the watermark. Returns (insertedRows, deletedRows).
+    */
+  def writeTableUpdate(spark: SparkSession, update: TableUpdate,
+      targetPath: String, primaryKeys: Seq[String],
+      watermark: Watermark, activity: String, tableName: String): (Long, Long) = {
+    val df = update.df
+    // C4: nothing to process — skip entirely, watermark untouched
+    // (datalake.py:171-173 uses isEmpty the same way).
+    if (df.isEmpty) return (0L, 0L)
+
+    // C6: updates are not supported downstream (datalake.py:177-188).
+    val updates = df.filter(col(MiniLake.ChangeType)
+      .isin("update_preimage", "update_postimage"))
+    if (!updates.isEmpty) {
+      throw new IllegalArgumentException(
+        s"update changes are not supported (table $tableName); " +
+          "only insert and delete change types can be processed")
+    }
+
+    val target = MiniLake(spark, targetPath)
+    val counts =
+      if (!target.exists) {
+        // C7: create path — the reference writes the WHOLE change frame
+        // with only the metadata columns dropped, regardless of change
+        // type (datalake.py:217-230); in practice a first batch from a
+        // fresh source contains only inserts.
+        val initial = df.drop(MiniLake.MetaColumns: _*)
+        target.create(initial)
+        (initial.count(), 0L)
+      } else {
+        val inserts = df.filter(col(MiniLake.ChangeType) === "insert")
+          .drop(MiniLake.MetaColumns: _*)
+        val deletes = df.filter(col(MiniLake.ChangeType) === "delete")
+          .drop(MiniLake.MetaColumns: _*)
+        target.merge(inserts, deletes, primaryKeys)
+      }
+
+    // C5: bump only after the write succeeded (datalake.py:232-239).
+    watermark.bump(activity, tableName, update.high)
+    counts
+  }
+}

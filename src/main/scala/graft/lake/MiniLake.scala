@@ -1,0 +1,339 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Versioned parquet table with change-data-feed, the engine's one
+  * genuinely custom storage component. Re-creates the observable
+  * semantics of the reference's Delta usage (no Delta jar in this
+  * environment): versioned commits, CDF reads with
+  * `_change_type`/`_commit_version`/`_commit_timestamp`, MERGE as
+  * insert-if-absent / delete-if-matched, vacuum that does not advance
+  * the logical version.
+  *
+  * Reference behavior being reproduced (SURVEY.md §2.1, file:line under
+  * /root/reference): CDF read options `patient_notes/src/patient_notes/
+  * datalake.py:88-94`, merge branches `datalake.py:194-211`, vacuum
+  * `patient_notes/tests/test_datalake.py:229-269`, update CDC rows
+  * `common_types.py:70-82`.
+  *
+  * Layout:
+  * {{{
+  *   <path>/_log/<v>.json      commit metadata (atomic hard-link publish)
+  *   <path>/data/v=<v>/        parquet files added by commit v
+  *   <path>/changes/v=<v>/     row-level changes of commit v (+_change_type)
+  * }}}
+  *
+  * The log tracks file-level adds/removes (Delta-style): `snapshot` reads
+  * the union of live files, so appends never rewrite existing data. Only
+  * row-deleting commits (merge-delete, update, overwrite) rewrite — a
+  * copy-on-write of the live set. At cluster scale the rewrite is a
+  * distributed parquet write (no driver materialization); partition-
+  * scoped rewrites are the natural next step and the API keeps the
+  * commit path isolated so that can land without changing callers.
+  *
+  * Single-writer semantics (matches the reference's orchestrated, one-
+  * activity-at-a-time pipelines): concurrent committers race on the
+  * atomic log-entry publish; the loser fails rather than corrupts.
+  */
+final class MiniLake(spark: SparkSession, val path: String) {
+  import MiniLake._
+
+  private val root = Paths.get(path)
+  private val logDir = root.resolve("_log")
+
+  // ---- log ----------------------------------------------------------
+
+  def exists: Boolean = MiniLake.exists(path)
+
+  /** Latest committed version, or -1 for a nonexistent table. */
+  def latestVersion: Long = listVersions.lastOption.getOrElse(-1L)
+
+  private def listVersions: Seq[Long] =
+    if (!Files.isDirectory(logDir)) Seq.empty
+    else Files.list(logDir).iterator.asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong)
+      .toSeq.sorted
+
+  private def readEntry(v: Long): CommitEntry = {
+    val m = mapper.readValue(
+      Files.readAllBytes(logDir.resolve(s"$v.json")), classOf[java.util.Map[String, Object]])
+    CommitEntry(
+      version = m.get("version").asInstanceOf[Number].longValue(),
+      mode = m.get("mode").toString,
+      timestampMs = m.get("timestampMs").asInstanceOf[Number].longValue(),
+      schemaJson = m.get("schemaJson").toString,
+      adds = m.get("adds").asInstanceOf[java.util.List[String]].asScala.toSeq,
+      removes = m.get("removes").asInstanceOf[java.util.List[String]].asScala.toSeq,
+      hasChanges = m.get("hasChanges").asInstanceOf[Boolean])
+  }
+
+  /** Publish the commit entry for `v` atomically: write a tmp file, then
+    * hard-link it into place — link creation fails if `v` was already
+    * committed, so two racing writers can't both win.
+    */
+  private def writeEntry(e: CommitEntry): Unit = {
+    Files.createDirectories(logDir)
+    val bytes = mapper.writeValueAsBytes(Map(
+      "version" -> e.version, "mode" -> e.mode,
+      "timestampMs" -> e.timestampMs, "schemaJson" -> e.schemaJson,
+      "adds" -> e.adds.asJava, "removes" -> e.removes.asJava,
+      "hasChanges" -> e.hasChanges).asJava)
+    val tmp = logDir.resolve(s".${e.version}.json.tmp")
+    Files.write(tmp, bytes)
+    try Files.createLink(logDir.resolve(s"${e.version}.json"), tmp)
+    finally Files.deleteIfExists(tmp)
+  }
+
+  def schemaAt(v: Long): StructType =
+    DataType.fromJson(readEntry(v).schemaJson).asInstanceOf[StructType]
+
+  def schema: StructType = schemaAt(latestVersion)
+
+  // ---- reads --------------------------------------------------------
+
+  private def liveFiles(asOf: Long): Seq[String] = {
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    listVersions.filter(_ <= asOf).foreach { v =>
+      val e = readEntry(v)
+      live --= e.removes
+      live ++= e.adds
+    }
+    live.toSeq
+  }
+
+  /** Full snapshot as of `asOf` (default: latest). S1 surface. */
+  def snapshot(asOf: Long = latestVersion): DataFrame = {
+    require(asOf >= 0, s"table $path does not exist")
+    val files = liveFiles(asOf)
+    val sch = schemaAt(asOf)
+    if (files.isEmpty) emptyDf(spark, sch)
+    else spark.read.schema(sch).parquet(files: _*)
+  }
+
+  /** Row-level changes for the inclusive version range [lo, hi], with
+    * the three CDC metadata columns appended — the S2 surface. An empty
+    * range (lo > hi) yields an empty, correctly-schema'd frame.
+    */
+  def readChanges(lo: Long, hi: Long): DataFrame = {
+    val sch = schema
+    val versions = listVersions.filter(v => v >= lo && v <= hi)
+    val withChanges = versions.map(v => (v, readEntry(v))).filter(_._2.hasChanges)
+    if (withChanges.isEmpty) {
+      emptyDf(spark, changeSchema(sch))
+    } else {
+      withChanges.map { case (v, e) =>
+        spark.read
+          .schema(changeDataSchema(DataType.fromJson(e.schemaJson).asInstanceOf[StructType]))
+          .parquet(root.resolve(s"changes/v=$v").toString)
+          .withColumn(CommitVersion, lit(v))
+          .withColumn(CommitTimestamp,
+            timestamp_millis(lit(e.timestampMs)).cast("timestamp"))
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  // ---- writes -------------------------------------------------------
+
+  private def nextVersion: Long = latestVersion + 1
+
+  private def writeData(df: DataFrame, v: Long): Seq[String] = {
+    val dir = root.resolve(s"data/v=$v")
+    df.write.parquet(dir.toString)
+    parquetFilesIn(dir)
+  }
+
+  private def writeChanges(changes: DataFrame, v: Long): Unit =
+    changes.write.parquet(root.resolve(s"changes/v=$v").toString)
+
+  /** First write / full replace without history (S3). `overwrite` on an
+    * existing table records delete-changes for every prior row followed
+    * by inserts — the Delta CDF behavior downstream consumers rely on
+    * (test_datalake.py:273-334).
+    */
+  def create(df: DataFrame): Unit = {
+    require(!exists, s"table $path already exists")
+    commitWithChanges(df, mode = "create",
+      changes = df.withColumn(ChangeType, lit("insert")),
+      removesAll = false)
+  }
+
+  def append(df: DataFrame): Unit = {
+    requireSchemaMatch(df)
+    commitWithChanges(df, mode = "append",
+      changes = df.withColumn(ChangeType, lit("insert")),
+      removesAll = false)
+  }
+
+  def overwrite(df: DataFrame): Unit = {
+    if (!exists) { create(df); return }
+    val prior = snapshot()
+    val changes = prior.withColumn(ChangeType, lit("delete"))
+      .unionByName(df.withColumn(ChangeType, lit("insert")))
+    commitWithChanges(df, mode = "overwrite", changes = changes,
+      removesAll = true)
+  }
+
+  private def commitWithChanges(data: DataFrame, mode: String,
+      changes: DataFrame, removesAll: Boolean): Unit = {
+    val v = nextVersion
+    val removed = if (removesAll) liveFiles(v - 1) else Seq.empty
+    val adds = writeData(data, v)
+    writeChanges(changes, v)
+    writeEntry(CommitEntry(v, mode, System.currentTimeMillis(),
+      data.schema.json, adds, removed, hasChanges = true))
+  }
+
+  /** MERGE (S4): `whenNotMatchedInsertAll` ∪ `whenMatchedDelete`, keyed
+    * on `pks` — implemented Spark-natively as two anti-joins
+    * (datalake.py:194-211). Re-inserting an existing PK is a no-op
+    * (idempotent replay, design_doc.md at-least-once note). Returns
+    * (#inserted, #deleted) for the caller's metrics (M1).
+    */
+  def merge(inserts: DataFrame, deletes: DataFrame, pks: Seq[String]): (Long, Long) = {
+    requireSchemaMatch(inserts)
+    val target = snapshot()
+    // Deletes apply BEFORE the not-matched-insert check (the reference
+    // executes whenMatchedDelete then whenNotMatchedInsertAll,
+    // datalake.py:194-211) — so a PK deleted and re-inserted in the
+    // same batch (e.g. from an upstream overwrite) lands correctly.
+    val delKeys = deletes.select(pks.map(col): _*).distinct()
+    val toDelete = target.join(delKeys, pks, "left_semi")
+    val kept = target.join(delKeys, pks, "left_anti")
+    val toInsert = inserts.join(kept.select(pks.map(col): _*), pks, "left_anti")
+      .select(target.columns.map(col).toSeq: _*)
+
+    // cache counts once; the plan below reuses them
+    val nIns = toInsert.count()
+    val nDel = toDelete.count()
+    val v = nextVersion
+    if (nDel > 0) {
+      // copy-on-write: new live set = kept ∪ inserted
+      val newData = kept.unionByName(toInsert)
+      val removed = liveFiles(v - 1)
+      val adds = writeData(newData, v)
+      writeChanges(toDelete.withColumn(ChangeType, lit("delete"))
+        .unionByName(toInsert.withColumn(ChangeType, lit("insert"))), v)
+      writeEntry(CommitEntry(v, "merge", System.currentTimeMillis(),
+        target.schema.json, adds, removed, hasChanges = true))
+    } else {
+      // pure insert: append-only commit, no rewrite of existing files
+      val adds = writeData(toInsert, v)
+      writeChanges(toInsert.withColumn(ChangeType, lit("insert")), v)
+      writeEntry(CommitEntry(v, "merge", System.currentTimeMillis(),
+        target.schema.json, adds, Seq.empty, hasChanges = true))
+    }
+    (nIns, nDel)
+  }
+
+  /** In-place column update of rows matching `pred` (S5 — the watermark
+    * bump). Records Delta-style update_preimage/update_postimage change
+    * rows (common_types.py:70-77).
+    */
+  def update(pred: Column, assignments: Map[String, Column]): Unit = {
+    val target = snapshot()
+    // null-safe predicate split: a NULL predicate means "not matched"
+    // (Delta UPDATE semantics) — a plain `!pred` filter would drop
+    // those rows from both branches and lose data.
+    val matched = coalesce(pred, lit(false))
+    val pre = target.filter(matched)
+    val post = assignments.foldLeft(pre) { case (d, (c, e)) => d.withColumn(c, e) }
+    val untouched = target.filter(!matched)
+    val newData = untouched.unionByName(post)
+    val changes = pre.withColumn(ChangeType, lit("update_preimage"))
+      .unionByName(post.withColumn(ChangeType, lit("update_postimage")))
+    val v = nextVersion
+    val removed = liveFiles(v - 1)
+    val adds = writeData(newData, v)
+    writeChanges(changes, v)
+    writeEntry(CommitEntry(v, "update", System.currentTimeMillis(),
+      target.schema.json, adds, removed, hasChanges = true))
+  }
+
+  /** Physical GC of files no longer referenced by the live set — MUST
+    * NOT create a logical version (S7, test_datalake.py:229-269).
+    * Retains change files (they back `readChanges`).
+    */
+  def vacuum(): Unit = {
+    val live = liveFiles(latestVersion).toSet
+    val dataDir = root.resolve("data")
+    if (Files.isDirectory(dataDir)) {
+      Files.walk(dataDir).iterator.asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .filterNot(p => live.contains(p.toString))
+        .foreach(Files.delete)
+    }
+  }
+
+  private def requireSchemaMatch(df: DataFrame): Unit = {
+    if (exists) {
+      val expected = schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      require(expected == got,
+        s"schema mismatch for $path:\n expected $expected\n got      $got")
+    }
+  }
+}
+
+object MiniLake {
+  val ChangeType = "_change_type"
+  val CommitVersion = "_commit_version"
+  val CommitTimestamp = "_commit_timestamp"
+  val MetaColumns: Seq[String] = Seq(ChangeType, CommitVersion, CommitTimestamp)
+
+  private val mapper = new ObjectMapper()
+
+  final case class CommitEntry(version: Long, mode: String, timestampMs: Long,
+      schemaJson: String, adds: Seq[String], removes: Seq[String],
+      hasChanges: Boolean)
+
+  def apply(spark: SparkSession, path: String): MiniLake =
+    new MiniLake(spark, path)
+
+  /** S8 existence probe (isDeltaTable analogue). */
+  def exists(path: String): Boolean = {
+    val logDir = Paths.get(path).resolve("_log")
+    Files.isDirectory(logDir) && Files.list(logDir).iterator.asScala
+      .exists(_.getFileName.toString.endsWith(".json"))
+  }
+
+  def emptyDf(spark: SparkSession, sch: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+
+  /** Data schema + _change_type, the on-disk change-file schema. */
+  private[lake] def changeDataSchema(sch: StructType): StructType =
+    StructType(sch.fields :+
+      org.apache.spark.sql.types.StructField(ChangeType,
+        org.apache.spark.sql.types.StringType, nullable = false))
+
+  /** Full CDF read schema: data + all three metadata columns. */
+  private[lake] def changeSchema(sch: StructType): StructType = {
+    import org.apache.spark.sql.types._
+    StructType(changeDataSchema(sch).fields ++ Seq(
+      StructField(CommitVersion, LongType, nullable = false),
+      StructField(CommitTimestamp, TimestampType, nullable = false)))
+  }
+
+  private[lake] def parquetFilesIn(dir: Path): Seq[String] =
+    Files.walk(dir).iterator.asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(_.toString).toSeq.sorted
+
+  /** Recursive delete helper for tests. */
+  def deleteRecursively(path: String): Unit = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).iterator.asScala
+        .foreach(Files.delete)
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.lake.{Cdc, MiniLake, Watermark}
+
+/** Driver-gate queries that exercise the MiniLake CDC pipeline
+  * (SURVEY.md §2.1/§2.8) end-to-end with a SQL-expressible final state:
+  * deterministic version history built from the `documents` table, then
+  * incrementally processed bronze → silver through the watermarked CDC
+  * path. The DuckDB oracle states the expected final silver snapshot
+  * directly against `documents`.
+  */
+object Pipeline {
+
+  /** create v0 (doc_id < 300) → append v1 (300–399) → merge-delete
+    * (doc_id % 7 == 0) → two watermarked CDC passes (split mid-history
+    * to prove incremental processing) → silver snapshot.
+    */
+  def q19CdcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_cdc").toString
+    val bronzePath = s"$base/bronze/documents"
+    val silverPath = s"$base/silver/documents"
+    val wm = Watermark(s, s"$base/internal/watermark")
+
+    val docs = documents(s, dir)
+    val bronze = MiniLake(s, bronzePath)
+    bronze.create(docs.filter(col("doc_id") < 300))
+
+    def process(): Unit = {
+      val upd = Cdc.readTableUpdate(s, bronzePath, wm, "pseudonymisation", "documents")
+      Cdc.writeTableUpdate(s, upd, silverPath, Seq("doc_id"), wm,
+        "pseudonymisation", "documents")
+    }
+
+    process() // pass 1: v0 only
+    bronze.append(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400))
+    process() // pass 2: v1 only (watermark proves the range)
+    bronze.merge(
+      inserts = MiniLake.emptyDf(s, bronze.schema),
+      deletes = docs.filter(col("doc_id") % 7 === 0),
+      pks = Seq("doc_id"))
+    // NOTE: the delete must be its own pass. A batch spanning an insert
+    // version and a later delete version applies whenMatchedDelete
+    // before whenNotMatchedInsertAll (reference order,
+    // datalake.py:194-211), which would re-insert rows deleted later in
+    // history — a real artifact of the reference's batched-CDC design
+    // that MiniLakeSpec covers; here the oracle needs the clean result.
+    process() // pass 3: v2 only
+
+    MiniLake(s, silverPath).snapshot()
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val q19Oracle: String =
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents
+      |WHERE doc_id < 400 AND doc_id % 7 <> 0
+      |ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_cdc_roundtrip" -> (q19CdcRoundtrip _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q19_cdc_roundtrip" -> q19Oracle
+  )
+}

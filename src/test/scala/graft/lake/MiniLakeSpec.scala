@@ -1,0 +1,150 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Port of the reference's CDC-table contracts
+  * (patient_notes/tests/test_datalake.py — see SURVEY.md §5).
+  */
+class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private var dir: String = _
+  override def beforeEach(): Unit =
+    dir = Files.createTempDirectory("minilake").toString + "/t"
+  override def afterEach(): Unit =
+    MiniLake.deleteRecursively(dir)
+
+  private def kv(rows: (Long, String)*) = rows.toDF("key", "value")
+
+  test("create + append produce sequential versions with insert changes") {
+    val t = MiniLake(spark, dir)
+    assert(!t.exists && t.latestVersion === -1L)
+    t.create(kv(1L -> "a", 2L -> "b"))
+    assert(t.exists && t.latestVersion === 0L)
+    t.append(kv(3L -> "c"))
+    assert(t.latestVersion === 1L)
+
+    val snap = t.snapshot().orderBy("key").as[(Long, String)].collect()
+    assert(snap.toSeq === Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+
+    val ch = t.readChanges(0, 1)
+    assert(ch.columns.toSeq ===
+      Seq("key", "value", "_change_type", "_commit_version", "_commit_timestamp"))
+    val byVersion = ch.select("key", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(byVersion === Set((1L, "insert", 0L), (2L, "insert", 0L),
+      (3L, "insert", 1L)))
+  }
+
+  test("readChanges with low > high returns empty frame with CDC schema") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a"))
+    val ch = t.readChanges(5, 3)
+    assert(ch.isEmpty)
+    assert(ch.columns.contains("_change_type"))
+    assert(ch.columns.contains("_commit_timestamp"))
+  }
+
+  test("overwrite surfaces as delete-of-prior plus insert-of-new") {
+    // test_datalake.py:273-334 — downstream consumers must see the
+    // overwritten rows as deletes.
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a", 2L -> "b"))
+    t.overwrite(kv(2L -> "b2", 3L -> "c"))
+    val ch = t.readChanges(1, 1).select("key", "value", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(ch === Set((1L, "a", "delete"), (2L, "b", "delete"),
+      (2L, "b2", "insert"), (3L, "c", "insert")))
+    assert(t.snapshot().orderBy("key").as[(Long, String)].collect().toSeq
+      === Seq(2L -> "b2", 3L -> "c"))
+  }
+
+  test("merge inserts only absent PKs and deletes matched PKs") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a", 2L -> "b"))
+    // re-insert of key 1 is a no-op; key 3 lands; key 2 deleted
+    val (ins, del) = t.merge(
+      inserts = kv(1L -> "a-dup", 3L -> "c"),
+      deletes = kv(2L -> "whatever"),
+      pks = Seq("key"))
+    assert((ins, del) === (1L, 1L))
+    assert(t.snapshot().orderBy("key").as[(Long, String)].collect().toSeq
+      === Seq(1L -> "a", 3L -> "c"))
+    val ch = t.readChanges(1, 1).select("key", "_change_type")
+      .as[(Long, String)].collect().toSet
+    assert(ch === Set((3L, "insert"), (2L, "delete")))
+  }
+
+  test("merge applies deletes before inserts: same-batch PK replacement") {
+    // the change-set an upstream overwrite produces: delete old row and
+    // insert a new row under the same PK, in one batch
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a", 2L -> "b"))
+    val (ins, del) = t.merge(
+      inserts = kv(2L -> "b2", 3L -> "c"),
+      deletes = kv(1L -> "a", 2L -> "b"),
+      pks = Seq("key"))
+    assert((ins, del) === (2L, 2L))
+    assert(t.snapshot().orderBy("key").as[(Long, String)].collect().toSeq
+      === Seq(2L -> "b2", 3L -> "c"))
+  }
+
+  test("merge replay is idempotent (at-least-once safety)") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a"))
+    t.merge(kv(2L -> "b"), kv(), Seq("key"))
+    t.merge(kv(2L -> "b"), kv(), Seq("key")) // replay
+    assert(t.snapshot().count() === 2L)
+    // replayed commit exists but recorded zero changes rows
+    assert(t.readChanges(2, 2).count() === 0L)
+  }
+
+  test("update records preimage/postimage and preserves other rows") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a", 2L -> "b"))
+    t.update(col("key") === 1L, Map("value" -> lit("a2")))
+    assert(t.snapshot().orderBy("key").as[(Long, String)].collect().toSeq
+      === Seq(1L -> "a2", 2L -> "b"))
+    val ch = t.readChanges(1, 1).select("key", "value", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(ch === Set((1L, "a", "update_preimage"), (1L, "a2", "update_postimage")))
+  }
+
+  test("vacuum neither advances the version nor breaks reads") {
+    // test_datalake.py:229-269
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a"))
+    t.overwrite(kv(2L -> "b")) // makes v0 files unreferenced
+    val before = t.latestVersion
+    t.vacuum()
+    assert(t.latestVersion === before)
+    assert(t.snapshot().as[(Long, String)].collect().toSeq === Seq(2L -> "b"))
+    // change files survive vacuum: the delete of key 1 is still visible
+    assert(t.readChanges(1, 1).filter("_change_type = 'delete'").count() === 1L)
+  }
+
+  test("snapshot time-travel reads an old version") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a"))
+    t.append(kv(2L -> "b"))
+    t.overwrite(kv(3L -> "c"))
+    assert(t.snapshot(0).as[(Long, String)].collect().toSeq === Seq(1L -> "a"))
+    assert(t.snapshot(1).orderBy("key").as[(Long, String)].collect().toSeq
+      === Seq(1L -> "a", 2L -> "b"))
+    assert(t.snapshot(2).as[(Long, String)].collect().toSeq === Seq(3L -> "c"))
+  }
+
+  test("append with mismatched schema is rejected") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a"))
+    val bad = Seq((1L, 2.0)).toDF("key", "value")
+    intercept[IllegalArgumentException] { t.append(bad) }
+  }
+}
