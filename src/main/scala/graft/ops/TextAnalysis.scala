@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * ([EXT] surface): token statistics, quality scoring, language
+  * identification, and document fingerprinting over the `documents`
+  * table.
+  *
+  * Everything is built from codegen'd Catalyst expressions (split /
+  * filter / transform / aggregate higher-order functions) — no UDFs —
+  * so the scans stay inside whole-stage codegen and scale linearly;
+  * each query is a single narrow pass over the table (no shuffle except
+  * the final order for the oracle).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties removed — shared by all ops; the
+    * DuckDB oracles use the equivalent list_filter(string_split(...)).
+    */
+  private[ops] def tokens(c: Column): Column =
+    filter(split(c, " "), w => length(w) > lit(0))
+
+  private val tokensSql =
+    "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+
+  /** Token counting: n_tokens, character length, mean token length. */
+  def q30TokenStats(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .withColumn("ws", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        round(aggregate(transform(col("ws"), w => length(w)),
+          lit(0), (acc, x) => acc + x).cast("double") / size(col("ws")), 4)
+          .as("avg_token_len"))
+      .orderBy("doc_id")
+
+  val q30Oracle: String =
+    s"""WITH w AS (SELECT doc_id, text, $tokensSql AS ws FROM documents)
+      |SELECT doc_id,
+      | CAST(length(ws) AS BIGINT) AS n_tokens,
+      | CAST(length(text) AS BIGINT) AS n_chars,
+      | round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+      |       / length(ws), 4) AS avg_token_len
+      |FROM w
+      |ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: whitespace/punctuation/stopword ratios — the
+    * standard cheap heuristics used to filter LLM training corpora.
+    */
+  def q31QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "is", "in", "to")
+    documents(s, dir)
+      .withColumn("ws", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        round(size(filter(col("ws"),
+          w => stop.map(w === lit(_)).reduce(_ || _)))
+          .cast("double") / size(col("ws")), 4).as("stopword_ratio"),
+        round((length(col("text")) -
+          length(regexp_replace(col("text"), "[ ]", "")))
+          .cast("double") / length(col("text")), 4).as("space_ratio"),
+        round((length(col("text")) -
+          length(regexp_replace(col("text"), "[,.!?;:]", "")))
+          .cast("double") / length(col("text")), 4).as("punct_ratio"),
+        round(size(array_distinct(col("ws"))).cast("double")
+          / size(col("ws")), 4).as("distinct_token_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val q31Oracle: String =
+    s"""WITH w AS (SELECT doc_id, text, $tokensSql AS ws FROM documents)
+      |SELECT doc_id,
+      | round(CAST(length(list_filter(ws,
+      |   x -> x IN ('the','a','of','and','is','in','to'))) AS DOUBLE)
+      |   / length(ws), 4) AS stopword_ratio,
+      | round(CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g'))
+      |   AS DOUBLE) / length(text), 4) AS space_ratio,
+      | round(CAST(length(text) - length(regexp_replace(text, '[,.!?;:]', '', 'g'))
+      |   AS DOUBLE) / length(text), 4) AS punct_ratio,
+      | round(CAST(length(list_distinct(ws)) AS DOUBLE) / length(ws), 4)
+      |   AS distinct_token_ratio
+      |FROM w
+      |ORDER BY doc_id""".stripMargin
+
+  /** Language identification via stopword-marker voting (n-gram
+    * heuristic family): count marker hits per language, pick the
+    * arg-max with a fixed tie-break order. Deterministic and
+    * SQL-expressible; real-world marker lists.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "los", "que", "y"),
+    "fr" -> Seq("le", "les", "des", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def q32LangId(s: SparkSession, dir: String): DataFrame = {
+    val withScores = langMarkers.foldLeft(
+      documents(s, dir).withColumn("ws", tokens(col("text")))) {
+      case (d, (lang, markers)) =>
+        d.withColumn(s"s_$lang", size(filter(col("ws"),
+          w => markers.map(w === lit(_)).reduce(_ || _))).cast("long"))
+    }
+    val best = greatest(langMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+    // first language (alphabetical) reaching the max wins, 'und'
+    // (undetermined) when nothing matched
+    val guess = langMarkers.foldRight(lit("und")) {
+      case ((lang, _), elseCol) =>
+        when(col(s"s_$lang") === best && best > 0, lit(lang)).otherwise(elseCol)
+    }
+    // a when-chain evaluates in order, so earlier languages win ties —
+    // but foldRight builds nested otherwise, keeping the de,en,es,fr,zh
+    // precedence. The oracle mirrors with an identical CASE chain.
+    val outCols = Seq(col("doc_id"), col("lang").as("declared_lang"),
+      guess.as("guessed_lang")) ++
+      langMarkers.map { case (l, _) => col(s"s_$l") }
+    withScores.select(outCols: _*).orderBy("doc_id")
+  }
+
+  val q32Oracle: String = {
+    val scoreExprs = langMarkers.map { case (lang, markers) =>
+      val inList = markers.map(m => s"'$m'").mkString(",")
+      s"CAST(length(list_filter(ws, x -> x IN ($inList))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n  ")
+    val caseChain = langMarkers.map { case (lang, _) =>
+      s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
+    }.mkString(" ")
+    val greatestList = langMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")
+    s"""WITH w AS (SELECT doc_id, lang, $tokensSql AS ws FROM documents),
+      |scored AS (SELECT doc_id, lang,
+      |  $scoreExprs
+      |FROM w),
+      |best AS (SELECT *, greatest($greatestList) AS best FROM scored)
+      |SELECT doc_id, lang AS declared_lang,
+      | CASE $caseChain ELSE 'und' END AS guessed_lang,
+      | s_de, s_en, s_es, s_fr, s_zh
+      |FROM best
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprinting: md5 of whitespace-normalized text plus a
+    * short prefix usable as a shard/bucket key.
+    */
+  def q33Fingerprint(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+          .as("fingerprint"))
+      .withColumn("bucket", substring(col("fingerprint"), 1, 2))
+      .orderBy("doc_id")
+
+  val q33Oracle: String =
+    """SELECT doc_id,
+      | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+      | substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 2)
+      |   AS bucket
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_token_stats" -> (q30TokenStats _),
+    "q31_quality_score" -> (q31QualityScore _),
+    "q32_lang_id" -> (q32LangId _),
+    "q33_fingerprint" -> (q33Fingerprint _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q30_token_stats" -> q30Oracle,
+    "q31_quality_score" -> q31Oracle,
+    "q32_lang_id" -> q32Oracle,
+    "q33_fingerprint" -> q33Oracle
+  )
+}

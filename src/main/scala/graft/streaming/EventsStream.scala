@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface ([EXT] — the reference is batch-only,
+  * SURVEY.md §2.8): the same hourly rollup as the batch q18, expressed
+  * as readStream → event-time window + watermark → memory sink, driven
+  * synchronously over the events parquet. Proves the engine's streaming
+  * path produces batch-identical results (the oracle for
+  * q48_stream_hourly is the same SQL as the batch query's).
+  *
+  * Scale posture: the aggregation state is keyed on (window,
+  * event_type) with a 1-hour watermark bounding state size; on a real
+  * cluster the same code runs against a file/Kafka source with
+  * checkpointing — nothing here is local-mode-specific except the
+  * memory sink used to surface the result synchronously.
+  */
+object EventsStream {
+
+  /** events.parquet raw schema — ts is INT64 TIMESTAMP(NANOS) read as
+    * long (see Tables.events) and converted after read.
+    */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def hourlyStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file-stream source requires a directory to watch (the shape a
+    // real deployment has); stage the single testdata file into a fresh
+    // watch dir via symlink — zero copy.
+    val watchDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createSymbolicLink(
+      watchDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = s.readStream
+      .schema(rawSchema)
+      .parquet(watchDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("n"), col("total_value"))
+
+    val name = "graft_hourly_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val query = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      query.processAllAvailable()
+      val result = s.table(name).orderBy("hour", "event_type")
+      result.cache().count() // materialize before the query stops
+      result
+    } finally query.stop()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_stream_hourly" -> ((s, dir) => hourlyStream(s, dir))
+  )
+
+  /** Identical to the batch q18 oracle — streaming must agree with
+    * batch on a bounded input.
+    */
+  def oracles: Map[String, String] = Map(
+    "q48_stream_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        | count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class DedupSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("exact dedup groups identical content under min-doc_id keeper") {
+    import org.apache.spark.sql.functions._
+    val out = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[Long]("keeper"), r.getAs[Long]("n")))
+      .toSet
+    assert(out === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH candidates include all high-jaccard pairs (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val trueDups = Dedup.q41NgramJaccard(spark, sf).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.6)
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    val candidates = Dedup.q42MinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    // banding (3 bands × 2 rows) catches near-identical pairs with
+    // probability 1-(1-j²)³ — ≥ 0.77 at j=0.6; on this corpus every
+    // high-jaccard pair must surface
+    assert(trueDups.subsetOf(candidates),
+      s"missed: ${trueDups -- candidates}")
+  }
+
+  test("simhash of identical docs is identical") {
+    val sf = "/root/testdata/sf0.001"
+    val fp = Dedup.q43Simhash(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
+    assert(fp.size === 500)
+    assert(fp.values.forall(_.length == 16))
+    assert(fp.values.forall(_.forall(c => c == '0' || c == '1')))
+  }
+}
