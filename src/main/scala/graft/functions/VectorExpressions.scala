@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSql}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for dense-vector math.
+  *
+  * The composable alternative (`aggregate(zip_with(a, b, _*_), 0d, _+_)`)
+  * runs on the interpreted higher-order-function path — per-element
+  * lambda dispatch with null boxing — and dominated the benchmark for
+  * the similarity queries. These expressions evaluate in a tight
+  * primitive loop over `ArrayData` and participate in whole-stage
+  * codegen via `doGenCode`, the preference order the engine follows for
+  * operators Spark lacks (custom Expression before UDF).
+  */
+object VectorExpressions {
+
+  /** cosine(a, b) = <a,b> / (|a|·|b|) computed in one pass; null if
+    * either input is null; NaN propagates like plain double math.
+    */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0
+      var nx = 0.0
+      var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getDouble(i)
+        val yi = y.getDouble(i)
+        dot += xi * yi
+        nx += xi * xi
+        ny += yi * yi
+        i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        val nx = ctx.freshName("nx")
+        val ny = ctx.freshName("ny")
+        val xi = ctx.freshName("xi")
+        val yi = ctx.freshName("yi")
+        s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): Expression = copy(newLeft, newRight)
+  }
+
+  /** <a,b> dot product, same execution strategy. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+      dot
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): Expression = copy(newLeft, newRight)
+  }
+
+  def cosine_similarity(a: Column, b: Column): Column =
+    GraftSql.columnOf(CosineSimilarity(
+      GraftSql.expressionOf(a), GraftSql.expressionOf(b)))
+
+  def dot_product(a: Column, b: Column): Column =
+    GraftSql.columnOf(DotProduct(
+      GraftSql.expressionOf(a), GraftSql.expressionOf(b)))
+}

@@ -42,14 +42,19 @@ object Cdc {
       targetPath: String, primaryKeys: Seq[String],
       watermark: Watermark, activity: String, tableName: String): (Long, Long) = {
     val df = update.df
-    // C4: nothing to process — skip entirely, watermark untouched
-    // (datalake.py:171-173 uses isEmpty the same way).
-    if (df.isEmpty) return (0L, 0L)
-
-    // C6: updates are not supported downstream (datalake.py:177-188).
-    val updates = df.filter(col(MiniLake.ChangeType)
-      .isin("update_preimage", "update_postimage"))
-    if (!updates.isEmpty) {
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // One pass over the (batch-sized) change-set answers the emptiness
+    // check (C4) and the update-rejection check (C6) together — the
+    // reference runs isEmpty + a count as separate actions
+    // (datalake.py:171-188); semantics are identical.
+    val typeCounts = df.groupBy(col(MiniLake.ChangeType)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // C4: nothing to process — skip entirely, watermark untouched.
+    if (typeCounts.isEmpty) { df.unpersist(); return (0L, 0L) }
+    // C6: updates are not supported downstream.
+    if (typeCounts.contains("update_preimage") ||
+      typeCounts.contains("update_postimage")) {
+      df.unpersist()
       throw new IllegalArgumentException(
         s"update changes are not supported (table $tableName); " +
           "only insert and delete change types can be processed")
@@ -73,6 +78,7 @@ object Cdc {
         target.merge(inserts, deletes, primaryKeys)
       }
 
+    df.unpersist()
     // C5: bump only after the write succeeded (datalake.py:232-239).
     watermark.bump(activity, tableName, update.high)
     counts

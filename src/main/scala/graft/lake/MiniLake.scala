@@ -208,11 +208,15 @@ final class MiniLake(spark: SparkSession, val path: String) {
     // same batch (e.g. from an upstream overwrite) lands correctly.
     val delKeys = deletes.select(pks.map(col): _*).distinct()
     val toDelete = target.join(delKeys, pks, "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = target.join(delKeys, pks, "left_anti")
     val toInsert = inserts.join(kept.select(pks.map(col): _*), pks, "left_anti")
       .select(target.columns.map(col).toSeq: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // cache counts once; the plan below reuses them
+    // The deltas are batch-sized (not table-sized), so persisting them
+    // is scale-safe and saves recomputing the anti-joins for the count,
+    // the change file, and the data write.
     val nIns = toInsert.count()
     val nDel = toDelete.count()
     val v = nextVersion
@@ -232,6 +236,8 @@ final class MiniLake(spark: SparkSession, val path: String) {
       writeEntry(CommitEntry(v, "merge", System.currentTimeMillis(),
         target.schema.json, adds, Seq.empty, hasChanges = true))
     }
+    toDelete.unpersist()
+    toInsert.unpersist()
     (nIns, nDel)
   }
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+import graft.functions.VectorExpressions.cosine_similarity
 
 /** Similarity search over the `embeddings` table ([EXT] surface):
   * brute-force cosine top-k as the exact baseline, cosine near-duplicate
@@ -12,7 +13,9 @@ import graft.Tables._
   * the scale path.
   *
   * Numeric determinism: both engines cast the float32 vectors to double
-  * and reduce sequentially over the array, so dot products and norms
+  * and reduce sequentially over the array (cosine here is a native
+  * codegen'd Catalyst expression, VectorExpressions.CosineSimilarity,
+  * computing dot/(sqrt(nx)*sqrt(ny)) in one pass), so similarities
   * agree bit-for-bit; results round to 6 decimals and tie-break on
   * vec_id anyway.
   *
@@ -29,20 +32,14 @@ object Similarity {
     embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0),
-        (acc, x) => acc + x * x)))
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Brute-force cosine top-5 neighbors for query vectors vec_id < 50. */
   def q45CosineTopK(s: SparkSession, dir: String): DataFrame = {
     val vecs = vecsDouble(s, dir)
     val queries = vecs.filter(col("vec_id") < 50)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
     val sims = queries.join(vecs.filter(col("vec_id") >= 50).hint("broadcast"))
-      .withColumn("sim", round(dot(col("qv"), col("v"))
-        / (col("qn") * col("norm")), 6))
+      .withColumn("sim", round(cosine_similarity(col("qv"), col("v")), 6))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("vec_id"))
     sims.withColumn("rn", row_number().over(w).cast("long"))
@@ -75,8 +72,7 @@ object Similarity {
     vecs.as("a")
       .join(vecs.as("b").hint("broadcast"),
         col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", round(dot(col("a.v"), col("b.v"))
-        / (col("a.norm") * col("b.norm")), 6))
+      .withColumn("sim", round(cosine_similarity(col("a.v"), col("b.v")), 6))
       .filter(col("sim") >= 0.42)
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         col("sim"))
@@ -143,16 +139,13 @@ object Similarity {
   def q46AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val vecs = vecsDouble(s, dir)
     val queries = withBuckets(vecs.filter(col("vec_id") < 50))
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("norm").as("qn"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
     val cands = withBuckets(vecs.filter(col("vec_id") >= 50))
-      .select(col("vec_id"), col("v"), col("norm"), col("bucket"))
+      .select(col("vec_id"), col("v"), col("bucket"))
     val sims = queries.join(cands, "bucket")
-      .select(col("qid"), col("vec_id"), col("qv"), col("qn"),
-        col("v"), col("norm"))
+      .select(col("qid"), col("vec_id"), col("qv"), col("v"))
       .dropDuplicates("qid", "vec_id") // pairs colliding in several tables score once
-      .withColumn("sim", round(dot(col("qv"), col("v"))
-        / (col("qn") * col("norm")), 6))
+      .withColumn("sim", round(cosine_similarity(col("qv"), col("v")), 6))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("vec_id"))
     sims.withColumn("rn", row_number().over(w).cast("long"))
