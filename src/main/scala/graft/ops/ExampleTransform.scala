@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.Metrics
+
+/** Port of the reference's `example_transform` pipeline: an in-memory
+  * source, the groupBy-count transform, and a JDBC "Feature Store" sink
+  * (example_transform/src/example_transform/{entrypoint.py:22-33,
+  * transform.py:20-30, db.py:59-136}).
+  *
+  * The sink keeps the reference's writer shape — `df.write.format(
+  * "jdbc").mode("append")` with url/dbtable/user/password options — and
+  * is exercised for real against embedded Derby (the MS SQL target is
+  * unreachable offline; only the connection string differs).
+  */
+object ExampleTransform {
+
+  /** db.py:89-108 — connection settings read from spark conf secrets in
+    * the reference; carried as a plain config here.
+    */
+  final case class FeatureStoreConfig(url: String, table: String,
+      user: String = "", password: String = "")
+
+  /** ET/transform.py:20-30 — the entire "query". */
+  def exampleTransform(df: DataFrame): DataFrame =
+    df.groupBy("value").count()
+
+  /** db.py:111-136 — count for the metric, then JDBC append. */
+  def saveFeatureStoreTable(df: DataFrame, config: FeatureStoreConfig): Unit = {
+    Metrics.rowsUpdated(df.count(), config.table, "insert", "example_transform")
+    var writer = df.write.format("jdbc")
+      .option("url", config.url)
+      .option("dbtable", config.table)
+      .mode(SaveMode.Append)
+    if (config.user.nonEmpty) writer = writer.option("user", config.user)
+    if (config.password.nonEmpty) writer = writer.option("password", config.password)
+    writer.save()
+  }
+
+  /** ET/entrypoint.py:22-33 — end-to-end job. */
+  def run(spark: SparkSession, config: FeatureStoreConfig): Unit = {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L, 2L, 3L).toDF("value")
+    saveFeatureStoreTable(exampleTransform(df), config)
+  }
+}
