@@ -10,12 +10,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Pipeline.queries ++ ops.Privacy.queries ++
       ops.TextAnalysis.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
-      ops.Multimodal.queries ++ streaming.EventsStream.queries
+      ops.Multimodal.queries ++ streaming.EventsStream.queries ++
+      ops.EventsOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Pipeline.oracles ++ ops.Privacy.oracles ++
       ops.TextAnalysis.oracles ++ ops.Dedup.oracles ++ ops.Similarity.oracles ++
-      ops.Multimodal.oracles ++ streaming.EventsStream.oracles
+      ops.Multimodal.oracles ++ streaming.EventsStream.oracles ++
+      ops.EventsOps.oracles
 }

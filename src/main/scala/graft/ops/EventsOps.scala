@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Event-stream operators beyond the reference's batch surface ([EXT]):
+  * as-of join and sketch-based distinct counting.
+  */
+object EventsOps {
+
+  /** As-of join, composed from built-ins (SURVEY.md §2.3's preferred
+    * path (a)): for every `error` event, the most recent `purchase` by
+    * the same user at-or-before its timestamp. Implemented as the
+    * union + ordered-window + last(ignoreNulls) pattern — a single
+    * shuffle on user_id, no range-join explosion; the same plan shape
+    * scales to a sort-merge as-of on a cluster.
+    *
+    * Tie rule: purchases sort before errors at the same millisecond
+    * (at-or-before is inclusive) and later event_ids win among
+    * same-ms purchases — the oracle mirrors both.
+    */
+  def q49AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms"), col("event_id"), col("value"),
+        lit(0).as("side"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ms"), col("event_id"), col("value"),
+        lit(1).as("side"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ms"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(errors)
+      .withColumn("last_purchase_ms",
+        last(when(col("side") === 0, col("ms")), ignoreNulls = true).over(w))
+      .withColumn("last_purchase_value",
+        last(when(col("side") === 0, col("value")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ms"),
+        col("last_purchase_ms"),
+        round(col("last_purchase_value"), 2).as("last_purchase_value"),
+        (col("ms") - col("last_purchase_ms")).as("gap_ms"))
+      .orderBy("event_id")
+  }
+
+  val q49Oracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, value, epoch_ms(ts) AS ms,
+      |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'error')),
+      |joined AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN side = 0 THEN ms END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ms, side, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS last_purchase_ms,
+      |    last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ms, side, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS last_purchase_value
+      |  FROM e)
+      |SELECT event_id, user_id, ms, last_purchase_ms,
+      | round(last_purchase_value, 2) AS last_purchase_value,
+      | ms - last_purchase_ms AS gap_ms
+      |FROM joined
+      |WHERE side = 1
+      |ORDER BY event_id""".stripMargin
+
+  /** HyperLogLog++ distinct counting (approx_count_distinct) next to
+    * the exact count. No SQL oracle — DuckDB's HLL sketch differs by
+    * implementation; EventsOpsSpec bounds the error against exact
+    * instead (rows-only driver check).
+    */
+  def q50ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_asof_join" -> (q49AsofJoin _),
+    "q50_approx_distinct" -> (q50ApproxDistinct _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q49_asof_join" -> q49Oracle
+    // q50: sketch-implementation-specific — rows-only check
+  )
+}
