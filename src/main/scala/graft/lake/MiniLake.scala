@@ -43,7 +43,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * activity-at-a-time pipelines): concurrent committers race on the
   * atomic log-entry publish; the loser fails rather than corrupts.
   */
-final class MiniLake(spark: SparkSession, val path: String) {
+final class MiniLake(spark: SparkSession, val path: String,
+    compact: Boolean = false) {
   import MiniLake._
 
   private val root = Paths.get(path)
@@ -146,14 +147,20 @@ final class MiniLake(spark: SparkSession, val path: String) {
 
   private def nextVersion: Long = latestVersion + 1
 
+  // `compact` tables (metadata-sized, e.g. watermarks) write a single
+  // file per commit — otherwise every tiny commit fans out one file
+  // per shuffle partition.
+  private def maybeCompact(df: DataFrame): DataFrame =
+    if (compact) df.coalesce(1) else df
+
   private def writeData(df: DataFrame, v: Long): Seq[String] = {
     val dir = root.resolve(s"data/v=$v")
-    df.write.parquet(dir.toString)
+    maybeCompact(df).write.parquet(dir.toString)
     parquetFilesIn(dir)
   }
 
   private def writeChanges(changes: DataFrame, v: Long): Unit =
-    changes.write.parquet(root.resolve(s"changes/v=$v").toString)
+    maybeCompact(changes).write.parquet(root.resolve(s"changes/v=$v").toString)
 
   /** First write / full replace without history (S3). `overwrite` on an
     * existing table records delete-changes for every prior row followed
@@ -304,6 +311,10 @@ object MiniLake {
 
   def apply(spark: SparkSession, path: String): MiniLake =
     new MiniLake(spark, path)
+
+  /** Variant for metadata-sized tables: single-file commits. */
+  def compact(spark: SparkSession, path: String): MiniLake =
+    new MiniLake(spark, path, compact = true)
 
   /** S8 existence probe (isDeltaTable analogue). */
   def exists(path: String): Boolean = {

@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
 final class Watermark(spark: SparkSession, path: String) {
   import Watermark._
 
-  private def lake = MiniLake(spark, path)
+  private def lake = MiniLake.compact(spark, path)
 
   private def ensureTable(): Unit =
     if (!lake.exists) lake.create(MiniLake.emptyDf(spark, Schema))

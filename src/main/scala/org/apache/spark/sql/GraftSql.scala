@@ -13,4 +13,18 @@ object GraftSql {
 
   def expressionOf(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Register the engine's native expressions for SQL callers:
+    * `SELECT graft_cosine_similarity(a, b)` / `graft_dot_product(a, b)`.
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[classic.SparkSession]
+      .sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("graft_cosine_similarity",
+      exprs => graft.functions.VectorExpressions.CosineSimilarity(
+        exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_dot_product",
+      exprs => graft.functions.VectorExpressions.DotProduct(
+        exprs.head, exprs(1)), "built-in")
+  }
 }
