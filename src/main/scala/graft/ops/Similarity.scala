@@ -21,10 +21,10 @@ import graft.functions.VectorExpressions.cosine_similarity
   *
   * Scale design: brute force is O(Q·N) with Q restricted to a bounded
   * query set and the candidate side broadcast-joined; the LSH variant
-  * buckets by 8 hyperplane sign bits so the expected candidate set per
-  * query is N/256 — the bucket join shuffles on the bucket id, never
-  * crossing the full matrix. Recall is asserted against brute force in
-  * SimilaritySpec.
+  * hashes into 4 tables of 4 sign-bits each, so candidates meet on
+  * (table, bucket) join keys and each table prunes the candidate set
+  * 16× — never crossing the full matrix. Recall is asserted against
+  * brute force in SimilaritySpec.
   */
 object Similarity {
 

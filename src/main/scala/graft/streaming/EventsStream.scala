@@ -64,13 +64,19 @@ object EventsStream {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q48_stream_hourly" -> ((s, dir) => hourlyStream(s, dir))
+    "q48_stream_hourly" -> ((s, dir) => hourlyStream(s, dir)),
+    "q51_stream_sessions" -> ((s, dir) => SessionizeStream.sessions(s, dir)
+      .select("user_id", "session_seq", "n_events", "start_ms", "end_ms",
+        "session_value"))
   )
 
   /** Identical to the batch q18 oracle — streaming must agree with
     * batch on a bounded input.
     */
   def oracles: Map[String, String] = Map(
+    // identical to the batch q10 oracle — stateful streaming must agree
+    // with the window-based batch sessionizer
+    "q51_stream_sessions" -> graft.ops.Relational.q10Oracle,
     "q48_stream_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         | count(*) AS n, round(sum(value),2) AS total_value

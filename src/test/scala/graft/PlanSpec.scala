@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Relational
+
+/** Physical-plan assertions: the properties that make these queries
+  * scale must survive refactors — filters reach the parquet scan,
+  * projections prune columns, dimension joins broadcast.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter is pushed into the parquet scan") {
+    val plan = planOf(Relational.q1PricingSummary(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q1: scan reads only the needed columns") {
+    val plan = planOf(Relational.q1PricingSummary(spark, sf))
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(!readSchema.contains("l_partkey"), readSchema)
+  }
+
+  test("q5: all dimension joins broadcast; the fact side never shuffles for a join") {
+    val plan = planOf(Relational.q5NationRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q13: part joins as broadcast") {
+    val plan = planOf(Relational.q13BrandRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
