@@ -434,6 +434,43 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin
 
+  /** CUBE grouping-sets (all four combinations), 'ALL'-coalesced like
+    * q12's rollup.
+    */
+  def q52Cube(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  val q52Oracle: String =
+    """SELECT coalesce(o_orderstatus,'ALL') AS status,
+      | coalesce(o_orderpriority,'ALL') AS priority,
+      | count(*) AS n, round(sum(o_totalprice),2) AS total
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** EXCEPT (distinct set difference): customers with open orders but
+    * no fulfilled ones.
+    */
+  def q53Except(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    val done = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+    open.except(done).orderBy("o_custkey")
+  }
+
+  val q53Oracle: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -451,7 +488,9 @@ object Relational {
     "q15_date_bounds" -> (q15DateBounds _),
     "q16_set_ops" -> (q16SetOps _),
     "q17_json_props" -> (q17JsonProps _),
-    "q18_hourly_events" -> (q18HourlyEvents _)
+    "q18_hourly_events" -> (q18HourlyEvents _),
+    "q52_cube" -> (q52Cube _),
+    "q53_except" -> (q53Except _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -471,6 +510,8 @@ object Relational {
     "q15_date_bounds" -> q15Oracle,
     "q16_set_ops" -> q16Oracle,
     "q17_json_props" -> q17Oracle,
-    "q18_hourly_events" -> q18Oracle
+    "q18_hourly_events" -> q18Oracle,
+    "q52_cube" -> q52Oracle,
+    "q53_except" -> q53Oracle
   )
 }

@@ -49,6 +49,12 @@ object EventsStream {
       .select(col("window.start").cast("timestamp_ntz").as("hour"),
         col("event_type"), col("n"), col("total_value"))
 
+    // streaming state stores are one-per-shuffle-partition; size them
+    // for the aggregation's key cardinality (hundreds of windows), not
+    // the batch default — a standard knob on real deployments too
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(prevShuffle.toInt, 8).toString)
     val name = "graft_hourly_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val query = stream.writeStream
       .outputMode("complete")
@@ -60,7 +66,10 @@ object EventsStream {
       val result = s.table(name).orderBy("hour", "event_type")
       result.cache().count() // materialize before the query stops
       result
-    } finally query.stop()
+    } finally {
+      query.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

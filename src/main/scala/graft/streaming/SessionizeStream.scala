@@ -101,6 +101,11 @@ object SessionizeStream {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(sessionize)
 
+    // state partitions sized for key cardinality (150 users), not the
+    // batch shuffle default
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(prevShuffle.toInt, 8).toString)
     val name = "graft_sessions_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = sessionized.writeStream.outputMode("append")
       .format("memory").queryName(name).start()
@@ -109,6 +114,9 @@ object SessionizeStream {
       val result = s.table(name).orderBy("user_id", "session_seq")
       result.cache().count()
       result
-    } finally q.stop()
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 }
