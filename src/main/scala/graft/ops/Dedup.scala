@@ -6,8 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 
 /** Deduplication operators for training-data pipelines ([EXT] surface):
-  * exact (content-hash groupBy), n-gram Jaccard, MinHash+LSH banding,
-  * and SimHash — each as an oracle-checked query over `documents`.
+  * exact (content-hash groupBy), n-gram Jaccard, MinHash+LSH banding
+  * (Broder, "On the resemblance and containment of documents", 1997;
+  * banding analysis per Leskovec/Rajaraman/Ullman, Mining of Massive
+  * Datasets ch.3), and SimHash (Charikar, "Similarity estimation
+  * techniques from rounding algorithms", STOC 2002) — each as an
+  * oracle-checked query over `documents`.
   *
   * Scale design:
   *  - exact dedup is a single hash-aggregate on md5(text) — the

@@ -10,7 +10,9 @@ import graft.functions.VectorExpressions.cosine_similarity
 /** Similarity search over the `embeddings` table ([EXT] surface):
   * brute-force cosine top-k as the exact baseline, cosine near-duplicate
   * pairs, and a random-hyperplane LSH-bucketed approximate variant as
-  * the scale path.
+  * the scale path (sign-random-projection hashing per Charikar STOC
+  * 2002; multi-table scheme per Indyk & Motwani, "Approximate nearest
+  * neighbors: towards removing the curse of dimensionality", STOC 1998).
   *
   * Numeric determinism: both engines cast the float32 vectors to double
   * and reduce sequentially over the array (cosine here is a native
