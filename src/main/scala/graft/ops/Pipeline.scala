@@ -27,7 +27,10 @@ object Pipeline {
     val silverPath = s"$base/silver/documents"
     val wm = Watermark(s, s"$base/internal/watermark")
 
-    val docs = documents(s, dir)
+    // the scenario filters this small table repeatedly while building
+    // bronze history — persist once
+    val docs = documents(s, dir).filter(col("doc_id") < 400 ||
+      col("doc_id") % 7 === 0).persist()
     val bronze = MiniLake(s, bronzePath)
     bronze.create(docs.filter(col("doc_id") < 300))
 
@@ -51,6 +54,7 @@ object Pipeline {
     // history — a real artifact of the reference's batched-CDC design
     // that MiniLakeSpec covers; here the oracle needs the clean result.
     process() // pass 3: v2 only
+    docs.unpersist()
 
     MiniLake(s, silverPath).snapshot()
       .select("doc_id", "text", "lang", "source", "n_chars")
