@@ -40,7 +40,8 @@ object Cdc {
     */
   def writeTableUpdate(spark: SparkSession, update: TableUpdate,
       targetPath: String, primaryKeys: Seq[String],
-      watermark: Watermark, activity: String, tableName: String): (Long, Long) = {
+      watermark: Watermark, activity: String, tableName: String,
+      bucketNumBuckets: Option[Int] = None): (Long, Long) = {
     val df = update.df
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // One pass over the (batch-sized) change-set answers the emptiness
@@ -60,7 +61,13 @@ object Cdc {
           "only insert and delete change types can be processed")
     }
 
-    val target = MiniLake(spark, targetPath)
+    // bucketed layout (if requested) applies at create time and is
+    // recovered from the log afterwards — merges then rewrite only the
+    // buckets their delete keys touch.
+    val target = bucketNumBuckets match {
+      case Some(n) => MiniLake.bucketed(spark, targetPath, primaryKeys, n)
+      case None => MiniLake(spark, targetPath)
+    }
     val counts =
       if (!target.exists) {
         // C7: create path — the reference writes the WHOLE change frame

@@ -44,11 +44,23 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * atomic log-entry publish; the loser fails rather than corrupts.
   */
 final class MiniLake(spark: SparkSession, val path: String,
-    compact: Boolean = false) {
+    compact: Boolean = false,
+    bucketSpecAtCreate: Option[MiniLake.BucketSpec] = None) {
   import MiniLake._
 
   private val root = Paths.get(path)
   private val logDir = root.resolve("_log")
+
+  /** The table's bucket layout: fixed at create time, recovered from
+    * the first commit entry on reopen.
+    */
+  private def bucketSpec: Option[BucketSpec] =
+    if (!exists) bucketSpecAtCreate
+    else readEntry(listVersions.head).bucketSpec
+
+  private def bucketExpr(spec: BucketSpec): Column =
+    pmod(xxhash64(concat_ws("\u0001",
+      spec.pks.map(c => col(c).cast("string")): _*)), lit(spec.numBuckets))
 
   // ---- log ----------------------------------------------------------
 
@@ -75,7 +87,11 @@ final class MiniLake(spark: SparkSession, val path: String,
       schemaJson = m.get("schemaJson").toString,
       adds = m.get("adds").asInstanceOf[java.util.List[String]].asScala.toSeq,
       removes = m.get("removes").asInstanceOf[java.util.List[String]].asScala.toSeq,
-      hasChanges = m.get("hasChanges").asInstanceOf[Boolean])
+      hasChanges = m.get("hasChanges").asInstanceOf[Boolean],
+      bucketSpec = Option(m.get("bucketPks")).map { pks =>
+        BucketSpec(pks.asInstanceOf[java.util.List[String]].asScala.toSeq,
+          m.get("numBuckets").asInstanceOf[Number].intValue())
+      })
   }
 
   /** Publish the commit entry for `v` atomically: write a tmp file, then
@@ -84,11 +100,17 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   private def writeEntry(e: CommitEntry): Unit = {
     Files.createDirectories(logDir)
-    val bytes = mapper.writeValueAsBytes(Map(
-      "version" -> e.version, "mode" -> e.mode,
-      "timestampMs" -> e.timestampMs, "schemaJson" -> e.schemaJson,
+    val base = Map[String, Object](
+      "version" -> Long.box(e.version), "mode" -> e.mode,
+      "timestampMs" -> Long.box(e.timestampMs), "schemaJson" -> e.schemaJson,
       "adds" -> e.adds.asJava, "removes" -> e.removes.asJava,
-      "hasChanges" -> e.hasChanges).asJava)
+      "hasChanges" -> Boolean.box(e.hasChanges))
+    val withBuckets = e.bucketSpec match {
+      case Some(s) => base ++ Map[String, Object](
+        "bucketPks" -> s.pks.asJava, "numBuckets" -> Int.box(s.numBuckets))
+      case None => base
+    }
+    val bytes = mapper.writeValueAsBytes(withBuckets.asJava)
     val tmp = logDir.resolve(s".${e.version}.json.tmp")
     Files.write(tmp, bytes)
     try Files.createLink(logDir.resolve(s"${e.version}.json"), tmp)
@@ -155,7 +177,16 @@ final class MiniLake(spark: SparkSession, val path: String,
 
   private def writeData(df: DataFrame, v: Long): Seq[String] = {
     val dir = root.resolve(s"data/v=$v")
-    maybeCompact(df).write.parquet(dir.toString)
+    bucketSpec match {
+      case Some(spec) =>
+        // hash-bucketed layout: files land under _bucket=<k>/ so a
+        // later merge can rewrite only the buckets its delete keys
+        // touch. The bucket column lives in the path only, never in
+        // the files (schema'd reads of leaf files skip inference).
+        df.withColumn(BucketCol, bucketExpr(spec))
+          .write.partitionBy(BucketCol).parquet(dir.toString)
+      case None => maybeCompact(df).write.parquet(dir.toString)
+    }
     parquetFilesIn(dir)
   }
 
@@ -197,7 +228,8 @@ final class MiniLake(spark: SparkSession, val path: String,
     val adds = writeData(data, v)
     writeChanges(changes, v)
     writeEntry(CommitEntry(v, mode, System.currentTimeMillis(),
-      data.schema.json, adds, removed, hasChanges = true))
+      data.schema.json, adds, removed, hasChanges = true,
+      bucketSpec = bucketSpec))
   }
 
   /** MERGE (S4): `whenNotMatchedInsertAll` ∪ `whenMatchedDelete`, keyed
@@ -228,20 +260,39 @@ final class MiniLake(spark: SparkSession, val path: String,
     val nDel = toDelete.count()
     val v = nextVersion
     if (nDel > 0) {
-      // copy-on-write: new live set = kept ∪ inserted
-      val newData = kept.unionByName(toInsert)
-      val removed = liveFiles(v - 1)
+      // copy-on-write of the affected data. Bucketed tables rewrite
+      // ONLY the buckets the delete keys hash into (a PK's row can
+      // only live in its own bucket, so kept-rows outside those
+      // buckets are untouched and their files stay live); unbucketed
+      // tables rewrite the whole live set.
+      val (newData, removed) = bucketSpec match {
+        case Some(spec) =>
+          val affected = delKeys.select(bucketExpr(spec).as(BucketCol))
+            .distinct().collect().map(_.getLong(0)).toSet
+          val prior = liveFiles(v - 1)
+          val hit = prior.filter(f =>
+            affected.exists(k => f.contains(s"/$BucketCol=$k/")))
+          val affectedTarget =
+            if (hit.isEmpty) emptyDf(spark, target.schema)
+            else spark.read.schema(target.schema).parquet(hit: _*)
+          val keptAffected = affectedTarget.join(delKeys, pks, "left_anti")
+          (keptAffected.unionByName(toInsert), hit)
+        case None =>
+          (kept.unionByName(toInsert), liveFiles(v - 1))
+      }
       val adds = writeData(newData, v)
       writeChanges(toDelete.withColumn(ChangeType, lit("delete"))
         .unionByName(toInsert.withColumn(ChangeType, lit("insert"))), v)
       writeEntry(CommitEntry(v, "merge", System.currentTimeMillis(),
-        target.schema.json, adds, removed, hasChanges = true))
+        target.schema.json, adds, removed, hasChanges = true,
+        bucketSpec = bucketSpec))
     } else {
       // pure insert: append-only commit, no rewrite of existing files
       val adds = writeData(toInsert, v)
       writeChanges(toInsert.withColumn(ChangeType, lit("insert")), v)
       writeEntry(CommitEntry(v, "merge", System.currentTimeMillis(),
-        target.schema.json, adds, Seq.empty, hasChanges = true))
+        target.schema.json, adds, Seq.empty, hasChanges = true,
+        bucketSpec = bucketSpec))
     }
     toDelete.unpersist()
     toInsert.unpersist()
@@ -269,7 +320,8 @@ final class MiniLake(spark: SparkSession, val path: String,
     val adds = writeData(newData, v)
     writeChanges(changes, v)
     writeEntry(CommitEntry(v, "update", System.currentTimeMillis(),
-      target.schema.json, adds, removed, hasChanges = true))
+      target.schema.json, adds, removed, hasChanges = true,
+      bucketSpec = bucketSpec))
   }
 
   /** Physical GC of files no longer referenced by the live set — MUST
@@ -305,9 +357,14 @@ object MiniLake {
 
   private val mapper = new ObjectMapper()
 
+  /** Hash-bucket layout: rows land in pmod(xxhash64(pks), numBuckets). */
+  final case class BucketSpec(pks: Seq[String], numBuckets: Int)
+
+  val BucketCol = "_bucket"
+
   final case class CommitEntry(version: Long, mode: String, timestampMs: Long,
       schemaJson: String, adds: Seq[String], removes: Seq[String],
-      hasChanges: Boolean)
+      hasChanges: Boolean, bucketSpec: Option[BucketSpec] = None)
 
   def apply(spark: SparkSession, path: String): MiniLake =
     new MiniLake(spark, path)
@@ -315,6 +372,15 @@ object MiniLake {
   /** Variant for metadata-sized tables: single-file commits. */
   def compact(spark: SparkSession, path: String): MiniLake =
     new MiniLake(spark, path, compact = true)
+
+  /** Variant with hash-bucketed layout: merges rewrite only the
+    * buckets their delete keys touch. The spec applies at create time
+    * and is recovered from the log on reopen (plain `apply` works too).
+    */
+  def bucketed(spark: SparkSession, path: String, pks: Seq[String],
+      numBuckets: Int): MiniLake =
+    new MiniLake(spark, path,
+      bucketSpecAtCreate = Some(BucketSpec(pks, numBuckets)))
 
   /** S8 existence probe (isDeltaTable analogue). */
   def exists(path: String): Boolean = {

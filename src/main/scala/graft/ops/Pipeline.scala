@@ -67,11 +67,50 @@ object Pipeline {
       |WHERE doc_id < 400 AND doc_id % 7 <> 0
       |ORDER BY doc_id""".stripMargin
 
+  /** The same incremental scenario against a hash-bucketed silver
+    * (16 buckets on doc_id): identical observable result — the oracle
+    * is the same SQL — but the delete pass rewrites only the buckets
+    * its keys hash into instead of the whole table.
+    */
+  def q54BucketedCdc(s: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_cdc_b").toString
+    val bronzePath = s"$base/bronze/documents"
+    val silverPath = s"$base/silver/documents"
+    val wm = Watermark(s, s"$base/internal/watermark")
+
+    val docs = documents(s, dir).filter(col("doc_id") < 400 ||
+      col("doc_id") % 7 === 0).persist()
+    val bronze = MiniLake(s, bronzePath)
+    bronze.create(docs.filter(col("doc_id") < 300))
+
+    def process(): Unit = {
+      val upd = Cdc.readTableUpdate(s, bronzePath, wm, "pseudonymisation", "documents")
+      Cdc.writeTableUpdate(s, upd, silverPath, Seq("doc_id"), wm,
+        "pseudonymisation", "documents", bucketNumBuckets = Some(16))
+    }
+
+    process()
+    bronze.append(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400))
+    process()
+    bronze.merge(
+      inserts = MiniLake.emptyDf(s, bronze.schema),
+      deletes = docs.filter(col("doc_id") % 7 === 0),
+      pks = Seq("doc_id"))
+    process()
+    docs.unpersist()
+
+    MiniLake(s, silverPath).snapshot()
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q19_cdc_roundtrip" -> (q19CdcRoundtrip _)
+    "q19_cdc_roundtrip" -> (q19CdcRoundtrip _),
+    "q54_bucketed_cdc" -> (q54BucketedCdc _)
   )
 
   def oracles: Map[String, String] = Map(
-    "q19_cdc_roundtrip" -> q19Oracle
+    "q19_cdc_roundtrip" -> q19Oracle,
+    "q54_bucketed_cdc" -> q19Oracle
   )
 }
