@@ -91,7 +91,9 @@ final class MiniLake(spark: SparkSession, val path: String,
       bucketSpec = Option(m.get("bucketPks")).map { pks =>
         BucketSpec(pks.asInstanceOf[java.util.List[String]].asScala.toSeq,
           m.get("numBuckets").asInstanceOf[Number].intValue())
-      })
+      },
+      changesMode = Option(m.get("changesMode")).map(_.toString)
+        .getOrElse("files"))
   }
 
   /** Publish the commit entry for `v` atomically: write a tmp file, then
@@ -105,11 +107,11 @@ final class MiniLake(spark: SparkSession, val path: String,
       "timestampMs" -> Long.box(e.timestampMs), "schemaJson" -> e.schemaJson,
       "adds" -> e.adds.asJava, "removes" -> e.removes.asJava,
       "hasChanges" -> Boolean.box(e.hasChanges))
-    val withBuckets = e.bucketSpec match {
+    val withBuckets = (e.bucketSpec match {
       case Some(s) => base ++ Map[String, Object](
         "bucketPks" -> s.pks.asJava, "numBuckets" -> Int.box(s.numBuckets))
       case None => base
-    }
+    }) + ("changesMode" -> e.changesMode)
     val bytes = mapper.writeValueAsBytes(withBuckets.asJava)
     val tmp = logDir.resolve(s".${e.version}.json.tmp")
     Files.write(tmp, bytes)
@@ -155,9 +157,17 @@ final class MiniLake(spark: SparkSession, val path: String,
       emptyDf(spark, changeSchema(sch))
     } else {
       withChanges.map { case (v, e) =>
-        spark.read
-          .schema(changeDataSchema(DataType.fromJson(e.schemaJson).asInstanceOf[StructType]))
-          .parquet(root.resolve(s"changes/v=$v").toString)
+        val entrySchema = DataType.fromJson(e.schemaJson).asInstanceOf[StructType]
+        val base = e.changesMode match {
+          case "insertsFromData" =>
+            (if (e.adds.isEmpty) emptyDf(spark, entrySchema)
+             else spark.read.schema(entrySchema).parquet(e.adds: _*))
+              .withColumn(ChangeType, lit("insert"))
+          case _ =>
+            spark.read.schema(changeDataSchema(entrySchema))
+              .parquet(root.resolve(s"changes/v=$v").toString)
+        }
+        base
           .withColumn(CommitVersion, lit(v))
           .withColumn(CommitTimestamp,
             timestamp_millis(lit(e.timestampMs)).cast("timestamp"))
@@ -200,16 +210,23 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   def create(df: DataFrame): Unit = {
     require(!exists, s"table $path already exists")
-    commitWithChanges(df, mode = "create",
-      changes = df.withColumn(ChangeType, lit("insert")),
-      removesAll = false)
+    commitInsertOnly(df, mode = "create")
   }
 
   def append(df: DataFrame): Unit = {
     requireSchemaMatch(df)
-    commitWithChanges(df, mode = "append",
-      changes = df.withColumn(ChangeType, lit("insert")),
-      removesAll = false)
+    commitInsertOnly(df, mode = "append")
+  }
+
+  /** Insert-only commit: the data files double as the change feed
+    * (changesMode=insertsFromData) — one write instead of two.
+    */
+  private def commitInsertOnly(data: DataFrame, mode: String): Unit = {
+    val v = nextVersion
+    val adds = writeData(data, v)
+    writeEntry(CommitEntry(v, mode, System.currentTimeMillis(),
+      data.schema.json, adds, Seq.empty, hasChanges = true,
+      bucketSpec = bucketSpec, changesMode = "insertsFromData"))
   }
 
   def overwrite(df: DataFrame): Unit = {
@@ -287,12 +304,12 @@ final class MiniLake(spark: SparkSession, val path: String,
         target.schema.json, adds, removed, hasChanges = true,
         bucketSpec = bucketSpec))
     } else {
-      // pure insert: append-only commit, no rewrite of existing files
+      // pure insert: append-only commit, no rewrite of existing files;
+      // the added files double as the change feed
       val adds = writeData(toInsert, v)
-      writeChanges(toInsert.withColumn(ChangeType, lit("insert")), v)
       writeEntry(CommitEntry(v, "merge", System.currentTimeMillis(),
         target.schema.json, adds, Seq.empty, hasChanges = true,
-        bucketSpec = bucketSpec))
+        bucketSpec = bucketSpec, changesMode = "insertsFromData"))
     }
     toDelete.unpersist()
     toInsert.unpersist()
@@ -330,11 +347,19 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   def vacuum(): Unit = {
     val live = liveFiles(latestVersion).toSet
+    // data files of insert-only commits double as that commit's change
+    // feed (changesMode=insertsFromData) — they must survive vacuum
+    // even after leaving the live set, exactly like dedicated change
+    // files do.
+    val changeBacked = listVersions.map(readEntry)
+      .filter(_.changesMode == "insertsFromData")
+      .flatMap(_.adds).toSet
+    val protectedFiles = live ++ changeBacked
     val dataDir = root.resolve("data")
     if (Files.isDirectory(dataDir)) {
       Files.walk(dataDir).iterator.asScala
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-        .filterNot(p => live.contains(p.toString))
+        .filterNot(p => protectedFiles.contains(p.toString))
         .foreach(Files.delete)
     }
   }
@@ -362,9 +387,16 @@ object MiniLake {
 
   val BucketCol = "_bucket"
 
+  /** How a commit's change rows are stored: "files" = dedicated
+    * parquet under changes/v=N (deletes/updates/mixed batches);
+    * "insertsFromData" = the commit's added data files ARE the insert
+    * changes (create/append/pure-insert merge) — read back with a
+    * literal _change_type, halving the write work of ingest commits.
+    */
   final case class CommitEntry(version: Long, mode: String, timestampMs: Long,
       schemaJson: String, adds: Seq[String], removes: Seq[String],
-      hasChanges: Boolean, bucketSpec: Option[BucketSpec] = None)
+      hasChanges: Boolean, bucketSpec: Option[BucketSpec] = None,
+      changesMode: String = "files")
 
   def apply(spark: SparkSession, path: String): MiniLake =
     new MiniLake(spark, path)

@@ -81,7 +81,7 @@ object Pipeline {
     val docs = documents(s, dir).filter(col("doc_id") < 400 ||
       col("doc_id") % 7 === 0).persist()
     val bronze = MiniLake(s, bronzePath)
-    bronze.create(docs.filter(col("doc_id") < 300))
+    bronze.create(docs.filter(col("doc_id") < 400))
 
     def process(): Unit = {
       val upd = Cdc.readTableUpdate(s, bronzePath, wm, "pseudonymisation", "documents")
@@ -89,14 +89,12 @@ object Pipeline {
         "pseudonymisation", "documents", bucketNumBuckets = Some(16))
     }
 
-    process()
-    bronze.append(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400))
-    process()
+    process() // pass 1: create the bucketed silver from v0
     bronze.merge(
       inserts = MiniLake.emptyDf(s, bronze.schema),
       deletes = docs.filter(col("doc_id") % 7 === 0),
       pks = Seq("doc_id"))
-    process()
+    process() // pass 2: bucket-scoped delete merge (v1 only)
     docs.unpersist()
 
     MiniLake(s, silverPath).snapshot()
