@@ -156,10 +156,63 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  // ---- IVF variant (coarse k-means quantizer) ------------------------
+
+  /** IVF-style ANN: a seeded k-means coarse quantizer (Spark MLlib)
+    * partitions the corpus into cells; each query probes its nearest
+    * `NProbe` centroids and ranks only those cells' vectors. The
+    * centroid table is tiny (broadcast); the candidate join keys on
+    * cell id — the inverted-file structure of FAISS-style IVF indexes,
+    * expressed relationally. No SQL oracle (approximate); recall vs
+    * q45 is asserted in SimilaritySpec.
+    */
+  val IvfCells = 16
+  val NProbe = 4
+
+  def q55AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = vecsDouble(s, dir).persist()
+    val withFeatures = vecs.withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(IvfCells).setSeed(42L).setMaxIter(10)
+      .fit(withFeatures)
+    val assigned = model.transform(withFeatures)
+      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+
+    // each query probes its NProbe nearest centroids
+    val centroids = model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i, c.toArray)
+    }.toSeq
+    val centroidDf = s.createDataFrame(centroids).toDF("cell", "centroid")
+    val queries = assigned.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val probed = queries.crossJoin(broadcast(centroidDf))
+      .withColumn("dist", -cosine_similarity(col("qv"), col("centroid")))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("dist"), col("cell"))
+    val probeCells = probed
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= NProbe)
+      .select(col("qid"), col("qv"), col("cell"))
+
+    val cands = assigned.filter(col("vec_id") >= 50)
+    val sims = probeCells.join(cands, "cell")
+      .withColumn("sim", round(cosine_similarity(col("qv"), col("v")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val out = sims.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rn"))
+      .orderBy("qid", "rn")
+    vecs.unpersist()
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_embedding_near_dup" -> (q44EmbeddingNearDup _),
     "q45_cosine_topk" -> (q45CosineTopK _),
-    "q46_ann_lsh" -> (q46AnnLsh _)
+    "q46_ann_lsh" -> (q46AnnLsh _),
+    "q55_ann_ivf" -> (q55AnnIvf _)
   )
 
   def oracles: Map[String, String] = Map(

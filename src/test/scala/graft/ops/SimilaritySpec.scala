@@ -24,6 +24,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rerun === approx) // deterministic
   }
 
+  test("IVF ANN beats LSH-level recall with 4/16 cells probed") {
+    val exact = Similarity.q45CosineTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Similarity.q55AnnIvf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // probing the 4 nearest of 16 cells examines ~25% of the corpus;
+    // cells are similarity-aligned so recall should clearly beat the
+    // probed fraction
+    assert(recall > 0.35, s"recall $recall")
+  }
+
   test("brute-force top-k is exhaustive and correctly ranked") {
     val rows = Similarity.q45CosineTopK(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
