@@ -163,17 +163,49 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** BPE-style pre-tokenization counting: the GPT-2-family pre-token
+    * split (letter runs / digit runs / punctuation singletons) as a
+    * shared regex both engines execute identically — the cheap
+    * token-budget estimator used when sizing LLM training corpora.
+    */
+  def q56BpeTokens(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        size(filter(split(col("text"), " "), w => length(w) > lit(0)))
+          .cast("long").as("n_ws_tokens"))
+      .withColumn("tokens_per_word",
+        round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 4))
+      .orderBy("doc_id")
+
+  val q56Oracle: String =
+    """SELECT doc_id,
+      | CAST(length(regexp_extract_all(text,
+      |   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+      | CAST(length(list_filter(string_split(text, ' '),
+      |   x -> length(x) > 0)) AS BIGINT) AS n_ws_tokens,
+      | round(CAST(length(regexp_extract_all(text,
+      |   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS DOUBLE)
+      |   / length(list_filter(string_split(text, ' '),
+      |     x -> length(x) > 0)), 4) AS tokens_per_word
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_token_stats" -> (q30TokenStats _),
     "q31_quality_score" -> (q31QualityScore _),
     "q32_lang_id" -> (q32LangId _),
-    "q33_fingerprint" -> (q33Fingerprint _)
+    "q33_fingerprint" -> (q33Fingerprint _),
+    "q56_bpe_tokens" -> (q56BpeTokens _)
   )
 
   def oracles: Map[String, String] = Map(
     "q30_token_stats" -> q30Oracle,
     "q31_quality_score" -> q31Oracle,
     "q32_lang_id" -> q32Oracle,
-    "q33_fingerprint" -> q33Oracle
+    "q33_fingerprint" -> q33Oracle,
+    "q56_bpe_tokens" -> q56Oracle
   )
 }
