@@ -30,8 +30,14 @@ object Cdc {
     val high = watermark.highWatermark(sourcePath)
     val source = MiniLake(spark, sourcePath)
     val df =
-      if (low > high) MiniLake.emptyDf(spark, MiniLake.changeSchema(source.schema))
-      else source.readChanges(low, high)
+      if (!source.exists) {
+        // source not created yet: the empty-range contract (C4) applies
+        // with no schema to borrow — emit a metadata-only change frame
+        MiniLake.emptyDf(spark,
+          MiniLake.changeSchema(new org.apache.spark.sql.types.StructType()))
+      } else if (low > high) {
+        MiniLake.emptyDf(spark, MiniLake.changeSchema(source.schema))
+      } else source.readChanges(low, high)
     TableUpdate(df, low, high)
   }
 

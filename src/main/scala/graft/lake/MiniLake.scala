@@ -71,11 +71,11 @@ final class MiniLake(spark: SparkSession, val path: String,
 
   private def listVersions: Seq[Long] =
     if (!Files.isDirectory(logDir)) Seq.empty
-    else Files.list(logDir).iterator.asScala
+    else usingStream(Files.list(logDir))(_
       .map(_.getFileName.toString)
       .filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json").toLong)
-      .toSeq.sorted
+      .toSeq.sorted)
 
   private def readEntry(v: Long): CommitEntry = {
     val m = mapper.readValue(
@@ -185,8 +185,17 @@ final class MiniLake(spark: SparkSession, val path: String,
   private def maybeCompact(df: DataFrame): DataFrame =
     if (compact) df.coalesce(1) else df
 
+  /** A data/changes directory for a version with no log entry is
+    * debris from a commit that died between its writes and its
+    * publish — remove it so the retry (or the next writer) succeeds
+    * instead of failing on 'path already exists' forever.
+    */
+  private def clearOrphan(dir: Path): Unit =
+    if (Files.exists(dir)) deleteRecursively(dir.toString)
+
   private def writeData(df: DataFrame, v: Long): Seq[String] = {
     val dir = root.resolve(s"data/v=$v")
+    clearOrphan(dir)
     bucketSpec match {
       case Some(spec) =>
         // hash-bucketed layout: files land under _bucket=<k>/ so a
@@ -200,8 +209,11 @@ final class MiniLake(spark: SparkSession, val path: String,
     parquetFilesIn(dir)
   }
 
-  private def writeChanges(changes: DataFrame, v: Long): Unit =
-    maybeCompact(changes).write.parquet(root.resolve(s"changes/v=$v").toString)
+  private def writeChanges(changes: DataFrame, v: Long): Unit = {
+    val dir = root.resolve(s"changes/v=$v")
+    clearOrphan(dir)
+    maybeCompact(changes).write.parquet(dir.toString)
+  }
 
   /** First write / full replace without history (S3). `overwrite` on an
     * existing table records delete-changes for every prior row followed
@@ -357,10 +369,10 @@ final class MiniLake(spark: SparkSession, val path: String,
     val protectedFiles = live ++ changeBacked
     val dataDir = root.resolve("data")
     if (Files.isDirectory(dataDir)) {
-      Files.walk(dataDir).iterator.asScala
+      usingStream(Files.walk(dataDir))(_
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
         .filterNot(p => protectedFiles.contains(p.toString))
-        .foreach(Files.delete)
+        .foreach(Files.delete))
     }
   }
 
@@ -417,8 +429,8 @@ object MiniLake {
   /** S8 existence probe (isDeltaTable analogue). */
   def exists(path: String): Boolean = {
     val logDir = Paths.get(path).resolve("_log")
-    Files.isDirectory(logDir) && Files.list(logDir).iterator.asScala
-      .exists(_.getFileName.toString.endsWith(".json"))
+    Files.isDirectory(logDir) && usingStream(Files.list(logDir))(
+      _.exists(_.getFileName.toString.endsWith(".json")))
   }
 
   def emptyDf(spark: SparkSession, sch: StructType): DataFrame =
@@ -438,17 +450,24 @@ object MiniLake {
       StructField(CommitTimestamp, TimestampType, nullable = false)))
   }
 
+  /** Drain a java.nio stream to a List and close it (Files.list/walk
+    * hold an open directory descriptor until closed).
+    */
+  private[lake] def usingStream[A, B](s: java.util.stream.Stream[A])(
+      f: Iterator[A] => B): B =
+    try f(s.iterator.asScala) finally s.close()
+
   private[lake] def parquetFilesIn(dir: Path): Seq[String] =
-    Files.walk(dir).iterator.asScala
-      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-      .map(_.toString).toSeq.sorted
+    usingStream(Files.walk(dir))(_.filter(p =>
+      Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(_.toString).toSeq.sorted)
 
   /** Recursive delete helper for tests. */
   def deleteRecursively(path: String): Unit = {
     val p = Paths.get(path)
     if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).iterator.asScala
-        .foreach(Files.delete)
+      usingStream(Files.walk(p).sorted(Comparator.reverseOrder[Path]()))(
+        _.foreach(Files.delete))
     }
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+import graft.functions.Text.{tokens, tokensSql}
 
 /** Deduplication operators for training-data pipelines ([EXT] surface):
   * exact (content-hash groupBy), n-gram Jaccard, MinHash+LSH banding
@@ -27,12 +28,6 @@ import graft.Tables._
   *    DuckDB oracle can reproduce them bit-for-bit.
   */
 object Dedup {
-
-  private[ops] def tokens(c: Column): Column =
-    filter(split(c, " "), w => length(w) > lit(0))
-
-  private val tokensSql =
-    "list_filter(string_split(text, ' '), x -> length(x) > 0)"
 
   /** Distinct word 3-gram shingles per document.
     *
@@ -93,9 +88,10 @@ object Dedup {
     // join on a 64-bit hash of the shingle, not the string: smaller
     // shuffle rows and cheaper equality at 100 TB (collision odds over
     // the corpus are ~2^-64·n² — far below the oracle's noise floor)
+    // no cache: the self-join reuses the shuffle exchange, and pinning
+    // the full shingle table for the session would be wrong at scale
     val sh = shingles(documents(s, dir))
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
@@ -105,9 +101,12 @@ object Dedup {
     pairs
       .join(sizes.as("na"), col("id1") === col("na.doc_id"))
       .join(sizes.as("nb"), col("id2") === col("nb.doc_id"))
-      .withColumn("jaccard", round(col("common").cast("double") /
-        (col("na.n") + col("nb.n") - col("common")), 4))
-      .filter(col("jaccard") >= 0.3)
+      // filter on the UNROUNDED ratio exactly like the oracle's WHERE
+      // clause; rounding happens only in the projection
+      .withColumn("jaccard_raw", col("common").cast("double") /
+        (col("na.n") + col("nb.n") - col("common")))
+      .filter(col("jaccard_raw") >= 0.3)
+      .withColumn("jaccard", round(col("jaccard_raw"), 4))
       .select("id1", "id2", "jaccard")
       .orderBy("id1", "id2")
   }

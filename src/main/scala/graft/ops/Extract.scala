@@ -26,6 +26,14 @@ import graft.ops.Pseudonymise.{FreeText, TableConfig}
   * Catalyst plans a shuffle only on the (small) projected side when
   * broadcast applies. The deterministic seed keeps results reproducible
   * for the oracle gate.
+  *
+  * Known reference-faithful quirk: a change-set carrying more than one
+  * row per PK (insert + delete of the same key in one CDC batch)
+  * multiplies through the PK join-back exactly as the reference's
+  * `sub_dfs[i].join(sub_df, primary_keys)` does
+  * (feature_extraction.py:100-108); the downstream merge inserts the
+  * duplicates like Delta's whenNotMatchedInsertAll would. Deduplicate
+  * upstream if a source can emit same-PK insert+delete batches.
   */
 object Extract {
 

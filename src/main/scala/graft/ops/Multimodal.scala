@@ -68,7 +68,7 @@ object Multimodal {
   val q47Oracle: String =
     """SELECT doc_id,
       | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      | lower(hex(encode(substr(text, 1, 4)))) AS header_hex,
+      | lower(substr(hex(encode(text)), 1, 8)) AS header_hex,
       | CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
       | CAST((octet_length(encode(text)) * 31) % 480 AS BIGINT) AS height,
       | CAST(1 + octet_length(encode(text)) % 8 AS BIGINT) AS frames

@@ -204,6 +204,7 @@ object Similarity {
       .filter(col("rn") <= 5)
       .select(col("qid"), col("vec_id"), col("sim"), col("rn"))
       .orderBy("qid", "rn")
+    out.cache().count() // materialize while the corpus is still cached
     vecs.unpersist()
     out
   }

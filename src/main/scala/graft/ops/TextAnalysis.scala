@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+import graft.functions.Text.{tokens, tokensSql}
 
 /** Text-analysis operators for large-scale training-data pipelines
   * ([EXT] surface): token statistics, quality scoring, language
@@ -17,15 +18,6 @@ import graft.Tables._
   * the final order for the oracle).
   */
 object TextAnalysis {
-
-  /** Whitespace tokens with empties removed — shared by all ops; the
-    * DuckDB oracles use the equivalent list_filter(string_split(...)).
-    */
-  private[ops] def tokens(c: Column): Column =
-    filter(split(c, " "), w => length(w) > lit(0))
-
-  private val tokensSql =
-    "list_filter(string_split(text, ' '), x -> length(x) > 0)"
 
   /** Token counting: n_tokens, character length, mean token length. */
   def q30TokenStats(s: SparkSession, dir: String): DataFrame =
@@ -174,8 +166,7 @@ object TextAnalysis {
         size(regexp_extract_all(col("text"),
           lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
           .cast("long").as("n_bpe_tokens"),
-        size(filter(split(col("text"), " "), w => length(w) > lit(0)))
-          .cast("long").as("n_ws_tokens"))
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"))
       .withColumn("tokens_per_word",
         round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 4))
       .orderBy("doc_id")

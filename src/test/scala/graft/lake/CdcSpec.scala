@@ -87,6 +87,17 @@ class CdcSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(ex.getMessage.contains("update"))
   }
 
+  test("a missing source is an empty-range no-op, not a crash") {
+    // C4 for the not-yet-created case: pipelines may run before any
+    // bronze data lands
+    val wm = Watermark(spark, wmPath)
+    val upd = Cdc.readTableUpdate(spark, bronze, wm, act, "t")
+    assert(upd.high === -1L && upd.df.isEmpty)
+    Cdc.writeTableUpdate(spark, upd, silver, Seq("key"), wm, act, "t")
+    assert(wm.lowWatermark(act, "t") === 0L) // untouched
+    assert(!MiniLake.exists(silver))
+  }
+
   test("watermarks are isolated per activity and per table") {
     MiniLake(spark, bronze).create(kv(1L -> "a"))
     val wm = Watermark(spark, wmPath)

@@ -141,6 +141,20 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(t.snapshot(2).as[(Long, String)].collect().toSeq === Seq(3L -> "c"))
   }
 
+  test("a failed commit's orphaned data dir does not block the retry") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a"))
+    // simulate a writer that died after writing data/v=1 but before
+    // publishing the log entry
+    val orphan = java.nio.file.Paths.get(dir, "data", "v=1")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("stale.parquet"), Array[Byte](1))
+    t.append(kv(2L -> "b")) // must clear the orphan and succeed
+    assert(t.latestVersion === 1L)
+    assert(t.snapshot().orderBy("key").as[(Long, String)].collect().toSeq
+      === Seq(1L -> "a", 2L -> "b"))
+  }
+
   test("append with mismatched schema is rejected") {
     val t = MiniLake(spark, dir)
     t.create(kv(1L -> "a"))
