@@ -202,7 +202,10 @@ final class MiniLake(spark: SparkSession, val path: String,
         // later merge can rewrite only the buckets its delete keys
         // touch. The bucket column lives in the path only, never in
         // the files (schema'd reads of leaf files skip inference).
+        // Rows sort by PK within each task so parquet min/max stats
+        // stay tight for row-group skipping on key lookups.
         df.withColumn(BucketCol, bucketExpr(spec))
+          .sortWithinPartitions((BucketCol +: spec.pks).map(col): _*)
           .write.partitionBy(BucketCol).parquet(dir.toString)
       case None => maybeCompact(df).write.parquet(dir.toString)
     }
