@@ -28,7 +28,10 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # exact bits: the driver hashes raw double values, so sub-ulp
+        # differences must FAIL here too (9-sig-digit rounding masked
+        # the round-1 q10/q51 divergence)
+        return v.hex()
     if isinstance(v, bytes):
         return v.hex()
     return str(v)

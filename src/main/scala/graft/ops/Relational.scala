@@ -262,7 +262,7 @@ object Relational {
       .agg(count(lit(1)).as("n_events"),
         min(col("ms")).as("start_ms"),
         max(col("ms")).as("end_ms"),
-        round(sum(col("value")), 2).as("session_value"))
+        round(sum(col("value")), 2).cast("decimal(18,2)").as("session_value"))
       .orderBy("user_id", "session_seq")
   }
 
@@ -282,7 +282,7 @@ object Relational {
       |  FROM flagged)
       |SELECT user_id, session_seq, count(*) AS n_events,
       | min(ms) AS start_ms, max(ms) AS end_ms,
-      | round(sum(value),2) AS session_value
+      | CAST(round(sum(value),2) AS DECIMAL(18,2)) AS session_value
       |FROM sess
       |GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin

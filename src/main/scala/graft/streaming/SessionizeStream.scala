@@ -111,7 +111,12 @@ object SessionizeStream {
       .format("memory").queryName(name).start()
     try {
       q.processAllAvailable()
-      val result = s.table(name).orderBy("user_id", "session_seq")
+      // emit session_value as DECIMAL(18,2): raw double bits of a
+      // rounded sum differ sub-ulp between engines; decimal is discrete
+      val result = s.table(name)
+        .withColumn("session_value",
+          col("session_value").cast("decimal(18,2)"))
+        .orderBy("user_id", "session_seq")
       result.cache().count()
       result
     } finally {
