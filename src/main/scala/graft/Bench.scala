@@ -14,6 +14,21 @@ object Bench {
     // query isn't charged for session startup.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Warm the lake commit path the same way (committer + codegen for
+    // the merge/update/CDF plans): on a long-lived cluster these
+    // classes are loaded once per executor lifetime, not per query.
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, lit}
+      val wdir = java.nio.file.Files
+        .createTempDirectory("graft_warm").toString + "/t"
+      val warm = graft.lake.MiniLake.bucketed(spark, wdir, Seq("key"), 4)
+      warm.create(Seq(1L -> "a", 2L -> "b").toDF("key", "value"))
+      warm.merge(Seq(3L -> "c").toDF("key", "value"),
+        Seq(1L -> "a").toDF("key", "value"), Seq("key"))
+      warm.update(col("key") === 2L, Map("value" -> lit("x")))
+      warm.readChanges(0, warm.latestVersion).count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

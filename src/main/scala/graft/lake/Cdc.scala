@@ -53,9 +53,13 @@ object Cdc {
     // One pass over the (batch-sized) change-set answers the emptiness
     // check (C4) and the update-rejection check (C6) together — the
     // reference runs isEmpty + a count as separate actions
-    // (datalake.py:171-188); semantics are identical.
-    val typeCounts = df.groupBy(col(MiniLake.ChangeType)).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // (datalake.py:171-188); semantics are identical. A per-partition
+    // RDD count (≤4 distinct change types) skips the aggregate
+    // exchange and its adaptive stage scheduling — it also happens to
+    // materialize the cache the downstream merge reuses.
+    val typeCounts: Map[String, Long] =
+      df.select(col(MiniLake.ChangeType)).rdd.map(_.getString(0))
+        .countByValue().toMap
     // C4: nothing to process — skip entirely, watermark untouched.
     if (typeCounts.isEmpty) { df.unpersist(); return (0L, 0L) }
     // C6: updates are not supported downstream.
@@ -82,13 +86,22 @@ object Cdc {
         // fresh source contains only inserts.
         val initial = df.drop(MiniLake.MetaColumns: _*)
         target.create(initial)
-        (initial.count(), 0L)
+        // row count = all change rows (meta dropped, none filtered) —
+        // already known from the typeCounts pass, no extra action
+        (typeCounts.values.sum, 0L)
       } else {
-        val inserts = df.filter(col(MiniLake.ChangeType) === "insert")
-          .drop(MiniLake.MetaColumns: _*)
-        val deletes = df.filter(col(MiniLake.ChangeType) === "delete")
-          .drop(MiniLake.MetaColumns: _*)
-        target.merge(inserts, deletes, primaryKeys)
+        // typeCounts already knows which change types the batch holds:
+        // hand merge a statically-empty frame for an absent side so it
+        // can skip that side's joins (pure-insert and pure-delete
+        // batches are the common CDC shapes).
+        val dataSchema = org.apache.spark.sql.types.StructType(
+          df.drop(MiniLake.MetaColumns: _*).schema)
+        def side(changeType: String) =
+          if (typeCounts.contains(changeType))
+            df.filter(col(MiniLake.ChangeType) === changeType)
+              .drop(MiniLake.MetaColumns: _*)
+          else MiniLake.emptyDf(spark, dataSchema)
+        target.merge(side("insert"), side("delete"), primaryKeys)
       }
 
     df.unpersist()

@@ -177,6 +177,24 @@ final class MiniLake(spark: SparkSession, val path: String,
 
   // ---- writes -------------------------------------------------------
 
+  /** Commit-interior queries are short-lived batch×snapshot joins and
+    * writes whose join strategy is static (broadcast for batch-sized
+    * deltas, shuffle otherwise); adaptive execution re-plans them
+    * stage by stage, which costs several driver round-trips per commit
+    * and buys nothing at that shape — skew in the merge path is
+    * handled by the bucketed layout, not runtime re-planning. Set
+    * `graft.lake.commitAqe=true` to let very large unbucketed rewrites
+    * re-plan adaptively.
+    */
+  private def withCommitPlanning[T](f: => T): T =
+    if (spark.conf.getOption("graft.lake.commitAqe").contains("true")) f
+    else {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(key, "true")
+      spark.conf.set(key, "false")
+      try f finally spark.conf.set(key, prev)
+    }
+
   private def nextVersion: Long = latestVersion + 1
 
   // `compact` tables (metadata-sized, e.g. watermarks) write a single
@@ -193,7 +211,15 @@ final class MiniLake(spark: SparkSession, val path: String,
   private def clearOrphan(dir: Path): Unit =
     if (Files.exists(dir)) deleteRecursively(dir.toString)
 
-  private def writeData(df: DataFrame, v: Long): Seq[String] = {
+  // Target file count for a write whose row count is already known
+  // (merge deltas are counted before writing): ~1M rows per file keeps
+  // files scan-friendly without fanning a 400-row commit into 32
+  // one-row files. Writes of unknown size keep their natural layout.
+  private def filesFor(rows: Long): Int =
+    math.max(1L, math.min(256L, rows / RowsPerFile + 1)).toInt
+
+  private def writeData(df: DataFrame, v: Long,
+      rowHint: Option[Long] = None): Seq[String] = {
     val dir = root.resolve(s"data/v=$v")
     clearOrphan(dir)
     bucketSpec match {
@@ -202,20 +228,33 @@ final class MiniLake(spark: SparkSession, val path: String,
         // later merge can rewrite only the buckets its delete keys
         // touch. The bucket column lives in the path only, never in
         // the files (schema'd reads of leaf files skip inference).
-        // Rows sort by PK within each task so parquet min/max stats
-        // stay tight for row-group skipping on key lookups.
+        // Repartitioning on the bucket value bounds the commit at one
+        // file per bucket (otherwise every input partition fans out
+        // one file per bucket it sees — a tiny-file storm that taxes
+        // every later footer read); at cluster scale the partition
+        // count would be numBuckets × a size-based factor, which
+        // still lands correctly because partitionBy splits by value
+        // regardless of task layout. Rows sort by PK within each task
+        // so parquet min/max stats stay tight for row-group skipping.
         df.withColumn(BucketCol, bucketExpr(spec))
+          .repartition(spec.numBuckets, col(BucketCol))
           .sortWithinPartitions((BucketCol +: spec.pks).map(col): _*)
           .write.partitionBy(BucketCol).parquet(dir.toString)
-      case None => maybeCompact(df).write.parquet(dir.toString)
+      case None =>
+        rowHint.map(n => df.coalesce(filesFor(n))).getOrElse(maybeCompact(df))
+          .write.parquet(dir.toString)
     }
     parquetFilesIn(dir)
   }
 
-  private def writeChanges(changes: DataFrame, v: Long): Unit = {
+  private def writeChanges(changes: DataFrame, v: Long,
+      rowHint: Option[Long] = None): Unit = {
     val dir = root.resolve(s"changes/v=$v")
     clearOrphan(dir)
-    maybeCompact(changes).write.parquet(dir.toString)
+    val sized =
+      if (compact) changes.coalesce(1)
+      else rowHint.map(n => changes.coalesce(filesFor(n))).getOrElse(changes)
+    sized.write.parquet(dir.toString)
   }
 
   /** First write / full replace without history (S3). `overwrite` on an
@@ -236,13 +275,14 @@ final class MiniLake(spark: SparkSession, val path: String,
   /** Insert-only commit: the data files double as the change feed
     * (changesMode=insertsFromData) — one write instead of two.
     */
-  private def commitInsertOnly(data: DataFrame, mode: String): Unit = {
-    val v = nextVersion
-    val adds = writeData(data, v)
-    writeEntry(CommitEntry(v, mode, System.currentTimeMillis(),
-      data.schema.json, adds, Seq.empty, hasChanges = true,
-      bucketSpec = bucketSpec, changesMode = "insertsFromData"))
-  }
+  private def commitInsertOnly(data: DataFrame, mode: String): Unit =
+    withCommitPlanning {
+      val v = nextVersion
+      val adds = writeData(data, v)
+      writeEntry(CommitEntry(v, mode, System.currentTimeMillis(),
+        data.schema.json, adds, Seq.empty, hasChanges = true,
+        bucketSpec = bucketSpec, changesMode = "insertsFromData"))
+    }
 
   def overwrite(df: DataFrame): Unit = {
     if (!exists) { create(df); return }
@@ -254,15 +294,16 @@ final class MiniLake(spark: SparkSession, val path: String,
   }
 
   private def commitWithChanges(data: DataFrame, mode: String,
-      changes: DataFrame, removesAll: Boolean): Unit = {
-    val v = nextVersion
-    val removed = if (removesAll) liveFiles(v - 1) else Seq.empty
-    val adds = writeData(data, v)
-    writeChanges(changes, v)
-    writeEntry(CommitEntry(v, mode, System.currentTimeMillis(),
-      data.schema.json, adds, removed, hasChanges = true,
-      bucketSpec = bucketSpec))
-  }
+      changes: DataFrame, removesAll: Boolean): Unit =
+    withCommitPlanning {
+      val v = nextVersion
+      val removed = if (removesAll) liveFiles(v - 1) else Seq.empty
+      val adds = writeData(data, v)
+      writeChanges(changes, v)
+      writeEntry(CommitEntry(v, mode, System.currentTimeMillis(),
+        data.schema.json, adds, removed, hasChanges = true,
+        bucketSpec = bucketSpec))
+    }
 
   /** MERGE (S4): `whenNotMatchedInsertAll` ∪ `whenMatchedDelete`, keyed
     * on `pks` — implemented Spark-natively as two anti-joins
@@ -270,37 +311,60 @@ final class MiniLake(spark: SparkSession, val path: String,
     * (idempotent replay, design_doc.md at-least-once note). Returns
     * (#inserted, #deleted) for the caller's metrics (M1).
     */
-  def merge(inserts: DataFrame, deletes: DataFrame, pks: Seq[String]): (Long, Long) = {
+  def merge(inserts: DataFrame, deletes: DataFrame,
+      pks: Seq[String]): (Long, Long) = withCommitPlanning {
     requireSchemaMatch(inserts)
     val target = snapshot()
+    // A statically-empty side (pure-insert or pure-delete batches —
+    // the common CDC shapes) skips its joins entirely: each skipped
+    // broadcast join is a driver-side plan + an extra Spark job, which
+    // dominates small-commit latency.
+    val emptyDel = knownEmpty(deletes)
+    val emptyIns = knownEmpty(inserts)
     // Deletes apply BEFORE the not-matched-insert check (the reference
     // executes whenMatchedDelete then whenNotMatchedInsertAll,
     // datalake.py:194-211) — so a PK deleted and re-inserted in the
     // same batch (e.g. from an upstream overwrite) lands correctly.
     val delKeys = deletes.select(pks.map(col): _*).distinct()
-    val toDelete = target.join(delKeys, pks, "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kept = target.join(delKeys, pks, "left_anti")
-    val toInsert = inserts.join(kept.select(pks.map(col): _*), pks, "left_anti")
-      .select(target.columns.map(col).toSeq: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toDelete =
+      if (emptyDel) emptyDf(spark, target.schema)
+      else target.join(delKeys, pks, "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept =
+      if (emptyDel) target else target.join(delKeys, pks, "left_anti")
+    val toInsert =
+      if (emptyIns) emptyDf(spark, target.schema)
+      else inserts.join(kept.select(pks.map(col): _*), pks, "left_anti")
+        .select(target.columns.map(col).toSeq: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // The deltas are batch-sized (not table-sized), so persisting them
     // is scale-safe and saves recomputing the anti-joins for the count,
-    // the change file, and the data write.
-    val nIns = toInsert.count()
-    val nDel = toDelete.count()
+    // the change file, and the data write. The commit decision needs
+    // the matched-delete count per bucket and the insert count; both
+    // are per-partition counts over the just-persisted deltas, so take
+    // them as plain RDD jobs — no exchange, no adaptive re-planning,
+    // one job per delta (the result is at most one entry per bucket,
+    // driver-safe at any scale).
+    val delByBucket: Map[Long, Long] =
+      if (emptyDel) Map.empty
+      else {
+        val delBucket = bucketSpec.map(bucketExpr).getOrElse(lit(-1L)).cast("long")
+        toDelete.select(delBucket).rdd.map(_.getLong(0))
+          .countByValue().toMap
+      }
+    val nIns = if (emptyIns) 0L else toInsert.rdd.count()
+    val nDel = delByBucket.values.sum
+    val affected = delByBucket.keySet
     val v = nextVersion
     if (nDel > 0) {
       // copy-on-write of the affected data. Bucketed tables rewrite
-      // ONLY the buckets the delete keys hash into (a PK's row can
+      // ONLY the buckets holding matched delete rows (a PK's row can
       // only live in its own bucket, so kept-rows outside those
       // buckets are untouched and their files stay live); unbucketed
       // tables rewrite the whole live set.
       val (newData, removed) = bucketSpec match {
-        case Some(spec) =>
-          val affected = delKeys.select(bucketExpr(spec).as(BucketCol))
-            .distinct().collect().map(_.getLong(0)).toSet
+        case Some(_) =>
           val prior = liveFiles(v - 1)
           val hit = prior.filter(f =>
             affected.exists(k => f.contains(s"/$BucketCol=$k/")))
@@ -314,14 +378,15 @@ final class MiniLake(spark: SparkSession, val path: String,
       }
       val adds = writeData(newData, v)
       writeChanges(toDelete.withColumn(ChangeType, lit("delete"))
-        .unionByName(toInsert.withColumn(ChangeType, lit("insert"))), v)
+        .unionByName(toInsert.withColumn(ChangeType, lit("insert"))), v,
+        rowHint = Some(nIns + nDel))
       writeEntry(CommitEntry(v, "merge", System.currentTimeMillis(),
         target.schema.json, adds, removed, hasChanges = true,
         bucketSpec = bucketSpec))
     } else {
       // pure insert: append-only commit, no rewrite of existing files;
       // the added files double as the change feed
-      val adds = writeData(toInsert, v)
+      val adds = writeData(toInsert, v, rowHint = Some(nIns))
       writeEntry(CommitEntry(v, "merge", System.currentTimeMillis(),
         target.schema.json, adds, Seq.empty, hasChanges = true,
         bucketSpec = bucketSpec, changesMode = "insertsFromData"))
@@ -335,7 +400,8 @@ final class MiniLake(spark: SparkSession, val path: String,
     * bump). Records Delta-style update_preimage/update_postimage change
     * rows (common_types.py:70-77).
     */
-  def update(pred: Column, assignments: Map[String, Column]): Unit = {
+  def update(pred: Column,
+      assignments: Map[String, Column]): Unit = withCommitPlanning {
     val target = snapshot()
     // null-safe predicate split: a NULL predicate means "not matched"
     // (Delta UPDATE semantics) — a plain `!pred` filter would drop
@@ -390,6 +456,9 @@ final class MiniLake(spark: SparkSession, val path: String,
 }
 
 object MiniLake {
+  /** Sizing target for writes whose row count is known up front. */
+  private[lake] val RowsPerFile: Long = 1L << 20
+
   val ChangeType = "_change_type"
   val CommitVersion = "_commit_version"
   val CommitTimestamp = "_commit_timestamp"
@@ -436,8 +505,22 @@ object MiniLake {
       _.exists(_.getFileName.toString.endsWith(".json")))
   }
 
+  /** Empty frame as a [[LocalRelation]] (not an RDD scan) so downstream
+    * plan inspection — e.g. merge's skip-the-join fast path — can see
+    * the emptiness statically.
+    */
   def emptyDf(spark: SparkSession, sch: StructType): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+    spark.createDataFrame(new java.util.ArrayList[Row](), sch)
+
+  /** True iff `df` is statically known to hold zero rows (an empty
+    * LocalRelation) — a plan inspection, never a Spark job.
+    */
+  private[lake] def knownEmpty(df: DataFrame): Boolean =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.isEmpty
+      case _ => false
+    }
 
   /** Data schema + _change_type, the on-disk change-file schema. */
   private[lake] def changeDataSchema(sch: StructType): StructType =
