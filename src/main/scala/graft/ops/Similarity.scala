@@ -67,17 +67,51 @@ object Similarity {
       |ORDER BY qid, rn""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs (threshold tuned to the
-    * testdata's similarity distribution).
+    * testdata's similarity distribution) — EXACT result, computed as a
+    * blocked self-join grid.
+    *
+    * Why not LSH-band candidates + rescore: the exact semantics need a
+    * candidate set guaranteed to contain every pair at sim ≥ 0.42, and
+    * sign-LSH cannot give that guarantee cheaply at this threshold —
+    * θ = arccos(0.42) ≈ 65°, so a 0.42-pair agrees on one sign bit
+    * w.p. 1-θ/π ≈ 0.64, collides in a 4-bit table w.p. 0.64⁴ ≈ 0.17,
+    * and escapes all four of q46's tables w.p. ≈ 0.48; driving the
+    * miss rate to ~0 needs L/2^B > 1, i.e. MORE candidate volume than
+    * all-pairs. Banding is the right tool for high thresholds
+    * (0.8–0.9, see q41/q42) and for approximate top-k (q46/q55); the
+    * exact low-threshold query is inherently O(N²) compute.
+    *
+    * What the grid fixes is the O(N²) *plan*: instead of broadcasting
+    * the corpus through a theta-only BroadcastNestedLoopJoin (per-node
+    * memory = whole corpus; one task per left row), vectors hash into
+    * P blocks and each unordered block pair (p1 ≤ p2) becomes one
+    * equi-join cell. Per-task memory is two blocks, the shuffle keys
+    * are (p1,p2), work spreads evenly over P(P+1)/2 cells, and P
+    * scales with the corpus (≈512 vectors per block) — the canonical
+    * distributed exact all-pairs layout. PlanSpec asserts the plan has
+    * no nested-loop/cartesian join.
     */
   def q44EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val vecs = vecsDouble(s, dir)
-    vecs.as("a")
-      .join(vecs.as("b").hint("broadcast"),
-        col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", round(cosine_similarity(col("a.v"), col("b.v")), 6))
+    // parquet count-star is a metadata-only read — cheap at any scale
+    val n = embeddings(s, dir).count()
+    val blocks = math.max(1, math.ceil(n / 512.0).toInt)
+    val blocked = vecs.withColumn("blk",
+      pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int"))
+    val cells = for (i <- 0 until blocks; j <- i until blocks) yield (i, j)
+    val cellDf = s.createDataFrame(cells).toDF("p1", "p2")
+    val aSide = blocked.join(broadcast(cellDf), col("blk") === col("p1"))
+      .select(col("p1"), col("p2"), col("vec_id").as("ida"), col("v").as("va"))
+    val bSide = blocked.join(broadcast(cellDf), col("blk") === col("p2"))
+      .select(col("p1"), col("p2"), col("vec_id").as("idb"), col("v").as("vb"))
+    aSide.join(bSide, Seq("p1", "p2"))
+      // a cross-block cell holds each unordered pair exactly once
+      // (block id is a function of vec_id); diagonal cells order by id
+      .filter(col("p1") =!= col("p2") || col("ida") < col("idb"))
+      .withColumn("sim", round(cosine_similarity(col("va"), col("vb")), 6))
       .filter(col("sim") >= 0.42)
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        col("sim"))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"), col("sim"))
       .orderBy("id1", "id2")
   }
 
@@ -204,7 +238,9 @@ object Similarity {
       .filter(col("rn") <= 5)
       .select(col("qid"), col("vec_id"), col("sim"), col("rn"))
       .orderBy("qid", "rn")
-    out.cache().count() // materialize while the corpus is still cached
+    // the cache existed for KMeans' iterations, which `fit` has already
+    // run; the returned plan recomputes the cell assignment from
+    // parquet when the caller materializes it — no eager action here
     vecs.unpersist()
     out
   }

@@ -38,4 +38,10 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(Relational.q13BrandRevenue(spark, sf))
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("q44: exact near-dup pairs join on block keys, never a nested loop") {
+    val plan = planOf(graft.ops.Similarity.q44EmbeddingNearDup(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
