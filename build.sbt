@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits one or more classes per query stage; a
+  // session running the full query suite compiles thousands of them and
+  // the JDK default 240m code cache starts flushing JIT'd methods,
+  // which shows up as multi-second per-query regressions late in a run.
+  "-XX:ReservedCodeCacheSize=512m",
 )

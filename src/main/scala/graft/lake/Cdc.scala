@@ -85,9 +85,10 @@ object Cdc {
         // type (datalake.py:217-230); in practice a first batch from a
         // fresh source contains only inserts.
         val initial = df.drop(MiniLake.MetaColumns: _*)
-        target.create(initial)
         // row count = all change rows (meta dropped, none filtered) —
-        // already known from the typeCounts pass, no extra action
+        // already known from the typeCounts pass; hint it so the write
+        // coalesces to a sane file count instead of one per partition
+        target.create(initial, rowHint = Some(typeCounts.values.sum))
         (typeCounts.values.sum, 0L)
       } else {
         // typeCounts already knows which change types the batch holds:

@@ -260,29 +260,47 @@ final class MiniLake(spark: SparkSession, val path: String,
   /** First write / full replace without history (S3). `overwrite` on an
     * existing table records delete-changes for every prior row followed
     * by inserts — the Delta CDF behavior downstream consumers rely on
-    * (test_datalake.py:273-334).
+    * (test_datalake.py:273-334). `rowHint` sizes the file layout when
+    * the caller already counted the batch (saves a coalesce guess).
     */
-  def create(df: DataFrame): Unit = {
+  def create(df: DataFrame, rowHint: Option[Long] = None): Unit = {
     require(!exists, s"table $path already exists")
-    commitInsertOnly(df, mode = "create")
+    commitInsertOnly(df, mode = "create", rowHint)
   }
 
   def append(df: DataFrame): Unit = {
     requireSchemaMatch(df)
-    commitInsertOnly(df, mode = "append")
+    commitInsertOnly(df, mode = "append", rowHint = None)
   }
 
   /** Insert-only commit: the data files double as the change feed
     * (changesMode=insertsFromData) — one write instead of two.
     */
-  private def commitInsertOnly(data: DataFrame, mode: String): Unit =
+  private def commitInsertOnly(data: DataFrame, mode: String,
+      rowHint: Option[Long]): Unit =
     withCommitPlanning {
       val v = nextVersion
-      val adds = writeData(data, v)
+      val adds = writeData(data, v, rowHint)
       writeEntry(CommitEntry(v, mode, System.currentTimeMillis(),
         data.schema.json, adds, Seq.empty, hasChanges = true,
         bucketSpec = bucketSpec, changesMode = "insertsFromData"))
     }
+
+  /** A commit's data and change files land in independent directories
+    * and neither write reads the other's output, so the two Spark jobs
+    * run concurrently — commit latency is max(write, write) instead of
+    * the sum. Matters because small-commit cost is job-count-bound, not
+    * data-bound (each tiny write is ~one task plus fixed scheduling).
+    */
+  private def inParallel[A](left: => A, right: => Unit): A = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val r = Future(right)
+    val a = left
+    Await.result(r, Duration.Inf)
+    a
+  }
 
   def overwrite(df: DataFrame): Unit = {
     if (!exists) { create(df); return }
@@ -298,8 +316,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     withCommitPlanning {
       val v = nextVersion
       val removed = if (removesAll) liveFiles(v - 1) else Seq.empty
-      val adds = writeData(data, v)
-      writeChanges(changes, v)
+      val adds = inParallel(writeData(data, v), writeChanges(changes, v))
       writeEntry(CommitEntry(v, mode, System.currentTimeMillis(),
         data.schema.json, adds, removed, hasChanges = true,
         bucketSpec = bucketSpec))
@@ -376,10 +393,10 @@ final class MiniLake(spark: SparkSession, val path: String,
         case None =>
           (kept.unionByName(toInsert), liveFiles(v - 1))
       }
-      val adds = writeData(newData, v)
-      writeChanges(toDelete.withColumn(ChangeType, lit("delete"))
-        .unionByName(toInsert.withColumn(ChangeType, lit("insert"))), v,
-        rowHint = Some(nIns + nDel))
+      val adds = inParallel(writeData(newData, v),
+        writeChanges(toDelete.withColumn(ChangeType, lit("delete"))
+          .unionByName(toInsert.withColumn(ChangeType, lit("insert"))), v,
+          rowHint = Some(nIns + nDel)))
       writeEntry(CommitEntry(v, "merge", System.currentTimeMillis(),
         target.schema.json, adds, removed, hasChanges = true,
         bucketSpec = bucketSpec))
@@ -398,10 +415,14 @@ final class MiniLake(spark: SparkSession, val path: String,
 
   /** In-place column update of rows matching `pred` (S5 — the watermark
     * bump). Records Delta-style update_preimage/update_postimage change
-    * rows (common_types.py:70-77).
+    * rows (common_types.py:70-77). Internal bookkeeping tables whose
+    * change feed nobody consumes (the watermark store) pass
+    * `trackChanges = false` to skip the change-file write — the commit
+    * is still versioned in the log, it just publishes no CDF rows,
+    * halving the Spark jobs of the hot CDC loop's bump.
     */
-  def update(pred: Column,
-      assignments: Map[String, Column]): Unit = withCommitPlanning {
+  def update(pred: Column, assignments: Map[String, Column],
+      trackChanges: Boolean = true): Unit = withCommitPlanning {
     val target = snapshot()
     // null-safe predicate split: a NULL predicate means "not matched"
     // (Delta UPDATE semantics) — a plain `!pred` filter would drop
@@ -411,14 +432,16 @@ final class MiniLake(spark: SparkSession, val path: String,
     val post = assignments.foldLeft(pre) { case (d, (c, e)) => d.withColumn(c, e) }
     val untouched = target.filter(!matched)
     val newData = untouched.unionByName(post)
-    val changes = pre.withColumn(ChangeType, lit("update_preimage"))
-      .unionByName(post.withColumn(ChangeType, lit("update_postimage")))
     val v = nextVersion
     val removed = liveFiles(v - 1)
-    val adds = writeData(newData, v)
-    writeChanges(changes, v)
+    val adds =
+      if (trackChanges) {
+        val changes = pre.withColumn(ChangeType, lit("update_preimage"))
+          .unionByName(post.withColumn(ChangeType, lit("update_postimage")))
+        inParallel(writeData(newData, v), writeChanges(changes, v))
+      } else writeData(newData, v)
     writeEntry(CommitEntry(v, "update", System.currentTimeMillis(),
-      target.schema.json, adds, removed, hasChanges = true,
+      target.schema.json, adds, removed, hasChanges = trackChanges,
       bucketSpec = bucketSpec))
   }
 

@@ -81,9 +81,11 @@ final class Watermark(spark: SparkSession, path: String) {
         .limit(1).collect().nonEmpty
     }
     if (rowExists) {
+      // trackChanges=false: nothing consumes the watermark table's CDF,
+      // so the bump writes one data file, not data+changes
       lake.update(
         col("activity") === activity && col("table_name") === tableName,
-        Map("low_watermark" -> lit(high + 1)))
+        Map("low_watermark" -> lit(high + 1)), trackChanges = false)
     } else {
       // row known absent — append the bumped row directly
       lake.append(spark.createDataFrame(

@@ -61,6 +61,30 @@ class ExtractSpec extends AnyFunSuite {
     assert(out.select("NoteID").distinct().count() === 250L)
   }
 
+  test("same-PK multiplicity multiplies through the join-back (reference quirk)") {
+    // A CDC batch holding insert+delete of the same PK reaches
+    // extraction as two rows per key. The reference joins each split
+    // back to itself on the PKs (feature_extraction.py:100-108), so k
+    // co-located rows of one PK come out as k² rows — reproduced here
+    // deliberately (documented in Extract's Scaladoc, decided
+    // reference-faithful in round 1): 75 PKs × 2 rows in, strictly
+    // more rows out, with at least one PK squared.
+    val dup = (1L to 75L).flatMap(i =>
+      Seq((i, s"note a for $i"), (i, s"note b for $i")))
+      .toDF("NoteID", "NoteText")
+    val out = Extract.extractFeatures(dup, "Notes", cfg, numKeys = 2)
+    val n = out.count()
+    assert(n > 150L, "co-located same-PK rows must multiply (k² per split)")
+    val perKey = out.groupBy("NoteID").count()
+    assert(perKey.filter(col("count") === 4L).count() > 0L)
+    // and the documented caller-side remedy restores exactness:
+    // dedup the batch by PK before extraction
+    val deduped = Extract.extractFeatures(
+      dup.dropDuplicates("NoteID"), "Notes", cfg, numKeys = 2)
+    assert(deduped.count() === 75L)
+    assert(deduped.select("NoteID").distinct().count() === 75L)
+  }
+
   test("tables without free-text config pass through untouched") {
     val df = Seq((1L, "x")).toDF("NoteID", "Other")
     val out = Extract.extractFeatures(df, "Notes",
