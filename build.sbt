@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Lint discipline standing in for the reference's pre-commit
+// (flake8/black/mypy are Python-side; scalafmt's sbt plugin cannot
+// resolve offline, so linting rides the compiler).
+scalacOptions ++= Seq("-deprecation", "-feature", "-unchecked",
+  "-Xlint:inaccessible,infer-any,missing-interpolator,nullary-unit")
+// Mirror of the reference's PR gate (.github/workflows/pr_checks.yml:
+// 24-48 — lint, tests, artifacts) as one offline command.
+addCommandAlias("check", ";compile;Test/compile;test;package")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
