@@ -234,17 +234,101 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** Near-duplicate CLUSTER assignment: connected components over the
+    * MinHash-LSH candidate graph (q42's pairs), labeling every document
+    * with the minimum doc_id reachable through near-dup edges — the
+    * step that turns pair lists into keep/drop decisions (the cluster
+    * id IS the canonical keeper).
+    *
+    * Algorithm: distributed min-label propagation with the current
+    * label relation folded back into the edge set each round. Folding
+    * labels in gives pointer-doubling behavior (a node can adopt its
+    * neighbor's CLUSTER, not just its neighbor), so rounds needed grow
+    * with log(component diameter) rather than diameter — the same
+    * regime as the alternating large-star/small-star algorithm
+    * (Kiveris et al., "Connected components in MapReduce and beyond",
+    * SoCC 2014). Each round is one shuffle keyed on node id; labels are
+    * localCheckpoint'd per round so the plan stays O(1) deep instead of
+    * O(rounds) (lineage growth is what kills iterative DataFrame jobs
+    * at scale), and convergence is detected by the strictly-decreasing
+    * label sum — one scalar aggregate per round, no extra join.
+    */
+  def q57DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"))
+    val pairs = q42MinhashLsh(s, dir).select(col("id1"), col("id2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var prevSum = Long.MaxValue
+    var sum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id"))
+      .head.getLong(0)
+    var rounds = 0
+    while (sum < prevSum && rounds < 50) {
+      // labels double as edges: doc -> cluster and cluster -> doc
+      val hops = edges
+        .unionByName(labels.select(col("doc_id").as("src"),
+          col("cluster_id").as("dst")))
+        .unionByName(labels.select(col("cluster_id").as("src"),
+          col("doc_id").as("dst")))
+      val nbrMin = hops.join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
+      labels = labels.join(nbrMin, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      prevSum = sum
+      sum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id"))
+        .head.getLong(0)
+      rounds += 1
+    }
+    pairs.unpersist()
+    labels.orderBy("doc_id")
+  }
+
+  /** Transitive closure over the same pair graph; min reachable node =
+    * cluster id. Small-graph formulation (the gate corpus has tens of
+    * near-dup pairs) — the Spark side is the at-scale formulation.
+    */
+  val q57Oracle: String =
+    s"""WITH RECURSIVE $shinglesSql,
+      |sig AS (SELECT doc_id,
+      |  min(md5('0|' || shingle)) AS m0, min(md5('1|' || shingle)) AS m1,
+      |  min(md5('2|' || shingle)) AS m2, min(md5('3|' || shingle)) AS m3,
+      |  min(md5('4|' || shingle)) AS m4, min(md5('5|' || shingle)) AS m5
+      | FROM sh GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, unnest(['0:' || m0 || m1, '1:' || m2 || m3,
+      |                         '2:' || m4 || m5]) AS band FROM sig),
+      |p AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |      FROM banded a JOIN banded b
+      |        ON a.band = b.band AND a.doc_id < b.doc_id),
+      |e AS (SELECT id1 AS src, id2 AS dst FROM p
+      |      UNION ALL SELECT id2, id1 FROM p),
+      |reach(root, node) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.root, e.dst FROM reach r JOIN e ON r.node = e.src)
+      |SELECT root AS doc_id, min(node) AS cluster_id
+      |FROM reach GROUP BY root
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_exact_dedup" -> (q40ExactDedup _),
     "q41_ngram_jaccard" -> (q41NgramJaccard _),
     "q42_minhash_lsh" -> (q42MinhashLsh _),
-    "q43_simhash" -> (q43Simhash _)
+    "q43_simhash" -> (q43Simhash _),
+    "q57_dedup_clusters" -> (q57DedupClusters _)
   )
 
   def oracles: Map[String, String] = Map(
     "q40_exact_dedup" -> q40Oracle,
     "q41_ngram_jaccard" -> q41Oracle,
     "q42_minhash_lsh" -> q42Oracle,
-    "q43_simhash" -> q43Oracle
+    "q43_simhash" -> q43Oracle,
+    "q57_dedup_clusters" -> q57Oracle
   )
 }

@@ -33,6 +33,40 @@ class DedupSpec extends AnyFunSuite {
       s"missed: ${trueDups -- candidates}")
   }
 
+  test("dedup clusters are the connected components of the pair graph") {
+    val sf = "/root/testdata/sf0.001"
+    val pairs = Dedup.q42MinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+    val cluster = Dedup.q57DedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(cluster.size === 500)
+    // every edge's endpoints share a cluster (propagation closed over
+    // all edges, transitively)
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) === cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // the cluster id is the component's minimum member (the keeper)
+    cluster.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min === cid)
+    }
+    // docs in no pair are singletons labeled by themselves
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    cluster.filterNot { case (d, _) => inPairs(d) }.foreach {
+      case (d, cid) => assert(cid === d)
+    }
+    // driver-side union-find oracle: identical component labeling
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    cluster.foreach { case (d, cid) => assert(find(d) === cid) }
+  }
+
   test("simhash of identical docs is identical") {
     val sf = "/root/testdata/sf0.001"
     val fp = Dedup.q43Simhash(spark, sf).collect()
