@@ -93,7 +93,9 @@ final class MiniLake(spark: SparkSession, val path: String,
           m.get("numBuckets").asInstanceOf[Number].intValue())
       },
       changesMode = Option(m.get("changesMode")).map(_.toString)
-        .getOrElse("files"))
+        .getOrElse("files"),
+      txn = Option(m.get("txnAppId")).map(app =>
+        (app.toString, m.get("txnVersion").asInstanceOf[Number].longValue())))
   }
 
   /** Publish the commit entry for `v` atomically: write a tmp file, then
@@ -112,7 +114,12 @@ final class MiniLake(spark: SparkSession, val path: String,
         "bucketPks" -> s.pks.asJava, "numBuckets" -> Int.box(s.numBuckets))
       case None => base
     }) + ("changesMode" -> e.changesMode)
-    val bytes = mapper.writeValueAsBytes(withBuckets.asJava)
+    val withTxn = e.txn match {
+      case Some((app, v)) => withBuckets ++ Map[String, Object](
+        "txnAppId" -> app, "txnVersion" -> Long.box(v))
+      case None => withBuckets
+    }
+    val bytes = mapper.writeValueAsBytes(withTxn.asJava)
     val tmp = logDir.resolve(s".${e.version}.json.tmp")
     Files.write(tmp, bytes)
     try Files.createLink(logDir.resolve(s"${e.version}.json"), tmp)
@@ -271,6 +278,60 @@ final class MiniLake(spark: SparkSession, val path: String,
   def append(df: DataFrame): Unit = {
     requireSchemaMatch(df)
     commitInsertOnly(df, mode = "append", rowHint = None)
+  }
+
+  /** Highest transaction version committed for `appId`, or -1 — the
+    * Delta `txnAppId`/`txnVersion` idempotence protocol for streaming
+    * writers. Driver-side log scan, metadata-sized.
+    */
+  def lastTxnVersion(appId: String): Long =
+    listVersions.map(readEntry).flatMap(_.txn)
+      .collect { case (app, v) if app == appId => v }
+      .maxOption.getOrElse(-1L)
+
+  /** Idempotent append for replayable writers (foreachBatch streaming
+    * sinks): the (appId, txnVersion) marker commits ATOMICALLY with the
+    * data — inside the same log entry — so a sink that crashed between
+    * write and bookkeeping cannot double-apply on replay. Returns false
+    * (no commit) when this txn version was already applied.
+    */
+  def appendIfAbsent(df: DataFrame, appId: String,
+      txnVersion: Long): Boolean = {
+    if (lastTxnVersion(appId) >= txnVersion) false
+    else {
+      requireSchemaMatch(df)
+      withCommitPlanning {
+        val v = nextVersion
+        val adds = writeData(df, v, None)
+        writeEntry(CommitEntry(v, "append", System.currentTimeMillis(),
+          df.schema.json, adds, Seq.empty, hasChanges = true,
+          bucketSpec = bucketSpec, changesMode = "insertsFromData",
+          txn = Some(appId -> txnVersion)))
+      }
+      true
+    }
+  }
+
+  /** OPTIMIZE-style bin-packing compaction: rewrite the live file set
+    * into ~1M-row files (per bucket for bucketed tables) in one commit
+    * with `hasChanges = false` — readers see identical rows, the change
+    * feed sees nothing (Delta OPTIMIZE semantics), vacuum can then
+    * reclaim the small files. The antidote to ingest patterns (many
+    * tiny commits, streaming appends) whose per-file overhead taxes
+    * every later scan.
+    */
+  def compactFiles(): Unit = withCommitPlanning {
+    val v = nextVersion
+    val prior = liveFiles(v - 1)
+    if (prior.nonEmpty) {
+      val sch = schema
+      val data = spark.read.schema(sch).parquet(prior: _*)
+      val n = data.count()
+      val adds = writeData(data, v, rowHint = Some(n))
+      writeEntry(CommitEntry(v, "optimize", System.currentTimeMillis(),
+        sch.json, adds, prior, hasChanges = false,
+        bucketSpec = bucketSpec))
+    }
   }
 
   /** Insert-only commit: the data files double as the change feed
@@ -503,7 +564,8 @@ object MiniLake {
   final case class CommitEntry(version: Long, mode: String, timestampMs: Long,
       schemaJson: String, adds: Seq[String], removes: Seq[String],
       hasChanges: Boolean, bucketSpec: Option[BucketSpec] = None,
-      changesMode: String = "files")
+      changesMode: String = "files",
+      txn: Option[(String, Long)] = None)
 
   def apply(spark: SparkSession, path: String): MiniLake =
     new MiniLake(spark, path)

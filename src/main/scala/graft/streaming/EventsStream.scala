@@ -76,7 +76,8 @@ object EventsStream {
     "q48_stream_hourly" -> ((s, dir) => hourlyStream(s, dir)),
     "q51_stream_sessions" -> ((s, dir) => SessionizeStream.sessions(s, dir)
       .select("user_id", "session_seq", "n_events", "start_ms", "end_ms",
-        "session_value"))
+        "session_value")),
+    "q58_stream_lake_ingest" -> (LakeIngestStream.q58StreamLakeIngest _)
   )
 
   /** Identical to the batch q18 oracle — streaming must agree with
@@ -91,6 +92,7 @@ object EventsStream {
         | count(*) AS n, round(sum(value),2) AS total_value
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY hour, event_type""".stripMargin
+        |ORDER BY hour, event_type""".stripMargin,
+    "q58_stream_lake_ingest" -> LakeIngestStream.q58Oracle
   )
 }

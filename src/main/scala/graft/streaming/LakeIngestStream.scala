@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.lake.MiniLake
+
+/** Streaming ingest INTO the lake ([EXT]): readStream → foreachBatch →
+  * idempotent MiniLake append — the path a production pipeline uses to
+  * land a Kafka/file firehose as a versioned bronze table. Exactly-once
+  * at the table level comes from the Delta txn protocol reproduced in
+  * [[MiniLake.appendIfAbsent]]: the (appId, batchId) marker commits in
+  * the same atomic log entry as the data, so a sink that crashes after
+  * writing but before bookkeeping skips the replayed batch instead of
+  * double-applying it (the failure mode plain foreachBatch + blind
+  * append has).
+  *
+  * Scale posture: each micro-batch append is one distributed parquet
+  * write (no driver materialization); the bronze table then serves the
+  * watermarked CDC pipeline (q19/q54) downstream — this query is the
+  * missing first hop of that medallion flow.
+  */
+object LakeIngestStream {
+
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Stream events into a fresh lake table, then aggregate the landed
+    * snapshot — proving the full firehose→bronze→query path against
+    * the batch oracle.
+    */
+  def q58StreamLakeIngest(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val watchDir = java.nio.file.Files.createTempDirectory("graft_ingest_src")
+    java.nio.file.Files.createSymbolicLink(
+      watchDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val lakePath = java.nio.file.Files
+      .createTempDirectory("graft_ingest_lake").toString + "/events"
+
+    val stream = s.readStream.schema(rawSchema).parquet(watchDir.toString)
+    val sink: (Dataset[Row], Long) => Unit = (batch, batchId) => {
+      MiniLake(s, lakePath).appendIfAbsent(batch, "q58_ingest", batchId)
+      ()
+    }
+    val query = stream.writeStream.foreachBatch(sink).start()
+    try query.processAllAvailable() finally query.stop()
+
+    MiniLake(s, lakePath).snapshot()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("user_id")).as("n_users"),
+        round(sum("value"), 2).cast("decimal(18,2)").as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val q58Oracle: String =
+    """SELECT event_type, count(*) AS n,
+      | count(DISTINCT user_id) AS n_users,
+      | CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+}

@@ -155,6 +155,55 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
       === Seq(1L -> "a", 2L -> "b"))
   }
 
+  test("appendIfAbsent applies each txn version once (streaming replay)") {
+    val t = MiniLake(spark, dir)
+    assert(t.appendIfAbsent(kv(1L -> "a"), "sinkA", 0L))
+    assert(t.latestVersion === 0L)
+    // replay of the same micro-batch (crash between write and sink
+    // bookkeeping) — skipped, no new version, no duplicate rows
+    assert(!t.appendIfAbsent(kv(1L -> "a"), "sinkA", 0L))
+    assert(t.latestVersion === 0L)
+    assert(t.snapshot().count() === 1L)
+    // next batch commits; an independent app's txn counter is separate
+    assert(t.appendIfAbsent(kv(2L -> "b"), "sinkA", 1L))
+    assert(t.appendIfAbsent(kv(3L -> "c"), "sinkB", 0L))
+    assert(t.latestVersion === 2L)
+    assert(t.lastTxnVersion("sinkA") === 1L)
+    assert(t.lastTxnVersion("sinkB") === 0L)
+    assert(t.lastTxnVersion("nobody") === -1L)
+    // txn markers survive reopen (they live in the commit log)
+    assert(!MiniLake(spark, dir).appendIfAbsent(kv(9L -> "x"), "sinkA", 1L))
+  }
+
+  test("compactFiles rewrites many small files into one commit, no logical change") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a"))
+    (2L to 6L).foreach(i => t.append(kv(i -> s"v$i")))
+    val before = t.snapshot().orderBy("key").as[(Long, String)].collect().toSeq
+    val filesBefore = t.snapshot().inputFiles.length
+    assert(filesBefore >= 6)
+    val vBefore = t.latestVersion
+    val changesBefore = t.readChanges(0, vBefore)
+      .select("key", "_change_type").as[(Long, String)].collect().sorted.toSeq
+
+    t.compactFiles()
+    assert(t.latestVersion === vBefore + 1)
+    assert(t.snapshot().inputFiles.length === 1)
+    assert(t.snapshot().orderBy("key").as[(Long, String)].collect().toSeq === before)
+    // OPTIMIZE semantics: the change feed sees nothing from compaction
+    val changesAfter = t.readChanges(0, t.latestVersion)
+      .select("key", "_change_type").as[(Long, String)].collect().sorted.toSeq
+    assert(changesAfter === changesBefore)
+    // time travel to the pre-compaction version still works
+    assert(t.snapshot(vBefore).count() === 6L)
+    // and vacuum reclaims the small files without breaking the feed
+    t.vacuum()
+    assert(t.snapshot().orderBy("key").as[(Long, String)].collect().toSeq === before)
+    assert(t.readChanges(0, t.latestVersion)
+      .select("key", "_change_type").as[(Long, String)].collect().sorted.toSeq
+      === changesBefore)
+  }
+
   test("append with mismatched schema is rejected") {
     val t = MiniLake(spark, dir)
     t.create(kv(1L -> "a"))
