@@ -434,6 +434,38 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin
 
+  /** Pivot (long→wide reshape): daily event counts spread into one
+    * column per event type. The value list is pinned explicitly —
+    * `pivot(col)` without values runs an extra distinct job AND makes
+    * the output schema data-dependent, both wrong at scale; with pinned
+    * values the pivot compiles to conditional aggregation (exactly the
+    * oracle's CASE-sum form), one shuffle on the group key.
+    */
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def q61PivotDaily(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("day")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      // absent (day, type) cells are null in a pivot; 0 is the honest
+      // count and keeps both engines' output identical
+      .select(col("day") +: EventTypes.map(t =>
+        coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy("day")
+
+  val q61Oracle: String = {
+    val sums = EventTypes.map(t =>
+      s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS n_$t")
+      .mkString(",\n ")
+    s"""SELECT CAST(ts AS DATE) AS day,
+      | $sums
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+  }
+
   /** CUBE grouping-sets (all four combinations), 'ALL'-coalesced like
     * q12's rollup.
     */
@@ -490,7 +522,8 @@ object Relational {
     "q17_json_props" -> (q17JsonProps _),
     "q18_hourly_events" -> (q18HourlyEvents _),
     "q52_cube" -> (q52Cube _),
-    "q53_except" -> (q53Except _)
+    "q53_except" -> (q53Except _),
+    "q61_pivot_daily" -> (q61PivotDaily _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -512,6 +545,7 @@ object Relational {
     "q17_json_props" -> q17Oracle,
     "q18_hourly_events" -> q18Oracle,
     "q52_cube" -> q52Oracle,
-    "q53_except" -> q53Oracle
+    "q53_except" -> q53Oracle,
+    "q61_pivot_daily" -> q61Oracle
   )
 }
