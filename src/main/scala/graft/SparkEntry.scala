@@ -11,7 +11,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Pipeline.queries ++ ops.Privacy.queries ++
       ops.TextAnalysis.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
       ops.Multimodal.queries ++ streaming.EventsStream.queries ++
-      ops.EventsOps.queries ++ ops.Sampling.queries ++ ops.Vectors.queries
+      ops.EventsOps.queries ++ ops.Sampling.queries ++ ops.Vectors.queries ++
+      streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -19,5 +20,6 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Pipeline.oracles ++ ops.Privacy.oracles ++
       ops.TextAnalysis.oracles ++ ops.Dedup.oracles ++ ops.Similarity.oracles ++
       ops.Multimodal.oracles ++ streaming.EventsStream.oracles ++
-      ops.EventsOps.oracles ++ ops.Sampling.oracles ++ ops.Vectors.oracles
+      ops.EventsOps.oracles ++ ops.Sampling.oracles ++ ops.Vectors.oracles ++
+      streaming.StreamOps.oracles
 }
