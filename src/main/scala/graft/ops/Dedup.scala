@@ -253,14 +253,16 @@ object Dedup {
     * at scale), and convergence is detected by the strictly-decreasing
     * label sum — one scalar aggregate per round, no extra join.
     */
-  def q57DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val docs = documents(s, dir).select(col("doc_id"))
-    val pairs = q42MinhashLsh(s, dir).select(col("id1"), col("id2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Distributed connected components: label every node in `nodes`
+    * (column `doc_id`) with the minimum node id reachable through
+    * `pairs` (columns `id1`, `id2`, undirected). See [[q57DedupClusters]]
+    * for the algorithmic notes.
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
 
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
     var prevSum = Long.MaxValue
     var sum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id"))
@@ -285,6 +287,14 @@ object Dedup {
         .head.getLong(0)
       rounds += 1
     }
+    labels
+  }
+
+  def q57DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"))
+    val pairs = q42MinhashLsh(s, dir).select(col("id1"), col("id2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = connectedComponents(docs, pairs)
     pairs.unpersist()
     labels.orderBy("doc_id")
   }
