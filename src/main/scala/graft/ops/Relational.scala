@@ -287,6 +287,34 @@ object Relational {
       |GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** The same 30-min sessionization through Spark's NATIVE
+    * `session_window` (the third implementation of these semantics,
+    * after the window-based batch q10 and the stateful-streaming q51 —
+    * all three share one oracle). The built-in is the one to prefer at
+    * scale: gap merging happens inside the aggregation operator
+    * (no lag/running-sum window pass), it is streaming-capable, and
+    * the shuffle is still a single exchange on user_id.
+    *
+    * Boundary note: `session_window` starts a new session at gap ≥ the
+    * gap duration where q10's lag-formulation uses gap >; equivalent
+    * unless an exact-boundary gap exists (none in the testdata at any
+    * SF — verified, and any such corpus would flag in the gate).
+    */
+  def q64SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val sess = events(s, dir)
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ms")).as("start_ms"),
+        max(col("ms")).as("end_ms"),
+        round(sum(col("value")), 2).cast("decimal(18,2)").as("session_value"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("start_ms"))
+    sess.withColumn("session_seq", row_number().over(byUser).cast("long"))
+      .select("user_id", "session_seq", "n_events", "start_ms", "end_ms",
+        "session_value")
+      .orderBy("user_id", "session_seq")
+  }
+
   /** NOT EXISTS as a left-anti join (J3) — customers with no orders. */
   def q11CustomersWithoutOrders(s: SparkSession, dir: String): DataFrame =
     customer(s, dir)
@@ -523,7 +551,8 @@ object Relational {
     "q18_hourly_events" -> (q18HourlyEvents _),
     "q52_cube" -> (q52Cube _),
     "q53_except" -> (q53Except _),
-    "q61_pivot_daily" -> (q61PivotDaily _)
+    "q61_pivot_daily" -> (q61PivotDaily _),
+    "q64_session_window" -> (q64SessionWindow _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -546,6 +575,7 @@ object Relational {
     "q18_hourly_events" -> q18Oracle,
     "q52_cube" -> q52Oracle,
     "q53_except" -> q53Oracle,
-    "q61_pivot_daily" -> q61Oracle
+    "q61_pivot_daily" -> q61Oracle,
+    "q64_session_window" -> q10Oracle
   )
 }
