@@ -84,13 +84,45 @@ object EventsOps {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  /** Exact interpolated percentiles of value per event type — the
+    * latency/size-distribution report shape. Spark's `percentile` and
+    * DuckDB's `quantile_cont` implement the same linear interpolation
+    * on the sorted values (h = (n-1)p), so the EXACT variant is
+    * oracle-checkable, unlike the sketch-based approx_percentile
+    * (t-digest, implementation-specific — same reason q50's HLL is
+    * rows-only). Exact percentile needs the group's values collected
+    * per reducer: fine for bounded group counts like this report;
+    * at unbounded cardinality the sketch is the scale path.
+    */
+  def q65Percentiles(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).cast("decimal(18,4)").as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).cast("decimal(18,4)").as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).cast("decimal(18,4)").as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  val q65Oracle: String =
+    """SELECT event_type,
+      | CAST(round(quantile_cont(value, 0.5), 4) AS DECIMAL(18,4)) AS p50,
+      | CAST(round(quantile_cont(value, 0.9), 4) AS DECIMAL(18,4)) AS p90,
+      | CAST(round(quantile_cont(value, 0.99), 4) AS DECIMAL(18,4)) AS p99,
+      | count(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_asof_join" -> (q49AsofJoin _),
-    "q50_approx_distinct" -> (q50ApproxDistinct _)
+    "q50_approx_distinct" -> (q50ApproxDistinct _),
+    "q65_percentiles" -> (q65Percentiles _)
   )
 
   def oracles: Map[String, String] = Map(
-    "q49_asof_join" -> q49Oracle
+    "q49_asof_join" -> q49Oracle,
     // q50: sketch-implementation-specific — rows-only check
+    "q65_percentiles" -> q65Oracle
   )
 }
