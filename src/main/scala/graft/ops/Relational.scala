@@ -465,9 +465,12 @@ object Relational {
   /** Pivot (long→wide reshape): daily event counts spread into one
     * column per event type. The value list is pinned explicitly —
     * `pivot(col)` without values runs an extra distinct job AND makes
-    * the output schema data-dependent, both wrong at scale; with pinned
-    * values the pivot compiles to conditional aggregation (exactly the
-    * oracle's CASE-sum form), one shuffle on the group key.
+    * the output schema data-dependent, both wrong at scale. With pinned
+    * values Spark plans a two-phase aggregate: a partial count on
+    * (day, type) below the first exchange reduces the raw scan
+    * map-side, then the pivotfirst exchange moves only the tiny
+    * pre-aggregated grid (PlanSpec asserts the shape). Semantically
+    * equal to the oracle's CASE-sum form.
     */
   val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 

@@ -184,12 +184,65 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF top terms per language — the corpus-profiling query behind
+    * keyword extraction and domain-mix monitoring. tf = term
+    * occurrences within a language's documents; df = documents (whole
+    * corpus) containing the term; smoothed idf = ln((N+1)/(df+1)) + 1.
+    *
+    * Plan shape at scale: one explode pass feeds two aggregations (df
+    * needs a per-doc distinct first), both shuffle-keyed on term, and
+    * the score join is term-keyed too — the exchange is reused. Ranking
+    * happens on the ROUNDED score with a term tiebreak so both engines
+    * order identically (ln differs by ≤1 ulp across libm builds; ranks
+    * on raw doubles would be build-dependent, rank ties on rounded
+    * values resolve deterministically).
+    */
+  def q66TfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val n = documents(s, dir).count()
+    val tok = documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
+    val dfreq = tok.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val tf = tok.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("tfidf", round(col("tf") *
+        (log(lit((n + 1).toDouble) / (col("df") + lit(1)).cast("double"))
+          + lit(1.0)), 4))
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(byLang).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("term"), col("rank"),
+        col("tfidf").cast("decimal(18,4)").as("tfidf"))
+      .orderBy("lang", "rank")
+  }
+
+  val q66Oracle: String =
+    s"""WITH w AS (SELECT doc_id, lang, $tokensSql AS ws FROM documents),
+      |t AS (SELECT doc_id, lang, unnest(ws) AS term FROM w),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+      |tf AS (SELECT lang, term, count(*) AS tf FROM t GROUP BY lang, term),
+      |scored AS (
+      |  SELECT lang, term,
+      |    round(tf * (ln((nn.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 4) AS tfidf
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN nn),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY lang
+      |    ORDER BY tfidf DESC, term) AS rank FROM scored)
+      |SELECT lang, term, CAST(rank AS BIGINT) AS rank,
+      | CAST(tfidf AS DECIMAL(18,4)) AS tfidf
+      |FROM ranked
+      |WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_token_stats" -> (q30TokenStats _),
     "q31_quality_score" -> (q31QualityScore _),
     "q32_lang_id" -> (q32LangId _),
     "q33_fingerprint" -> (q33Fingerprint _),
-    "q56_bpe_tokens" -> (q56BpeTokens _)
+    "q56_bpe_tokens" -> (q56BpeTokens _),
+    "q66_tfidf_top_terms" -> (q66TfidfTopTerms _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -197,6 +250,7 @@ object TextAnalysis {
     "q31_quality_score" -> q31Oracle,
     "q32_lang_id" -> q32Oracle,
     "q33_fingerprint" -> q33Oracle,
-    "q56_bpe_tokens" -> q56Oracle
+    "q56_bpe_tokens" -> q56Oracle,
+    "q66_tfidf_top_terms" -> q66Oracle
   )
 }

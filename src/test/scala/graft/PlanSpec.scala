@@ -44,4 +44,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q60: centroid aggregation is pure codegen — no UDF, no interpreted HOF") {
+    val plan = planOf(graft.ops.Vectors.q60LabelCentroids(spark, sf))
+    assert(!plan.contains("BatchEvalPython"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    // transform/aggregate lambdas appear as these operator names when
+    // the interpreted higher-order path is used
+    assert(!plan.contains("ArrayTransform"), plan)
+    assert(!plan.contains("ArrayAggregate"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("q61: pinned-value pivot pre-aggregates before the pivot exchange") {
+    val df = Relational.q61PivotDaily(spark, sf)
+    val plan = planOf(df)
+    // pivot with explicit values: no value-discovery distinct job, and
+    // the plan's second exchange moves only the (day, type) pre-agg —
+    // partial_count must appear BELOW the first exchange so the raw
+    // scan is reduced map-side
+    assert(!plan.contains("Expand"), plan)
+    assert(plan.contains("pivotfirst"), plan)
+    assert(plan.contains("partial_count"), plan)
+    val aggExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).size
+    assert(aggExchanges <= 2, plan)
+  }
+
+  test("q64: native session_window shuffles once on the user key") {
+    val plan = planOf(Relational.q64SessionWindow(spark, sf))
+    assert(plan.contains("SessionWindow") || plan.contains("session_window"), plan)
+    val hashExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).size
+    assert(hashExchanges <= 2, plan) // session agg + seq-numbering window
+  }
 }
