@@ -253,6 +253,65 @@ object Dedup {
     * at scale), and convergence is detected by the strictly-decreasing
     * label sum — one scalar aggregate per round, no extra join.
     */
+  /** SimHash near-duplicates: pairs of documents whose 16-bit
+    * fingerprints differ in ≤ 2 bits, found through band-bucketed
+    * candidates — the pigeonhole guarantee that makes SimHash usable at
+    * scale: split 16 bits into 3 bands (6+6+4); 2 differing bits can
+    * touch at most 2 bands, so every qualifying pair shares at least
+    * one intact band and meets on a (band_index, band_value) join key.
+    * No all-pairs comparison anywhere; the exact Hamming check runs
+    * only on band-collision candidates, as `bit_count(a XOR b)` over
+    * the fingerprints parsed base-2 — all native codegen'd expressions.
+    */
+  def q67SimhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val fp = q43Simhash(s, dir)
+      .withColumn("h", conv(col("simhash"), 2, 10).cast("long"))
+    val banded = fp.select(col("doc_id"), col("h"),
+      explode(array(
+        concat(lit("0:"), substring(col("simhash"), 1, 6)),
+        concat(lit("1:"), substring(col("simhash"), 7, 6)),
+        concat(lit("2:"), substring(col("simhash"), 13, 4)))).as("band"))
+    banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 2)
+      .orderBy("id1", "id2")
+  }
+
+  /** Oracle computes Hamming positionally (DuckDB lacks base-2 conv):
+    * count of positions where the fingerprint strings differ.
+    */
+  val q67Oracle: String = {
+    val sums = (0 until 16).map(j =>
+      s"sum(CASE WHEN substr(md5(w), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n  ")
+    val bits = (0 until 16).map(j =>
+      s"CASE WHEN b$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH t AS (SELECT doc_id, unnest($tokensSql) AS w FROM documents),
+      |s AS (SELECT doc_id,
+      |  $sums
+      | FROM t GROUP BY doc_id),
+      |fp AS (SELECT doc_id, $bits AS simhash FROM s),
+      |banded AS (SELECT doc_id, simhash,
+      |  unnest(['0:' || substr(simhash, 1, 6), '1:' || substr(simhash, 7, 6),
+      |          '2:' || substr(simhash, 13, 4)]) AS band FROM fp),
+      |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+      |    a.simhash AS h1, b.simhash AS h2
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.doc_id < b.doc_id)
+      |SELECT id1, id2,
+      | CAST(length(list_filter([i for i in generate_series(1, 16)],
+      |   i -> substr(h1, i, 1) <> substr(h2, i, 1))) AS BIGINT) AS hamming
+      |FROM cand
+      |WHERE length(list_filter([i for i in generate_series(1, 16)],
+      |   i -> substr(h1, i, 1) <> substr(h2, i, 1))) <= 2
+      |ORDER BY id1, id2""".stripMargin
+  }
+
   /** Distributed connected components: label every node in `nodes`
     * (column `doc_id`) with the minimum node id reachable through
     * `pairs` (columns `id1`, `id2`, undirected). See [[q57DedupClusters]]
@@ -331,7 +390,8 @@ object Dedup {
     "q41_ngram_jaccard" -> (q41NgramJaccard _),
     "q42_minhash_lsh" -> (q42MinhashLsh _),
     "q43_simhash" -> (q43Simhash _),
-    "q57_dedup_clusters" -> (q57DedupClusters _)
+    "q57_dedup_clusters" -> (q57DedupClusters _),
+    "q67_simhash_near_dup" -> (q67SimhashNearDup _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -339,6 +399,7 @@ object Dedup {
     "q41_ngram_jaccard" -> q41Oracle,
     "q42_minhash_lsh" -> q42Oracle,
     "q43_simhash" -> q43Oracle,
-    "q57_dedup_clusters" -> q57Oracle
+    "q57_dedup_clusters" -> q57Oracle,
+    "q67_simhash_near_dup" -> q67Oracle
   )
 }
