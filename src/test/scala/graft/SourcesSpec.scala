@@ -39,4 +39,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(agg === direct)
     graft.lake.MiniLake.deleteRecursively(dir)
   }
+
+  test("orc round-trips with predicate pushdown intact") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    events.write.orc(s"$dir/orc")
+    val back = spark.read.orc(s"$dir/orc")
+    assert(back.count() === events.count())
+    assert(back.schema === events.schema)
+    // filters reach the ORC scan like they do the parquet one
+    val plan = back.filter(col("event_type") === "click")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)"), plan)
+    assert(back.filter(col("event_type") === "click").count() ===
+      events.filter(col("event_type") === "click").count())
+    graft.lake.MiniLake.deleteRecursively(dir)
+  }
 }

@@ -204,6 +204,34 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
       === changesBefore)
   }
 
+  test("racing committers: exactly one wins the version, loser fails cleanly") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a"))
+    // both threads read latestVersion=0 and race to publish version 1;
+    // the hard-link publish admits exactly one
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 2).map { i =>
+      new Thread(() => {
+        barrier.await()
+        try t.append(kv((10L + i) -> s"t$i"))
+        catch { case _: Throwable => failures.incrementAndGet(); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // Either both serialized cleanly (no overlap in practice) or the
+    // loser failed — never two writers claiming one version, never a
+    // corrupted table.
+    val versions = (0L to t.latestVersion).toSeq
+    assert(versions.size === t.latestVersion + 1)
+    val snap = t.snapshot().orderBy("key").as[(Long, String)].collect()
+    assert(snap.length === 1 + (2 - failures.get()))
+    assert(snap.head === (1L -> "a"))
+    // a subsequent commit proceeds normally
+    t.append(kv(99L -> "z"))
+    assert(t.snapshot().count() === snap.length + 1)
+  }
+
   test("append with mismatched schema is rejected") {
     val t = MiniLake(spark, dir)
     t.create(kv(1L -> "a"))
