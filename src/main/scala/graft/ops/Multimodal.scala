@@ -75,11 +75,106 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---- resize (1→1 payload transform through the codec seam) --------
+
+  final case class ResizedMedia(doc_id: Long, n_bytes: Long,
+      resized_bytes: Long, resized_md5: String)
+
+  /** STUB resize: deterministic byte-halving standing in for a real
+    * image downscale. Swapping in a real codec changes only this
+    * function; the batched per-partition pipeline is unchanged.
+    */
+  object StubResizer {
+    def resize(payload: Array[Byte]): Array[Byte] =
+      payload.take(math.ceil(payload.length / 2.0).toInt)
+  }
+
+  /** Payload-transforming stage: binary in, smaller binary out, with
+    * the derived metadata recomputed — the downscale/re-encode shape.
+    * The digest of the resized payload's lowercase hex is the oracle's
+    * checkable witness that the BYTES (not just the lengths) match
+    * cross-engine (this DuckDB's md5 is VARCHAR-only, so the digest
+    * runs over the hex string on both sides).
+    */
+  def resizeMedia(media: Dataset[MediaRow]): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val out = StubResizer.resize(r.payload)
+        val hex = out.map(b => f"${b & 0xff}%02x").mkString
+        md.reset()
+        ResizedMedia(r.doc_id, r.n_bytes, out.length.toLong,
+          md.digest(hex.getBytes("UTF-8"))
+            .map(b => f"${b & 0xff}%02x").mkString)
+      }
+    }
+  }
+
+  def q68MediaResize(s: SparkSession, dir: String): DataFrame =
+    resizeMedia(mediaTable(s, dir)).toDF().orderBy("doc_id")
+
+  val q68Oracle: String =
+    """SELECT doc_id,
+      | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      | CAST(ceil(octet_length(encode(text)) / 2.0) AS BIGINT) AS resized_bytes,
+      | md5(lower(substr(hex(encode(text)), 1,
+      |   2 * CAST(ceil(octet_length(encode(text)) / 2.0) AS BIGINT))))
+      |   AS resized_md5
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- frame sampling (1→N explosion through the codec seam) --------
+
+  final case class SampledFrame(doc_id: Long, frame_idx: Long,
+      frame_sig: String)
+
+  /** Frame sampling: each payload yields its even-indexed frames (per
+    * the stub decoder's frame count) — the 1→N batch shape of video
+    * frame extraction, emitted from one mapPartitions pass so a real
+    * demuxer would open each container once per task. Frame signature
+    * = md5 over the payload header + frame index (stub for a decoded
+    * frame hash).
+    */
+  def sampleFrames(media: Dataset[MediaRow]): Dataset[SampledFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (header, _, _, frames) = StubDecoder.decode(r.payload)
+        (0L until frames by 2).map { i =>
+          val sig = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$header#$i".getBytes("UTF-8"))
+            .map(b => f"${b & 0xff}%02x").mkString
+          SampledFrame(r.doc_id, i, sig)
+        }
+      }
+    }
+  }
+
+  def q69FrameSample(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaTable(s, dir)).toDF().orderBy("doc_id", "frame_idx")
+
+  val q69Oracle: String =
+    """WITH m AS (SELECT doc_id,
+      |  lower(substr(hex(encode(text)), 1, 8)) AS header,
+      |  1 + octet_length(encode(text)) % 8 AS frames
+      | FROM documents)
+      |SELECT doc_id,
+      | CAST(unnest(generate_series(0, frames - 1, 2)) AS BIGINT) AS frame_idx,
+      | md5(header || '#' || unnest(generate_series(0, frames - 1, 2)))
+      |   AS frame_sig
+      |FROM m
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q47_media_features" -> (q47MediaFeatures _)
+    "q47_media_features" -> (q47MediaFeatures _),
+    "q68_media_resize" -> (q68MediaResize _),
+    "q69_frame_sample" -> (q69FrameSample _)
   )
 
   def oracles: Map[String, String] = Map(
-    "q47_media_features" -> q47Oracle
+    "q47_media_features" -> q47Oracle,
+    "q68_media_resize" -> q68Oracle,
+    "q69_frame_sample" -> q69Oracle
   )
 }
