@@ -315,6 +315,37 @@ object Relational {
       .orderBy("user_id", "session_seq")
   }
 
+  /** FULL OUTER join (completing the join-type surface alongside the
+    * inner/semi/anti/broadcast coverage): per-nation customer and
+    * supplier counts, keeping nations that have only one of the two.
+    * Both sides pre-aggregate BEFORE the join — the outer join then
+    * moves one row per nation instead of one per customer/supplier,
+    * the shape that survives a 100× fact-side scale-up.
+    */
+  def q70NationCoverage(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"))
+    val sup = supplier(s, dir).groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(sup, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy("nationkey")
+  }
+
+  val q70Oracle: String =
+    """WITH c AS (SELECT c_nationkey, count(*) AS n_customers
+      |           FROM customer GROUP BY c_nationkey),
+      |s AS (SELECT s_nationkey, count(*) AS n_suppliers
+      |      FROM supplier GROUP BY s_nationkey)
+      |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+      | coalesce(n_customers, 0) AS n_customers,
+      | coalesce(n_suppliers, 0) AS n_suppliers
+      |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
   /** NOT EXISTS as a left-anti join (J3) — customers with no orders. */
   def q11CustomersWithoutOrders(s: SparkSession, dir: String): DataFrame =
     customer(s, dir)
@@ -555,7 +586,8 @@ object Relational {
     "q52_cube" -> (q52Cube _),
     "q53_except" -> (q53Except _),
     "q61_pivot_daily" -> (q61PivotDaily _),
-    "q64_session_window" -> (q64SessionWindow _)
+    "q64_session_window" -> (q64SessionWindow _),
+    "q70_nation_coverage" -> (q70NationCoverage _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -579,6 +611,7 @@ object Relational {
     "q52_cube" -> q52Oracle,
     "q53_except" -> q53Oracle,
     "q61_pivot_daily" -> q61Oracle,
-    "q64_session_window" -> q10Oracle
+    "q64_session_window" -> q10Oracle,
+    "q70_nation_coverage" -> q70Oracle
   )
 }
