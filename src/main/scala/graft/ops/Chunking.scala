@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.Text.{tokens, tokensSql}
+
+/** Document preparation for training ([EXT] surface): cleaning,
+  * fixed-size chunking, and greedy sequence packing — the steps between
+  * a filtered corpus and a token stream.
+  *
+  * All three are narrow per-row / single-window transforms: cleaning is
+  * pure codegen'd regex work in the scan stage; chunking explodes a
+  * per-doc arithmetic sequence (no shuffle at all before the output
+  * sort); packing is one running-sum window over the stable document
+  * order — exactly one exchange. Nothing here is data-dependent in
+  * shape, so the plans are identical at any corpus size.
+  */
+object Chunking {
+
+  /** Boilerplate cleaning: strip URLs and e-mail addresses, collapse
+    * runs of spaces, trim. Patterns are deliberately in the common
+    * subset of Java regex and RE2 so both engines agree byte-for-byte;
+    * the md5 of the cleaned text is the cross-engine witness.
+    */
+  def q71CleanText(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .withColumn("cleaned", trim(regexp_replace(regexp_replace(
+        regexp_replace(col("text"), "https?://[^ ]+", ""),
+        "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", ""),
+        " +", " ")))
+      .select(col("doc_id"),
+        md5(col("cleaned").cast("binary")).as("clean_md5"),
+        length(col("cleaned")).cast("long").as("clean_chars"))
+      .orderBy("doc_id")
+
+  val q71Oracle: String =
+    """SELECT doc_id,
+      | md5(trim(regexp_replace(regexp_replace(regexp_replace(text,
+      |   'https?://[^ ]+', '', 'g'),
+      |   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '', 'g'),
+      |   ' +', ' ', 'g'))) AS clean_md5,
+      | CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(text,
+      |   'https?://[^ ]+', '', 'g'),
+      |   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '', 'g'),
+      |   ' +', ' ', 'g'))) AS BIGINT) AS clean_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Tokens per context-window chunk. Small on purpose so the testdata
+    * (short documents) still produces multi-chunk splits.
+    */
+  val ChunkTokens = 32
+
+  /** Fixed-size chunking: one row per (doc, chunk) with token bounds —
+    * the split a tokenizer-side loader consumes. The chunk list is an
+    * arithmetic `sequence` exploded per document: no shuffle, no UDF.
+    */
+  def q72Chunks(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L),
+          ceil(col("n").cast("double") / ChunkTokens).cast("long") - 1)))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkTokens + 1).as("token_start"),
+        least(col("n"), (col("chunk_idx") + 1) * ChunkTokens).as("token_end"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val q72Oracle: String =
+    s"""WITH w AS (SELECT doc_id, CAST(length($tokensSql) AS BIGINT) AS n
+      |           FROM documents)
+      |SELECT doc_id,
+      | CAST(unnest(generate_series(0, CAST(ceil(n / ${ChunkTokens}.0) AS BIGINT) - 1))
+      |   AS BIGINT) AS chunk_idx,
+      | CAST(unnest(generate_series(0, CAST(ceil(n / ${ChunkTokens}.0) AS BIGINT) - 1))
+      |   * $ChunkTokens + 1 AS BIGINT) AS token_start,
+      | least(n, (CAST(unnest(generate_series(0, CAST(ceil(n / ${ChunkTokens}.0) AS BIGINT) - 1))
+      |   AS BIGINT) + 1) * $ChunkTokens) AS token_end
+      |FROM w
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Context-window size for packing. */
+  val PackTokens = 1024
+
+  /** Greedy sequential packing: documents in stable doc_id order are
+    * assigned to training bins by their exclusive prefix token count —
+    * bin = floor(prefix / windowSize), the standard streaming
+    * approximation of sequence packing (each bin holds consecutive
+    * documents totalling ≈ the context window). One running-sum window
+    * over the whole corpus; at scale the same statement partitions by
+    * shard key first.
+    */
+  def q73Packing(s: SparkSession, dir: String): DataFrame = {
+    val byDoc = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+      .withColumn("prefix", coalesce(sum("n").over(byDoc), lit(0L)))
+      .withColumn("bin", floor(col("prefix") / PackTokens))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("total_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("bin")
+  }
+
+  val q73Oracle: String =
+    s"""WITH w AS (SELECT doc_id, CAST(length($tokensSql) AS BIGINT) AS n
+      |           FROM documents),
+      |p AS (SELECT doc_id, n,
+      |  coalesce(sum(n) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      | FROM w)
+      |SELECT CAST(floor(prefix / ${PackTokens}.0) AS BIGINT) AS bin,
+      | count(*) AS n_docs, sum(n) AS total_tokens,
+      | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM p
+      |GROUP BY 1
+      |ORDER BY bin""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_clean_text" -> (q71CleanText _),
+    "q72_chunks" -> (q72Chunks _),
+    "q73_packing" -> (q73Packing _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q71_clean_text" -> q71Oracle,
+    "q72_chunks" -> q72Oracle,
+    "q73_packing" -> q73Oracle
+  )
+}
