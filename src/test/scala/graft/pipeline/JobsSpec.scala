@@ -100,4 +100,38 @@ class JobsSpec extends AnyFunSuite with BeforeAndAfterEach {
     Jobs.runPseudonymisation(spark, zones, notesConfig)
     assert(silver.latestVersion === 1L)
   }
+
+  test("conf-driven extraction: keys and catalog names from spark.secret.*") {
+    val secretKeys = Seq("cognitive-services-keys",
+      "unity-catalog-catalog-name", "unity-catalog-schema-name")
+    secretKeys.foreach(k => spark.conf.unset(s"spark.secret.$k"))
+    // fail-fast before any processing when the secrets are absent
+    intercept[IllegalArgumentException] {
+      Jobs.runFeatureExtractionFromConf(spark, zones, notesConfig)
+    }
+    try {
+      spark.conf.set("spark.secret.cognitive-services-keys", "k1;k2;k3")
+      spark.conf.set("spark.secret.unity-catalog-catalog-name", "main")
+      spark.conf.set("spark.secret.unity-catalog-schema-name", "gold")
+
+      MiniLake(spark, s"${zones.bronze}/Notes").create(
+        (1L to 120L).map(i =>
+          (i, s"note $i", i, Timestamp.valueOf("2023-01-01 10:10:10")))
+          .toDF("NoteID", "NoteText", "UserID", "AppointmentDate"))
+      Jobs.runPseudonymisation(spark, zones, notesConfig)
+
+      val keysUsed = new java.util.concurrent.ConcurrentHashMap[Int, Boolean]()
+      val annotator: graft.ops.Extract.Annotator = (d, c, key) => {
+        keysUsed.put(key, true)
+        graft.ops.Extract.defaultAnnotator(d, c, key)
+      }
+      Jobs.runFeatureExtractionFromConf(spark, zones, notesConfig, annotator)
+
+      // shard count == number of semicolon-separated keys (>=100 rows
+      // forces the large path, so all three keys participate)
+      assert(keysUsed.keySet().size() === 3)
+      // gold registered under the catalog-qualified view name
+      assert(spark.table("main_gold_Notes").count() === 120L)
+    } finally secretKeys.foreach(k => spark.conf.unset(s"spark.secret.$k"))
+  }
 }
