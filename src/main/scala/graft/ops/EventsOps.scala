@@ -114,15 +114,78 @@ object EventsOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Band (interval) join without a theta join: for every `error`
+    * event, the count and value of `purchase` events within ±60 s —
+    * any user (incident-correlation shape: "what revenue was in
+    * flight around each failure").
+    *
+    * A naive formulation is `JOIN ON abs(p.ms - e.ms) <= band`, which
+    * Spark can only execute as BroadcastNestedLoopJoin / cartesian —
+    * O(N·M) and a non-starter at 100 TB. Instead each side is hashed
+    * to a time bucket of exactly the band width; an error in bucket b
+    * can only band-match purchases in buckets {b-1, b, b+1}, so the
+    * error side explodes to those three bucket keys and the join
+    * becomes a plain equi shuffle join on `bucket` with an exact
+    * |Δms| ≤ band re-filter. Work is O(matches + 3·errors), both
+    * sides partition by bucket, and skew is bounded by events-per-
+    * band-window. PlanSpec asserts no nested-loop join survives in
+    * the physical plan. Unmatched errors are kept by joining the
+    * match aggregate back (left) onto the error set.
+    */
+  def q75BandJoin(s: SparkSession, dir: String): DataFrame = {
+    val band = 60000L // ±60 s, == bucket width
+    val e = events(s, dir)
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("ms"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("ms").as("p_ms"), col("value"),
+        floor(col("ms") / band).as("bucket"))
+    val b = floor(col("ms") / band)
+    val errExp = errors.withColumn("bucket",
+      explode(array(b - 1, b, b + 1)))
+    val matches = errExp.join(purchases, "bucket")
+      .filter(abs(col("p_ms") - col("ms")) <= band)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value")), 2).cast("decimal(18,2)").as("sval"))
+    errors.join(matches, Seq("event_id"), "left")
+      .select(col("event_id"), col("ms"),
+        coalesce(col("cnt"), lit(0L)).as("nearby_purchases"),
+        coalesce(col("sval"), lit(BigDecimal(0)).cast("decimal(18,2)"))
+          .as("nearby_value"))
+      .orderBy("event_id")
+  }
+
+  val q75Oracle: String =
+    """WITH err AS (
+      |  SELECT event_id, epoch_ms(ts) AS ms FROM events
+      |  WHERE event_type = 'error'),
+      |pur AS (
+      |  SELECT epoch_ms(ts) AS p_ms, value FROM events
+      |  WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT e.event_id, count(*) AS cnt,
+      |    CAST(round(sum(p.value), 2) AS DECIMAL(18,2)) AS sval
+      |  FROM err e JOIN pur p ON abs(p.p_ms - e.ms) <= 60000
+      |  GROUP BY e.event_id)
+      |SELECT e.event_id, e.ms,
+      |  coalesce(m.cnt, 0) AS nearby_purchases,
+      |  coalesce(m.sval, CAST(0 AS DECIMAL(18,2))) AS nearby_value
+      |FROM err e LEFT JOIN m USING (event_id)
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_asof_join" -> (q49AsofJoin _),
     "q50_approx_distinct" -> (q50ApproxDistinct _),
-    "q65_percentiles" -> (q65Percentiles _)
+    "q65_percentiles" -> (q65Percentiles _),
+    "q75_band_join" -> (q75BandJoin _)
   )
 
   def oracles: Map[String, String] = Map(
     "q49_asof_join" -> q49Oracle,
     // q50: sketch-implementation-specific — rows-only check
-    "q65_percentiles" -> q65Oracle
+    "q65_percentiles" -> q65Oracle,
+    "q75_band_join" -> q75Oracle
   )
 }

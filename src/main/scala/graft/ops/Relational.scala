@@ -565,6 +565,38 @@ object Relational {
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY o_custkey""".stripMargin
 
+  /** GROUPING SETS with an asymmetric set list — the general form that
+    * rollup (q12) and cube (q52) are sugar for: detail by
+    * (status, priority), a priority-only margin, and the grand total,
+    * in ONE pass. Catalyst expands the sets into a single Expand +
+    * hash-aggregate, so the fact table is scanned once however many
+    * margins are requested — at 100 TB that is the difference between
+    * one shuffle and one per report dimension.
+    */
+  def q79GroupingSets(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq.empty[org.apache.spark.sql.Column]),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).cast("decimal(18,2)").as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  val q79Oracle: String =
+    """SELECT coalesce(o_orderstatus,'ALL') AS status,
+      | coalesce(o_orderpriority,'ALL') AS priority,
+      | count(*) AS n,
+      | CAST(round(sum(o_totalprice),2) AS DECIMAL(18,2)) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |  (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -587,7 +619,8 @@ object Relational {
     "q53_except" -> (q53Except _),
     "q61_pivot_daily" -> (q61PivotDaily _),
     "q64_session_window" -> (q64SessionWindow _),
-    "q70_nation_coverage" -> (q70NationCoverage _)
+    "q70_nation_coverage" -> (q70NationCoverage _),
+    "q79_grouping_sets" -> (q79GroupingSets _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -612,6 +645,7 @@ object Relational {
     "q53_except" -> q53Oracle,
     "q61_pivot_daily" -> q61Oracle,
     "q64_session_window" -> q10Oracle,
-    "q70_nation_coverage" -> q70Oracle
+    "q70_nation_coverage" -> q70Oracle,
+    "q79_grouping_sets" -> q79Oracle
   )
 }

@@ -58,11 +58,50 @@ object Sampling {
   def assignSplits(df: DataFrame): DataFrame =
     df.withColumn("split", splitCol)
 
+  /** Per-group capped sampling — "at most K documents per language",
+    * the domain-balancing step that stops one source from dominating
+    * a training mix. Deterministic: rank within each group by
+    * md5(doc_id) (a stable pseudo-random order — same order every
+    * run, every engine, any partitioning) and keep rank ≤ K.
+    *
+    * One shuffle on the group key; rank is a window row_number, which
+    * at 100 TB sorts only within each group's partitions. Skewed
+    * groups (one lang = half the corpus) are the known hazard; the
+    * remedy at scale is two-phase: pre-filter with a per-partition
+    * cap (any partition contributes at most K) before the global
+    * window — here groups are modest so the single window is the
+    * honest plan.
+    */
+  def q78CappedSample(s: SparkSession, dir: String): DataFrame = {
+    val k = 30
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+        col("doc_id"))
+    documents(s, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy("lang", "rk")
+  }
+
+  val q78Oracle: String =
+    """WITH ranked AS (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+      |FROM ranked WHERE rk <= 30
+      |ORDER BY lang, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q59_hash_split" -> (q59HashSplit _)
+    "q59_hash_split" -> (q59HashSplit _),
+    "q78_capped_sample" -> (q78CappedSample _)
   )
 
   def oracles: Map[String, String] = Map(
-    "q59_hash_split" -> q59Oracle
+    "q59_hash_split" -> q59Oracle,
+    "q78_capped_sample" -> q78Oracle
   )
 }

