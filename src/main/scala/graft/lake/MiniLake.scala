@@ -45,7 +45,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 final class MiniLake(spark: SparkSession, val path: String,
     compact: Boolean = false,
-    bucketSpecAtCreate: Option[MiniLake.BucketSpec] = None) {
+    bucketSpecAtCreate: Option[MiniLake.BucketSpec] = None,
+    partitionColsAtCreate: Seq[String] = Seq.empty) {
   import MiniLake._
 
   private val root = Paths.get(path)
@@ -57,6 +58,18 @@ final class MiniLake(spark: SparkSession, val path: String,
   private def bucketSpec: Option[BucketSpec] =
     if (!exists) bucketSpecAtCreate
     else readEntry(listVersions.head).bucketSpec
+
+  /** Value-partition columns (fixed at create, recovered on reopen).
+    * Like the bucket layout, the partition value is DUPLICATED into
+    * the directory path under `_p_<col>=<value>` while the real column
+    * stays in the leaf files — so every read path (snapshot, CDF,
+    * vacuum) keeps working on schema-complete files, and partition
+    * pruning is a driver-side file-list filter plus the parquet
+    * min/max stats the files already carry.
+    */
+  private def partitionCols: Seq[String] =
+    if (!exists) partitionColsAtCreate
+    else readEntry(listVersions.head).partitionCols
 
   private def bucketExpr(spec: BucketSpec): Column =
     pmod(xxhash64(concat_ws("\u0001",
@@ -95,7 +108,10 @@ final class MiniLake(spark: SparkSession, val path: String,
       changesMode = Option(m.get("changesMode")).map(_.toString)
         .getOrElse("files"),
       txn = Option(m.get("txnAppId")).map(app =>
-        (app.toString, m.get("txnVersion").asInstanceOf[Number].longValue())))
+        (app.toString, m.get("txnVersion").asInstanceOf[Number].longValue())),
+      partitionCols = Option(m.get("partitionCols"))
+        .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
+        .getOrElse(Seq.empty))
   }
 
   /** Publish the commit entry for `v` atomically: write a tmp file, then
@@ -119,7 +135,14 @@ final class MiniLake(spark: SparkSession, val path: String,
         "txnAppId" -> app, "txnVersion" -> Long.box(v))
       case None => withBuckets
     }
-    val bytes = mapper.writeValueAsBytes(withTxn.asJava)
+    // the table's partition layout is a create-time property (like the
+    // bucket spec); stamp it on every entry from the resolved value so
+    // call sites don't thread it through
+    val tableParts = partitionCols
+    val withParts =
+      if (tableParts.isEmpty) withTxn
+      else withTxn + ("partitionCols" -> tableParts.asJava)
+    val bytes = mapper.writeValueAsBytes(withParts.asJava)
     val tmp = logDir.resolve(s".${e.version}.json.tmp")
     Files.write(tmp, bytes)
     try Files.createLink(logDir.resolve(s"${e.version}.json"), tmp)
@@ -152,6 +175,34 @@ final class MiniLake(spark: SparkSession, val path: String,
     else spark.read.schema(sch).parquet(files: _*)
   }
 
+  /** Partition-pruned snapshot: `keep` sees each live file's partition
+    * values (col → string value, e.g. Map("day" -> "2024-01-03")) and
+    * decides whether to scan it. The filter runs on the DRIVER against
+    * the file list — metadata-sized work, no Spark job — so a query
+    * touching 3 of 1000 daily partitions opens 3 directories' files,
+    * exactly Delta/Hive partition-pruning semantics. Within the kept
+    * files, predicates still push down to parquet row-group stats as
+    * usual. On a non-partitioned table every file has an empty value
+    * map (prune by returning false for it if that is intended).
+    */
+  def snapshotWhere(keep: Map[String, String] => Boolean): DataFrame = {
+    require(latestVersion >= 0, s"table $path does not exist")
+    val files = liveFiles(latestVersion).filter(f => keep(partValuesOf(f)))
+    val sch = schemaAt(latestVersion)
+    if (files.isEmpty) emptyDf(spark, sch)
+    else spark.read.schema(sch).parquet(files: _*)
+  }
+
+  /** Partition values encoded in a file's path (`_p_<col>=<value>`). */
+  private def partValuesOf(file: String): Map[String, String] =
+    file.split('/').iterator
+      .filter(_.startsWith(PartPrefix))
+      .map { seg =>
+        val eq = seg.indexOf('=')
+        (seg.substring(PartPrefix.length, eq),
+          unescapePathName(seg.substring(eq + 1)))
+      }.toMap
+
   /** Row-level changes for the inclusive version range [lo, hi], with
     * the three CDC metadata columns appended — the S2 surface. An empty
     * range (lo > hi) yields an empty, correctly-schema'd frame.
@@ -174,7 +225,11 @@ final class MiniLake(spark: SparkSession, val path: String,
             spark.read.schema(changeDataSchema(entrySchema))
               .parquet(root.resolve(s"changes/v=$v").toString)
         }
-        base
+        // entries written before a mergeSchema evolution carry the
+        // narrower schema of their day; conform every slice to the
+        // CURRENT schema (missing columns null-fill) so the union is
+        // well-typed across evolution boundaries
+        conformTo(base, changeDataSchema(sch))
           .withColumn(CommitVersion, lit(v))
           .withColumn(CommitTimestamp,
             timestamp_millis(lit(e.timestampMs)).cast("timestamp"))
@@ -247,6 +302,20 @@ final class MiniLake(spark: SparkSession, val path: String,
           .repartition(spec.numBuckets, col(BucketCol))
           .sortWithinPartitions((BucketCol +: spec.pks).map(col): _*)
           .write.partitionBy(BucketCol).parquet(dir.toString)
+      case None if partitionCols.nonEmpty =>
+        // value-partitioned layout: duplicate each partition column
+        // into a path-only `_p_<col>` string so leaf files keep the
+        // full schema (reads never need partition discovery) while
+        // the directory tree carries the value for driver-side
+        // pruning. Repartitioning on the partition values bounds the
+        // commit at one file per live partition value — without it,
+        // every input task fans out one file per value it sees.
+        val pCols = partitionCols.map(c => s"$PartPrefix$c")
+        val withP = partitionCols.zip(pCols).foldLeft(df) {
+          case (d, (c, p)) => d.withColumn(p, col(c).cast("string"))
+        }
+        withP.repartition(partitionCols.map(col): _*)
+          .write.partitionBy(pCols: _*).parquet(dir.toString)
       case None =>
         rowHint.map(n => df.coalesce(filesFor(n))).getOrElse(maybeCompact(df))
           .write.parquet(dir.toString)
@@ -275,9 +344,24 @@ final class MiniLake(spark: SparkSession, val path: String,
     commitInsertOnly(df, mode = "create", rowHint)
   }
 
-  def append(df: DataFrame): Unit = {
-    requireSchemaMatch(df)
-    commitInsertOnly(df, mode = "append", rowHint = None)
+  /** Append (S3). With `mergeSchema = true`, Delta's additive schema
+    * evolution: columns new in `df` widen the table schema (forced
+    * nullable), columns missing from `df` null-fill, and shared
+    * columns must keep their exact type. The widened schema lands in
+    * this commit's log entry, so `schema`/`snapshot` pick it up and
+    * files written before the evolution read back with nulls in the
+    * new columns — no rewrite of history (schema-on-read, the only
+    * evolution that is feasible on a 100 TB table).
+    */
+  def append(df: DataFrame, mergeSchema: Boolean = false): Unit = {
+    if (mergeSchema && exists) {
+      val merged = mergedSchemaWith(schema, df.schema, path)
+      commitInsertOnly(conformTo(df, merged), mode = "append",
+        rowHint = None)
+    } else {
+      requireSchemaMatch(df)
+      commitInsertOnly(df, mode = "append", rowHint = None)
+    }
   }
 
   /** Highest transaction version committed for `appId`, or -1 — the
@@ -555,6 +639,25 @@ object MiniLake {
 
   val BucketCol = "_bucket"
 
+  /** Path-segment prefix for value-partition directories. */
+  val PartPrefix = "_p_"
+
+  /** Decode the %hh escaping `partitionBy` applies to special chars in
+    * partition-value path segments (Hive path escaping).
+    */
+  private[lake] def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** How a commit's change rows are stored: "files" = dedicated
     * parquet under changes/v=N (deletes/updates/mixed batches);
     * "insertsFromData" = the commit's added data files ARE the insert
@@ -565,7 +668,8 @@ object MiniLake {
       schemaJson: String, adds: Seq[String], removes: Seq[String],
       hasChanges: Boolean, bucketSpec: Option[BucketSpec] = None,
       changesMode: String = "files",
-      txn: Option[(String, Long)] = None)
+      txn: Option[(String, Long)] = None,
+      partitionCols: Seq[String] = Seq.empty)
 
   def apply(spark: SparkSession, path: String): MiniLake =
     new MiniLake(spark, path)
@@ -582,6 +686,15 @@ object MiniLake {
       numBuckets: Int): MiniLake =
     new MiniLake(spark, path,
       bucketSpecAtCreate = Some(BucketSpec(pks, numBuckets)))
+
+  /** Variant with value-partitioned layout (`_p_<col>=<value>` dirs):
+    * `snapshotWhere` prunes partitions on the driver before any scan.
+    * The spec applies at create time and is recovered from the log on
+    * reopen (plain `apply` works too).
+    */
+  def partitioned(spark: SparkSession, path: String,
+      cols: Seq[String]): MiniLake =
+    new MiniLake(spark, path, partitionColsAtCreate = cols)
 
   /** S8 existence probe (isDeltaTable analogue). */
   def exists(path: String): Boolean = {
@@ -606,6 +719,38 @@ object MiniLake {
         l.data.isEmpty
       case _ => false
     }
+
+  /** Additive schema merge (mergeSchema append): existing fields keep
+    * their order and type (a shared name with a different type is an
+    * error — no implicit type evolution), fields only in `incoming`
+    * append as nullable.
+    */
+  private[lake] def mergedSchemaWith(existing: StructType,
+      incoming: StructType, path: String): StructType = {
+    val byName = incoming.fields.map(f => f.name -> f).toMap
+    existing.fields.foreach { f =>
+      byName.get(f.name).foreach { g =>
+        require(g.dataType == f.dataType,
+          s"mergeSchema cannot change ${f.name}: " +
+            s"${f.dataType} -> ${g.dataType} for $path")
+      }
+    }
+    val existingNames = existing.fieldNames.toSet
+    StructType(existing.fields ++
+      incoming.fields.filterNot(f => existingNames.contains(f.name))
+        .map(_.copy(nullable = true)))
+  }
+
+  /** Project `df` onto `sch`: present columns pass through, missing
+    * columns null-fill with the target type.
+    */
+  private[lake] def conformTo(df: DataFrame, sch: StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(sch.fields.toSeq.map { f =>
+      if (have.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
 
   /** Data schema + _change_type, the on-disk change-file schema. */
   private[lake] def changeDataSchema(sch: StructType): StructType =

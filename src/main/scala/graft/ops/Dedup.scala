@@ -388,7 +388,7 @@ object Dedup {
       .localCheckpoint(true)
     var prevSum = Long.MaxValue
     var sum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id"))
-      .head.getLong(0)
+      .head().getLong(0)
     var rounds = 0
     while (sum < prevSum && rounds < 50) {
       // labels double as edges: doc -> cluster and cluster -> doc
@@ -406,7 +406,7 @@ object Dedup {
         .localCheckpoint(true)
       prevSum = sum
       sum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id"))
-        .head.getLong(0)
+        .head().getLong(0)
       rounds += 1
     }
     labels

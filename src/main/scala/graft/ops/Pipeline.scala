@@ -102,13 +102,49 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Daily-partitioned lake ingest + partition-pruned read: events
+    * land in a `_p_day=<value>` layout over two commits, then a
+    * 3-day report reads ONLY those partitions' files
+    * (`snapshotWhere` prunes on the driver before any scan — at
+    * 1000 daily partitions the report opens 3 directories, which is
+    * the entire point of partitioning a 100 TB event table by day).
+    * PartitionedLakeSpec asserts the pruning is physical
+    * (inputFiles); this gate checks the numbers against the raw
+    * table.
+    */
+  def q80PartitionedLake(s: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_part").toString
+    val path = s"$base/events_daily"
+    val e = events(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .select("day", "event_id", "user_id", "event_type", "value")
+    val t = MiniLake.partitioned(s, path, Seq("day"))
+    t.create(e.filter(col("day") < "2024-01-15"))
+    t.append(e.filter(col("day") >= "2024-01-15"))
+    t.snapshotWhere(p => p("day") >= "2024-01-05" && p("day") <= "2024-01-07")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).cast("decimal(18,2)").as("total_value"))
+      .orderBy("day")
+  }
+
+  val q80Oracle: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+      | CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS total_value
+      |FROM events
+      |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-07'
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_cdc_roundtrip" -> (q19CdcRoundtrip _),
-    "q54_bucketed_cdc" -> (q54BucketedCdc _)
+    "q54_bucketed_cdc" -> (q54BucketedCdc _),
+    "q80_partitioned_lake" -> (q80PartitionedLake _)
   )
 
   def oracles: Map[String, String] = Map(
     "q19_cdc_roundtrip" -> q19Oracle,
-    "q54_bucketed_cdc" -> q19Oracle
+    "q54_bucketed_cdc" -> q19Oracle,
+    "q80_partitioned_lake" -> q80Oracle
   )
 }

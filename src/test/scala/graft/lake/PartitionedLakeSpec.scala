@@ -1,0 +1,120 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Value-partitioned lake layout (`_p_<col>=<value>` dirs) and
+  * additive schema evolution (`append(df, mergeSchema = true)`) —
+  * the two table features a 100 TB ingest pipeline leans on daily:
+  * partition-pruned reads and zero-rewrite column adds.
+  */
+class PartitionedLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private var dir: String = _
+  override def beforeEach(): Unit =
+    dir = Files.createTempDirectory("partlake").toString + "/t"
+  override def afterEach(): Unit =
+    MiniLake.deleteRecursively(dir)
+
+  private def days(rows: (String, Long, String)*) =
+    rows.toDF("day", "id", "payload")
+
+  test("snapshotWhere prunes partitions on the driver (fewer files scanned)") {
+    val t = MiniLake.partitioned(spark, dir, Seq("day"))
+    t.create(days(("2024-01-01", 1L, "a"), ("2024-01-02", 2L, "b"),
+      ("2024-01-03", 3L, "c")))
+    t.append(days(("2024-01-01", 4L, "d"), ("2024-01-04", 5L, "e")))
+
+    val all = t.snapshot()
+    assert(all.count() === 5)
+    // leaf files are schema-complete: `day` is a real column, readable
+    // without partition discovery
+    assert(all.schema.fieldNames.toSeq === Seq("day", "id", "payload"))
+
+    val pruned = t.snapshotWhere(p => p("day") <= "2024-01-01")
+    assert(pruned.orderBy("id").as[(String, Long, String)].collect().toSeq ===
+      Seq(("2024-01-01", 1L, "a"), ("2024-01-01", 4L, "d")))
+    // the pruning is physical: only the matching partitions' files open
+    assert(pruned.inputFiles.length < all.inputFiles.length)
+    assert(pruned.inputFiles.forall(_.contains("_p_day=2024-01-01")))
+  }
+
+  test("partition layout is recovered on reopen via plain apply") {
+    MiniLake.partitioned(spark, dir, Seq("day"))
+      .create(days(("2024-01-01", 1L, "a")))
+    val reopened = MiniLake(spark, dir)
+    reopened.append(days(("2024-01-02", 2L, "b")))
+    val pruned = reopened.snapshotWhere(p => p("day") == "2024-01-02")
+    assert(pruned.select("id").as[Long].collect().toSeq === Seq(2L))
+    assert(pruned.inputFiles.forall(_.contains("_p_day=2024-01-02")))
+  }
+
+  test("merge rewrite keeps the partitioned layout and CDF stays exact") {
+    val t = MiniLake.partitioned(spark, dir, Seq("day"))
+    t.create(days(("2024-01-01", 1L, "a"), ("2024-01-02", 2L, "b")))
+    t.merge(
+      inserts = days(("2024-01-02", 3L, "c")),
+      deletes = days(("2024-01-01", 1L, "a")),
+      pks = Seq("id"))
+    val snap = t.snapshot().orderBy("id").as[(String, Long, String)].collect()
+    assert(snap.toSeq === Seq(("2024-01-02", 2L, "b"), ("2024-01-02", 3L, "c")))
+    assert(t.snapshot().inputFiles.forall(_.contains("_p_day=")))
+    val ch = t.readChanges(1, 1).select("id", "_change_type")
+      .as[(Long, String)].collect().toSet
+    assert(ch === Set((1L, "delete"), (3L, "insert")))
+  }
+
+  test("mergeSchema append widens the schema; history null-fills") {
+    val t = MiniLake(spark, dir)
+    t.create(kvOld(1L -> "a"))
+    t.append(Seq((2L, "b", "en")).toDF("key", "value", "lang"),
+      mergeSchema = true)
+    assert(t.schema.fieldNames.toSeq === Seq("key", "value", "lang"))
+    val snap = t.snapshot().orderBy("key")
+      .as[(Long, String, Option[String])].collect()
+    assert(snap.toSeq === Seq((1L, "a", None), (2L, "b", Some("en"))))
+    // appends matching the widened schema need no flag anymore
+    t.append(Seq((3L, "c", "de")).toDF("key", "value", "lang"))
+    assert(t.snapshot().count() === 3)
+  }
+
+  test("mergeSchema append null-fills columns missing from the batch") {
+    val t = MiniLake(spark, dir)
+    t.create(Seq((1L, "a", "en")).toDF("key", "value", "lang"))
+    t.append(kvOld(2L -> "b"), mergeSchema = true)
+    val snap = t.snapshot().orderBy("key")
+      .as[(Long, String, Option[String])].collect()
+    assert(snap.toSeq === Seq((1L, "a", Some("en")), (2L, "b", None)))
+  }
+
+  test("mergeSchema rejects a type change on a shared column") {
+    val t = MiniLake(spark, dir)
+    t.create(kvOld(1L -> "a"))
+    val ex = intercept[IllegalArgumentException] {
+      t.append(Seq((2L, 99)).toDF("key", "value"), mergeSchema = true)
+    }
+    assert(ex.getMessage.contains("mergeSchema cannot change value"))
+  }
+
+  test("CDF reads spanning a schema evolution conform to the current schema") {
+    val t = MiniLake(spark, dir)
+    t.create(kvOld(1L -> "a"))
+    t.append(Seq((2L, "b", "en")).toDF("key", "value", "lang"),
+      mergeSchema = true)
+    val ch = t.readChanges(0, 1)
+      .select("key", "lang", "_change_type", "_commit_version")
+      .as[(Long, Option[String], String, Long)].collect().toSet
+    assert(ch === Set(
+      (1L, None, "insert", 0L),
+      (2L, Some("en"), "insert", 1L)))
+  }
+
+  private def kvOld(rows: (Long, String)*) = rows.toDF("key", "value")
+}
