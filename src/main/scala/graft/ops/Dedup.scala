@@ -283,8 +283,11 @@ object Dedup {
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long")
           .as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is a pure function of the
+      // pair, so the order commutes, and the ≤2 cut drops ~99% of the
+      // candidate volume before the dedup shuffle has to carry it
       .filter(col("hamming") <= 2)
+      .distinct()
       .orderBy("id1", "id2")
   }
 
