@@ -12,7 +12,8 @@ object SparkEntry {
       ops.TextAnalysis.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
       ops.Multimodal.queries ++ streaming.EventsStream.queries ++
       ops.EventsOps.queries ++ ops.Sampling.queries ++ ops.Vectors.queries ++
-      streaming.StreamOps.queries ++ ops.Chunking.queries
+      streaming.StreamOps.queries ++ ops.Chunking.queries ++
+      ops.Skew.queries ++ ops.Profiling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -21,5 +22,6 @@ object SparkEntry {
       ops.TextAnalysis.oracles ++ ops.Dedup.oracles ++ ops.Similarity.oracles ++
       ops.Multimodal.oracles ++ streaming.EventsStream.oracles ++
       ops.EventsOps.oracles ++ ops.Sampling.oracles ++ ops.Vectors.oracles ++
-      streaming.StreamOps.oracles ++ ops.Chunking.oracles
+      streaming.StreamOps.oracles ++ ops.Chunking.oracles ++
+      ops.Skew.oracles ++ ops.Profiling.oracles
 }

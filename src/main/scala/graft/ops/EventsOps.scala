@@ -175,17 +175,58 @@ object EventsOps {
       |FROM err e LEFT JOIN m USING (event_id)
       |ORDER BY event_id""".stripMargin
 
+  /** Day-over-day revenue report: lag for the delta, ntile(4) for the
+    * quartile band — the remaining window-function family (q9 covers
+    * running sums, q8 row_number topN, q49 last-ignoreNulls).
+    *
+    * Scale shape: the windows here are GLOBAL (no partition key), which
+    * is only sane because they run over the 30-row daily AGGREGATE,
+    * not the raw events — aggregate first, window the small result.
+    * Deltas subtract exact DECIMALs, so ordering differences can't
+    * leak into the output bits.
+    */
+  def q82DailyDeltas(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(round(sum("value"), 2).cast("decimal(18,2)").as("revenue"))
+    val byDay = Window.orderBy("day")
+    val byRevenue = Window.orderBy(col("revenue").desc, col("day"))
+    daily
+      .withColumn("delta",
+        (col("revenue") - lag("revenue", 1).over(byDay))
+          .cast("decimal(18,2)"))
+      .withColumn("quartile", ntile(4).over(byRevenue).cast("long"))
+      .orderBy("day")
+  }
+
+  val q82Oracle: String =
+    """WITH daily AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |    CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS revenue
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY day)
+      |SELECT day, revenue,
+      |  CAST(revenue - lag(revenue, 1) OVER (ORDER BY day)
+      |    AS DECIMAL(18,2)) AS delta,
+      |  CAST(ntile(4) OVER (ORDER BY revenue DESC, day) AS BIGINT)
+      |    AS quartile
+      |FROM daily
+      |ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_asof_join" -> (q49AsofJoin _),
     "q50_approx_distinct" -> (q50ApproxDistinct _),
     "q65_percentiles" -> (q65Percentiles _),
-    "q75_band_join" -> (q75BandJoin _)
+    "q75_band_join" -> (q75BandJoin _),
+    "q82_daily_deltas" -> (q82DailyDeltas _)
   )
 
   def oracles: Map[String, String] = Map(
     "q49_asof_join" -> q49Oracle,
     // q50: sketch-implementation-specific — rows-only check
     "q65_percentiles" -> q65Oracle,
-    "q75_band_join" -> q75Oracle
+    "q75_band_join" -> q75Oracle,
+    "q82_daily_deltas" -> q82Oracle
   )
 }

@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.Tables._
 
 /** Skew-mitigation utilities ([EXT]): salting for hot keys. AQE's
   * skew-join handling covers sort-merge joins at runtime; salting is
@@ -49,4 +51,40 @@ object Skew {
       .withColumn("_salt", col("_salt").cast("long"))
     saltedBig.join(broadcast(saltedSmall), keys :+ "_salt").drop("_salt")
   }
+
+  /** The salted two-phase aggregation as a gate query: sum lineitem
+    * quantity/price by returnflag through `saltedSum` (16 salt
+    * buckets), checked against the oracle's PLAIN group-by — salting
+    * must be observably invisible in the result while spreading each
+    * hot key over 16 reducers in phase one. (LayoutSkewSpec asserts
+    * salted == plain inside Spark; this gate asserts it cross-engine.)
+    *
+    * l_quantity is integer-valued so its sum is exact under any
+    * grouping order; the price sum takes the usual round + DECIMAL
+    * discretization.
+    */
+  def q81SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    saltedSum(lineitem(s, dir), Seq("l_returnflag"),
+      Map("sum_qty" -> "l_quantity", "sum_price" -> "l_extendedprice"),
+      saltBuckets = 16)
+      .select(col("l_returnflag"),
+        round(col("sum_qty"), 2).cast("decimal(18,2)").as("sum_qty"),
+        round(col("sum_price"), 2).cast("decimal(18,2)").as("sum_price"))
+      .orderBy("l_returnflag")
+
+  val q81Oracle: String =
+    """SELECT l_returnflag,
+      | CAST(round(sum(l_quantity), 2) AS DECIMAL(18,2)) AS sum_qty,
+      | CAST(round(sum(l_extendedprice), 2) AS DECIMAL(18,2)) AS sum_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_salted_agg" -> (q81SaltedAgg _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q81_salted_agg" -> q81Oracle
+  )
 }
