@@ -77,7 +77,8 @@ object EventsStream {
     "q51_stream_sessions" -> ((s, dir) => SessionizeStream.sessions(s, dir)
       .select("user_id", "session_seq", "n_events", "start_ms", "end_ms",
         "session_value")),
-    "q58_stream_lake_ingest" -> (LakeIngestStream.q58StreamLakeIngest _)
+    "q58_stream_lake_ingest" -> (LakeIngestStream.q58StreamLakeIngest _),
+    "q84_partitioned_ingest" -> (LakeIngestStream.q84PartitionedIngest _)
   )
 
   /** Identical to the batch q18 oracle — streaming must agree with
@@ -93,6 +94,7 @@ object EventsStream {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
-    "q58_stream_lake_ingest" -> LakeIngestStream.q58Oracle
+    "q58_stream_lake_ingest" -> LakeIngestStream.q58Oracle,
+    "q84_partitioned_ingest" -> LakeIngestStream.q84Oracle
   )
 }

@@ -67,4 +67,73 @@ object LakeIngestStream {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** The full bronze lifecycle on a day-partitioned table: a 3-micro-
+    * batch stream (maxFilesPerTrigger=1 over 3 disjoint chunk files)
+    * lands idempotently into `_p_day=` partitions, the small ingest
+    * files are OPTIMIZE-compacted into one file per day, vacuum
+    * reclaims the pre-compaction files, and the report reads a 3-day
+    * window through `snapshotWhere` — so partition pruning, streaming
+    * txn idempotence, compaction, and GC are all load-bearing for the
+    * oracle to match. This is the steady-state shape of a 100 TB
+    * event table: continuous ingest, daily compaction, pruned reads.
+    */
+  def q84PartitionedIngest(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val watch = java.nio.file.Files.createTempDirectory("graft_pingest_src")
+    val lakePath = java.nio.file.Files
+      .createTempDirectory("graft_pingest_lake").toString + "/events"
+
+    val e = graft.Tables.events(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .select("day", "event_id", "user_id", "event_type", "value")
+    val cuts = Seq(
+      ("chunk_0", col("day") < "2024-01-10"),
+      ("chunk_1", col("day") >= "2024-01-10" && col("day") < "2024-01-20"),
+      ("chunk_2", col("day") >= "2024-01-20"))
+    cuts.foreach { case (name, pred) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pingest_w")
+      e.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).iterator()
+      var moved = false
+      while (f.hasNext && !moved) {
+        val p = f.next()
+        if (p.toString.endsWith(".parquet")) {
+          java.nio.file.Files.move(p, watch.resolve(s"$name.parquet"))
+          moved = true
+        }
+      }
+    }
+
+    val ingestSchema = StructType(Seq(
+      StructField("day", StringType), StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val stream = s.readStream.schema(ingestSchema)
+      .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+    val sink: (Dataset[Row], Long) => Unit = (batch, batchId) => {
+      MiniLake.partitioned(s, lakePath, Seq("day"))
+        .appendIfAbsent(batch, "q84_ingest", batchId)
+      ()
+    }
+    val query = stream.writeStream.foreachBatch(sink).start()
+    try query.processAllAvailable() finally query.stop()
+
+    val t = MiniLake(s, lakePath)
+    t.compactFiles() // one file per day replaces the per-batch layout
+    t.vacuum()       // reclaim the pre-compaction ingest files
+    t.snapshotWhere(p => p("day") >= "2024-01-05" && p("day") <= "2024-01-07")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).cast("decimal(18,2)").as("total_value"))
+      .orderBy("day")
+  }
+
+  val q84Oracle: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+      | CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS total_value
+      |FROM events
+      |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-07'
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
 }

@@ -51,10 +51,44 @@ class MiniLakeModelSpec extends AnyFunSuite {
 
   test("random op sequences: snapshot == model, change feed == journal") {
     (0 until 4).foreach { run =>
+      runFuzz(run, seedBase = 1234L,
+        mkTable = d => MiniLake(spark, d), toDf = df)
+    }
+  }
+
+  test("random op sequences on a value-partitioned table") {
+    // same model, but the table carries a derived partition column
+    // (part = key % 3) — merge rewrites, compaction, vacuum, and the
+    // change feed all run through the `_p_part=` layout, and pruned
+    // reads must agree with the filtered model after every sequence
+    (0 until 2).foreach { run =>
+      val pdf = (rows: Map[Long, String]) =>
+        df(rows).withColumn("part",
+          org.apache.spark.sql.functions.expr("cast(key % 3 as string)"))
+      runFuzz(run, seedBase = 9876L,
+        mkTable = d => MiniLake.partitioned(spark, d, Seq("part")),
+        toDf = pdf,
+        finalCheck = (t, model) => (0L until 3L).foreach { p =>
+          val pruned = t.snapshotWhere(m => m("part") == p.toString)
+            .select("key", "value").as[(Long, String)].collect().toMap
+          assert(pruned === model.filter(_._1 % 3 == p),
+            s"pruned partition $p diverged")
+        })
+    }
+  }
+
+  private def runFuzz(run: Int, seedBase: Long,
+      mkTable: String => MiniLake,
+      toDf: Map[Long, String] => org.apache.spark.sql.DataFrame,
+      finalCheck: (MiniLake, Map[Long, String]) => Unit = (_, _) => ())
+      : Unit = {
+    def df(rows: Map[Long, String]): org.apache.spark.sql.DataFrame =
+      toDf(rows)
+    locally {
       val ops = Gen.listOfN(10, opGen)
-        .pureApply(Gen.Parameters.default, Seed(1234L + run))
+        .pureApply(Gen.Parameters.default, Seed(seedBase + run))
       val dir = Files.createTempDirectory("graft_model").toString + "/t"
-      val t = MiniLake(spark, dir)
+      val t = mkTable(dir)
       var model = Map(1L -> "seed")
       t.create(df(model))
       // journal of (change_type, key) multiset across all versions
@@ -104,7 +138,8 @@ class MiniLakeModelSpec extends AnyFunSuite {
           case Vacuum => t.vacuum()
           case Compact => t.compactFiles()
         }
-        val snap = t.snapshot().as[(Long, String)].collect().toMap
+        val snap = t.snapshot().select("key", "value")
+          .as[(Long, String)].collect().toMap
         assert(snap === model, s"snapshot diverged after $op (run $run)")
       }
 
@@ -112,6 +147,7 @@ class MiniLakeModelSpec extends AnyFunSuite {
         .select("_change_type", "key").as[(String, Long)].collect()
       assert(changes.sorted.toSeq === journal.sorted.toSeq,
         s"change feed diverged (run $run)")
+      finalCheck(t, model)
       MiniLake.deleteRecursively(dir)
     }
   }
