@@ -84,26 +84,34 @@ object LakeIngestStream {
     val lakePath = java.nio.file.Files
       .createTempDirectory("graft_pingest_lake").toString + "/events"
 
+    // stage the source as 3 chunk files in ONE pass (scan events once,
+    // partitionBy splits; repartition on the chunk value → one file
+    // per chunk), then move the leaves into the watch dir
     val e = graft.Tables.events(s, dir)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       .select("day", "event_id", "user_id", "event_type", "value")
-    val cuts = Seq(
-      ("chunk_0", col("day") < "2024-01-10"),
-      ("chunk_1", col("day") >= "2024-01-10" && col("day") < "2024-01-20"),
-      ("chunk_2", col("day") >= "2024-01-20"))
-    cuts.foreach { case (name, pred) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_pingest_w")
-      e.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val f = java.nio.file.Files.list(tmp).iterator()
-      var moved = false
-      while (f.hasNext && !moved) {
-        val p = f.next()
-        if (p.toString.endsWith(".parquet")) {
-          java.nio.file.Files.move(p, watch.resolve(s"$name.parquet"))
-          moved = true
+    val prep = java.nio.file.Files.createTempDirectory("graft_pingest_w")
+    e.withColumn("chunk",
+        when(col("day") < "2024-01-10", "chunk_0")
+          .when(col("day") < "2024-01-20", "chunk_1")
+          .otherwise("chunk_2"))
+      .repartition(col("chunk"))
+      .write.mode("overwrite").partitionBy("chunk").parquet(prep.toString)
+    val walk = java.nio.file.Files.walk(prep)
+    try {
+      val it = walk.iterator()
+      var i = 0
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.toString.endsWith(".parquet") &&
+            java.nio.file.Files.isRegularFile(p)) {
+          val chunk = p.toString.split('/')
+            .find(_.startsWith("chunk=")).get.stripPrefix("chunk=")
+          java.nio.file.Files.move(p, watch.resolve(s"${chunk}_$i.parquet"))
+          i += 1
         }
       }
-    }
+    } finally walk.close()
 
     val ingestSchema = StructType(Seq(
       StructField("day", StringType), StructField("event_id", LongType),
