@@ -36,5 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    // the custom whole-operator path: plans TopKPerGroupNode as
+    // partial → exchange → final bounded-heap execs
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroup.Strategy)
   }
 }

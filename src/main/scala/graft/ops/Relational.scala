@@ -565,6 +565,27 @@ object Relational {
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY o_custkey""".stripMargin
 
+  /** q8's per-segment top-3 recomputed through the custom
+    * TopKPerGroup physical operator (`plans/TopKPerGroup.scala`) and
+    * checked against q8's oracle — the window row_number plan and the
+    * bounded-heap operator must agree cross-engine. The tiny
+    * row_number window after the operator runs over ≤ 3·segments
+    * rows, only to reproduce the oracle's `rn` column.
+    */
+  def q86TopKOperator(s: SparkSession, dir: String): DataFrame = {
+    val joined = orders(s, dir)
+      .join(broadcast(customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+    val top = graft.plans.TopKPerGroup.topK(joined,
+      Seq("c_mktsegment"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    top.withColumn("rn", row_number().over(w).cast("long"))
+      .orderBy("c_mktsegment", "rn")
+  }
+
   /** GROUPING SETS with an asymmetric set list — the general form that
     * rollup (q12) and cube (q52) are sugar for: detail by
     * (status, priority), a priority-only margin, and the grand total,
@@ -620,7 +641,8 @@ object Relational {
     "q61_pivot_daily" -> (q61PivotDaily _),
     "q64_session_window" -> (q64SessionWindow _),
     "q70_nation_coverage" -> (q70NationCoverage _),
-    "q79_grouping_sets" -> (q79GroupingSets _)
+    "q79_grouping_sets" -> (q79GroupingSets _),
+    "q86_topk_operator" -> (q86TopKOperator _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -646,6 +668,7 @@ object Relational {
     "q61_pivot_daily" -> q61Oracle,
     "q64_session_window" -> q10Oracle,
     "q70_nation_coverage" -> q70Oracle,
-    "q79_grouping_sets" -> q79Oracle
+    "q79_grouping_sets" -> q79Oracle,
+    "q86_topk_operator" -> q8Oracle
   )
 }

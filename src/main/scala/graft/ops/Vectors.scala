@@ -99,13 +99,81 @@ object Vectors {
       |    AS DECIMAL(18,8)) AS cos_err
       |FROM dq ORDER BY vec_id""".stripMargin
 
+  /** Accumulating buffer for [[CentroidAggregator]]: per-dim running
+    * sums plus the row count.
+    */
+  final case class CentroidBuf(sums: Array[Double], n: Long)
+
+  /** Typed custom aggregate (the `Aggregator` UDAF surface): mean
+    * vector per group, accumulated as one primitive array per
+    * (group × partition). Spark plans typed aggregates with partial
+    * aggregation, so the shuffle carries numLabels × 1 buffer rows per
+    * partition — each holding a 64-double array — instead of raw rows;
+    * at 100 TB that is the same map-side-combine guarantee the
+    * exploded q60 layout gets, with one array row where q60 moves 64
+    * scalar rows.
+    */
+  object CentroidAggregator
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Int, Seq[Double]), CentroidBuf, Seq[Double]] {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+
+    override def zero: CentroidBuf = CentroidBuf(Array.empty, 0L)
+
+    override def reduce(b: CentroidBuf, a: (Int, Seq[Double])): CentroidBuf = {
+      val v = a._2
+      val s = if (b.n == 0) new Array[Double](v.length) else b.sums
+      var i = 0
+      while (i < v.length) { s(i) += v(i); i += 1 }
+      CentroidBuf(s, b.n + 1)
+    }
+
+    override def merge(x: CentroidBuf, y: CentroidBuf): CentroidBuf =
+      if (x.n == 0) y
+      else if (y.n == 0) x
+      else {
+        var i = 0
+        while (i < x.sums.length) { x.sums(i) += y.sums(i); i += 1 }
+        CentroidBuf(x.sums, x.n + y.n)
+      }
+
+    override def finish(b: CentroidBuf): Seq[Double] =
+      b.sums.map(_ / b.n).toSeq
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[CentroidBuf] =
+      ExpressionEncoder[CentroidBuf]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** q60's centroids recomputed through the typed Aggregator — a
+    * second implementation sharing q60's oracle (the q64/q10/q51
+    * pattern: independent paths must agree cross-engine).
+    */
+  def q85CentroidAggregator(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = embeddings(s, dir)
+      .select(col("label").cast("int"),
+        col("embedding").cast("array<double>"))
+      .as[(Int, Seq[Double])]
+    ds.groupByKey(_._1)
+      .agg(CentroidAggregator.toColumn.name("centroid"))
+      .toDF("label", "centroid")
+      .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "x")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        round(col("x"), 6).cast("decimal(18,6)").as("c"))
+      .orderBy("label", "dim")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_label_centroids" -> (q60LabelCentroids _),
-    "q77_quantize_int8" -> (q77Quantize _)
+    "q77_quantize_int8" -> (q77Quantize _),
+    "q85_centroid_aggregator" -> (q85CentroidAggregator _)
   )
 
   def oracles: Map[String, String] = Map(
     "q60_label_centroids" -> q60Oracle,
-    "q77_quantize_int8" -> q77Oracle
+    "q77_quantize_int8" -> q77Oracle,
+    "q85_centroid_aggregator" -> q60Oracle
   )
 }

@@ -14,6 +14,14 @@ object GraftSql {
   def expressionOf(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Wrap a hand-built LogicalPlan (e.g. a custom operator node) back
+    * into the public DataFrame API.
+    */
+  def datasetOf(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register the engine's native expressions for SQL callers:
     * `SELECT graft_cosine_similarity(a, b)` / `graft_dot_product(a, b)`.
     */

@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The custom TopKPerGroup operator: agreement with the window-based
+  * plan, the partial→exchange→final physical shape, and edge cases
+  * (ties, groups smaller than k).
+  */
+class TopKPerGroupSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("operator result == window row_number result on real data") {
+    val sf = "/root/testdata/sf0.001"
+    val viaOperator = graft.ops.Relational
+      .q86TopKOperator(spark, sf).collect().toSeq
+    val viaWindow = graft.ops.Relational
+      .q8TopOrdersPerSegment(spark, sf).collect().toSeq
+    assert(viaOperator === viaWindow)
+  }
+
+  test("plans as partial → exchange → final (shuffle sees pruned rows only)") {
+    val df = Seq((1, 10.0), (1, 20.0), (2, 5.0)).toDF("g", "v")
+    val top = TopKPerGroup.topK(df, Seq("g"), Seq(("v", false)), 1)
+    val plan = top.queryExecution.executedPlan.toString
+    val hits = "TopKPerGroup \\[".r.findAllIn(plan).size
+    assert(hits === 2, plan) // partial and final
+    // the exchange must sit between the two operator instances
+    val partialIdx = plan.lastIndexOf("TopKPerGroup [")
+    val finalIdx = plan.indexOf("TopKPerGroup [")
+    val exchangeIdx = plan.indexOf("Exchange")
+    assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx, plan)
+    // and no full sort anywhere (the window plan would have one)
+    assert(!plan.contains("Sort "), plan)
+  }
+
+  test("groups smaller than k emit all their rows; ties resolve by order cols") {
+    val df = Seq(
+      ("a", 3L, 30.0), ("a", 1L, 30.0), ("a", 2L, 10.0), ("a", 4L, 5.0),
+      ("b", 9L, 1.0)).toDF("g", "id", "v")
+    val top = TopKPerGroup.topK(df, Seq("g"),
+      Seq(("v", false), ("id", true)), 3)
+      .orderBy("g", "id")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(top === Seq(
+      ("a", 1L, 30.0), ("a", 2L, 10.0), ("a", 3L, 30.0),
+      ("b", 9L, 1.0)))
+  }
+
+  test("extensions-installed session plans the node without explicit install") {
+    val base = SparkTestSession.spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.GraftExtensions().apply(_))
+        .getOrCreate()
+      import s.implicits._
+      val df = Seq((1, 1.0), (1, 2.0)).toDF("g", "v")
+      val node = TopKPerGroup.TopKPerGroupNode(
+        df.queryExecution.analyzed.output.take(1),
+        Seq(org.apache.spark.sql.catalyst.expressions.SortOrder(
+          df.queryExecution.analyzed.output(1),
+          org.apache.spark.sql.catalyst.expressions.Descending)),
+        1, df.queryExecution.analyzed)
+      val out = org.apache.spark.sql.GraftSql.datasetOf(s, node)
+      assert(out.queryExecution.executedPlan.toString
+        .contains("TopKPerGroup ["))
+      assert(out.as[(Int, Double)].collect().toSeq === Seq((1, 2.0)))
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+}
