@@ -586,6 +586,39 @@ object Relational {
       .orderBy("c_mktsegment", "rn")
   }
 
+  /** Semi join behind an explicit Bloom prune
+    * (`functions/BloomExpressions.scala`): orders filter through a
+    * bloom of the BUILDING customers' keys before the semi join runs,
+    * so the join input carries only probable matches. The oracle is
+    * the PLAIN semi join — the bloom has no false negatives and the
+    * real join still runs, so pruning must be observably invisible.
+    * This is the manual runtime-filter lever for the 100 TB case
+    * where the build side's rows exceed broadcast size but its key
+    * bloom is a few MB.
+    */
+  def q87BloomPrunedJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = orders(s, dir)
+    val pruned = graft.functions.BloomExpressions.bloomPrune(
+      o, c, "o_custkey", "c_custkey", expectedItems = 100000L)
+    pruned.join(c, pruned("o_custkey") === c("c_custkey"), "left_semi")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).cast("decimal(18,2)").as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q87Oracle: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      | CAST(round(sum(o_totalprice), 2) AS DECIMAL(18,2)) AS total
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM customer
+      |  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** GROUPING SETS with an asymmetric set list — the general form that
     * rollup (q12) and cube (q52) are sugar for: detail by
     * (status, priority), a priority-only margin, and the grand total,
@@ -642,7 +675,8 @@ object Relational {
     "q64_session_window" -> (q64SessionWindow _),
     "q70_nation_coverage" -> (q70NationCoverage _),
     "q79_grouping_sets" -> (q79GroupingSets _),
-    "q86_topk_operator" -> (q86TopKOperator _)
+    "q86_topk_operator" -> (q86TopKOperator _),
+    "q87_bloom_pruned_join" -> (q87BloomPrunedJoin _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -669,6 +703,7 @@ object Relational {
     "q64_session_window" -> q10Oracle,
     "q70_nation_coverage" -> q70Oracle,
     "q79_grouping_sets" -> q79Oracle,
-    "q86_topk_operator" -> q8Oracle
+    "q86_topk_operator" -> q8Oracle,
+    "q87_bloom_pruned_join" -> q87Oracle
   )
 }

@@ -52,6 +52,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("bucket"), plan) // the equi key the band hashes to
   }
 
+  test("q87: bloom prune evaluates as a native predicate before the semi join") {
+    val df = Relational.q87BloomPrunedJoin(spark, sf)
+    val plan = planOf(df).toLowerCase
+    val filterIdx = plan.indexOf("bloommightcontain")
+    assert(filterIdx >= 0, plan)
+    assert(!plan.contains("scalaudf"), plan)
+  }
+
   test("q60: centroid aggregation is pure codegen — no UDF, no interpreted HOF") {
     val plan = planOf(graft.ops.Vectors.q60LabelCentroids(spark, sf))
     assert(!plan.contains("BatchEvalPython"), plan)
