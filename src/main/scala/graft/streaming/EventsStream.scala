@@ -78,7 +78,8 @@ object EventsStream {
       .select("user_id", "session_seq", "n_events", "start_ms", "end_ms",
         "session_value")),
     "q58_stream_lake_ingest" -> (LakeIngestStream.q58StreamLakeIngest _),
-    "q84_partitioned_ingest" -> (LakeIngestStream.q84PartitionedIngest _)
+    "q84_partitioned_ingest" -> (LakeIngestStream.q84PartitionedIngest _),
+    "q88_stream_upsert" -> (LakeIngestStream.q88StreamUpsert _)
   )
 
   /** Identical to the batch q18 oracle — streaming must agree with
@@ -95,6 +96,7 @@ object EventsStream {
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
     "q58_stream_lake_ingest" -> LakeIngestStream.q58Oracle,
-    "q84_partitioned_ingest" -> LakeIngestStream.q84Oracle
+    "q84_partitioned_ingest" -> LakeIngestStream.q84Oracle,
+    "q88_stream_upsert" -> LakeIngestStream.q88Oracle
   )
 }

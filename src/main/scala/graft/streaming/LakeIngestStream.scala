@@ -68,25 +68,14 @@ object LakeIngestStream {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
-  /** The full bronze lifecycle on a day-partitioned table: a 3-micro-
-    * batch stream (maxFilesPerTrigger=1 over 3 disjoint chunk files)
-    * lands idempotently into `_p_day=` partitions, the small ingest
-    * files are OPTIMIZE-compacted into one file per day, vacuum
-    * reclaims the pre-compaction files, and the report reads a 3-day
-    * window through `snapshotWhere` — so partition pruning, streaming
-    * txn idempotence, compaction, and GC are all load-bearing for the
-    * oracle to match. This is the steady-state shape of a 100 TB
-    * event table: continuous ingest, daily compaction, pruned reads.
+  /** Stage the events table as 3 time-ordered chunk files in a watch
+    * dir, in ONE pass (scan once, partitionBy splits, repartition on
+    * the chunk value → one file per chunk). File names and mtimes
+    * ascend with event time, so the file stream replays history in
+    * arrival order — the property the upsert sink (q88) relies on.
     */
-  def q84PartitionedIngest(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val watch = java.nio.file.Files.createTempDirectory("graft_pingest_src")
-    val lakePath = java.nio.file.Files
-      .createTempDirectory("graft_pingest_lake").toString + "/events"
-
-    // stage the source as 3 chunk files in ONE pass (scan events once,
-    // partitionBy splits; repartition on the chunk value → one file
-    // per chunk), then move the leaves into the watch dir
+  private def stageDayChunks(s: SparkSession, dir: String,
+      watch: java.nio.file.Path): Unit = {
     val e = graft.Tables.events(s, dir)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       .select("day", "event_id", "user_id", "event_type", "value")
@@ -112,6 +101,25 @@ object LakeIngestStream {
         }
       }
     } finally walk.close()
+  }
+
+  /** The full bronze lifecycle on a day-partitioned table: a 3-micro-
+    * batch stream (maxFilesPerTrigger=1 over 3 disjoint chunk files)
+    * lands idempotently into `_p_day=` partitions, the small ingest
+    * files are OPTIMIZE-compacted into one file per day, vacuum
+    * reclaims the pre-compaction files, and the report reads a 3-day
+    * window through `snapshotWhere` — so partition pruning, streaming
+    * txn idempotence, compaction, and GC are all load-bearing for the
+    * oracle to match. This is the steady-state shape of a 100 TB
+    * event table: continuous ingest, daily compaction, pruned reads.
+    */
+  def q84PartitionedIngest(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val watch = java.nio.file.Files.createTempDirectory("graft_pingest_src")
+    val lakePath = java.nio.file.Files
+      .createTempDirectory("graft_pingest_lake").toString + "/events"
+
+    stageDayChunks(s, dir, watch)
 
     val ingestSchema = StructType(Seq(
       StructField("day", StringType), StructField("event_id", LongType),
@@ -144,4 +152,61 @@ object LakeIngestStream {
       |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-07'
       |GROUP BY day
       |ORDER BY day""".stripMargin
+
+  /** Streaming MERGE-upsert sink: each micro-batch reduces to one row
+    * per user (that batch's latest event) and MERGEs it into the lake
+    * keyed on user_id — delete-matched + insert, the reference's CDC
+    * write shape driven from a stream. After replaying history in
+    * arrival order the table holds exactly each user's LATEST event,
+    * which the oracle states directly with a window over the raw
+    * table. The table stays one-row-per-user at any scale (state
+    * lives in the lake, not in streaming memory — the upsert
+    * alternative to q51's flatMapGroupsWithState).
+    */
+  def q88StreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val watch = java.nio.file.Files.createTempDirectory("graft_upsert_src")
+    val lakePath = java.nio.file.Files
+      .createTempDirectory("graft_upsert_lake").toString + "/latest"
+    stageDayChunks(s, dir, watch)
+
+    val ingestSchema = StructType(Seq(
+      StructField("day", StringType), StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val stream = s.readStream.schema(ingestSchema)
+      .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+    val sink: (Dataset[Row], Long) => Unit = (batch, _) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("day").desc, col("event_id").desc)
+      val latest = batch
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn", "day")
+        .select("user_id", "event_id", "event_type", "value")
+      // one-row-per-user table: metadata-sized → single-file commits
+      val t = MiniLake.compact(s, lakePath)
+      if (!t.exists) t.create(latest)
+      else { t.merge(latest, latest, pks = Seq("user_id")); () }
+    }
+    val query = stream.writeStream.foreachBatch(sink).start()
+    try query.processAllAvailable() finally query.stop()
+
+    MiniLake(s, lakePath).snapshot()
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  val q88Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    strftime(ts, '%Y-%m-%d') AS day
+      |  FROM events),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY day DESC, event_id DESC) AS rn
+      |  FROM e)
+      |SELECT user_id, event_id, event_type, value
+      |FROM r WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
 }
