@@ -39,5 +39,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // session running the full query suite compiles thousands of them and
   // the JDK default 240m code cache starts flushing JIT'd methods,
   // which shows up as multi-second per-query regressions late in a run.
-  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:ReservedCodeCacheSize=1g",
 )
