@@ -136,15 +136,41 @@ object Pipeline {
       |GROUP BY day
       |ORDER BY day""".stripMargin
 
+  /** Time travel (S1): read version 1 of a table AFTER a later
+    * delete-merge has rewritten it — the as-of snapshot must see the
+    * pre-delete state (file-level log replay up to the requested
+    * version), which the oracle states directly. The audit/debug
+    * read every versioned lake exists to serve.
+    */
+  def q90TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_tt").toString
+    val t = MiniLake(s, s"$base/documents")
+    val docs = documents(s, dir).select("doc_id", "lang", "n_chars")
+    t.create(docs.filter(col("doc_id") < 200))            // v0
+    t.append(docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)) // v1
+    t.merge(                                               // v2: deletes
+      inserts = MiniLake.emptyDf(s, t.schema),
+      deletes = docs.filter(col("doc_id") % 5 === 0),
+      pks = Seq("doc_id"))
+    t.snapshot(asOf = 1).orderBy("doc_id")
+  }
+
+  val q90Oracle: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id < 400
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_cdc_roundtrip" -> (q19CdcRoundtrip _),
     "q54_bucketed_cdc" -> (q54BucketedCdc _),
-    "q80_partitioned_lake" -> (q80PartitionedLake _)
+    "q80_partitioned_lake" -> (q80PartitionedLake _),
+    "q90_time_travel" -> (q90TimeTravel _)
   )
 
   def oracles: Map[String, String] = Map(
     "q19_cdc_roundtrip" -> q19Oracle,
     "q54_bucketed_cdc" -> q19Oracle,
-    "q80_partitioned_lake" -> q80Oracle
+    "q80_partitioned_lake" -> q80Oracle,
+    "q90_time_travel" -> q90Oracle
   )
 }
