@@ -50,6 +50,34 @@ class TopKPerGroupSpec extends AnyFunSuite {
       ("b", 9L, 1.0)))
   }
 
+  test("property: operator == window row_number plan on random data") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = for {
+      g <- Gen.choose(0, 5)
+      v <- Gen.choose(-50, 50)
+      id <- Gen.choose(0L, 1000L)
+    } yield (g, v.toDouble, id)
+    (0 until 4).foreach { run =>
+      val rows = Gen.listOfN(200, rowGen)
+        .pureApply(Gen.Parameters.default, Seed(42L + run))
+        // unique ids make the ordering total, so both plans must agree
+        // exactly (same (g, id) never appears twice)
+        .distinctBy(r => (r._1, r._3))
+      val k = 1 + run
+      val df = rows.toDF("g", "v", "id")
+      val viaOperator = TopKPerGroup
+        .topK(df, Seq("g"), Seq(("v", false), ("id", true)), k)
+        .orderBy("g", "v", "id").collect().toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("v").desc, col("id"))
+      val viaWindow = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .orderBy("g", "v", "id").collect().toSeq
+      assert(viaOperator === viaWindow, s"diverged at run=$run k=$k")
+    }
+  }
+
   test("extensions-installed session plans the node without explicit install") {
     val base = SparkTestSession.spark
     org.apache.spark.sql.SparkSession.clearActiveSession()
