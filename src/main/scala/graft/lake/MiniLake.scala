@@ -281,8 +281,9 @@ final class MiniLake(spark: SparkSession, val path: String,
     math.max(1L, math.min(256L, rows / RowsPerFile + 1)).toInt
 
   private def writeData(df: DataFrame, v: Long,
-      rowHint: Option[Long] = None): Seq[String] = {
-    val dir = root.resolve(s"data/v=$v")
+      rowHint: Option[Long] = None,
+      dirOverride: Option[Path] = None): Seq[String] = {
+    val dir = dirOverride.getOrElse(root.resolve(s"data/v=$v"))
     clearOrphan(dir)
     bucketSpec match {
       case Some(spec) =>
@@ -394,6 +395,48 @@ final class MiniLake(spark: SparkSession, val path: String,
       }
       true
     }
+  }
+
+  /** Optimistic-concurrency append: safe under CONCURRENT writers.
+    * Blind appends commute (file-level adds, no removes), so losing
+    * the atomic log-entry publish is not a real conflict — this
+    * variant writes its data files ONCE into a version-independent
+    * `data/c-<uuid>` directory (the log references files by path, so
+    * nothing ties them to a version number) and then retries only the
+    * metadata-sized entry publish until it claims a version. Rewrite
+    * commits (merge/update/overwrite) stay single-winner — their
+    * remove sets are computed against a specific snapshot, so the
+    * loser MUST fail rather than publish a stale rewrite.
+    *
+    * At cluster scale this is the multi-writer ingest contract: any
+    * number of executors/jobs appending concurrently, each paying one
+    * distributed write plus a few driver-side retry reads.
+    */
+  def appendConcurrent(df: DataFrame, maxRetries: Int = 32): Long = {
+    requireSchemaMatch(df)
+    val dataDir = root.resolve(
+      s"data/c-${java.util.UUID.randomUUID.toString.take(12)}")
+    val adds = withCommitPlanning { writeData(df, -1L, None, Some(dataDir)) }
+    var attempt = 0
+    while (true) {
+      val v = nextVersion
+      try {
+        writeEntry(CommitEntry(v, "append", System.currentTimeMillis(),
+          df.schema.json, adds, Seq.empty, hasChanges = true,
+          bucketSpec = bucketSpec, changesMode = "insertsFromData"))
+        return v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          require(attempt <= maxRetries,
+            s"append to $path lost $maxRetries commit races, giving up")
+          // another writer claimed v — re-check the schema still
+          // matches (a concurrent mergeSchema append may have widened
+          // it) and contend for the next version
+          requireSchemaMatch(df)
+      }
+    }
+    -1L // unreachable
   }
 
   /** OPTIMIZE-style bin-packing compaction: rewrite the live file set

@@ -103,7 +103,10 @@ class MiniLakeModelSpec extends AnyFunSuite {
             // to keep the model a Map (merge covers the collision path)
             val fresh = rows.filter(kv => !model.contains(kv._1))
             if (fresh.nonEmpty) {
-              t.append(df(fresh))
+              // exercise both append paths (plain and optimistic-
+              // concurrency) — they must be observationally identical
+              if (fresh.size % 2 == 0) t.appendConcurrent(df(fresh))
+              else t.append(df(fresh))
               model ++= fresh
               journal ++= fresh.keys.map(("insert", _))
             }

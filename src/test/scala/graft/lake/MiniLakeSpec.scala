@@ -232,6 +232,34 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(t.snapshot().count() === snap.length + 1)
   }
 
+  test("appendConcurrent: racing appends ALL land (optimistic retry)") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a"))
+    val n = 4
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until n).map { i =>
+      new Thread(() => {
+        barrier.await()
+        // separate handle per writer, like distinct jobs would hold
+        try MiniLake(spark, dir).appendConcurrent(kv((10L + i) -> s"t$i"))
+        catch { case e: Throwable => errors.add(e); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, errors)
+    assert(t.latestVersion === n.toLong) // v0 create + n appends
+    val snap = t.snapshot().orderBy("key").as[(Long, String)].collect().toSeq
+    assert(snap === (1L -> "a") +: (0 until n).map(i => (10L + i) -> s"t$i"))
+    // the change feed carries every append as inserts
+    val ch = t.readChanges(1, t.latestVersion)
+      .select("key", "_change_type").as[(Long, String)].collect().toSet
+    assert(ch === (0 until n).map(i => (10L + i, "insert")).toSet)
+    // vacuum keeps the c-<uuid> data files (live + change-backed)
+    t.vacuum()
+    assert(t.snapshot().count() === (n + 1).toLong)
+  }
+
   test("append with mismatched schema is rejected") {
     val t = MiniLake(spark, dir)
     t.create(kv(1L -> "a"))
