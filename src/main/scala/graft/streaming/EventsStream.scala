@@ -54,7 +54,7 @@ object EventsStream {
     // the batch default — a standard knob on real deployments too
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
-      math.min(prevShuffle.toInt, 8).toString)
+      math.min(prevShuffle.toInt, 4).toString)
     val name = "graft_hourly_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val query = stream.writeStream
       .outputMode("complete")

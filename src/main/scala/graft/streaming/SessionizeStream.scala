@@ -105,7 +105,7 @@ object SessionizeStream {
     // batch shuffle default
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
-      math.min(prevShuffle.toInt, 8).toString)
+      math.min(prevShuffle.toInt, 4).toString)
     val name = "graft_sessions_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = sessionized.writeStream.outputMode("append")
       .format("memory").queryName(name).start()

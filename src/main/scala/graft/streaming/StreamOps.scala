@@ -48,7 +48,7 @@ object StreamOps {
     // key cardinality, not the batch default
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
-      math.min(prevShuffle.toInt, 8).toString)
+      math.min(prevShuffle.toInt, 4).toString)
     val query = out.writeStream.outputMode("append")
       .format("memory").queryName(name).start()
     try {
