@@ -111,14 +111,63 @@ final class MiniLake(spark: SparkSession, val path: String,
         (app.toString, m.get("txnVersion").asInstanceOf[Number].longValue())),
       partitionCols = Option(m.get("partitionCols"))
         .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
-        .getOrElse(Seq.empty))
+        .getOrElse(Seq.empty),
+      stats = Option(m.get("stats"))
+        .map(_.asInstanceOf[java.util.Map[String, java.util.Map[String,
+          java.util.List[Number]]]].asScala.map { case (f, cols) =>
+          f -> cols.asScala.map { case (c, mm) =>
+            c -> (mm.get(0).longValue(), mm.get(1).longValue())
+          }.toMap
+        }.toMap)
+        .getOrElse(Map.empty))
+  }
+
+  /** File-level min/max stats for INT64 columns, read from the parquet
+    * footers the write just produced (driver-side, one footer per
+    * file — metadata-sized; the Delta-style data-skipping index).
+    * Bucketed tables sort rows by PK inside each file, so these ranges
+    * are tight exactly where range reads need them.
+    */
+  private def collectLongStats(
+      files: Seq[String]): Map[String, Map[String, (Long, Long)]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.flatMap { f =>
+      try {
+        val md = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+          conf, new org.apache.hadoop.fs.Path(f),
+          org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+        val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+        md.getBlocks.asScala.foreach { b =>
+          b.getColumns.asScala.foreach { c =>
+            val isLong = c.getPrimitiveType.getPrimitiveTypeName ==
+              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+            val st = c.getStatistics
+            if (isLong && st != null && st.hasNonNullValue) {
+              val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue
+              val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue
+              val name = c.getPath.toDotString
+              val cur = acc.get(name)
+              acc(name) = cur match {
+                case Some((lo, hi)) => (math.min(lo, mn), math.max(hi, mx))
+                case None => (mn, mx)
+              }
+            }
+          }
+        }
+        if (acc.isEmpty) None else Some(f -> acc.toMap)
+      } catch { case _: Exception => None } // stats are best-effort
+    }.toMap
   }
 
   /** Publish the commit entry for `v` atomically: write a tmp file, then
     * hard-link it into place — link creation fails if `v` was already
     * committed, so two racing writers can't both win.
     */
-  private def writeEntry(e: CommitEntry): Unit = {
+  private def writeEntry(e0: CommitEntry): Unit = {
+    val e =
+      if (e0.adds.nonEmpty && e0.stats.isEmpty)
+        e0.copy(stats = collectLongStats(e0.adds))
+      else e0
     Files.createDirectories(logDir)
     val base = Map[String, Object](
       "version" -> Long.box(e.version), "mode" -> e.mode,
@@ -142,7 +191,14 @@ final class MiniLake(spark: SparkSession, val path: String,
     val withParts =
       if (tableParts.isEmpty) withTxn
       else withTxn + ("partitionCols" -> tableParts.asJava)
-    val bytes = mapper.writeValueAsBytes(withParts.asJava)
+    val withStats =
+      if (e.stats.isEmpty) withParts
+      else withParts + ("stats" -> e.stats.map { case (f, cols) =>
+        f -> cols.map { case (c, (lo, hi)) =>
+          c -> java.util.List.of[Object](Long.box(lo), Long.box(hi))
+        }.asJava
+      }.asJava)
+    val bytes = mapper.writeValueAsBytes(withStats.asJava)
     val tmp = logDir.resolve(s".${e.version}.json.tmp")
     Files.write(tmp, bytes)
     try Files.createLink(logDir.resolve(s"${e.version}.json"), tmp)
@@ -191,6 +247,30 @@ final class MiniLake(spark: SparkSession, val path: String,
     val sch = schemaAt(latestVersion)
     if (files.isEmpty) emptyDf(spark, sch)
     else spark.read.schema(sch).parquet(files: _*)
+  }
+
+  /** Stats-pruned range read (data skipping): open only the live files
+    * whose footer-derived [min, max] for `colName` intersects
+    * [lo, hi], then apply the exact filter. With the bucketed layout's
+    * in-file PK sort, a point/range lookup on a 100 TB table touches
+    * the handful of files whose ranges overlap — the commit log is the
+    * skipping index, no scan required to decide. Files without stats
+    * (non-INT64 column, legacy entries) are conservatively kept.
+    */
+  def snapshotForRange(colName: String, lo: Long, hi: Long): DataFrame = {
+    require(latestVersion >= 0, s"table $path does not exist")
+    val statsByFile = listVersions.map(readEntry).flatMap(_.stats).toMap
+    val files = liveFiles(latestVersion).filter { f =>
+      statsByFile.get(f).flatMap(_.get(colName)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+    val sch = schemaAt(latestVersion)
+    val base =
+      if (files.isEmpty) emptyDf(spark, sch)
+      else spark.read.schema(sch).parquet(files: _*)
+    base.filter(col(colName) >= lo && col(colName) <= hi)
   }
 
   /** Partition values encoded in a file's path (`_p_<col>=<value>`). */
@@ -712,7 +792,8 @@ object MiniLake {
       hasChanges: Boolean, bucketSpec: Option[BucketSpec] = None,
       changesMode: String = "files",
       txn: Option[(String, Long)] = None,
-      partitionCols: Seq[String] = Seq.empty)
+      partitionCols: Seq[String] = Seq.empty,
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty)
 
   def apply(spark: SparkSession, path: String): MiniLake =
     new MiniLake(spark, path)

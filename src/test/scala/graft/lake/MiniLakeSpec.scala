@@ -260,6 +260,31 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(t.snapshot().count() === (n + 1).toLong)
   }
 
+  test("snapshotForRange skips files whose stats exclude the range") {
+    val t = MiniLake(spark, dir)
+    // time-ordered ingest: each commit covers a disjoint key range,
+    // the shape stats-skipping exists for
+    t.create(kv((0L until 100L).map(k => k -> s"v$k"): _*))
+    t.append(kv((100L until 200L).map(k => k -> s"v$k"): _*))
+    t.append(kv((200L until 300L).map(k => k -> s"v$k"): _*))
+
+    val all = t.snapshot()
+    val ranged = t.snapshotForRange("key", 120L, 180L)
+    assert(ranged.count() === 61L)
+    assert(ranged.agg(org.apache.spark.sql.functions.min("key"),
+      org.apache.spark.sql.functions.max("key")).as[(Long, Long)]
+      .head() === (120L, 180L))
+    // pruning is physical: only commit v1's files open
+    assert(ranged.inputFiles.nonEmpty)
+    assert(ranged.inputFiles.length < all.inputFiles.length)
+    assert(ranged.inputFiles.forall(_.contains("/v=1/")))
+    // compaction rewrites carry fresh stats — skipping keeps working
+    t.compactFiles()
+    t.vacuum()
+    val afterCompact = t.snapshotForRange("key", 120L, 180L)
+    assert(afterCompact.count() === 61L)
+  }
+
   test("append with mismatched schema is rejected") {
     val t = MiniLake(spark, dir)
     t.create(kv(1L -> "a"))
