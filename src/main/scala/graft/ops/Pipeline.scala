@@ -160,17 +160,49 @@ object Pipeline {
       |WHERE doc_id < 400
       |ORDER BY doc_id""".stripMargin
 
+  /** Stats-based data skipping as a gate: three time-ordered appends
+    * give each commit's files a disjoint event_id range (recorded in
+    * the commit log from the parquet footers); `snapshotForRange`
+    * then serves an id-range lookup opening only the middle commit's
+    * files. MiniLakeSpec proves the pruning is physical; this gate
+    * proves the numbers.
+    */
+  def q91RangeSkipping(s: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_skip").toString
+    val t = MiniLake(s, s"$base/events")
+    val e = events(s, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    t.create(e.filter(col("event_id") < 3000))
+    t.append(e.filter(col("event_id") >= 3000 && col("event_id") < 6000))
+    t.append(e.filter(col("event_id") >= 6000))
+    t.snapshotForRange("event_id", 4000L, 4999L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).cast("decimal(18,2)").as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val q91Oracle: String =
+    """SELECT event_type, count(*) AS n,
+      | CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS total_value
+      |FROM events
+      |WHERE event_id BETWEEN 4000 AND 4999
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_cdc_roundtrip" -> (q19CdcRoundtrip _),
     "q54_bucketed_cdc" -> (q54BucketedCdc _),
     "q80_partitioned_lake" -> (q80PartitionedLake _),
-    "q90_time_travel" -> (q90TimeTravel _)
+    "q90_time_travel" -> (q90TimeTravel _),
+    "q91_range_skipping" -> (q91RangeSkipping _)
   )
 
   def oracles: Map[String, String] = Map(
     "q19_cdc_roundtrip" -> q19Oracle,
     "q54_bucketed_cdc" -> q19Oracle,
     "q80_partitioned_lake" -> q80Oracle,
-    "q90_time_travel" -> q90Oracle
+    "q90_time_travel" -> q90Oracle,
+    "q91_range_skipping" -> q91Oracle
   )
 }
