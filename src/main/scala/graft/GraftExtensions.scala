@@ -37,7 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
     // the custom whole-operator path: plans TopKPerGroupNode as
-    // partial → exchange → final bounded-heap execs
+    // partial → exchange → final bounded-heap execs, with the
+    // group-filter pushdown rule alongside
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroup.Strategy)
+    ext.injectOptimizerRule(_ =>
+      graft.plans.TopKPerGroup.PushFilterThroughTopK)
   }
 }

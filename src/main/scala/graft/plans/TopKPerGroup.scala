@@ -107,13 +107,39 @@ object TopKPerGroup {
     }
   }
 
-  /** Install the strategy on `spark` (idempotent). Sessions built with
-    * `spark.sql.extensions=graft.GraftExtensions` get it automatically.
+  /** Optimizer rule: a deterministic filter over ONLY the group
+    * columns commutes with per-group top-k (dropping whole groups
+    * can't change any surviving group's top rows), so push it below
+    * the node — at scale that sends the predicate on toward the scan
+    * (partition pruning / parquet pushdown) instead of filtering
+    * after the heaps ran over every group.
+    */
+  object PushFilterThroughTopK
+      extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.AttributeSet
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case f @ Filter(cond,
+          t @ TopKPerGroupNode(groupExprs, _, _, child))
+          if cond.deterministic &&
+            f.condition.references.subsetOf(
+              AttributeSet(groupExprs.flatMap(_.references))) =>
+        t.copy(child = Filter(cond, child))
+    }
+  }
+
+  /** Install the strategy + pushdown rule on `spark` (idempotent).
+    * Sessions built with `spark.sql.extensions=graft.GraftExtensions`
+    * get both automatically.
     */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(Strategy))
       spark.experimental.extraStrategies = cur :+ Strategy
+    val curOpt = spark.experimental.extraOptimizations
+    if (!curOpt.contains(PushFilterThroughTopK))
+      spark.experimental.extraOptimizations = curOpt :+ PushFilterThroughTopK
   }
 
   /** API entry: top `k` rows per `groupCols` group, ordered by

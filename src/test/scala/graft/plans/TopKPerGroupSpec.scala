@@ -78,6 +78,25 @@ class TopKPerGroupSpec extends AnyFunSuite {
     }
   }
 
+  test("group-key filters push through the node; order-column filters don't") {
+    val df = Seq((1, 10.0), (1, 20.0), (2, 5.0), (2, 7.0)).toDF("g", "v")
+    val top = TopKPerGroup.topK(df, Seq("g"), Seq(("v", false)), 1)
+
+    val onGroup = top.filter(col("g") === 1)
+    val optimized = onGroup.queryExecution.optimizedPlan
+    // after pushdown the TopK node sits ABOVE the filter (node is the
+    // plan root, filter moved into its child)
+    assert(optimized.isInstanceOf[TopKPerGroup.TopKPerGroupNode], optimized)
+    assert(onGroup.as[(Int, Double)].collect().toSeq === Seq((1, 20.0)))
+
+    // a filter on the ORDER column must NOT push (it would change
+    // which rows win the heap)
+    val onValue = top.filter(col("v") < 15.0)
+    val optimized2 = onValue.queryExecution.optimizedPlan
+    assert(!optimized2.isInstanceOf[TopKPerGroup.TopKPerGroupNode], optimized2)
+    assert(onValue.as[(Int, Double)].collect().toSeq === Seq((2, 7.0)))
+  }
+
   test("extensions-installed session plans the node without explicit install") {
     val base = SparkTestSession.spark
     org.apache.spark.sql.SparkSession.clearActiveSession()
