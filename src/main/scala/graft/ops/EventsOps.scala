@@ -214,12 +214,72 @@ object EventsOps {
       |FROM daily
       |ORDER BY day""".stripMargin
 
+  /** Typed cogroup (KeyValueGroupedDataset.cogroup): per-user funnel
+    * reconciliation over the view and purchase streams with arbitrary
+    * Scala logic per key — the API for per-key merge logic that
+    * doesn't decompose into joins/aggregates. Both sides shuffle once
+    * on user_id and each key's two iterators stream through the
+    * function (no per-key materialization beyond what the logic
+    * holds — here two counters and two minima, O(1) per key).
+    *
+    * Output: views, purchases, first view, and the first purchase
+    * at-or-after the first view (the conversion latency numerator) —
+    * all integers/longs, so parity is exact.
+    */
+  def q92CogroupFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ms")).as[(Long, Long)]
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms")).as[(Long, Long)]
+    views.groupByKey(_._1)
+      .cogroup(purchases.groupByKey(_._1)) { (user, vs, ps) =>
+        var nV = 0L; var firstView = Long.MaxValue
+        vs.foreach { v => nV += 1; if (v._2 < firstView) firstView = v._2 }
+        val pMs = ps.map(_._2).toArray
+        val nP = pMs.length.toLong
+        val firstConv =
+          if (firstView == Long.MaxValue) None
+          else pMs.filter(_ >= firstView).minOption
+        Iterator.single((user, nV, nP,
+          if (firstView == Long.MaxValue) None else Some(firstView),
+          firstConv))
+      }
+      .toDF("user_id", "n_views", "n_purchases", "first_view_ms",
+        "first_conv_ms")
+      .orderBy("user_id")
+  }
+
+  val q92Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+      |  WHERE event_type IN ('view', 'purchase')),
+      |v AS (SELECT user_id, count(*) AS n_views, min(ms) AS first_view_ms
+      |      FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |p AS (SELECT user_id, count(*) AS n_purchases FROM e
+      |      WHERE event_type = 'purchase' GROUP BY user_id),
+      |conv AS (
+      |  SELECT e.user_id, min(e.ms) AS first_conv_ms
+      |  FROM e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ms >= v.first_view_ms
+      |  GROUP BY e.user_id)
+      |SELECT user_id,
+      |  coalesce(v.n_views, 0) AS n_views,
+      |  coalesce(p.n_purchases, 0) AS n_purchases,
+      |  v.first_view_ms, conv.first_conv_ms
+      |FROM v FULL OUTER JOIN p USING (user_id)
+      |LEFT JOIN conv USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_asof_join" -> (q49AsofJoin _),
     "q50_approx_distinct" -> (q50ApproxDistinct _),
     "q65_percentiles" -> (q65Percentiles _),
     "q75_band_join" -> (q75BandJoin _),
-    "q82_daily_deltas" -> (q82DailyDeltas _)
+    "q82_daily_deltas" -> (q82DailyDeltas _),
+    "q92_cogroup_funnel" -> (q92CogroupFunnel _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -227,6 +287,7 @@ object EventsOps {
     // q50: sketch-implementation-specific — rows-only check
     "q65_percentiles" -> q65Oracle,
     "q75_band_join" -> q75Oracle,
-    "q82_daily_deltas" -> q82Oracle
+    "q82_daily_deltas" -> q82Oracle,
+    "q92_cogroup_funnel" -> q92Oracle
   )
 }
