@@ -270,13 +270,30 @@ object Dedup {
     * the fingerprints parsed base-2 — all native codegen'd expressions.
     */
   def q67SimhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val fp = q43Simhash(s, dir)
+    // 32-bit signature (vs q43's 16-bit gate query): at 16 bits a
+    // templated corpus collides so heavily that hamming ≤ 2 matches
+    // ~30% of all pairs — no discrimination and a quadratic pair
+    // list. Doubling the signature makes the same threshold select
+    // real near-dups (~1% of pairs on this corpus) and shrinks the
+    // band buckets 32×, which is where the join cost lives. One md5
+    // per token still feeds every bit.
+    val tok = documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .withColumn("h", md5(col("w")))
+    val bitSums = (0 until 32).map(j =>
+      sum(when(substring(col("h"), j + 1, 1) >= "8", 1).otherwise(-1))
+        .as(s"b$j"))
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val bits = (0 until 32).map(j =>
+      when(col(s"b$j") >= 0, lit("1")).otherwise(lit("0")))
+    val fp = agg.select(col("doc_id"), concat(bits: _*).as("simhash"))
       .withColumn("h", conv(col("simhash"), 2, 10).cast("long"))
+    // 3 bands (11+11+10 bits): ≤2 differing bits leave ≥1 band intact
     val banded = fp.select(col("doc_id"), col("h"),
       explode(array(
-        concat(lit("0:"), substring(col("simhash"), 1, 6)),
-        concat(lit("1:"), substring(col("simhash"), 7, 6)),
-        concat(lit("2:"), substring(col("simhash"), 13, 4)))).as("band"))
+        concat(lit("0:"), substring(col("simhash"), 1, 11)),
+        concat(lit("1:"), substring(col("simhash"), 12, 11)),
+        concat(lit("2:"), substring(col("simhash"), 23, 10)))).as("band"))
     banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -295,10 +312,10 @@ object Dedup {
     * count of positions where the fingerprint strings differ.
     */
   val q67Oracle: String = {
-    val sums = (0 until 16).map(j =>
+    val sums = (0 until 32).map(j =>
       s"sum(CASE WHEN substr(md5(w), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b$j")
       .mkString(",\n  ")
-    val bits = (0 until 16).map(j =>
+    val bits = (0 until 32).map(j =>
       s"CASE WHEN b$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")
     s"""WITH t AS (SELECT doc_id, unnest($tokensSql) AS w FROM documents),
       |s AS (SELECT doc_id,
@@ -306,17 +323,17 @@ object Dedup {
       | FROM t GROUP BY doc_id),
       |fp AS (SELECT doc_id, $bits AS simhash FROM s),
       |banded AS (SELECT doc_id, simhash,
-      |  unnest(['0:' || substr(simhash, 1, 6), '1:' || substr(simhash, 7, 6),
-      |          '2:' || substr(simhash, 13, 4)]) AS band FROM fp),
+      |  unnest(['0:' || substr(simhash, 1, 11), '1:' || substr(simhash, 12, 11),
+      |          '2:' || substr(simhash, 23, 10)]) AS band FROM fp),
       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
       |    a.simhash AS h1, b.simhash AS h2
       |  FROM banded a JOIN banded b
       |    ON a.band = b.band AND a.doc_id < b.doc_id)
       |SELECT id1, id2,
-      | CAST(length(list_filter([i for i in generate_series(1, 16)],
+      | CAST(length(list_filter([i for i in generate_series(1, 32)],
       |   i -> substr(h1, i, 1) <> substr(h2, i, 1))) AS BIGINT) AS hamming
       |FROM cand
-      |WHERE length(list_filter([i for i in generate_series(1, 16)],
+      |WHERE length(list_filter([i for i in generate_series(1, 32)],
       |   i -> substr(h1, i, 1) <> substr(h2, i, 1))) <= 2
       |ORDER BY id1, id2""".stripMargin
   }
