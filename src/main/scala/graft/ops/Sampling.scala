@@ -95,13 +95,102 @@ object Sampling {
       |FROM ranked WHERE rk <= 30
       |ORDER BY lang, rk""".stripMargin
 
+  /** Corpus mixing by per-source weight — the "2 epochs of wiki, 0.25
+    * of web-crawl" step that turns raw corpora into a training mix.
+    * Down-weighting is a deterministic hash threshold per document
+    * (same md5-prefix device as [[q59HashSplit]]): weight 1.0 keeps
+    * everything, 0.5 keeps md5-prefix < '80', 0.25 < '40'. Membership
+    * is a pure function of (source weight, doc_id) — reproducible
+    * across runs/engines, stable under incremental ingest, zero
+    * coordination. One narrow scan + one aggregate for the report.
+    */
+  def q89TrainingMix(s: SparkSession, dir: String): DataFrame = {
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    // threshold on the first two md5 hex chars; hex digits are all
+    // < 'zz', so 'zz' means keep-all
+    val threshold = when(srcNum < 5, "zz")
+      .when(srcNum < 10, "80")
+      .otherwise("40")
+    val weight = when(srcNum < 5, "1.0")
+      .when(srcNum < 10, "0.5")
+      .otherwise("0.25")
+    documents(s, dir)
+      .withColumn("w", weight)
+      .filter(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 2) < threshold)
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_doc"))
+      .orderBy("source")
+  }
+
+  val q89Oracle: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST(substr(source, 4) AS INT) AS sn,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx
+      |  FROM documents)
+      |SELECT source,
+      |  CASE WHEN sn < 5 THEN '1.0' WHEN sn < 10 THEN '0.5'
+      |       ELSE '0.25' END AS w,
+      |  count(*) AS n_kept, min(doc_id) AS first_doc
+      |FROM d
+      |WHERE hx < CASE WHEN sn < 5 THEN 'zz' WHEN sn < 10 THEN '80'
+      |                ELSE '40' END
+      |GROUP BY source, w
+      |ORDER BY source""".stripMargin
+
+  /** Deterministic sharded export: the final hop of a training
+    * pipeline — write the corpus as N hash-keyed shards (here 16, by
+    * the first md5 hex char of doc_id), then READ THE EXPORT BACK for
+    * the manifest, so the write, the partition layout, and partition-
+    * column discovery are all load-bearing for the oracle match.
+    * Hash sharding means a doc's shard never changes as the corpus
+    * grows (incremental export appends to the same shard), and
+    * repartitioning on the shard value bounds output at one file per
+    * shard per write.
+    */
+  def q93ShardExport(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString + "/corpus"
+    documents(s, dir)
+      .withColumn("shard", substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 1))
+      .repartition(col("shard"))
+      .write.partitionBy("shard").parquet(out)
+    // partition-column type inference would read an all-digit shard
+    // set as INT; pin discovery to strings (inference happens eagerly
+    // at read time, so restoring the conf after is safe)
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = s.conf.get(inferKey, "true")
+    s.conf.set(inferKey, "false")
+    val back = try s.read.parquet(out) finally s.conf.set(inferKey, prev)
+    back
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("shard")
+  }
+
+  val q93Oracle: String =
+    """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+      | count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+      | sum(n_chars) AS total_chars
+      |FROM documents
+      |GROUP BY shard
+      |ORDER BY shard""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_hash_split" -> (q59HashSplit _),
-    "q78_capped_sample" -> (q78CappedSample _)
+    "q78_capped_sample" -> (q78CappedSample _),
+    "q89_training_mix" -> (q89TrainingMix _),
+    "q93_shard_export" -> (q93ShardExport _)
   )
 
   def oracles: Map[String, String] = Map(
     "q59_hash_split" -> q59Oracle,
-    "q78_capped_sample" -> q78Oracle
+    "q78_capped_sample" -> q78Oracle,
+    "q89_training_mix" -> q89Oracle,
+    "q93_shard_export" -> q93Oracle
   )
 }
