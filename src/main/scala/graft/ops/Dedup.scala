@@ -468,6 +468,76 @@ object Dedup {
       |FROM reach GROUP BY root
       |ORDER BY doc_id""".stripMargin
 
+  /** Benchmark decontamination ([EXT]): flag training documents that
+    * share any word n-gram with a held-out evaluation set — the
+    * standard pre-training hygiene step (GPT-3 used 13-gram overlap,
+    * Brown et al. 2020 appendix C; PaLM and Llama use 8–13). This
+    * corpus's documents are short, so n=5 keeps the probe sensitive
+    * while still being far too long to collide by chance.
+    *
+    * Scale design: the eval side is a benchmark suite — megabytes
+    * against a 100 TB corpus — so its distinct shingle hashes
+    * broadcast and the corpus side stays a single narrow scan
+    * (per-doc window for n-grams, then a broadcast semi-ish inner
+    * join + per-doc count). No shuffle is keyed on anything wider
+    * than (doc_id). Joining on xxhash64 of the shingle keeps the
+    * broadcast at 8 bytes/shingle; collision odds over a benchmark
+    * suite are ~2^-64·|eval|·|corpus| — noise.
+    */
+  val DecontamN = 5
+
+  /** Distinct word n-gram shingles per document (documents shorter
+    * than n contribute one whole-document shingle).
+    */
+  private def ngramsRaw(df: DataFrame, n: Int): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val tok = df
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val withLeads = (1 until n).foldLeft(tok) { (d, i) =>
+      d.withColumn(s"w$i", lead("w", i).over(byDoc))
+    }
+    val full = withLeads
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("doc_id"), concat_ws(" ",
+        col("w") +: (1 until n).map(i => col(s"w$i")): _*).as("shingle"))
+    val short = df.withColumn("ws", tokens(col("text")))
+      .filter(size(col("ws")) < n)
+      .select(col("doc_id"), concat_ws(" ", col("ws")).as("shingle"))
+    full.unionByName(short)
+  }
+
+  def q94Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = ngramsRaw(documents(s, dir), DecontamN)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
+    val evalSet = sh.filter(col("doc_id") % 97 === 0)
+      .select("shingle").distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalSet), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  val q94Oracle: String = {
+    val n = DecontamN
+    s"""WITH w AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  unnest(CASE WHEN length(ws) >= $n
+      |    THEN [array_to_string(ws[i:i+${n - 1}], ' ')
+      |          for i in generate_series(1, length(ws)-${n - 1})]
+      |    ELSE [array_to_string(ws, ' ')] END) AS shingle
+      | FROM w),
+      |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+      |SELECT s.doc_id, count(*) AS n_shared
+      |FROM sh s JOIN ev USING (shingle)
+      |WHERE s.doc_id % 97 <> 0
+      |GROUP BY s.doc_id
+      |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_exact_dedup" -> (q40ExactDedup _),
     "q41_ngram_jaccard" -> (q41NgramJaccard _),
@@ -475,7 +545,8 @@ object Dedup {
     "q43_simhash" -> (q43Simhash _),
     "q57_dedup_clusters" -> (q57DedupClusters _),
     "q67_simhash_near_dup" -> (q67SimhashNearDup _),
-    "q74_incremental_dedup" -> (q74IncrementalDedup _)
+    "q74_incremental_dedup" -> (q74IncrementalDedup _),
+    "q94_decontaminate" -> (q94Decontaminate _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -485,6 +556,7 @@ object Dedup {
     "q43_simhash" -> q43Oracle,
     "q57_dedup_clusters" -> q57Oracle,
     "q67_simhash_near_dup" -> q67Oracle,
-    "q74_incremental_dedup" -> q74Oracle
+    "q74_incremental_dedup" -> q74Oracle,
+    "q94_decontaminate" -> q94Oracle
   )
 }

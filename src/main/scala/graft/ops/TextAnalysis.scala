@@ -293,6 +293,76 @@ object TextAnalysis {
       |FROM per_doc
       |ORDER BY doc_id""".stripMargin
 
+  /** Intra-document repetition statistics — the Gopher/MassiveText
+    * repetition filters (Rae et al. 2021, "Scaling Language Models",
+    * table A1): fraction of duplicate word occurrences, most-frequent-
+    * word share, and fraction of duplicate word bigrams. Corpora are
+    * filtered on thresholds over exactly these ratios before training.
+    *
+    * Scale design: token and bigram counts aggregate with doc-local
+    * keys — (doc_id, word) then (doc_id) — so partial (map-side)
+    * aggregation collapses each document inside its scan task and the
+    * shuffle carries one row per distinct word per doc, never raw
+    * tokens. Both aggregates and the final join are keyed on doc_id:
+    * one exchange, reused. All ratios are exact-integer divisions, so
+    * the doubles are order-independent and hash-stable vs the oracle.
+    */
+  def q95RepetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val tok = documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val wordStats = tok.groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_c"))
+    val bigramStats = tok
+      .withColumn("w1", lead("w", 1).over(byDoc))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1")).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"))
+    wordStats.join(bigramStats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("dup_word_frac"),
+        round(col("top_c").cast("double") / col("n_tokens"), 4)
+          .as("top_word_frac"),
+        coalesce(
+          round(lit(1.0) -
+            col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 4),
+          lit(0.0)).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val q95Oracle: String =
+    s"""WITH w AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+      |st AS (SELECT doc_id, ws, length(ws) AS n_tokens,
+      |  length(list_distinct(ws)) AS n_distinct,
+      |  list_max(list_transform(list_distinct(ws),
+      |    x -> length(list_filter(ws, y -> y = x)))) AS top_c,
+      |  CASE WHEN length(ws) >= 2
+      |    THEN [ws[i] || ' ' || ws[i+1]
+      |          for i in generate_series(1, length(ws)-1)]
+      |    ELSE [] END AS bs
+      | FROM w)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      | round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS dup_word_frac,
+      | round(CAST(top_c AS DOUBLE) / n_tokens, 4) AS top_word_frac,
+      | CASE WHEN length(bs) = 0 THEN 0.0
+      |   ELSE round(1.0 - CAST(length(list_distinct(bs)) AS DOUBLE)
+      |              / length(bs), 4) END AS dup_bigram_frac
+      |FROM st
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_token_stats" -> (q30TokenStats _),
     "q31_quality_score" -> (q31QualityScore _),
@@ -300,7 +370,8 @@ object TextAnalysis {
     "q33_fingerprint" -> (q33Fingerprint _),
     "q56_bpe_tokens" -> (q56BpeTokens _),
     "q66_tfidf_top_terms" -> (q66TfidfTopTerms _),
-    "q76_lm_score" -> (q76LmScore _)
+    "q76_lm_score" -> (q76LmScore _),
+    "q95_repetition_stats" -> (q95RepetitionStats _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -310,6 +381,7 @@ object TextAnalysis {
     "q33_fingerprint" -> q33Oracle,
     "q56_bpe_tokens" -> q56Oracle,
     "q66_tfidf_top_terms" -> q66Oracle,
-    "q76_lm_score" -> q76Oracle
+    "q76_lm_score" -> q76Oracle,
+    "q95_repetition_stats" -> q95Oracle
   )
 }
