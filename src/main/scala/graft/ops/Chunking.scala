@@ -114,7 +114,7 @@ object Chunking {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
       | FROM w)
       |SELECT CAST(floor(prefix / ${PackTokens}.0) AS BIGINT) AS bin,
-      | count(*) AS n_docs, sum(n) AS total_tokens,
+      | count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
       | min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM p
       |GROUP BY 1

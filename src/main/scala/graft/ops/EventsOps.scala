@@ -98,17 +98,23 @@ object EventsOps {
     events(s, dir)
       .groupBy("event_type")
       .agg(
-        round(expr("percentile(value, 0.5)"), 4).cast("decimal(18,4)").as("p50"),
-        round(expr("percentile(value, 0.9)"), 4).cast("decimal(18,4)").as("p90"),
-        round(expr("percentile(value, 0.99)"), 4).cast("decimal(18,4)").as("p99"),
+        round(expr("percentile(value, 0.5)"), 4).cast("decimal(18,4)")
+          .cast("double").as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).cast("decimal(18,4)")
+          .cast("double").as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).cast("decimal(18,4)")
+          .cast("double").as("p99"),
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
   val q65Oracle: String =
     """SELECT event_type,
-      | CAST(round(quantile_cont(value, 0.5), 4) AS DECIMAL(18,4)) AS p50,
-      | CAST(round(quantile_cont(value, 0.9), 4) AS DECIMAL(18,4)) AS p90,
-      | CAST(round(quantile_cont(value, 0.99), 4) AS DECIMAL(18,4)) AS p99,
+      | CAST(CAST(round(quantile_cont(value, 0.5), 4) AS DECIMAL(18,4))
+      |   AS DOUBLE) AS p50,
+      | CAST(CAST(round(quantile_cont(value, 0.9), 4) AS DECIMAL(18,4))
+      |   AS DOUBLE) AS p90,
+      | CAST(CAST(round(quantile_cont(value, 0.99), 4) AS DECIMAL(18,4))
+      |   AS DOUBLE) AS p99,
       | count(*) AS n
       |FROM events
       |GROUP BY event_type
@@ -153,7 +159,7 @@ object EventsOps {
       .select(col("event_id"), col("ms"),
         coalesce(col("cnt"), lit(0L)).as("nearby_purchases"),
         coalesce(col("sval"), lit(BigDecimal(0)).cast("decimal(18,2)"))
-          .as("nearby_value"))
+          .cast("double").as("nearby_value"))
       .orderBy("event_id")
   }
 
@@ -171,7 +177,8 @@ object EventsOps {
       |  GROUP BY e.event_id)
       |SELECT e.event_id, e.ms,
       |  coalesce(m.cnt, 0) AS nearby_purchases,
-      |  coalesce(m.sval, CAST(0 AS DECIMAL(18,2))) AS nearby_value
+      |  CAST(coalesce(m.sval, CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS nearby_value
       |FROM err e LEFT JOIN m USING (event_id)
       |ORDER BY event_id""".stripMargin
 
@@ -195,8 +202,9 @@ object EventsOps {
     daily
       .withColumn("delta",
         (col("revenue") - lag("revenue", 1).over(byDay))
-          .cast("decimal(18,2)"))
+          .cast("decimal(18,2)").cast("double"))
       .withColumn("quartile", ntile(4).over(byRevenue).cast("long"))
+      .withColumn("revenue", col("revenue").cast("double"))
       .orderBy("day")
   }
 
@@ -206,9 +214,9 @@ object EventsOps {
       |    CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS revenue
       |  FROM events WHERE event_type = 'purchase'
       |  GROUP BY day)
-      |SELECT day, revenue,
-      |  CAST(revenue - lag(revenue, 1) OVER (ORDER BY day)
-      |    AS DECIMAL(18,2)) AS delta,
+      |SELECT day, CAST(revenue AS DOUBLE) AS revenue,
+      |  CAST(CAST(revenue - lag(revenue, 1) OVER (ORDER BY day)
+      |    AS DECIMAL(18,2)) AS DOUBLE) AS delta,
       |  CAST(ntile(4) OVER (ORDER BY revenue DESC, day) AS BIGINT)
       |    AS quartile
       |FROM daily

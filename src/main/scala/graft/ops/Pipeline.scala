@@ -124,13 +124,15 @@ object Pipeline {
     t.snapshotWhere(p => p("day") >= "2024-01-05" && p("day") <= "2024-01-07")
       .groupBy("day")
       .agg(count(lit(1)).as("n"),
-        round(sum("value"), 2).cast("decimal(18,2)").as("total_value"))
+        round(sum("value"), 2).cast("decimal(18,2)")
+          .cast("double").as("total_value"))
       .orderBy("day")
   }
 
   val q80Oracle: String =
     """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
-      | CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS total_value
+      | CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS DOUBLE)
+      |   AS total_value
       |FROM events
       |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-07'
       |GROUP BY day
@@ -178,13 +180,15 @@ object Pipeline {
     t.snapshotForRange("event_id", 4000L, 4999L)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
-        round(sum("value"), 2).cast("decimal(18,2)").as("total_value"))
+        round(sum("value"), 2).cast("decimal(18,2)")
+          .cast("double").as("total_value"))
       .orderBy("event_type")
   }
 
   val q91Oracle: String =
     """SELECT event_type, count(*) AS n,
-      | CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS total_value
+      | CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS DOUBLE)
+      |   AS total_value
       |FROM events
       |WHERE event_id BETWEEN 4000 AND 4999
       |GROUP BY event_type

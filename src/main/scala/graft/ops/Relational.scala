@@ -262,7 +262,8 @@ object Relational {
       .agg(count(lit(1)).as("n_events"),
         min(col("ms")).as("start_ms"),
         max(col("ms")).as("end_ms"),
-        round(sum(col("value")), 2).cast("decimal(18,2)").as("session_value"))
+        round(sum(col("value")), 2).cast("decimal(18,2)")
+          .cast("double").as("session_value"))
       .orderBy("user_id", "session_seq")
   }
 
@@ -280,9 +281,11 @@ object Relational {
       |    ORDER BY ms, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
       |  FROM flagged)
-      |SELECT user_id, session_seq, count(*) AS n_events,
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      | count(*) AS n_events,
       | min(ms) AS start_ms, max(ms) AS end_ms,
-      | CAST(round(sum(value),2) AS DECIMAL(18,2)) AS session_value
+      | CAST(CAST(round(sum(value),2) AS DECIMAL(18,2)) AS DOUBLE)
+      |   AS session_value
       |FROM sess
       |GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
@@ -307,7 +310,8 @@ object Relational {
       .agg(count(lit(1)).as("n_events"),
         min(col("ms")).as("start_ms"),
         max(col("ms")).as("end_ms"),
-        round(sum(col("value")), 2).cast("decimal(18,2)").as("session_value"))
+        round(sum(col("value")), 2).cast("decimal(18,2)")
+          .cast("double").as("session_value"))
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("start_ms"))
     sess.withColumn("session_seq", row_number().over(byUser).cast("long"))
       .select("user_id", "session_seq", "n_events", "start_ms", "end_ms",
@@ -507,7 +511,7 @@ object Relational {
 
   def q61PivotDaily(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
-      .withColumn("day", to_date(col("ts")))
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       .groupBy("day")
       .pivot("event_type", EventTypes)
       .agg(count(lit(1)))
@@ -519,9 +523,10 @@ object Relational {
 
   val q61Oracle: String = {
     val sums = EventTypes.map(t =>
-      s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS n_$t")
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT)" +
+        s" AS n_$t")
       .mkString(",\n ")
-    s"""SELECT CAST(ts AS DATE) AS day,
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS day,
       | $sums
       |FROM events
       |GROUP BY 1
@@ -606,13 +611,15 @@ object Relational {
     pruned.join(c, pruned("o_custkey") === c("c_custkey"), "left_semi")
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
-        round(sum("o_totalprice"), 2).cast("decimal(18,2)").as("total"))
+        round(sum("o_totalprice"), 2).cast("decimal(18,2)")
+          .cast("double").as("total"))
       .orderBy("o_orderstatus")
   }
 
   val q87Oracle: String =
     """SELECT o_orderstatus, count(*) AS n,
-      | CAST(round(sum(o_totalprice), 2) AS DECIMAL(18,2)) AS total
+      | CAST(CAST(round(sum(o_totalprice), 2) AS DECIMAL(18,2)) AS DOUBLE)
+      |   AS total
       |FROM orders
       |WHERE EXISTS (SELECT 1 FROM customer
       |  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
@@ -634,7 +641,8 @@ object Relational {
           Seq(col("o_orderpriority")), Seq.empty[org.apache.spark.sql.Column]),
         col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        round(sum("o_totalprice"), 2).cast("decimal(18,2)").as("total"))
+        round(sum("o_totalprice"), 2).cast("decimal(18,2)")
+          .cast("double").as("total"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -645,7 +653,8 @@ object Relational {
     """SELECT coalesce(o_orderstatus,'ALL') AS status,
       | coalesce(o_orderpriority,'ALL') AS priority,
       | count(*) AS n,
-      | CAST(round(sum(o_totalprice),2) AS DECIMAL(18,2)) AS total
+      | CAST(CAST(round(sum(o_totalprice),2) AS DECIMAL(18,2)) AS DOUBLE)
+      |   AS total
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
       |  (o_orderpriority), ())

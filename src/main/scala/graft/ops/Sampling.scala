@@ -175,7 +175,7 @@ object Sampling {
   val q93Oracle: String =
     """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
       | count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc,
-      | sum(n_chars) AS total_chars
+      | CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents
       |GROUP BY shard
       |ORDER BY shard""".stripMargin

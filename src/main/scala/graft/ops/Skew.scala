@@ -68,14 +68,18 @@ object Skew {
       Map("sum_qty" -> "l_quantity", "sum_price" -> "l_extendedprice"),
       saltBuckets = 16)
       .select(col("l_returnflag"),
-        round(col("sum_qty"), 2).cast("decimal(18,2)").as("sum_qty"),
-        round(col("sum_price"), 2).cast("decimal(18,2)").as("sum_price"))
+        round(col("sum_qty"), 2).cast("decimal(18,2)")
+          .cast("double").as("sum_qty"),
+        round(col("sum_price"), 2).cast("decimal(18,2)")
+          .cast("double").as("sum_price"))
       .orderBy("l_returnflag")
 
   val q81Oracle: String =
     """SELECT l_returnflag,
-      | CAST(round(sum(l_quantity), 2) AS DECIMAL(18,2)) AS sum_qty,
-      | CAST(round(sum(l_extendedprice), 2) AS DECIMAL(18,2)) AS sum_price
+      | CAST(CAST(round(sum(l_quantity), 2) AS DECIMAL(18,2)) AS DOUBLE)
+      |   AS sum_qty,
+      | CAST(CAST(round(sum(l_extendedprice), 2) AS DECIMAL(18,2)) AS DOUBLE)
+      |   AS sum_price
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin

@@ -213,7 +213,7 @@ object TextAnalysis {
     scored.withColumn("rank", row_number().over(byLang).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("lang"), col("term"), col("rank"),
-        col("tfidf").cast("decimal(18,4)").as("tfidf"))
+        col("tfidf").cast("decimal(18,4)").cast("double").as("tfidf"))
       .orderBy("lang", "rank")
   }
 
@@ -231,7 +231,7 @@ object TextAnalysis {
       |  SELECT *, row_number() OVER (PARTITION BY lang
       |    ORDER BY tfidf DESC, term) AS rank FROM scored)
       |SELECT lang, term, CAST(rank AS BIGINT) AS rank,
-      | CAST(tfidf AS DECIMAL(18,4)) AS tfidf
+      | CAST(CAST(tfidf AS DECIMAL(18,4)) AS DOUBLE) AS tfidf
       |FROM ranked
       |WHERE rank <= 5
       |ORDER BY lang, rank""".stripMargin
@@ -266,10 +266,10 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        sum(col("lp")).cast("decimal(28,6)").as("total_logp"))
+        sum(col("lp")).cast("decimal(28,6)").cast("double").as("total_logp"))
       .withColumn("avg_logp",
-        round(col("total_logp").cast("double") / col("n_tokens"), 4)
-          .cast("decimal(18,4)"))
+        round(col("total_logp") / col("n_tokens"), 4)
+          .cast("decimal(18,4)").cast("double"))
       .orderBy("doc_id")
   }
 
@@ -285,11 +285,11 @@ object TextAnalysis {
       |  FROM t JOIN freq USING (term) CROSS JOIN nt),
       |per_doc AS (
       |  SELECT doc_id, count(*) AS n_tokens,
-      |    CAST(sum(lp) AS DECIMAL(28,6)) AS total_logp
+      |    CAST(CAST(sum(lp) AS DECIMAL(28,6)) AS DOUBLE) AS total_logp
       |  FROM per_tok GROUP BY doc_id)
       |SELECT doc_id, n_tokens, total_logp,
-      |  CAST(round(CAST(total_logp AS DOUBLE) / n_tokens, 4)
-      |    AS DECIMAL(18,4)) AS avg_logp
+      |  CAST(CAST(round(total_logp / n_tokens, 4)
+      |    AS DECIMAL(18,4)) AS DOUBLE) AS avg_logp
       |FROM per_doc
       |ORDER BY doc_id""".stripMargin
 

@@ -28,14 +28,14 @@ object Vectors {
       .select(col("label"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
       .groupBy(col("label"), (col("pos") + 1).as("dim"))
-      .agg(round(avg("x"), 6).cast("decimal(18,6)").as("c"))
+      .agg(round(avg("x"), 6).cast("decimal(18,6)").cast("double").as("c"))
       .select(col("label").cast("int").as("label"),
         col("dim").cast("long").as("dim"), col("c"))
       .orderBy("label", "dim")
 
   val q60Oracle: String =
     """SELECT label, dim,
-      | CAST(round(avg(x), 6) AS DECIMAL(18,6)) AS c
+      | CAST(CAST(round(avg(x), 6) AS DECIMAL(18,6)) AS DOUBLE) AS c
       |FROM (SELECT label,
       |        CAST(unnest(embedding) AS DOUBLE) AS x,
       |        generate_subscripts(embedding, 1) AS dim
@@ -72,12 +72,14 @@ object Vectors {
         transform(col("codes"), c => c.cast("double") * col("scale")))
       .select(
         col("vec_id"), col("label"),
-        round(col("scale"), 8).cast("decimal(18,8)").as("scale_r"),
+        round(col("scale"), 8).cast("decimal(18,8)").cast("double")
+          .as("scale_r"),
         size(filter(col("codes"), c => abs(c) === 127)).cast("long")
           .as("n_sat"),
         round(lit(1.0) -
           graft.functions.VectorExpressions.cosine_similarity(
-            col("v"), col("deq")), 8).cast("decimal(18,8)").as("cos_err"))
+            col("v"), col("deq")), 8).cast("decimal(18,8)").cast("double")
+          .as("cos_err"))
       .orderBy("vec_id")
 
   val q77Oracle: String =
@@ -92,11 +94,11 @@ object Vectors {
       |dq AS (SELECT *,
       |  list_transform(codes, c -> c * scale) AS deq FROM qc)
       |SELECT vec_id, label,
-      |  CAST(round(scale, 8) AS DECIMAL(18,8)) AS scale_r,
+      |  CAST(CAST(round(scale, 8) AS DECIMAL(18,8)) AS DOUBLE) AS scale_r,
       |  CAST(length(list_filter(codes, c -> abs(c) = 127)) AS BIGINT)
       |    AS n_sat,
-      |  CAST(round(1.0 - list_cosine_similarity(v, deq), 8)
-      |    AS DECIMAL(18,8)) AS cos_err
+      |  CAST(CAST(round(1.0 - list_cosine_similarity(v, deq), 8)
+      |    AS DECIMAL(18,8)) AS DOUBLE) AS cos_err
       |FROM dq ORDER BY vec_id""".stripMargin
 
   /** Accumulating buffer for [[CentroidAggregator]]: per-dim running
@@ -161,7 +163,7 @@ object Vectors {
       .toDF("label", "centroid")
       .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "x")))
       .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
-        round(col("x"), 6).cast("decimal(18,6)").as("c"))
+        round(col("x"), 6).cast("decimal(18,6)").cast("double").as("c"))
       .orderBy("label", "dim")
   }
 

@@ -56,14 +56,16 @@ object LakeIngestStream {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         count_distinct(col("user_id")).as("n_users"),
-        round(sum("value"), 2).cast("decimal(18,2)").as("total_value"))
+        round(sum("value"), 2).cast("decimal(18,2)")
+          .cast("double").as("total_value"))
       .orderBy("event_type")
   }
 
   val q58Oracle: String =
     """SELECT event_type, count(*) AS n,
       | count(DISTINCT user_id) AS n_users,
-      | CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS total_value
+      | CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS DOUBLE)
+      |   AS total_value
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
@@ -141,13 +143,15 @@ object LakeIngestStream {
     t.snapshotWhere(p => p("day") >= "2024-01-05" && p("day") <= "2024-01-07")
       .groupBy("day")
       .agg(count(lit(1)).as("n"),
-        round(sum("value"), 2).cast("decimal(18,2)").as("total_value"))
+        round(sum("value"), 2).cast("decimal(18,2)")
+          .cast("double").as("total_value"))
       .orderBy("day")
   }
 
   val q84Oracle: String =
     """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
-      | CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS total_value
+      | CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS DOUBLE)
+      |   AS total_value
       |FROM events
       |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-07'
       |GROUP BY day

@@ -111,11 +111,13 @@ object SessionizeStream {
       .format("memory").queryName(name).start()
     try {
       q.processAllAvailable()
-      // emit session_value as DECIMAL(18,2): raw double bits of a
-      // rounded sum differ sub-ulp between engines; decimal is discrete
+      // snap session_value to the DECIMAL(18,2) grid, then emit DOUBLE:
+      // raw double bits of a rounded sum differ sub-ulp between engines
+      // (decimal is discrete), but decimal OUTPUT types don't survive
+      // the driver's pandas conversion — double does, bit-exactly
       val result = s.table(name)
         .withColumn("session_value",
-          col("session_value").cast("decimal(18,2)"))
+          col("session_value").cast("decimal(18,2)").cast("double"))
         .orderBy("user_id", "session_seq")
       result.cache().count()
       result

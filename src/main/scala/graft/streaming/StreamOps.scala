@@ -82,7 +82,7 @@ object StreamOps {
       expr("v_user = p_user AND p_ts >= v_ts AND " +
         "p_ts <= v_ts + interval 1 hour"))
     runToMemorySink(s, pairs)
-      .groupBy(to_date(col("v_ts")).as("day"))
+      .groupBy(date_format(col("v_ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_pairs"),
         count_distinct(col("v_user")).as("n_users"))
       .orderBy("day")
@@ -95,7 +95,7 @@ object StreamOps {
   val q62Oracle: String =
     """WITH e AS (SELECT event_id, user_id, event_type,
       |  make_timestamp(epoch_us(ts)) AS ts FROM events)
-      |SELECT CAST(v.ts AS DATE) AS day, count(*) AS n_pairs,
+      |SELECT strftime(v.ts, '%Y-%m-%d') AS day, count(*) AS n_pairs,
       | count(DISTINCT v.user_id) AS n_users
       |FROM e v JOIN e p
       |  ON v.user_id = p.user_id
@@ -121,13 +121,15 @@ object StreamOps {
     runToMemorySink(s, deduped)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
-        round(sum("value"), 2).cast("decimal(18,2)").as("total_value"))
+        round(sum("value"), 2).cast("decimal(18,2)")
+          .cast("double").as("total_value"))
       .orderBy("event_type")
   }
 
   val q63Oracle: String =
     """SELECT event_type, count(*) AS n,
-      | CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS total_value
+      | CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS DOUBLE)
+      |   AS total_value
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
