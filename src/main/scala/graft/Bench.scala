@@ -25,8 +25,7 @@ object Bench {
     locally {
       import spark.implicits._
       import org.apache.spark.sql.functions.{col, lit}
-      val wdir = java.nio.file.Files
-        .createTempDirectory("graft_warm").toString + "/t"
+      val wdir = graft.Scratch.dir("graft_warm").toString + "/t"
       val warm = graft.lake.MiniLake.bucketed(spark, wdir, Seq("key"), 4)
       warm.create(Seq(1L -> "a", 2L -> "b").toDF("key", "value"))
       warm.merge(Seq(3L -> "c").toDF("key", "value"),

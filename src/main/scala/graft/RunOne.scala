@@ -33,10 +33,12 @@ object RunOne {
             starts.put(e.jobId, (System.nanoTime(),
               e.stageInfos.map(_.name).distinct.mkString(" | ")))
           override def onJobEnd(
-              e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-            val (t0, desc) = starts.remove(e.jobId)
-            println(f"[job] ${e.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%6.2fs  $desc")
-          }
+              e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            // a job started before listener registration (or a dropped
+            // start event) has no entry — remove() returns null then
+            Option(starts.remove(e.jobId)).foreach { case (t0, desc) =>
+              println(f"[job] ${e.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%6.2fs  $desc")
+            }
         })
     }
     spark.range(1000000L).selectExpr("sum(id)").collect() // warm JVM

@@ -716,8 +716,16 @@ final class MiniLake(spark: SparkSession, val path: String,
   /** Physical GC of files no longer referenced by the live set — MUST
     * NOT create a logical version (S7, test_datalake.py:229-269).
     * Retains change files (they back `readChanges`).
+    *
+    * Files younger than `retainMillis` are kept even when unreferenced
+    * (Delta's VACUUM retention threshold): `appendConcurrent` writes
+    * its data files BEFORE publishing the log entry, so a concurrent
+    * vacuum with no retention window could delete an in-flight
+    * append's files and let its entry publish referencing nothing.
+    * The lifecycle queries (compact-then-vacuum in the same job) pass
+    * `retainMillis = 0`, which is safe only with no in-flight writers.
     */
-  def vacuum(): Unit = {
+  def vacuum(retainMillis: Long = 0L): Unit = {
     val live = liveFiles(latestVersion).toSet
     // data files of insert-only commits double as that commit's change
     // feed (changesMode=insertsFromData) — they must survive vacuum
@@ -727,11 +735,13 @@ final class MiniLake(spark: SparkSession, val path: String,
       .filter(_.changesMode == "insertsFromData")
       .flatMap(_.adds).toSet
     val protectedFiles = live ++ changeBacked
+    val cutoff = System.currentTimeMillis() - retainMillis
     val dataDir = root.resolve("data")
     if (Files.isDirectory(dataDir)) {
       usingStream(Files.walk(dataDir))(_
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
         .filterNot(p => protectedFiles.contains(p.toString))
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
         .foreach(Files.delete))
     }
   }

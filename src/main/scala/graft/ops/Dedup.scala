@@ -353,8 +353,7 @@ object Dedup {
     * band join itself is unchanged.
     */
   def q74IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_incr_dedup").toString + "/documents"
+    val base = graft.Scratch.dir("graft_incr_dedup").toString + "/documents"
     val docs = documents(s, dir)
       .select("doc_id", "text", "lang", "source", "n_chars")
     val lake = graft.lake.MiniLake(s, base)

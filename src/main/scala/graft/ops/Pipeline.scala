@@ -22,7 +22,7 @@ object Pipeline {
     * to prove incremental processing) → silver snapshot.
     */
   def q19CdcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_cdc").toString
+    val base = graft.Scratch.dir("graft_cdc").toString
     val bronzePath = s"$base/bronze/documents"
     val silverPath = s"$base/silver/documents"
     val wm = Watermark(s, s"$base/internal/watermark")
@@ -73,7 +73,7 @@ object Pipeline {
     * its keys hash into instead of the whole table.
     */
   def q54BucketedCdc(s: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_cdc_b").toString
+    val base = graft.Scratch.dir("graft_cdc_b").toString
     val bronzePath = s"$base/bronze/documents"
     val silverPath = s"$base/silver/documents"
     val wm = Watermark(s, s"$base/internal/watermark")
@@ -113,7 +113,7 @@ object Pipeline {
     * table.
     */
   def q80PartitionedLake(s: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_part").toString
+    val base = graft.Scratch.dir("graft_part").toString
     val path = s"$base/events_daily"
     val e = events(s, dir)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
@@ -145,7 +145,7 @@ object Pipeline {
     * read every versioned lake exists to serve.
     */
   def q90TimeTravel(s: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_tt").toString
+    val base = graft.Scratch.dir("graft_tt").toString
     val t = MiniLake(s, s"$base/documents")
     val docs = documents(s, dir).select("doc_id", "lang", "n_chars")
     t.create(docs.filter(col("doc_id") < 200))            // v0
@@ -170,7 +170,7 @@ object Pipeline {
     * proves the numbers.
     */
   def q91RangeSkipping(s: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_skip").toString
+    val base = graft.Scratch.dir("graft_skip").toString
     val t = MiniLake(s, s"$base/events")
     val e = events(s, dir)
       .select("event_id", "user_id", "event_type", "value")

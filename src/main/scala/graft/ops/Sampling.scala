@@ -150,8 +150,7 @@ object Sampling {
     * shard per write.
     */
   def q93ShardExport(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_shards").toString + "/corpus"
+    val out = graft.Scratch.dir("graft_shards").toString + "/corpus"
     documents(s, dir)
       .withColumn("shard", substring(
         md5(col("doc_id").cast("string").cast("binary")), 1, 1))

@@ -113,18 +113,27 @@ object TopKPerGroup {
     * the node — at scale that sends the predicate on toward the scan
     * (partition pruning / parquet pushdown) instead of filtering
     * after the heaps ran over every group.
+    *
+    * The guard requires every group expression to be a plain
+    * Attribute, not merely that the filter's references appear among
+    * the group expressions' references: with a COMPUTED group key
+    * (e.g. `a % 10`) a predicate on `a` references only group-expr
+    * inputs yet is not constant within a group, so pushing it below
+    * the heap would change which rows win. The node is public and the
+    * rule session-wide, so the guard can't rely on how topK() happens
+    * to call it.
     */
   object PushFilterThroughTopK
       extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
-    import org.apache.spark.sql.catalyst.expressions.AttributeSet
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet}
     import org.apache.spark.sql.catalyst.plans.logical.Filter
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
       case f @ Filter(cond,
           t @ TopKPerGroupNode(groupExprs, _, _, child))
           if cond.deterministic &&
-            f.condition.references.subsetOf(
-              AttributeSet(groupExprs.flatMap(_.references))) =>
+            groupExprs.forall(_.isInstanceOf[Attribute]) &&
+            f.condition.references.subsetOf(AttributeSet(groupExprs)) =>
         t.copy(child = Filter(cond, child))
     }
   }

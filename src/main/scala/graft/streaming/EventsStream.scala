@@ -35,7 +35,7 @@ object EventsStream {
     // The file-stream source requires a directory to watch (the shape a
     // real deployment has); stage the single testdata file into a fresh
     // watch dir via symlink — zero copy.
-    val watchDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    val watchDir = graft.Scratch.dir("graft_stream")
     java.nio.file.Files.createSymbolicLink(
       watchDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))

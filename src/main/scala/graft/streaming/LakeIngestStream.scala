@@ -37,12 +37,11 @@ object LakeIngestStream {
     */
   def q58StreamLakeIngest(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val watchDir = java.nio.file.Files.createTempDirectory("graft_ingest_src")
+    val watchDir = graft.Scratch.dir("graft_ingest_src")
     java.nio.file.Files.createSymbolicLink(
       watchDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val lakePath = java.nio.file.Files
-      .createTempDirectory("graft_ingest_lake").toString + "/events"
+    val lakePath = graft.Scratch.dir("graft_ingest_lake").toString + "/events"
 
     val stream = s.readStream.schema(rawSchema).parquet(watchDir.toString)
     val sink: (Dataset[Row], Long) => Unit = (batch, batchId) => {
@@ -72,16 +71,21 @@ object LakeIngestStream {
 
   /** Stage the events table as 3 time-ordered chunk files in a watch
     * dir, in ONE pass (scan once, partitionBy splits, repartition on
-    * the chunk value → one file per chunk). File names and mtimes
-    * ascend with event time, so the file stream replays history in
-    * arrival order — the property the upsert sink (q88) relies on.
+    * the chunk value → one file per chunk). Arrival order is then made
+    * DETERMINISTIC, not assumed: Files.walk visits partition dirs in
+    * unspecified order and Files.move preserves mtimes (which reflect
+    * parallel task completion, not event time), so the staged files
+    * are sorted by chunk name and stamped with strictly increasing
+    * modification times. Spark's FileStreamSource orders by mtime, so
+    * the stream replays history in chunk order — the property the
+    * last-merge-wins upsert sink (q88) relies on.
     */
   private def stageDayChunks(s: SparkSession, dir: String,
       watch: java.nio.file.Path): Unit = {
     val e = graft.Tables.events(s, dir)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       .select("day", "event_id", "user_id", "event_type", "value")
-    val prep = java.nio.file.Files.createTempDirectory("graft_pingest_w")
+    val prep = graft.Scratch.dir("graft_pingest_w")
     e.withColumn("chunk",
         when(col("day") < "2024-01-10", "chunk_0")
           .when(col("day") < "2024-01-20", "chunk_1")
@@ -89,20 +93,25 @@ object LakeIngestStream {
       .repartition(col("chunk"))
       .write.mode("overwrite").partitionBy("chunk").parquet(prep.toString)
     val walk = java.nio.file.Files.walk(prep)
-    try {
-      val it = walk.iterator()
-      var i = 0
-      while (it.hasNext) {
-        val p = it.next()
-        if (p.toString.endsWith(".parquet") &&
-            java.nio.file.Files.isRegularFile(p)) {
+    val staged = try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          java.nio.file.Files.isRegularFile(p))
+        .map { p =>
           val chunk = p.toString.split('/')
             .find(_.startsWith("chunk=")).get.stripPrefix("chunk=")
-          java.nio.file.Files.move(p, watch.resolve(s"${chunk}_$i.parquet"))
-          i += 1
+          (chunk, p)
         }
-      }
+        .toSeq.sortBy(_._1)
     } finally walk.close()
+    val t0 = java.nio.file.Files.getLastModifiedTime(prep).toMillis
+    staged.zipWithIndex.foreach { case ((chunk, p), i) =>
+      val dest = watch.resolve(s"${chunk}_$i.parquet")
+      java.nio.file.Files.move(p, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000L))
+    }
   }
 
   /** The full bronze lifecycle on a day-partitioned table: a 3-micro-
@@ -117,9 +126,8 @@ object LakeIngestStream {
     */
   def q84PartitionedIngest(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val watch = java.nio.file.Files.createTempDirectory("graft_pingest_src")
-    val lakePath = java.nio.file.Files
-      .createTempDirectory("graft_pingest_lake").toString + "/events"
+    val watch = graft.Scratch.dir("graft_pingest_src")
+    val lakePath = graft.Scratch.dir("graft_pingest_lake").toString + "/events"
 
     stageDayChunks(s, dir, watch)
 
@@ -169,9 +177,8 @@ object LakeIngestStream {
     */
   def q88StreamUpsert(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val watch = java.nio.file.Files.createTempDirectory("graft_upsert_src")
-    val lakePath = java.nio.file.Files
-      .createTempDirectory("graft_upsert_lake").toString + "/latest"
+    val watch = graft.Scratch.dir("graft_upsert_src")
+    val lakePath = graft.Scratch.dir("graft_upsert_lake").toString + "/latest"
     stageDayChunks(s, dir, watch)
 
     val ingestSchema = StructType(Seq(

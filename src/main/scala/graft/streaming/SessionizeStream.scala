@@ -86,7 +86,7 @@ object SessionizeStream {
     val sentinels = batch.select(col("user_id")).distinct()
       .select(col("user_id"), lit(maxMs + 2 * GapMs).as("ms"),
         lit(0.0).as("value"), lit(SentinelId).as("event_id"))
-    val watchDir = java.nio.file.Files.createTempDirectory("graft_sess")
+    val watchDir = graft.Scratch.dir("graft_sess")
     batch.unionByName(sentinels).coalesce(2)
       .write.parquet(watchDir.toString + "/in")
 

@@ -25,7 +25,7 @@ object StreamOps {
     StructField("props", StringType)))
 
   private def watchDirFor(dir: String, copies: Int): String = {
-    val watch = java.nio.file.Files.createTempDirectory("graft_stream_ops")
+    val watch = graft.Scratch.dir("graft_stream_ops")
     (1 to copies).foreach(i => java.nio.file.Files.createSymbolicLink(
       watch.resolve(s"events_$i.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet")))

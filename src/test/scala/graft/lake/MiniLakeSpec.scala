@@ -130,6 +130,30 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(t.readChanges(1, 1).filter("_change_type = 'delete'").count() === 1L)
   }
 
+  test("vacuum retention keeps young unreferenced files, then reclaims them") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a"))
+    // two update rewrites: v1's data files become unreferenced at v2
+    // and update commits carry dedicated change files, so the stale
+    // data files are genuinely collectable (create's insert-only data
+    // files stay protected as that commit's change feed)
+    t.update(col("key") === 1L, Map("value" -> lit("a2")))
+    t.update(col("key") === 1L, Map("value" -> lit("a3")))
+    def parquetCount: Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+      try s.filter(_.toString.endsWith(".parquet")).count() finally s.close()
+    }
+    val before = parquetCount
+    // a retention window longer than the files' age deletes nothing —
+    // the guard that protects an in-flight concurrent append's files
+    t.vacuum(retainMillis = 60 * 60 * 1000L)
+    assert(parquetCount === before)
+    // no window reclaims the stale rewrite files (single-writer case)
+    t.vacuum()
+    assert(parquetCount < before)
+    assert(t.snapshot().as[(Long, String)].collect().toSeq === Seq(1L -> "a3"))
+  }
+
   test("snapshot time-travel reads an old version") {
     val t = MiniLake(spark, dir)
     t.create(kv(1L -> "a"))

@@ -97,6 +97,30 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(onValue.as[(Int, Double)].collect().toSeq === Seq((2, 7.0)))
   }
 
+  test("filters on a COMPUTED group key's inputs don't push") {
+    // group by g % 2: a filter on `g` references only group-expr
+    // inputs, but is NOT constant within a group — pushing it below
+    // the heap would change which row wins (g=3 beats g=1 here).
+    // The rule must require plain-Attribute group keys.
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, SortOrder}
+    val df = Seq((1, 1.0), (3, 9.0), (2, 2.0)).toDF("g", "v")
+    val out = df.queryExecution.analyzed.output
+    val node = TopKPerGroup.TopKPerGroupNode(
+      Seq(Pmod(out(0), Literal(2))),
+      Seq(SortOrder(out(1),
+        org.apache.spark.sql.catalyst.expressions.Descending)),
+      1, df.queryExecution.analyzed)
+    TopKPerGroup.install(spark)
+    val top = org.apache.spark.sql.GraftSql.datasetOf(spark, node)
+    val filtered = top.filter(col("g") =!= 3)
+    val optimized = filtered.queryExecution.optimizedPlan
+    // the filter must stay ABOVE the node (root is NOT the TopK node)
+    assert(!optimized.isInstanceOf[TopKPerGroup.TopKPerGroupNode], optimized)
+    // odd group's winner is g=3 (v=9); filtering it afterwards leaves
+    // only the even group's row — pushing would have returned (1, 1.0)
+    assert(filtered.as[(Int, Double)].collect().toSeq === Seq((2, 2.0)))
+  }
+
   test("extensions-installed session plans the node without explicit install") {
     val base = SparkTestSession.spark
     org.apache.spark.sql.SparkSession.clearActiveSession()
