@@ -257,20 +257,37 @@ final class MiniLake(spark: SparkSession, val path: String,
     * skipping index, no scan required to decide. Files without stats
     * (non-INT64 column, legacy entries) are conservatively kept.
     */
-  def snapshotForRange(colName: String, lo: Long, hi: Long): DataFrame = {
+  def snapshotForRange(colName: String, lo: Long, hi: Long): DataFrame =
+    snapshotForRanges(Map(colName -> (lo, hi)))
+
+  /** Multi-column stats pruning: open only files whose per-column
+    * [min, max] intersects EVERY requested range. One range gives the
+    * classic sorted-layout skip; several ranges over a Z-ORDERED
+    * layout ([[graft.ops.Layout.zorderValue]]) prune on all clustered
+    * dimensions at once, because the space-filling-curve sort keeps
+    * each file's bounding rectangle tight in every dimension — the
+    * multi-dimensional analogue a 100 TB table needs when queries
+    * filter on more than one column.
+    */
+  def snapshotForRanges(ranges: Map[String, (Long, Long)]): DataFrame = {
     require(latestVersion >= 0, s"table $path does not exist")
+    require(ranges.nonEmpty, "at least one column range required")
     val statsByFile = listVersions.map(readEntry).flatMap(_.stats).toMap
     val files = liveFiles(latestVersion).filter { f =>
-      statsByFile.get(f).flatMap(_.get(colName)) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true
+      ranges.forall { case (colName, (lo, hi)) =>
+        statsByFile.get(f).flatMap(_.get(colName)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
       }
     }
     val sch = schemaAt(latestVersion)
     val base =
       if (files.isEmpty) emptyDf(spark, sch)
       else spark.read.schema(sch).parquet(files: _*)
-    base.filter(col(colName) >= lo && col(colName) <= hi)
+    ranges.foldLeft(base) { case (d, (c, (lo, hi))) =>
+      d.filter(col(c) >= lo && col(c) <= hi)
+    }
   }
 
   /** Partition values encoded in a file's path (`_p_<col>=<value>`). */

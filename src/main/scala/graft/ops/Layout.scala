@@ -30,4 +30,65 @@ object Layout {
   def hasShuffle(df: DataFrame): Boolean =
     df.queryExecution.executedPlan.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, shiftleft}
+
+  /** Spread the low 32 bits of a non-negative long so a second
+    * dimension can interleave into the odd bit positions — the classic
+    * five-step morton bit-twiddle, expressed in Column ops so it stays
+    * inside whole-stage codegen.
+    */
+  private def spreadBits(c: Column): Column = {
+    val masks = Seq(
+      (16, 0x0000FFFF0000FFFFL), (8, 0x00FF00FF00FF00FFL),
+      (4, 0x0F0F0F0F0F0F0F0FL), (2, 0x3333333333333333L),
+      (1, 0x5555555555555555L))
+    masks.foldLeft(c.bitwiseAND(lit(0xFFFFFFFFL))) {
+      case (x, (sh, m)) => x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(m))
+    }
+  }
+
+  /** Z-order (Morton) key of two non-negative int-ranged columns: bits
+    * interleave so sorting by the key clusters rows that are close in
+    * BOTH dimensions. Files cut from that order have tight min/max
+    * rectangles per column, which is what makes the commit log's
+    * multi-column stats ([[graft.lake.MiniLake.snapshotForRanges]])
+    * prune 2-D range queries — a linear sort only ever skips on its
+    * leading column. Delta/Iceberg expose the same lever as
+    * OPTIMIZE ZORDER BY / sort-order transforms.
+    */
+  def zorderValue(a: Column, b: Column): Column =
+    spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
+
+  /** Repartition `df` by Z-key range into `numFiles` cluster-sorted
+    * splits (one output file each) — the OPTIMIZE ZORDER write path.
+    * Each dimension is first normalized to 16 bits against its
+    * observed [min, max] (one metadata-sized aggregate, the same
+    * analysis pass Delta's OPTIMIZE runs): interleaving RAW values
+    * would let the wider-ranged column dominate the curve and turn
+    * the clusters into stripes. The normalization is layout-only —
+    * any monotone map works — so double math is fine here even
+    * though it never would be in an output column. Range
+    * partitioning keeps splits balanced under skew; the within-
+    * partition sort keeps each file's per-column stats tight.
+    */
+  def zorderWrite(df: DataFrame, cols: (String, String),
+      numFiles: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    val (a, b) = cols
+    val r = df.agg(fmin(col(a).cast("long")), fmax(col(a).cast("long")),
+      fmin(col(b).cast("long")), fmax(col(b).cast("long"))).head()
+    def norm(c: Column, mn: Long, mx: Long): Column =
+      if (mx <= mn) lit(0L)
+      else ((c - lit(mn)).cast("double") / lit((mx - mn).toDouble) *
+        lit(65535.0)).cast("long")
+    val z = zorderValue(
+      norm(col(a), r.getLong(0), r.getLong(1)),
+      norm(col(b), r.getLong(2), r.getLong(3)))
+    df.withColumn("_zkey", z)
+      .repartitionByRange(numFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+  }
 }

@@ -194,12 +194,48 @@ object Pipeline {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Z-ORDER clustering as a gate: the events table is rewritten
+    * cluster-sorted on the interleaved (user_id, event_id) key
+    * ([[graft.ops.Layout.zorderWrite]]), so every file's bounding
+    * rectangle is tight in BOTH dimensions and the commit log's
+    * multi-column stats serve a 2-D range query opening only the
+    * files whose rectangles intersect it. q91 is the 1-D version of
+    * this; a linear sort can only skip on its leading column.
+    * ZorderSpec proves the pruning beats the linear layout
+    * physically; this gate proves the numbers.
+    */
+  def q100Zorder2d(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_zorder").toString
+    val t = MiniLake(s, s"$base/events_z")
+    val e = events(s, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    t.create(graft.ops.Layout.zorderWrite(e, ("user_id", "event_id"), 16))
+    t.snapshotForRanges(
+      Map("user_id" -> (40L, 59L), "event_id" -> (2000L, 3999L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).cast("decimal(18,2)")
+          .cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val q100Oracle: String =
+    """SELECT event_type, count(*) AS n,
+      | CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS DOUBLE)
+      |   AS total_value
+      |FROM events
+      |WHERE user_id BETWEEN 40 AND 59
+      |  AND event_id BETWEEN 2000 AND 3999
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_cdc_roundtrip" -> (q19CdcRoundtrip _),
     "q54_bucketed_cdc" -> (q54BucketedCdc _),
     "q80_partitioned_lake" -> (q80PartitionedLake _),
     "q90_time_travel" -> (q90TimeTravel _),
-    "q91_range_skipping" -> (q91RangeSkipping _)
+    "q91_range_skipping" -> (q91RangeSkipping _),
+    "q100_zorder_2d" -> (q100Zorder2d _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -207,6 +243,7 @@ object Pipeline {
     "q54_bucketed_cdc" -> q19Oracle,
     "q80_partitioned_lake" -> q80Oracle,
     "q90_time_travel" -> q90Oracle,
-    "q91_range_skipping" -> q91Oracle
+    "q91_range_skipping" -> q91Oracle,
+    "q100_zorder_2d" -> q100Oracle
   )
 }

@@ -134,13 +134,47 @@ object StreamOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Stream-STATIC join: the streaming fact enriched with a broadcast
+    * batch dimension — the third join shape after stream-stream (q62)
+    * and batch-batch. No watermark and no join state: the static side
+    * is broadcast to every micro-batch's tasks, so enrichment costs a
+    * map-side hash probe per row exactly as it would on a 100 TB/day
+    * firehose with a dimension table that fits an executor. Events key
+    * on user_id against the customer dimension; the report aggregates
+    * the sink per market segment.
+    */
+  def q99StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = graft.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = rawStream(s, watchDirFor(dir, 1))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+    runToMemorySink(s, enriched)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("user_id")).as("n_users"),
+        round(sum("value"), 2).cast("decimal(18,2)")
+          .cast("double").as("total_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q99Oracle: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      | count(DISTINCT user_id) AS n_users,
+      | CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS DOUBLE)
+      |   AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_stream_join" -> (q62StreamJoin _),
-    "q63_stream_dedup" -> (q63StreamDedup _)
+    "q63_stream_dedup" -> (q63StreamDedup _),
+    "q99_stream_static_join" -> (q99StreamStaticJoin _)
   )
 
   def oracles: Map[String, String] = Map(
     "q62_stream_join" -> q62Oracle,
-    "q63_stream_dedup" -> q63Oracle
+    "q63_stream_dedup" -> q63Oracle,
+    "q99_stream_static_join" -> q99Oracle
   )
 }
