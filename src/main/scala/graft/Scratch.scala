@@ -10,8 +10,25 @@ import java.nio.file.{Files, Path}
   */
 object Scratch {
 
+  /** Scratch prefers RAM-backed storage (`/dev/shm`) when present:
+    * these dirs hold ephemeral intermediate state (streaming
+    * checkpoints, lake-lifecycle scenarios, shard exports) whose
+    * cost should be engine work, not ext4 fsync latency — the same
+    * reasoning as pointing Spark local dirs at fast local disks on a
+    * real cluster. Override with GRAFT_SCRATCH=<dir>; falls back to
+    * java.io.tmpdir when neither is usable.
+    */
   private lazy val root: Path = {
-    val r = Files.createTempDirectory("graft_scratch")
+    val base = sys.env.get("GRAFT_SCRATCH").map(java.nio.file.Paths.get(_))
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (Files.isDirectory(shm) && Files.isWritable(shm)) Some(shm)
+        else None
+      }
+    val r = base match {
+      case Some(b) => Files.createTempDirectory(b, "graft_scratch")
+      case None => Files.createTempDirectory("graft_scratch")
+    }
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(r)))
     r
   }

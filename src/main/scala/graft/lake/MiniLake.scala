@@ -26,10 +26,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * Layout:
   * {{{
-  *   <path>/_log/<v>.json      commit metadata (atomic hard-link publish)
-  *   <path>/data/v=<v>/        parquet files added by commit v
-  *   <path>/changes/v=<v>/     row-level changes of commit v (+_change_type)
+  *   <path>/_log/<v>.json           commit metadata (atomic hard-link publish)
+  *   <path>/data/v=<v>/w-<uuid>/    parquet files added by one commit attempt
+  *   <path>/changes/v=<v>/w-<uuid>/ row-level changes (+_change_type)
   * }}}
+  * Each write ATTEMPT gets its own `w-<uuid>` directory and the log
+  * entry lists the exact files — racing committers can never
+  * interleave files in a shared directory, and a loser's directory is
+  * unreferenced garbage for vacuum.
   *
   * The log tracks file-level adds/removes (Delta-style): `snapshot` reads
   * the union of live files, so appends never rewrite existing data. Only
@@ -119,7 +123,10 @@ final class MiniLake(spark: SparkSession, val path: String,
             c -> (mm.get(0).longValue(), mm.get(1).longValue())
           }.toMap
         }.toMap)
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty),
+      changeFiles = Option(m.get("changeFiles"))
+        .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
+        .getOrElse(Seq.empty))
   }
 
   /** File-level min/max stats for INT64 columns, read from the parquet
@@ -198,7 +205,10 @@ final class MiniLake(spark: SparkSession, val path: String,
           c -> java.util.List.of[Object](Long.box(lo), Long.box(hi))
         }.asJava
       }.asJava)
-    val bytes = mapper.writeValueAsBytes(withStats.asJava)
+    val withChangeFiles =
+      if (e.changeFiles.isEmpty) withStats
+      else withStats + ("changeFiles" -> e.changeFiles.asJava)
+    val bytes = mapper.writeValueAsBytes(withChangeFiles.asJava)
     val tmp = logDir.resolve(s".${e.version}.json.tmp")
     Files.write(tmp, bytes)
     try Files.createLink(logDir.resolve(s"${e.version}.json"), tmp)
@@ -319,8 +329,13 @@ final class MiniLake(spark: SparkSession, val path: String,
              else spark.read.schema(entrySchema).parquet(e.adds: _*))
               .withColumn(ChangeType, lit("insert"))
           case _ =>
+            // entry-listed change files (legacy entries without the
+            // list fall back to the version's changes directory)
+            val src =
+              if (e.changeFiles.nonEmpty) e.changeFiles
+              else Seq(root.resolve(s"changes/v=$v").toString)
             spark.read.schema(changeDataSchema(entrySchema))
-              .parquet(root.resolve(s"changes/v=$v").toString)
+              .parquet(src: _*)
         }
         // entries written before a mergeSchema evolution carry the
         // narrower schema of their day; conform every slice to the
@@ -362,13 +377,16 @@ final class MiniLake(spark: SparkSession, val path: String,
   private def maybeCompact(df: DataFrame): DataFrame =
     if (compact) df.coalesce(1) else df
 
-  /** A data/changes directory for a version with no log entry is
-    * debris from a commit that died between its writes and its
-    * publish — remove it so the retry (or the next writer) succeeds
-    * instead of failing on 'path already exists' forever.
+  /** Every write attempt gets its own directory (`.../v=<v>/w-<uuid>`):
+    * the log entry — not the directory tree — is the source of truth
+    * for which files belong to a commit. Two writers racing for the
+    * same version therefore can never interleave files in one
+    * directory (the loser's files are unreferenced garbage that
+    * vacuum reclaims), and a writer that died before publishing
+    * leaves debris that blocks nothing.
     */
-  private def clearOrphan(dir: Path): Unit =
-    if (Files.exists(dir)) deleteRecursively(dir.toString)
+  private def attemptDir(kind: String, v: Long): Path = root.resolve(
+    s"$kind/v=$v/w-${java.util.UUID.randomUUID.toString.take(8)}")
 
   // Target file count for a write whose row count is already known
   // (merge deltas are counted before writing): ~1M rows per file keeps
@@ -380,8 +398,7 @@ final class MiniLake(spark: SparkSession, val path: String,
   private def writeData(df: DataFrame, v: Long,
       rowHint: Option[Long] = None,
       dirOverride: Option[Path] = None): Seq[String] = {
-    val dir = dirOverride.getOrElse(root.resolve(s"data/v=$v"))
-    clearOrphan(dir)
+    val dir = dirOverride.getOrElse(attemptDir("data", v))
     bucketSpec match {
       case Some(spec) =>
         // hash-bucketed layout: files land under _bucket=<k>/ so a
@@ -422,13 +439,13 @@ final class MiniLake(spark: SparkSession, val path: String,
   }
 
   private def writeChanges(changes: DataFrame, v: Long,
-      rowHint: Option[Long] = None): Unit = {
-    val dir = root.resolve(s"changes/v=$v")
-    clearOrphan(dir)
+      rowHint: Option[Long] = None): Seq[String] = {
+    val dir = attemptDir("changes", v)
     val sized =
       if (compact) changes.coalesce(1)
       else rowHint.map(n => changes.coalesce(filesFor(n))).getOrElse(changes)
     sized.write.parquet(dir.toString)
+    parquetFilesIn(dir)
   }
 
   /** First write / full replace without history (S3). `overwrite` on an
@@ -577,14 +594,13 @@ final class MiniLake(spark: SparkSession, val path: String,
     * the sum. Matters because small-commit cost is job-count-bound, not
     * data-bound (each tiny write is ~one task plus fixed scheduling).
     */
-  private def inParallel[A](left: => A, right: => Unit): A = {
+  private def inParallel[A, B](left: => A, right: => B): (A, B) = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val r = Future(right)
     val a = left
-    Await.result(r, Duration.Inf)
-    a
+    (a, Await.result(r, Duration.Inf))
   }
 
   def overwrite(df: DataFrame): Unit = {
@@ -601,10 +617,10 @@ final class MiniLake(spark: SparkSession, val path: String,
     withCommitPlanning {
       val v = nextVersion
       val removed = if (removesAll) liveFiles(v - 1) else Seq.empty
-      val adds = inParallel(writeData(data, v), writeChanges(changes, v))
+      val (adds, chg) = inParallel(writeData(data, v), writeChanges(changes, v))
       writeEntry(CommitEntry(v, mode, System.currentTimeMillis(),
         data.schema.json, adds, removed, hasChanges = true,
-        bucketSpec = bucketSpec))
+        bucketSpec = bucketSpec, changeFiles = chg))
     }
 
   /** MERGE (S4): `whenNotMatchedInsertAll` ∪ `whenMatchedDelete`, keyed
@@ -678,13 +694,13 @@ final class MiniLake(spark: SparkSession, val path: String,
         case None =>
           (kept.unionByName(toInsert), liveFiles(v - 1))
       }
-      val adds = inParallel(writeData(newData, v),
+      val (adds, chg) = inParallel(writeData(newData, v),
         writeChanges(toDelete.withColumn(ChangeType, lit("delete"))
           .unionByName(toInsert.withColumn(ChangeType, lit("insert"))), v,
           rowHint = Some(nIns + nDel)))
       writeEntry(CommitEntry(v, "merge", System.currentTimeMillis(),
         target.schema.json, adds, removed, hasChanges = true,
-        bucketSpec = bucketSpec))
+        bucketSpec = bucketSpec, changeFiles = chg))
     } else {
       // pure insert: append-only commit, no rewrite of existing files;
       // the added files double as the change feed
@@ -719,15 +735,15 @@ final class MiniLake(spark: SparkSession, val path: String,
     val newData = untouched.unionByName(post)
     val v = nextVersion
     val removed = liveFiles(v - 1)
-    val adds =
+    val (adds, chg) =
       if (trackChanges) {
         val changes = pre.withColumn(ChangeType, lit("update_preimage"))
           .unionByName(post.withColumn(ChangeType, lit("update_postimage")))
         inParallel(writeData(newData, v), writeChanges(changes, v))
-      } else writeData(newData, v)
+      } else (writeData(newData, v), Seq.empty[String])
     writeEntry(CommitEntry(v, "update", System.currentTimeMillis(),
       target.schema.json, adds, removed, hasChanges = trackChanges,
-      bucketSpec = bucketSpec))
+      bucketSpec = bucketSpec, changeFiles = chg))
   }
 
   /** Physical GC of files no longer referenced by the live set — MUST
@@ -743,23 +759,35 @@ final class MiniLake(spark: SparkSession, val path: String,
     * `retainMillis = 0`, which is safe only with no in-flight writers.
     */
   def vacuum(retainMillis: Long = 0L): Unit = {
+    val entries = listVersions.map(readEntry)
     val live = liveFiles(latestVersion).toSet
     // data files of insert-only commits double as that commit's change
     // feed (changesMode=insertsFromData) — they must survive vacuum
     // even after leaving the live set, exactly like dedicated change
     // files do.
-    val changeBacked = listVersions.map(readEntry)
+    val changeBacked = entries
       .filter(_.changesMode == "insertsFromData")
       .flatMap(_.adds).toSet
-    val protectedFiles = live ++ changeBacked
+    // entry-listed change files back readChanges forever; change files
+    // NOT listed by any entry are debris from a commit attempt that
+    // lost its publish race (each attempt writes its own w-<uuid> dir)
+    val listedChanges = entries.flatMap(_.changeFiles).toSet
+    val protectedFiles = live ++ changeBacked ++ listedChanges
     val cutoff = System.currentTimeMillis() - retainMillis
-    val dataDir = root.resolve("data")
-    if (Files.isDirectory(dataDir)) {
-      usingStream(Files.walk(dataDir))(_
-        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-        .filterNot(p => protectedFiles.contains(p.toString))
-        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-        .foreach(Files.delete))
+    Seq("data", "changes").map(root.resolve).foreach { d =>
+      if (Files.isDirectory(d)) {
+        // legacy layout: entries without a changeFiles list own their
+        // whole changes/v=<v> directory — leave those subtrees alone
+        val legacyDirs = entries
+          .filter(e => e.changesMode == "files" && e.changeFiles.isEmpty)
+          .map(e => root.resolve(s"changes/v=${e.version}")).toSet
+        usingStream(Files.walk(d))(_
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          .filterNot(p => protectedFiles.contains(p.toString))
+          .filterNot(p => legacyDirs.exists(p.startsWith))
+          .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+          .foreach(Files.delete))
+      }
     }
   }
 
@@ -820,7 +848,8 @@ object MiniLake {
       changesMode: String = "files",
       txn: Option[(String, Long)] = None,
       partitionCols: Seq[String] = Seq.empty,
-      stats: Map[String, Map[String, (Long, Long)]] = Map.empty)
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      changeFiles: Seq[String] = Seq.empty)
 
   def apply(spark: SparkSession, path: String): MiniLake =
     new MiniLake(spark, path)

@@ -154,6 +154,21 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(t.snapshot().as[(Long, String)].collect().toSeq === Seq(1L -> "a3"))
   }
 
+  test("vacuum reclaims change-file debris but keeps entry-listed change files") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a"))
+    t.overwrite(kv(2L -> "b")) // v1 carries real change files
+    // debris: a commit attempt that wrote its changes dir but lost the
+    // publish race (no entry lists these files)
+    val debris = java.nio.file.Paths.get(dir, "changes", "v=1", "w-loser00")
+    java.nio.file.Files.createDirectories(debris)
+    java.nio.file.Files.write(debris.resolve("part-0.parquet"), Array[Byte](1))
+    t.vacuum()
+    assert(!java.nio.file.Files.exists(debris.resolve("part-0.parquet")))
+    // the real change feed still reads
+    assert(t.readChanges(1, 1).filter("_change_type = 'delete'").count() === 1L)
+  }
+
   test("snapshot time-travel reads an old version") {
     val t = MiniLake(spark, dir)
     t.create(kv(1L -> "a"))
@@ -168,15 +183,18 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
   test("a failed commit's orphaned data dir does not block the retry") {
     val t = MiniLake(spark, dir)
     t.create(kv(1L -> "a"))
-    // simulate a writer that died after writing data/v=1 but before
-    // publishing the log entry
-    val orphan = java.nio.file.Paths.get(dir, "data", "v=1")
+    // simulate a writer that died after writing its attempt dir under
+    // data/v=1 but before publishing the log entry — the debris must
+    // neither block the next writer nor leak into its commit (the log
+    // entry lists exact files; directory contents are not authoritative)
+    val orphan = java.nio.file.Paths.get(dir, "data", "v=1", "w-deadbeef")
     java.nio.file.Files.createDirectories(orphan)
     java.nio.file.Files.write(orphan.resolve("stale.parquet"), Array[Byte](1))
-    t.append(kv(2L -> "b")) // must clear the orphan and succeed
+    t.append(kv(2L -> "b"))
     assert(t.latestVersion === 1L)
     assert(t.snapshot().orderBy("key").as[(Long, String)].collect().toSeq
       === Seq(1L -> "a", 2L -> "b"))
+    assert(!t.snapshot().inputFiles.exists(_.contains("stale")))
   }
 
   test("appendIfAbsent applies each txn version once (streaming replay)") {
