@@ -126,44 +126,87 @@ final class MiniLake(spark: SparkSession, val path: String,
         .getOrElse(Map.empty),
       changeFiles = Option(m.get("changeFiles"))
         .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
-        .getOrElse(Seq.empty))
+        .getOrElse(Seq.empty),
+      statsStr = Option(m.get("statsStr"))
+        .map(_.asInstanceOf[java.util.Map[String, java.util.Map[String,
+          java.util.List[String]]]].asScala.map { case (f, cols) =>
+          f -> cols.asScala.map { case (c, mm) =>
+            c -> (mm.get(0), mm.get(1))
+          }.toMap
+        }.toMap)
+        .getOrElse(Map.empty))
   }
 
-  /** File-level min/max stats for INT64 columns, read from the parquet
-    * footers the write just produced (driver-side, one footer per
-    * file — metadata-sized; the Delta-style data-skipping index).
-    * Bucketed tables sort rows by PK inside each file, so these ranges
-    * are tight exactly where range reads need them.
+  /** File-level min/max stats for INT64 and UTF8-string columns, read
+    * from the parquet footers the write just produced (driver-side,
+    * one footer per file — metadata-sized; the Delta-style
+    * data-skipping index). Bucketed tables sort rows by PK inside
+    * each file, so these ranges are tight exactly where range reads
+    * need them. String stats are kept only when both bounds fit
+    * [[MiniLake.MaxStatsStringLen]] — long free-text values would
+    * bloat the log, and a truncated upper bound is unsound for
+    * pruning unless rounded up, so oversized values simply skip stats
+    * (the file is conservatively kept by range reads).
     */
-  private def collectLongStats(
-      files: Seq[String]): Map[String, Map[String, (Long, Long)]] = {
+  private def collectFileStats(files: Seq[String]): (
+      Map[String, Map[String, (Long, Long)]],
+      Map[String, Map[String, (String, String)]]) = {
     val conf = spark.sparkContext.hadoopConfiguration
-    files.flatMap { f =>
+    val longs =
+      scala.collection.mutable.Map.empty[String, Map[String, (Long, Long)]]
+    val strs =
+      scala.collection.mutable.Map.empty[String, Map[String, (String, String)]]
+    files.foreach { f =>
       try {
         val md = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
           conf, new org.apache.hadoop.fs.Path(f),
           org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
-        val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+        val accL = scala.collection.mutable.Map.empty[String, (Long, Long)]
+        val accS = scala.collection.mutable.Map.empty[String, (String, String)]
         md.getBlocks.asScala.foreach { b =>
           b.getColumns.asScala.foreach { c =>
-            val isLong = c.getPrimitiveType.getPrimitiveTypeName ==
-              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+            val pt = c.getPrimitiveType
             val st = c.getStatistics
-            if (isLong && st != null && st.hasNonNullValue) {
-              val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue
-              val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue
-              val name = c.getPath.toDotString
-              val cur = acc.get(name)
-              acc(name) = cur match {
-                case Some((lo, hi)) => (math.min(lo, mn), math.max(hi, mx))
-                case None => (mn, mx)
+            val name = c.getPath.toDotString
+            if (st != null && st.hasNonNullValue) {
+              pt.getPrimitiveTypeName match {
+                case org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.INT64 =>
+                  val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue
+                  val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue
+                  accL(name) = accL.get(name) match {
+                    case Some((lo, hi)) => (math.min(lo, mn), math.max(hi, mx))
+                    case None => (mn, mx)
+                  }
+                case org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.BINARY
+                    if pt.getLogicalTypeAnnotation.isInstanceOf[
+                      org.apache.parquet.schema.LogicalTypeAnnotation
+                        .StringLogicalTypeAnnotation] =>
+                  val mn = st.genericGetMin
+                    .asInstanceOf[org.apache.parquet.io.api.Binary]
+                    .toStringUsingUTF8
+                  val mx = st.genericGetMax
+                    .asInstanceOf[org.apache.parquet.io.api.Binary]
+                    .toStringUsingUTF8
+                  if (mn.length <= MiniLake.MaxStatsStringLen &&
+                      mx.length <= MiniLake.MaxStatsStringLen) {
+                    accS(name) = accS.get(name) match {
+                      case Some((lo, hi)) =>
+                        (if (mn < lo) mn else lo, if (mx > hi) mx else hi)
+                      case None => (mn, mx)
+                    }
+                  }
+                case _ => ()
               }
             }
           }
         }
-        if (acc.isEmpty) None else Some(f -> acc.toMap)
-      } catch { case _: Exception => None } // stats are best-effort
-    }.toMap
+        if (accL.nonEmpty) longs(f) = accL.toMap
+        if (accS.nonEmpty) strs(f) = accS.toMap
+      } catch { case _: Exception => () } // stats are best-effort
+    }
+    (longs.toMap, strs.toMap)
   }
 
   /** Publish the commit entry for `v` atomically: write a tmp file, then
@@ -172,9 +215,10 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   private def writeEntry(e0: CommitEntry): Unit = {
     val e =
-      if (e0.adds.nonEmpty && e0.stats.isEmpty)
-        e0.copy(stats = collectLongStats(e0.adds))
-      else e0
+      if (e0.adds.nonEmpty && e0.stats.isEmpty && e0.statsStr.isEmpty) {
+        val (longs, strs) = collectFileStats(e0.adds)
+        e0.copy(stats = longs, statsStr = strs)
+      } else e0
     Files.createDirectories(logDir)
     val base = Map[String, Object](
       "version" -> Long.box(e.version), "mode" -> e.mode,
@@ -205,9 +249,16 @@ final class MiniLake(spark: SparkSession, val path: String,
           c -> java.util.List.of[Object](Long.box(lo), Long.box(hi))
         }.asJava
       }.asJava)
+    val withStatsStr =
+      if (e.statsStr.isEmpty) withStats
+      else withStats + ("statsStr" -> e.statsStr.map { case (f, cols) =>
+        f -> cols.map { case (c, (lo, hi)) =>
+          c -> java.util.List.of[Object](lo, hi)
+        }.asJava
+      }.asJava)
     val withChangeFiles =
-      if (e.changeFiles.isEmpty) withStats
-      else withStats + ("changeFiles" -> e.changeFiles.asJava)
+      if (e.changeFiles.isEmpty) withStatsStr
+      else withStatsStr + ("changeFiles" -> e.changeFiles.asJava)
     val bytes = mapper.writeValueAsBytes(withChangeFiles.asJava)
     val tmp = logDir.resolve(s".${e.version}.json.tmp")
     Files.write(tmp, bytes)
@@ -283,6 +334,40 @@ final class MiniLake(spark: SparkSession, val path: String,
     require(latestVersion >= 0, s"table $path does not exist")
     require(ranges.nonEmpty, "at least one column range required")
     val statsByFile = listVersions.map(readEntry).flatMap(_.stats).toMap
+    val files = liveFiles(latestVersion).filter { f =>
+      ranges.forall { case (colName, (lo, hi)) =>
+        statsByFile.get(f).flatMap(_.get(colName)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+    }
+    val sch = schemaAt(latestVersion)
+    val base =
+      if (files.isEmpty) emptyDf(spark, sch)
+      else spark.read.schema(sch).parquet(files: _*)
+    ranges.foldLeft(base) { case (d, (c, (lo, hi))) =>
+      d.filter(col(c) >= lo && col(c) <= hi)
+    }
+  }
+
+  /** String-column data skipping: same index, UTF8 min/max. The
+    * string case is what day-partitioned-as-string event tables and
+    * language/source dictionary columns need — a `lang = 'en'` or
+    * `day BETWEEN ..` lookup on a layout clustered by that column
+    * opens only the files whose [min, max] intersects. Files without
+    * string stats (oversized values, legacy entries) are
+    * conservatively kept; the exact filter always reapplies.
+    */
+  def snapshotForStringRange(colName: String, lo: String,
+      hi: String): DataFrame =
+    snapshotForStringRanges(Map(colName -> (lo, hi)))
+
+  def snapshotForStringRanges(
+      ranges: Map[String, (String, String)]): DataFrame = {
+    require(latestVersion >= 0, s"table $path does not exist")
+    require(ranges.nonEmpty, "at least one column range required")
+    val statsByFile = listVersions.map(readEntry).flatMap(_.statsStr).toMap
     val files = liveFiles(latestVersion).filter { f =>
       ranges.forall { case (colName, (lo, hi)) =>
         statsByFile.get(f).flatMap(_.get(colName)) match {
@@ -805,6 +890,13 @@ object MiniLake {
   /** Sizing target for writes whose row count is known up front. */
   private[lake] val RowsPerFile: Long = 1L << 20
 
+  /** String stats above this length are dropped rather than truncated
+    * (a truncated max is not an upper bound; Delta rounds the last
+    * code point up instead — dropping is simpler and only costs
+    * skipping power on free-text columns nobody range-reads).
+    */
+  private[lake] val MaxStatsStringLen: Int = 64
+
   val ChangeType = "_change_type"
   val CommitVersion = "_commit_version"
   val CommitTimestamp = "_commit_timestamp"
@@ -849,7 +941,8 @@ object MiniLake {
       txn: Option[(String, Long)] = None,
       partitionCols: Seq[String] = Seq.empty,
       stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
-      changeFiles: Seq[String] = Seq.empty)
+      changeFiles: Seq[String] = Seq.empty,
+      statsStr: Map[String, Map[String, (String, String)]] = Map.empty)
 
   def apply(spark: SparkSession, path: String): MiniLake =
     new MiniLake(spark, path)

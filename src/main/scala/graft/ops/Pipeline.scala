@@ -229,13 +229,50 @@ object Pipeline {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** String-column data skipping as a gate: the events table is
+    * rewritten clustered by `event_type` (range partitioning gives
+    * every file a tight string [min, max], recorded in the commit log
+    * from the parquet footers), then a dictionary-range report reads
+    * ONLY the files whose string range intersects ['error','purchase']
+    * — the same skipping index as q91, extended to UTF8 columns. On a
+    * 100 TB event table clustered by type/tenant/day-string this is
+    * the difference between opening a handful of files and scanning
+    * the world. MiniLakeSpec asserts the pruning is physical; this
+    * gate proves the numbers.
+    */
+  def q101StringSkipping(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_strskip").toString
+    val t = MiniLake(s, s"$base/events_bytype")
+    val e = events(s, dir)
+      .select("event_id", "user_id", "event_type", "value")
+      .repartitionByRange(8, col("event_type"), col("event_id"))
+      .sortWithinPartitions("event_type", "event_id")
+    t.create(e)
+    t.snapshotForStringRange("event_type", "error", "purchase")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).cast("decimal(18,2)")
+          .cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val q101Oracle: String =
+    """SELECT event_type, count(*) AS n,
+      | CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS DOUBLE)
+      |   AS total_value
+      |FROM events
+      |WHERE event_type BETWEEN 'error' AND 'purchase'
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_cdc_roundtrip" -> (q19CdcRoundtrip _),
     "q54_bucketed_cdc" -> (q54BucketedCdc _),
     "q80_partitioned_lake" -> (q80PartitionedLake _),
     "q90_time_travel" -> (q90TimeTravel _),
     "q91_range_skipping" -> (q91RangeSkipping _),
-    "q100_zorder_2d" -> (q100Zorder2d _)
+    "q100_zorder_2d" -> (q100Zorder2d _),
+    "q101_string_skipping" -> (q101StringSkipping _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -244,6 +281,7 @@ object Pipeline {
     "q80_partitioned_lake" -> q80Oracle,
     "q90_time_travel" -> q90Oracle,
     "q91_range_skipping" -> q91Oracle,
-    "q100_zorder_2d" -> q100Oracle
+    "q100_zorder_2d" -> q100Oracle,
+    "q101_string_skipping" -> q101Oracle
   )
 }

@@ -327,6 +327,29 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(afterCompact.count() === 61L)
   }
 
+  test("snapshotForStringRange skips files via UTF8 min/max stats") {
+    val t = MiniLake(spark, dir)
+    // dictionary-clustered ingest: each commit holds a disjoint
+    // alphabetical slice, the shape string-skipping exists for
+    t.create(kv((0L until 50L).map(k => k -> s"a$k"): _*))
+    t.append(kv((50L until 100L).map(k => k -> s"m$k"): _*))
+    t.append(kv((100L until 150L).map(k => k -> s"x$k"): _*))
+
+    val all = t.snapshot()
+    val ranged = t.snapshotForStringRange("value", "m", "n")
+    assert(ranged.count() === 50L)
+    // pruning is physical: only commit v1's files open
+    assert(ranged.inputFiles.nonEmpty)
+    assert(ranged.inputFiles.length < all.inputFiles.length)
+    assert(ranged.inputFiles.forall(_.contains("/v=1/")))
+    // values longer than the stats cap neither break the write nor
+    // produce unsound pruning: the oversized-value file is kept
+    val big = "z" * 200
+    t.append(kv(900L -> big))
+    val afterBig = t.snapshotForStringRange("value", "z", "z" * 201)
+    assert(afterBig.count() === 1L)
+  }
+
   test("append with mismatched schema is rejected") {
     val t = MiniLake(spark, dir)
     t.create(kv(1L -> "a"))
