@@ -149,6 +149,93 @@ object Sampling {
     * repartitioning on the shard value bounds output at one file per
     * shard per write.
     */
+  /** Quality-stratified corpus sampling — the step that turns a raw
+    * corpus plus a quality score into a training mix biased toward
+    * high-quality text (the CCNet/LLaMA "keep the best quintile whole,
+    * thin the tail" recipe). Composition of two existing primitives:
+    * the unigram-LM score (q76) supplies per-document quality; the
+    * deterministic md5-prefix threshold (q89) supplies per-stratum
+    * down-weighting (quintile 1 keeps all, then 0.75 / 0.5 / 0.25 /
+    * ~0.1). Membership is a pure function of (score distribution,
+    * doc_id) — reproducible and stable under re-runs.
+    *
+    * Scale design: strata come from score PERCENTILE BOUNDARIES (a
+    * 4-value aggregate collected to the driver — metadata-sized, like
+    * a watermark lookup), NOT from a global ntile window, which would
+    * single-task a 100 TB sort. Boundaries are exact interpolated
+    * percentiles (`percentile` ≡ DuckDB `quantile_cont`, the q65
+    * precedent), rounded to 6 dp on both sides; scores are 4-dp
+    * quantized, so stratum assignment cannot flip on sub-ulp
+    * differences. The per-stratum mean sums DECIMAL-cast scores —
+    * order-independent, hash-stable.
+    */
+  def q103QualityStrata(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.q76LmScore(s, dir)
+      .select(col("doc_id"), col("avg_logp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bs = scored
+      .select(expr("percentile(avg_logp, array(0.8, 0.6, 0.4, 0.2))"))
+      .head().getSeq[Double](0)
+      .map(b => BigDecimal(b).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    val stratum = when(col("avg_logp") >= bs(0), 1)
+      .when(col("avg_logp") >= bs(1), 2)
+      .when(col("avg_logp") >= bs(2), 3)
+      .when(col("avg_logp") >= bs(3), 4)
+      .otherwise(5)
+    val keepThreshold = when(col("stratum") === 1, "zz")
+      .when(col("stratum") === 2, "c0")
+      .when(col("stratum") === 3, "80")
+      .when(col("stratum") === 4, "40")
+      .otherwise("1a")
+    val out = scored
+      .withColumn("stratum", stratum)
+      .withColumn("kept",
+        (substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+          < keepThreshold).cast("long"))
+      .groupBy("stratum")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("kept").as("n_kept"),
+        round(sum(col("avg_logp").cast("decimal(18,4)"))
+            .cast("decimal(28,4)").cast("double") / count(lit(1)), 4)
+          .cast("decimal(18,4)").cast("double").as("mean_logp"))
+      .orderBy("stratum")
+    out.cache().count() // materialize before unpersisting the input
+    scored.unpersist()
+    out
+  }
+
+  val q103Oracle: String = {
+    val scoredCte = graft.ops.TextAnalysis.q76ScoredCte
+    s"""WITH $scoredCte,
+      |b AS (SELECT
+      |  round(quantile_cont(avg_logp, 0.8), 6) AS b1,
+      |  round(quantile_cont(avg_logp, 0.6), 6) AS b2,
+      |  round(quantile_cont(avg_logp, 0.4), 6) AS b3,
+      |  round(quantile_cont(avg_logp, 0.2), 6) AS b4
+      | FROM scored),
+      |strat AS (
+      |  SELECT doc_id, avg_logp,
+      |    CASE WHEN avg_logp >= b1 THEN 1 WHEN avg_logp >= b2 THEN 2
+      |         WHEN avg_logp >= b3 THEN 3 WHEN avg_logp >= b4 THEN 4
+      |         ELSE 5 END AS stratum,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx
+      |  FROM scored CROSS JOIN b)
+      |SELECT CAST(stratum AS INT) AS stratum, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN hx < CASE stratum
+      |      WHEN 1 THEN 'zz' WHEN 2 THEN 'c0' WHEN 3 THEN '80'
+      |      WHEN 4 THEN '40' ELSE '1a' END
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(CAST(round(
+      |    CAST(CAST(sum(CAST(avg_logp AS DECIMAL(18,4))) AS DECIMAL(28,4))
+      |      AS DOUBLE) / count(*), 4) AS DECIMAL(18,4)) AS DOUBLE)
+      |    AS mean_logp
+      |FROM strat
+      |GROUP BY stratum
+      |ORDER BY stratum""".stripMargin
+  }
+
   def q93ShardExport(s: SparkSession, dir: String): DataFrame = {
     val out = graft.Scratch.dir("graft_shards").toString + "/corpus"
     documents(s, dir)
@@ -183,13 +270,15 @@ object Sampling {
     "q59_hash_split" -> (q59HashSplit _),
     "q78_capped_sample" -> (q78CappedSample _),
     "q89_training_mix" -> (q89TrainingMix _),
-    "q93_shard_export" -> (q93ShardExport _)
+    "q93_shard_export" -> (q93ShardExport _),
+    "q103_quality_strata" -> (q103QualityStrata _)
   )
 
   def oracles: Map[String, String] = Map(
     "q59_hash_split" -> q59Oracle,
     "q78_capped_sample" -> q78Oracle,
     "q89_training_mix" -> q89Oracle,
-    "q93_shard_export" -> q93Oracle
+    "q93_shard_export" -> q93Oracle,
+    "q103_quality_strata" -> q103Oracle
   )
 }

@@ -273,8 +273,12 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val q76Oracle: String =
-    s"""WITH w AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+  /** The q76 scoring pipeline as a reusable CTE chain ending in
+    * `scored(doc_id, n_tokens, total_logp, avg_logp)` — q103's
+    * stratified sampling builds on the same score.
+    */
+  val q76ScoredCte: String =
+    s"""w AS (SELECT doc_id, $tokensSql AS ws FROM documents),
       |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
       |freq AS (SELECT term, count(*) AS tf FROM t GROUP BY term),
       |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
@@ -286,11 +290,17 @@ object TextAnalysis {
       |per_doc AS (
       |  SELECT doc_id, count(*) AS n_tokens,
       |    CAST(CAST(sum(lp) AS DECIMAL(28,6)) AS DOUBLE) AS total_logp
-      |  FROM per_tok GROUP BY doc_id)
-      |SELECT doc_id, n_tokens, total_logp,
-      |  CAST(CAST(round(total_logp / n_tokens, 4)
-      |    AS DECIMAL(18,4)) AS DOUBLE) AS avg_logp
-      |FROM per_doc
+      |  FROM per_tok GROUP BY doc_id),
+      |scored AS (
+      |  SELECT doc_id, n_tokens, total_logp,
+      |    CAST(CAST(round(total_logp / n_tokens, 4)
+      |      AS DECIMAL(18,4)) AS DOUBLE) AS avg_logp
+      |  FROM per_doc)""".stripMargin
+
+  val q76Oracle: String =
+    s"""WITH $q76ScoredCte
+      |SELECT doc_id, n_tokens, total_logp, avg_logp
+      |FROM scored
       |ORDER BY doc_id""".stripMargin
 
   /** Intra-document repetition statistics — the Gopher/MassiveText

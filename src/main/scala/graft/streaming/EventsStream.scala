@@ -72,8 +72,56 @@ object EventsStream {
     }
   }
 
+  /** Sliding event-time windows (1 h window, 15 min slide): every event
+    * lands in FOUR overlapping windows, the shape trend dashboards and
+    * rate monitors use. Same readStream → watermark → windowed-agg →
+    * memory-sink drive as [[hourlyStream]]; the aggregation state is
+    * (window, event_type)-keyed and 4× the tumbling case — still
+    * watermark-bounded. The oracle states window membership directly:
+    * the windows containing ts start at floor15(ts) − k·15 min,
+    * k ∈ 0..3.
+    */
+  def slidingStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val watchDir = graft.Scratch.dir("graft_stream_slide")
+    java.nio.file.Files.createSymbolicLink(
+      watchDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = s.readStream
+      .schema(rawSchema)
+      .parquet(watchDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).cast("decimal(18,2)")
+          .cast("double").as("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("win_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(prevShuffle.toInt, 4).toString)
+    val name = "graft_slide_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val query = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      query.processAllAvailable()
+      val result = s.table(name).orderBy("win_start", "event_type")
+      result.cache().count()
+      result
+    } finally {
+      query.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_stream_hourly" -> ((s, dir) => hourlyStream(s, dir)),
+    "q102_stream_sliding" -> ((s, dir) => slidingStream(s, dir)),
     "q51_stream_sessions" -> ((s, dir) => SessionizeStream.sessions(s, dir)
       .select("user_id", "session_seq", "n_events", "start_ms", "end_ms",
         "session_value")),
@@ -97,6 +145,17 @@ object EventsStream {
         |ORDER BY hour, event_type""".stripMargin,
     "q58_stream_lake_ingest" -> LakeIngestStream.q58Oracle,
     "q84_partitioned_ingest" -> LakeIngestStream.q84Oracle,
-    "q88_stream_upsert" -> LakeIngestStream.q88Oracle
+    "q88_stream_upsert" -> LakeIngestStream.q88Oracle,
+    // window membership stated directly: ts belongs to the 4 sliding
+    // windows starting at floor15(ts) - k*15min, k in 0..3
+    "q102_stream_sliding" ->
+      """SELECT CAST(time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+        |        - to_minutes(15 * k.k) AS TIMESTAMP) AS win_start,
+        |  event_type, count(*) AS n,
+        |  CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS DOUBLE)
+        |    AS total_value
+        |FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+        |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin
   )
 }
