@@ -480,6 +480,33 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Semi-structured extraction through Spark 4's native VARIANT type
+    * (vs q17's string-path `get_json_object`): `parse_json` builds the
+    * binary variant ONCE per row, then typed `variant_get` extractions
+    * read its encoded form — on wide messy metadata (the
+    * training-data-pipeline norm) N extractions parse the JSON text
+    * once, not N times, and the binary encoding column-shreds in
+    * parquet. The aggregate buckets k by decade so the gate exercises
+    * the extracted value as a join/group key, not just a projection.
+    */
+  def q104VariantProps(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", variant_get(col("v"), "$.k", "bigint"))
+      .groupBy(floor(col("k") / 10L).as("k_decade"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      .orderBy("k_decade")
+
+  val q104Oracle: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+      |    AS k_decade,
+      | count(*) AS n,
+      | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |    AS BIGINT) AS sum_k
+      |FROM events
+      |GROUP BY k_decade
+      |ORDER BY k_decade""".stripMargin
+
   /** Time-bucketed rollup: date_trunc to the hour (F4 surface on the
     * events table; output cast to µs-precision timestamp both sides).
     */
@@ -677,6 +704,7 @@ object Relational {
     "q15_date_bounds" -> (q15DateBounds _),
     "q16_set_ops" -> (q16SetOps _),
     "q17_json_props" -> (q17JsonProps _),
+    "q104_variant_props" -> (q104VariantProps _),
     "q18_hourly_events" -> (q18HourlyEvents _),
     "q52_cube" -> (q52Cube _),
     "q53_except" -> (q53Except _),
@@ -705,6 +733,7 @@ object Relational {
     "q15_date_bounds" -> q15Oracle,
     "q16_set_ops" -> q16Oracle,
     "q17_json_props" -> q17Oracle,
+    "q104_variant_props" -> q104Oracle,
     "q18_hourly_events" -> q18Oracle,
     "q52_cube" -> q52Oracle,
     "q53_except" -> q53Oracle,
