@@ -33,6 +33,14 @@ object Bench {
       warm.update(col("key") === 2L, Map("value" -> lit("x")))
       warm.readChanges(0, warm.latestVersion).count()
     }
+    // Wall-clock budget: the harness recording this run may enforce a
+    // timeout, and a kill loses the summary line entirely — a degraded
+    // single-pass number beats no number. Measured same-machine runs
+    // vary up to ~4× with neighbor load, so the budget adapts what
+    // runs rather than assuming a quiet box.
+    val deadline = System.nanoTime() +
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toLong * 1_000_000_000L
+    def timeLeft: Long = deadline - System.nanoTime()
     // JMH-style warmup iteration: run the full query set once at the
     // smallest SF before timing at the target SF. Each query's first
     // execution pays one-time plan analysis + whole-stage codegen
@@ -40,13 +48,17 @@ object Bench {
     // pipelines) — a per-process constant that amortizes to zero on a
     // long-lived cluster, which is the regime being measured. Data-
     // dependent work is NOT pre-warmed: the timed run reads, shuffles,
-    // and writes all its own data at the target SF.
+    // and writes all its own data at the target SF. The warmup spends
+    // at most half the budget — timed passes have priority.
     locally {
       val warmDir = sfDir.replaceAll("sf[0-9.]+", "sf0.001")
       if (warmDir != sfDir &&
           java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir))) {
+        val warmupDeadline = System.nanoTime() + timeLeft / 2
         SparkEntry.queries.foreach { case (_, fn) =>
-          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+          if (System.nanoTime() < warmupDeadline) {
+            try fn(spark, warmDir).count() catch { case _: Throwable => () }
+          }
         }
       }
     }
@@ -54,16 +66,22 @@ object Bench {
     // One pass is hostage to cross-query noise in a shared session (GC
     // pauses, LRU eviction order, streaming state-store maintenance
     // ticks); the minimum is the steady-state per-query cost — the
-    // number that extrapolates to a long-lived cluster.
+    // number that extrapolates to a long-lived cluster. Pass 2 runs
+    // only if pass 1's duration still fits the remaining budget.
     def timedPass(): Map[String, Double] = SparkEntry.queries.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
     }
+    val p1Start = System.nanoTime()
     val pass1 = timedPass()
-    val pass2 = timedPass()
-    val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
+    val p1Nanos = System.nanoTime() - p1Start
+    val results =
+      if (timeLeft > (p1Nanos * 1.2).toLong) {
+        val pass2 = timedPass()
+        pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
+      } else pass1
     // The harness that records this line keeps only a short tail of the
     // build output; a full-name, full-precision per-query map for ~80
     // queries (~3 KB) overflows it and the line is lost. Keep the

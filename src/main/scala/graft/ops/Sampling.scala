@@ -153,42 +153,51 @@ object Sampling {
     * corpus plus a quality score into a training mix biased toward
     * high-quality text (the CCNet/LLaMA "keep the best quintile whole,
     * thin the tail" recipe). Composition of two existing primitives:
-    * the unigram-LM score (q76) supplies per-document quality; the
+    * the q31-family heuristic quality signal (stopword ratio — the
+    * C4-style "does this read like prose" score, one narrow codegen'd
+    * scan, no corpus-level join) supplies per-document quality; the
     * deterministic md5-prefix threshold (q89) supplies per-stratum
     * down-weighting (quintile 1 keeps all, then 0.75 / 0.5 / 0.25 /
     * ~0.1). Membership is a pure function of (score distribution,
     * doc_id) — reproducible and stable under re-runs.
     *
     * Scale design: strata come from score PERCENTILE BOUNDARIES (a
-    * 4-value aggregate collected to the driver — metadata-sized, like
-    * a watermark lookup), NOT from a global ntile window, which would
-    * single-task a 100 TB sort. Boundaries are exact interpolated
-    * percentiles (`percentile` ≡ DuckDB `quantile_cont`, the q65
-    * precedent), rounded to 6 dp on both sides; scores are 4-dp
-    * quantized, so stratum assignment cannot flip on sub-ulp
-    * differences. The per-stratum mean sums DECIMAL-cast scores —
-    * order-independent, hash-stable.
+    * 1-row aggregate broadcast back onto the corpus), NOT from a
+    * global ntile window, which would single-task a 100 TB sort.
+    * Boundaries are exact interpolated percentiles (`percentile` ≡
+    * DuckDB `quantile_cont`, the q65 precedent), rounded to 6 dp on
+    * both sides; scores are 4-dp-quantized exact integer ratios and
+    * boundaries land on the 5-dp interpolation grid, so stratum
+    * assignment cannot flip on sub-ulp differences. The per-stratum
+    * mean sums DECIMAL-cast scores — order-independent, hash-stable.
     */
   def q103QualityStrata(s: SparkSession, dir: String): DataFrame = {
-    val scored = TextAnalysis.q76LmScore(s, dir)
-      .select(col("doc_id"), col("avg_logp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bs = scored
-      .select(expr("percentile(avg_logp, array(0.8, 0.6, 0.4, 0.2))"))
-      .head().getSeq[Double](0)
-      .map(b => BigDecimal(b).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble)
-    val stratum = when(col("avg_logp") >= bs(0), 1)
-      .when(col("avg_logp") >= bs(1), 2)
-      .when(col("avg_logp") >= bs(2), 3)
-      .when(col("avg_logp") >= bs(3), 4)
+    val stop = Seq("the", "a", "of", "and", "is", "in", "to")
+    val scored = documents(s, dir)
+      .withColumn("ws", graft.functions.Text.tokens(col("text")))
+      .select(col("doc_id"),
+        round(size(filter(col("ws"),
+          w => stop.map(w === lit(_)).reduce(_ || _)))
+          .cast("double") / size(col("ws")), 4).as("score"))
+    // boundaries stay a (broadcast) 1-row frame rather than a driver
+    // collect: the whole query is ONE action and the shape mirrors
+    // the oracle's CROSS JOIN
+    val b = scored.agg(
+      round(expr("percentile(score, 0.8)"), 6).as("b1"),
+      round(expr("percentile(score, 0.6)"), 6).as("b2"),
+      round(expr("percentile(score, 0.4)"), 6).as("b3"),
+      round(expr("percentile(score, 0.2)"), 6).as("b4"))
+    val stratum = when(col("score") >= col("b1"), 1)
+      .when(col("score") >= col("b2"), 2)
+      .when(col("score") >= col("b3"), 3)
+      .when(col("score") >= col("b4"), 4)
       .otherwise(5)
     val keepThreshold = when(col("stratum") === 1, "zz")
       .when(col("stratum") === 2, "c0")
       .when(col("stratum") === 3, "80")
       .when(col("stratum") === 4, "40")
       .otherwise("1a")
-    val out = scored
+    scored.crossJoin(broadcast(b))
       .withColumn("stratum", stratum)
       .withColumn("kept",
         (substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
@@ -197,28 +206,31 @@ object Sampling {
       .agg(
         count(lit(1)).as("n_docs"),
         sum("kept").as("n_kept"),
-        round(sum(col("avg_logp").cast("decimal(18,4)"))
+        round(sum(col("score").cast("decimal(18,4)"))
             .cast("decimal(28,4)").cast("double") / count(lit(1)), 4)
-          .cast("decimal(18,4)").cast("double").as("mean_logp"))
+          .cast("decimal(18,4)").cast("double").as("mean_score"))
       .orderBy("stratum")
-    out.cache().count() // materialize before unpersisting the input
-    scored.unpersist()
-    out
   }
 
   val q103Oracle: String = {
-    val scoredCte = graft.ops.TextAnalysis.q76ScoredCte
-    s"""WITH $scoredCte,
+    val tokensSql = graft.functions.Text.tokensSql
+    s"""WITH w AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+      |scored AS (
+      |  SELECT doc_id,
+      |    round(CAST(length(list_filter(ws,
+      |      x -> x IN ('the','a','of','and','is','in','to'))) AS DOUBLE)
+      |      / length(ws), 4) AS score
+      |  FROM w),
       |b AS (SELECT
-      |  round(quantile_cont(avg_logp, 0.8), 6) AS b1,
-      |  round(quantile_cont(avg_logp, 0.6), 6) AS b2,
-      |  round(quantile_cont(avg_logp, 0.4), 6) AS b3,
-      |  round(quantile_cont(avg_logp, 0.2), 6) AS b4
+      |  round(quantile_cont(score, 0.8), 6) AS b1,
+      |  round(quantile_cont(score, 0.6), 6) AS b2,
+      |  round(quantile_cont(score, 0.4), 6) AS b3,
+      |  round(quantile_cont(score, 0.2), 6) AS b4
       | FROM scored),
       |strat AS (
-      |  SELECT doc_id, avg_logp,
-      |    CASE WHEN avg_logp >= b1 THEN 1 WHEN avg_logp >= b2 THEN 2
-      |         WHEN avg_logp >= b3 THEN 3 WHEN avg_logp >= b4 THEN 4
+      |  SELECT doc_id, score,
+      |    CASE WHEN score >= b1 THEN 1 WHEN score >= b2 THEN 2
+      |         WHEN score >= b3 THEN 3 WHEN score >= b4 THEN 4
       |         ELSE 5 END AS stratum,
       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx
       |  FROM scored CROSS JOIN b)
@@ -228,9 +240,9 @@ object Sampling {
       |      WHEN 4 THEN '40' ELSE '1a' END
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       |  CAST(CAST(round(
-      |    CAST(CAST(sum(CAST(avg_logp AS DECIMAL(18,4))) AS DECIMAL(28,4))
+      |    CAST(CAST(sum(CAST(score AS DECIMAL(18,4))) AS DECIMAL(28,4))
       |      AS DOUBLE) / count(*), 4) AS DECIMAL(18,4)) AS DOUBLE)
-      |    AS mean_logp
+      |    AS mean_score
       |FROM strat
       |GROUP BY stratum
       |ORDER BY stratum""".stripMargin
