@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Checkpoint recovery — the exactly-once property a long-lived
+  * deployment actually relies on: a streaming query stopped and
+  * RESTARTED from its checkpoint must (a) resume from committed
+  * source offsets instead of re-ingesting history, and (b) recover
+  * its aggregation state. The in-run replay gates (q58/q63) prove
+  * idempotence within one query; these prove it across process
+  * restarts, which is where a real cluster exercises it (executor
+  * loss, code deploys, weekly batch windows).
+  */
+class StreamRecoverySpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("kind", StringType)))
+
+  private def writeChunk(dir: String, name: String,
+      rows: Seq[(Long, String)]): Unit = {
+    val tmp = Files.createTempDirectory("graft_chunk").toString
+    rows.toDF("id", "kind").coalesce(1).write.parquet(s"$tmp/p")
+    val part = Files.list(Paths.get(s"$tmp/p")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.move(Paths.get(part), Paths.get(dir, name))
+    graft.lake.MiniLake.deleteRecursively(tmp)
+  }
+
+  test("restart from checkpoint resumes offsets: no re-ingest into a plain sink") {
+    val base = Files.createTempDirectory("graft_recover").toString
+    val watch = s"$base/in"; Files.createDirectories(Paths.get(watch))
+    val ckpt = s"$base/ckpt"
+    val out = s"$base/out"; Files.createDirectories(Paths.get(out))
+
+    def runOnce(): Unit = {
+      // deliberately NON-idempotent sink (plain parquet append): if the
+      // restarted query re-read chunk A, duplicates would be visible
+      val q = spark.readStream.schema(schema).parquet(watch)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out): Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    val a = (0L until 50L).map(i => i -> "a")
+    val b = (50L until 80L).map(i => i -> "b")
+    writeChunk(watch, "chunk_a.parquet", a)
+    runOnce()
+    writeChunk(watch, "chunk_b.parquet", b)
+    runOnce() // fresh query object, same checkpoint
+
+    val got = spark.read.schema(schema).parquet(out)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got === (a ++ b).sorted.toSeq) // each row exactly once
+    graft.lake.MiniLake.deleteRecursively(base)
+  }
+
+  test("restart from checkpoint recovers aggregation state") {
+    val base = Files.createTempDirectory("graft_recover_agg").toString
+    val watch = s"$base/in"; Files.createDirectories(Paths.get(watch))
+    val ckpt = s"$base/ckpt"
+
+    def runOnce(tableName: String): Map[String, Long] = {
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = spark.readStream.schema(schema).parquet(watch)
+        .groupBy("kind").agg(count(lit(1)).as("n"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .format("memory")
+        .queryName(tableName)
+        .start()
+      try {
+        q.processAllAvailable()
+        spark.table(tableName).as[(String, Long)].collect().toMap
+      } finally {
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+    }
+
+    writeChunk(watch, "chunk_a.parquet",
+      (0L until 40L).map(i => i -> (if (i % 2 == 0) "x" else "y")))
+    val first = runOnce("graft_rec_t1")
+    assert(first === Map("x" -> 20L, "y" -> 20L))
+
+    writeChunk(watch, "chunk_b.parquet",
+      (40L until 50L).map(i => i -> "x"))
+    // a NEW query (new memory table) over the SAME checkpoint: the
+    // restarted run reads only chunk_b, so these totals are correct
+    // ONLY if the state store recovered chunk_a's counts
+    val second = runOnce("graft_rec_t2")
+    assert(second === Map("x" -> 30L, "y" -> 20L))
+    graft.lake.MiniLake.deleteRecursively(base)
+  }
+}
