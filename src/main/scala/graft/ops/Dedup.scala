@@ -400,6 +400,22 @@ object Dedup {
     * for the algorithmic notes.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    // The label frame is pair-graph-sized (near-dup candidates), orders
+    // of magnitude below the corpus; every round's join+agg re-shuffles
+    // it, so partition the LOOP for the label cardinality the way the
+    // streaming queries size their state stores — at cluster scale this
+    // is `min(defaultParallelism, |labels| / rowsPerTask)`, here the
+    // local equivalent. Restored after the loop.
+    val s = nodes.sparkSession
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(prevShuffle.toInt, 4).toString)
+    try connectedComponentsLoop(nodes, pairs)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def connectedComponentsLoop(nodes: DataFrame,
+      pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
 
