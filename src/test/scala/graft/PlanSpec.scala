@@ -93,4 +93,22 @@ class PlanSpec extends AnyFunSuite {
       .filter(_.contains("Exchange hashpartitioning")).size
     assert(hashExchanges <= 2, plan) // session agg + seq-numbering window
   }
+
+  test("q103: stratification has no global sort/window; boundaries broadcast") {
+    val plan = planOf(graft.ops.Sampling.q103QualityStrata(spark, sf))
+    // the percentile boundaries must come back as a broadcast 1-row
+    // frame, never via a global ntile window (single-task at 100 TB)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    // the only total sort is the final 5-row report ordering
+    val sorts = plan.linesIterator.filter(_.trim.startsWith("+- Sort")).size
+    assert(sorts <= 1, plan)
+  }
+
+  test("q104: extraction runs through variant expressions, parsed once") {
+    val plan = planOf(Relational.q104VariantProps(spark, sf))
+    assert(plan.contains("parseJson") || plan.contains("parse_json"), plan)
+    assert(plan.contains("variant_get") || plan.contains("VariantGet"), plan)
+  }
 }
