@@ -13,7 +13,8 @@ object SparkEntry {
       ops.Multimodal.queries ++ streaming.EventsStream.queries ++
       ops.EventsOps.queries ++ ops.Sampling.queries ++ ops.Vectors.queries ++
       streaming.StreamOps.queries ++ ops.Chunking.queries ++
-      ops.Skew.queries ++ ops.Profiling.queries ++ ops.Reshape.queries
+      ops.Skew.queries ++ ops.Profiling.queries ++ ops.Reshape.queries ++
+      ops.CorpusHygiene.queries ++ ops.Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +24,6 @@ object SparkEntry {
       ops.Multimodal.oracles ++ streaming.EventsStream.oracles ++
       ops.EventsOps.oracles ++ ops.Sampling.oracles ++ ops.Vectors.oracles ++
       streaming.StreamOps.oracles ++ ops.Chunking.oracles ++
-      ops.Skew.oracles ++ ops.Profiling.oracles ++ ops.Reshape.oracles
+      ops.Skew.oracles ++ ops.Profiling.oracles ++ ops.Reshape.oracles ++
+      ops.CorpusHygiene.oracles ++ ops.Layout.oracles
 }

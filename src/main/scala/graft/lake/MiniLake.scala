@@ -876,6 +876,70 @@ final class MiniLake(spark: SparkSession, val path: String,
     }
   }
 
+  /** DELETE FROM ... WHERE pred — Delta DELETE semantics: rows whose
+    * predicate evaluates NULL are KEPT (same null-safe split as
+    * [[update]]); copy-on-write rewrite of the live set; the change
+    * feed publishes one `delete` preimage per removed row. Returns the
+    * number of rows deleted. A zero-match delete still commits a
+    * logical version (predictable versioning for callers that bump
+    * watermarks on every run) but publishes no change rows.
+    *
+    * Scale: the rewrite is the same one-pass
+    * filter-and-write-the-survivors plan [[update]] runs; on a
+    * partitioned table the scan prunes to partitions the predicate can
+    * touch, and the delete preimages are batch-sized, never
+    * table-sized. PK-shaped deletes on bucketed tables should go
+    * through [[merge]], which rewrites only the affected buckets.
+    */
+  def delete(pred: Column): Long = withCommitPlanning {
+    val target = snapshot()
+    val matched = coalesce(pred, lit(false))
+    val doomed = target.filter(matched)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDel = doomed.rdd.count()
+    val v = nextVersion
+    if (nDel == 0) {
+      writeEntry(CommitEntry(v, "delete", System.currentTimeMillis(),
+        target.schema.json, Seq.empty, Seq.empty, hasChanges = false,
+        bucketSpec = bucketSpec))
+    } else {
+      val kept = target.filter(!matched)
+      val (adds, chg) = inParallel(
+        writeData(kept, v),
+        writeChanges(doomed.withColumn(ChangeType, lit("delete")), v,
+          rowHint = Some(nDel)))
+      writeEntry(CommitEntry(v, "delete", System.currentTimeMillis(),
+        target.schema.json, adds, liveFiles(v - 1), hasChanges = true,
+        bucketSpec = bucketSpec, changeFiles = chg))
+    }
+    doomed.unpersist()
+    nDel
+  }
+
+  /** RESTORE TABLE ... TO VERSION AS OF v — Delta RESTORE semantics: a
+    * NEW commit (history is preserved, nothing is rewound) whose live
+    * set equals `snapshot(v)`. The change feed records the row-level
+    * story: rows only in the current snapshot leave as `delete`, rows
+    * only in the target snapshot return as `insert` — multiset
+    * semantics via exceptAll, so duplicate rows restore with correct
+    * multiplicity. Restoring to the current state commits a version
+    * with empty changes (same audit trail Delta leaves).
+    *
+    * Scale: two exceptAll anti-joins over full-row keys — one shuffle
+    * each, both batch-bounded by how much actually changed since `v`
+    * is typically << table size under CDC-style churn; the data write
+    * itself re-publishes the as-of live set without decoding it
+    * (file-level log replay serves the read).
+    */
+  def restoreTo(v: Long): Unit = withCommitPlanning {
+    val cur = snapshot()
+    val tgt = snapshot(v)
+    val changes = cur.exceptAll(tgt).withColumn(ChangeType, lit("delete"))
+      .unionByName(tgt.exceptAll(cur).withColumn(ChangeType, lit("insert")))
+    commitWithChanges(tgt, mode = "restore", changes = changes,
+      removesAll = true)
+  }
+
   private def requireSchemaMatch(df: DataFrame): Unit = {
     if (exists) {
       val expected = schema.fields.map(f => (f.name, f.dataType)).toSeq

@@ -504,7 +504,7 @@ object Dedup {
   /** Distinct word n-gram shingles per document (documents shorter
     * than n contribute one whole-document shingle).
     */
-  private def ngramsRaw(df: DataFrame, n: Int): DataFrame = {
+  private[ops] def ngramsRaw(df: DataFrame, n: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val tok = df

@@ -91,4 +91,46 @@ object Layout {
       .sortWithinPartitions("_zkey")
       .drop("_zkey")
   }
+
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions.{count, countDistinct, lit}
+
+  /** Bucketed co-located join as a gate: both sides land bucketed (and
+    * sorted) on the join key, so the sort-merge join consumes the
+    * written layout directly — no shuffle exchange, no sort, on either
+    * side (LayoutSkewSpec asserts the physical plan; this gate proves
+    * the numbers). This is THE lever for repeated fact⋈fact joins at
+    * 100 TB: the exchange is paid once at write time and amortized
+    * across every subsequent join/aggregation on the key. The merge
+    * hint pins the join strategy so the gate exercises the bucketed
+    * path even where the dimension side would broadcast.
+    */
+  def q110BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val c0 = graft.Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+    val o0 = graft.Tables.orders(s, dir).select("o_custkey", "o_orderkey")
+    writeBucketed(c0, "graft_b_customer", Seq("c_custkey"), 8)
+    writeBucketed(o0, "graft_b_orders", Seq("o_custkey"), 8)
+    val c = s.table("graft_b_customer").hint("merge")
+    val o = s.table("graft_b_orders").hint("merge")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q110Oracle: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      | count(DISTINCT c_custkey) AS n_customers
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_bucketed_join" -> (q110BucketedJoin _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q110_bucketed_join" -> q110Oracle
+  )
 }

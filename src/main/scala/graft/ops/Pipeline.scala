@@ -265,6 +265,55 @@ object Pipeline {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** DELETE + RESTORE lifecycle as a gate: create → predicate DELETE
+    * (v1, change feed publishes delete preimages) → RESTORE to v0
+    * (v2, a NEW commit whose change feed re-inserts exactly the
+    * deleted rows — history is never rewound). The report reads every
+    * version through time travel AND tallies the change feed, so the
+    * oracle pins down snapshot semantics and row-level CDF story at
+    * once: a restore that silently rewound history, double-counted
+    * changes, or missed multiset semantics shows up as a wrong row.
+    */
+  def q109DeleteRestore(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_delres").toString
+    val t = MiniLake(s, s"$base/orders")
+    val o = orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .filter(col("o_orderkey") % 4 === 0)
+    t.create(o)                                // v0
+    t.delete(col("o_orderstatus") === "F")     // v1: copy-on-write
+    t.restoreTo(0)                             // v2: live set == v0
+    val snaps = Seq(0L, 1L, 2L).map { v =>
+      t.snapshot(asOf = v).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"))
+        .select(lit(v).as("version"), col("n_rows"), col("n_f"))
+    }.reduce(_ unionByName _)
+    val feed = t.readChanges(1, 2)
+      .groupBy(col("_commit_version").cast("long").as("version"))
+      .agg(
+        sum(when(col("_change_type") === "delete", 1L).otherwise(0L))
+          .as("n_del"),
+        sum(when(col("_change_type") === "insert", 1L).otherwise(0L))
+          .as("n_ins"))
+    snaps.join(feed, Seq("version"), "left")
+      .select(col("version"), col("n_rows"), col("n_f"),
+        coalesce(col("n_del"), lit(0L)).as("n_del"),
+        coalesce(col("n_ins"), lit(0L)).as("n_ins"))
+      .orderBy("version")
+  }
+
+  val q109Oracle: String =
+    """WITH sub AS (SELECT * FROM orders WHERE o_orderkey % 4 = 0),
+      |c AS (SELECT count(*) AS t,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS f FROM sub)
+      |SELECT CAST(0 AS BIGINT) AS version, t AS n_rows, f AS n_f,
+      |  CAST(0 AS BIGINT) AS n_del, CAST(0 AS BIGINT) AS n_ins FROM c
+      |UNION ALL SELECT 1, t - f, 0, f, 0 FROM c
+      |UNION ALL SELECT 2, t, f, 0, f FROM c
+      |ORDER BY version""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_cdc_roundtrip" -> (q19CdcRoundtrip _),
     "q54_bucketed_cdc" -> (q54BucketedCdc _),
@@ -272,7 +321,8 @@ object Pipeline {
     "q90_time_travel" -> (q90TimeTravel _),
     "q91_range_skipping" -> (q91RangeSkipping _),
     "q100_zorder_2d" -> (q100Zorder2d _),
-    "q101_string_skipping" -> (q101StringSkipping _)
+    "q101_string_skipping" -> (q101StringSkipping _),
+    "q109_delete_restore" -> (q109DeleteRestore _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -282,6 +332,7 @@ object Pipeline {
     "q90_time_travel" -> q90Oracle,
     "q91_range_skipping" -> q91Oracle,
     "q100_zorder_2d" -> q100Oracle,
-    "q101_string_skipping" -> q101Oracle
+    "q101_string_skipping" -> q101Oracle,
+    "q109_delete_restore" -> q109Oracle
   )
 }

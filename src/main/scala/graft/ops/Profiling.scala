@@ -47,11 +47,64 @@ object Profiling {
        |FROM orders""".stripMargin)
     .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  /** Moment statistics (count / mean / stddev / min / max) per
+    * event_type — the numeric half of the profiling sweep (q83 covers
+    * nulls/cardinality). The point is HOW the moments are computed:
+    * `stddev_samp` is a sum of squares whose accumulation order
+    * differs across engines and partitionings (the sub-ulp trap that
+    * bit round 1), so the sums run in DECIMAL — values quantized to
+    * 6 dp, Σv and Σv² as exact integer arithmetic — and only the final
+    * mean/variance formula is IEEE double math on identical exact
+    * inputs. Both engines (and any partition count) produce
+    * bit-identical doubles.
+    *
+    * Scale: one scan, one map-side-combinable aggregate keyed on
+    * event_type; decimal partials are (16-byte, 16-byte, long) per
+    * group per task — the same wire cost as the naive double sums.
+    */
+  def q106StatsProfile(s: SparkSession, dir: String): DataFrame = {
+    val v = round(col("value"), 6).cast("decimal(18,6)")
+    events(s, dir)
+      .select(col("event_type"), v.as("v"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).cast("double").as("s"),
+        sum(col("v") * col("v")).cast("double").as("sq"),
+        min(col("v")).cast("double").as("min_v"),
+        max(col("v")).cast("double").as("max_v"))
+      .select(
+        col("event_type"),
+        col("n"),
+        round(col("s") / col("n"), 4).as("mean_v"),
+        round(sqrt((col("sq") - col("s") * col("s") / col("n"))
+          / (col("n") - 1)), 4).as("stddev_v"),
+        col("min_v"), col("max_v"))
+      .orderBy("event_type")
+  }
+
+  val q106Oracle: String =
+    """WITH v AS (SELECT event_type,
+      |  CAST(round(value, 6) AS DECIMAL(18,6)) AS v FROM events),
+      |agg AS (SELECT event_type, count(*) AS n,
+      |  CAST(sum(v) AS DOUBLE) AS s,
+      |  CAST(sum(v*v) AS DOUBLE) AS sq,
+      |  CAST(min(v) AS DOUBLE) AS min_v,
+      |  CAST(max(v) AS DOUBLE) AS max_v
+      | FROM v GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      | round(s / n, 4) AS mean_v,
+      | round(sqrt((sq - s*s/n) / (n-1)), 4) AS stddev_v,
+      | min_v, max_v
+      |FROM agg ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q83_column_profile" -> (q83ColumnProfile _)
+    "q83_column_profile" -> (q83ColumnProfile _),
+    "q106_stats_profile" -> (q106StatsProfile _)
   )
 
   def oracles: Map[String, String] = Map(
-    "q83_column_profile" -> q83Oracle
+    "q83_column_profile" -> q83Oracle,
+    "q106_stats_profile" -> q106Oracle
   )
 }

@@ -167,15 +167,63 @@ object Vectors {
       .orderBy("label", "dim")
   }
 
+  /** The built-in higher-order-function surface (transform / filter /
+    * aggregate / zip_with) exercised end-to-end on the embedding
+    * column: L1 norm, positive-component count, and the
+    * self-reversed dot product (a zip_with over two arrays — the
+    * element-pairing shape every vector-vector kernel reduces to).
+    * The engine's hot vector kernels are native Catalyst expressions
+    * ([[graft.functions.VectorExpressions]], q44/q45); this is the
+    * no-custom-code path a user gets on day one, verified against the
+    * same oracle machinery.
+    *
+    * Parity: per-element products are rounded to 6 dp and accumulated
+    * in DECIMAL(28,6) (exact, order-independent — the q76 pattern);
+    * the lambda's left fold and DuckDB's list_sum then agree exactly.
+    * Per-row, no shuffle: scales linearly.
+    */
+  def q108HofVectorMath(s: SparkSession, dir: String): DataFrame = {
+    def decSum(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(arr, lit(0).cast("decimal(28,6)"),
+        (acc, x) => (acc + x).cast("decimal(28,6)"))
+    val e = col("embedding")
+    val d = e.cast("array<double>")
+    embeddings(s, dir)
+      .select(
+        col("vec_id"),
+        size(e).cast("long").as("dim"),
+        size(filter(d, x => x > 0)).cast("long").as("n_pos"),
+        round(decSum(transform(d, x => round(abs(x), 6)
+          .cast("decimal(18,6)"))).cast("double"), 4).as("l1_norm"),
+        round(decSum(zip_with(d, reverse(d), (a, b) => round(a * b, 6)
+          .cast("decimal(18,6)"))).cast("double"), 4).as("rev_dot"))
+      .orderBy("vec_id")
+  }
+
+  val q108Oracle: String =
+    """SELECT vec_id,
+      | CAST(len(embedding) AS BIGINT) AS dim,
+      | CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+      | round(CAST(list_sum(list_transform(embedding,
+      |   x -> CAST(round(abs(CAST(x AS DOUBLE)), 6)
+      |        AS DECIMAL(18,6)))) AS DOUBLE), 4) AS l1_norm,
+      | round(CAST(list_sum(list_transform(
+      |   list_zip(embedding, list_reverse(embedding)),
+      |   p -> CAST(round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE), 6)
+      |        AS DECIMAL(18,6)))) AS DOUBLE), 4) AS rev_dot
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_label_centroids" -> (q60LabelCentroids _),
     "q77_quantize_int8" -> (q77Quantize _),
-    "q85_centroid_aggregator" -> (q85CentroidAggregator _)
+    "q85_centroid_aggregator" -> (q85CentroidAggregator _),
+    "q108_hof_vector_math" -> (q108HofVectorMath _)
   )
 
   def oracles: Map[String, String] = Map(
     "q60_label_centroids" -> q60Oracle,
     "q77_quantize_int8" -> q77Oracle,
-    "q85_centroid_aggregator" -> q60Oracle
+    "q85_centroid_aggregator" -> q60Oracle,
+    "q108_hof_vector_math" -> q108Oracle
   )
 }

@@ -356,4 +356,61 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
     val bad = Seq((1L, 2.0)).toDF("key", "value")
     intercept[IllegalArgumentException] { t.append(bad) }
   }
+
+  test("delete removes matching rows, keeps NULL-predicate rows, " +
+      "publishes delete preimages") {
+    val t = MiniLake(spark, dir)
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]))
+      .toDF("key", "value")
+    t.create(rows)
+    val n = t.delete(col("value") === "a")      // NULL for key 3 → kept
+    assert(n === 1L)
+    assert(t.latestVersion === 1L)
+    assert(t.snapshot().select("key").as[Long].collect().toSet ===
+      Set(2L, 3L))
+    val ch = t.readChanges(1, 1)
+      .select("key", "_change_type").as[(Long, String)].collect().toSet
+    assert(ch === Set((1L, "delete")))
+  }
+
+  test("zero-match delete commits a version with no changes") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a"))
+    assert(t.delete(col("value") === "nope") === 0L)
+    assert(t.latestVersion === 1L)
+    assert(t.snapshot().count() === 1L)
+    assert(t.readChanges(1, 1).isEmpty)
+  }
+
+  test("restoreTo recreates the old live set as a NEW version with " +
+      "row-level changes; history survives") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a", 2L -> "b"))           // v0
+    t.delete(col("key") === 1L)                  // v1
+    t.append(kv(9L -> "z"))                      // v2
+    t.restoreTo(0)                               // v3: == v0
+    assert(t.latestVersion === 3L)
+    assert(t.snapshot().as[(Long, String)].collect().toSet ===
+      Set(1L -> "a", 2L -> "b"))
+    // the restore's change feed: 9 leaves, 1 returns, 2 untouched
+    val ch = t.readChanges(3, 3)
+      .select("key", "_change_type").as[(Long, String)].collect().toSet
+    assert(ch === Set((9L, "delete"), (1L, "insert")))
+    // time travel still sees every intermediate state
+    assert(t.snapshot(asOf = 1).select("key").as[Long].collect().toSet
+      === Set(2L))
+    assert(t.snapshot(asOf = 2).select("key").as[Long].collect().toSet
+      === Set(2L, 9L))
+  }
+
+  test("restoreTo preserves duplicate-row multiplicity (multiset)") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a", 1L -> "a", 2L -> "b")) // v0: key 1 twice
+    t.delete(col("key") === 1L)                   // v1: both copies gone
+    t.restoreTo(0)                                // v2
+    val back = t.snapshot().as[(Long, String)].collect().toSeq.sorted
+    assert(back === Seq(1L -> "a", 1L -> "a", 2L -> "b"))
+    val ins = t.readChanges(2, 2).filter(col("_change_type") === "insert")
+    assert(ins.count() === 2L, "both duplicate copies must re-insert")
+  }
 }

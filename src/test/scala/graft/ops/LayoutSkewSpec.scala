@@ -35,6 +35,56 @@ class LayoutSkewSpec extends AnyFunSuite {
     assert(bucketed.count() === plain.count())
   }
 
+  test("q110 gate: bucketed-join plan shuffles nothing below the join " +
+      "and matches the plain-join aggregate") {
+    Seq("graft_b_customer", "graft_b_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.lake.MiniLake.deleteRecursively(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:") + s"/$t")
+    }
+    val sf = "/root/testdata/sf0.001"
+    val r = Layout.q110BucketedJoin(spark, sf)
+    val got = r.collect().toSeq // materialize so AQE finalizes the plan
+    // the join consumes the bucketed layout directly: no shuffle
+    // exchange may appear BELOW the join (the aggregate above it may
+    // legitimately exchange on the group key). collect() does not
+    // descend into AdaptiveSparkPlanExec / query stages, so walk those
+    // wrappers explicitly.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    val plan = r.queryExecution.executedPlan
+    val joins = allNodes(plan).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(joins.nonEmpty, s"expected a sort-merge join:\n$plan")
+    joins.foreach { j =>
+      val shufflesBelow = allNodes(j).drop(1).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(shufflesBelow.isEmpty,
+        s"bucketed join must not shuffle its inputs:\n$j")
+    }
+    // and the numbers equal the layout-free plan
+    val c = graft.Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+    val o = graft.Tables.orders(spark, sf).select("o_custkey", "o_orderkey")
+    val plain = c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+      .orderBy("c_mktsegment")
+      .collect().toSeq
+    assert(got === plain)
+  }
+
   test("salted sum equals plain sum") {
     val df = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val plain = df.groupBy("l_returnflag")
