@@ -14,7 +14,8 @@ object SparkEntry {
       ops.EventsOps.queries ++ ops.Sampling.queries ++ ops.Vectors.queries ++
       streaming.StreamOps.queries ++ ops.Chunking.queries ++
       ops.Skew.queries ++ ops.Profiling.queries ++ ops.Reshape.queries ++
-      ops.CorpusHygiene.queries ++ ops.Layout.queries
+      ops.CorpusHygiene.queries ++ ops.Layout.queries ++
+      ops.HeavyHitters.queries ++ ops.Ivm.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
       ops.EventsOps.oracles ++ ops.Sampling.oracles ++ ops.Vectors.oracles ++
       streaming.StreamOps.oracles ++ ops.Chunking.oracles ++
       ops.Skew.oracles ++ ops.Profiling.oracles ++ ops.Reshape.oracles ++
-      ops.CorpusHygiene.oracles ++ ops.Layout.oracles
+      ops.CorpusHygiene.oracles ++ ops.Layout.oracles ++
+      ops.HeavyHitters.oracles ++ ops.Ivm.oracles
 }

@@ -98,13 +98,70 @@ object Profiling {
       | min_v, max_v
       |FROM agg ORDER BY event_type""".stripMargin
 
+  /** Data-quality expectation checks (the Delta Live Tables
+    * `EXPECT` / Great-Expectations shape): a rule registry evaluated
+    * in ONE scan of the table, reported as (rule, rows, violations,
+    * violation fraction). The pipeline-gate usage is "fail the run
+    * when violation_frac exceeds budget"; the report keeps every rule
+    * visible so budgets can be tuned without re-scanning.
+    *
+    * NULL predicate results count as violations (a rule that cannot
+    * evaluate did not pass — Delta's constraint semantics).
+    */
+  def expectations(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)])
+      : DataFrame = {
+    val aggs = rules.map { case (name, cond) =>
+      sum(when(coalesce(cond, lit(false)), 0L).otherwise(1L)).as(s"v_$name")
+    } :+ count(lit(1)).as("n_rows")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = rules.map { case (name, _) => s"'$name', v_$name" }
+      .mkString(s"stack(${rules.size}, ", ", ", ")")
+    wide.select(col("n_rows"), expr(s"$stackExpr as (rule, n_violations)"))
+      .select(col("rule"), col("n_rows"), col("n_violations"),
+        round(col("n_violations").cast("double") / col("n_rows"), 4)
+          .as("violation_frac"))
+      .orderBy("rule")
+  }
+
+  /** The expectation sweep as a gate, over `orders`: two rules that
+    * hold and two that are genuinely violated by this data (a price
+    * cap and a date window), so both report paths are load-bearing.
+    */
+  def q111Expectations(s: SparkSession, dir: String): DataFrame =
+    expectations(orders(s, dir), Seq(
+      "date_in_window" ->
+        (col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("2000-01-01"))),
+      "price_below_cap" -> (col("o_totalprice") <= 450000.0),
+      "price_positive" -> (col("o_totalprice") > 0.0),
+      "status_known" -> col("o_orderstatus").isin("O", "F", "P")))
+
+  val q111Oracle: String = {
+    val rules = Seq(
+      "date_in_window" ->
+        "(o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '2000-01-01')",
+      "price_below_cap" -> "(o_totalprice <= 450000.0)",
+      "price_positive" -> "(o_totalprice > 0.0)",
+      "status_known" -> "(o_orderstatus IN ('O','F','P'))")
+    rules.map { case (name, cond) =>
+      s"""SELECT '$name' AS rule, count(*) AS n_rows,
+         | CAST(sum(CASE WHEN coalesce($cond, false) THEN 0 ELSE 1 END)
+         |   AS BIGINT) AS n_violations,
+         | round(CAST(sum(CASE WHEN coalesce($cond, false) THEN 0 ELSE 1 END)
+         |   AS DOUBLE) / count(*), 4) AS violation_frac
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY rule")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_column_profile" -> (q83ColumnProfile _),
-    "q106_stats_profile" -> (q106StatsProfile _)
+    "q106_stats_profile" -> (q106StatsProfile _),
+    "q111_expectations" -> (q111Expectations _)
   )
 
   def oracles: Map[String, String] = Map(
     "q83_column_profile" -> q83Oracle,
-    "q106_stats_profile" -> q106Oracle
+    "q106_stats_profile" -> q106Oracle,
+    "q111_expectations" -> q111Oracle
   )
 }
