@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
+import graft.functions.ShingleExpressions.WordNGrams
 import graft.functions.VectorExpressions.{CosineSimilarity, DotProduct}
 
 /** Cluster-wide installation point for the engine's native expressions.
@@ -36,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "graft_word_ngrams"),
+      (exprs: Seq[Expression]) => WordNGrams(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
     // the custom whole-operator path: plans TopKPerGroupNode as
     // partial → exchange → final bounded-heap execs, with the
     // group-filter pushdown rule alongside

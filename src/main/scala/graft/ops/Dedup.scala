@@ -29,33 +29,18 @@ import graft.functions.Text.{tokens, tokensSql}
   */
 object Dedup {
 
-  /** Distinct word 3-gram shingles per document.
-    *
-    * Built with posexplode + window `lead` (all codegen'd) instead of
-    * the equivalent `transform`/`element_at` higher-order functions:
-    * the interpreted HOF path cost ~20µs per element and dominated the
-    * dedup benchmark. Window partitions are documents, so state per
-    * task is one document's tokens.
+  /** Word 3-gram shingles per document, via the codegen'd
+    * [[graft.functions.ShingleExpressions.WordNGrams]] kernel (same
+    * semantics contract as [[ngramsRaw]]: <3-token documents
+    * contribute one whole-document shingle, mirroring the oracle's
+    * CASE branch). Earlier rounds used posexplode + window `lead` —
+    * codegen'd, but it exchanged the entire token stream keyed on
+    * doc_id before shingles existed; the expression keeps shingling
+    * inside the scan task (no shuffle), which is the difference
+    * between O(corpus) and O(0) network for this stage at 100 TB.
     */
-  private def shinglesRaw(df: DataFrame): DataFrame = {
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val tok = df
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .filter(length(col("w")) > 0)
-    val three = tok
-      .withColumn("w1", lead("w", 1).over(byDoc))
-      .withColumn("w2", lead("w", 2).over(byDoc))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("w"), col("w1"), col("w2")).as("shingle"))
-    // documents with <3 tokens contribute one whole-document shingle
-    // (mirrors the oracle's CASE branch)
-    val short = df.withColumn("ws", tokens(col("text")))
-      .filter(size(col("ws")) < 3)
-      .select(col("doc_id"), concat_ws(" ", col("ws")).as("shingle"))
-    three.unionByName(short)
-  }
+  private def shinglesRaw(df: DataFrame): DataFrame =
+    ngramsRaw(df, 3)
 
   private def shingles(df: DataFrame): DataFrame =
     shinglesRaw(df).distinct()
@@ -501,27 +486,19 @@ object Dedup {
     */
   val DecontamN = 5
 
-  /** Distinct word n-gram shingles per document (documents shorter
-    * than n contribute one whole-document shingle).
+  /** Word n-gram shingles per document, one row per position
+    * (documents shorter than n contribute one whole-document
+    * shingle) — via the codegen'd
+    * [[graft.functions.ShingleExpressions.WordNGrams]] kernel:
+    * shingling is row-local, so the shuffle+sort the old
+    * posexplode+window-`lead` compose paid (the full token stream
+    * exchanged on doc_id) is gone; the shingles materialize inside
+    * the scan task and `explode` restores the long shape.
     */
-  private[ops] def ngramsRaw(df: DataFrame, n: Int): DataFrame = {
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val tok = df
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .filter(length(col("w")) > 0)
-    val withLeads = (1 until n).foldLeft(tok) { (d, i) =>
-      d.withColumn(s"w$i", lead("w", i).over(byDoc))
-    }
-    val full = withLeads
-      .filter(col(s"w${n - 1}").isNotNull)
-      .select(col("doc_id"), concat_ws(" ",
-        col("w") +: (1 until n).map(i => col(s"w$i")): _*).as("shingle"))
-    val short = df.withColumn("ws", tokens(col("text")))
-      .filter(size(col("ws")) < n)
-      .select(col("doc_id"), concat_ws(" ", col("ws")).as("shingle"))
-    full.unionByName(short)
-  }
+  private[ops] def ngramsRaw(df: DataFrame, n: Int): DataFrame =
+    df.select(col("doc_id"),
+      explode(graft.functions.ShingleExpressions.word_ngrams(
+        col("text"), n)).as("shingle"))
 
   def q94Decontaminate(s: SparkSession, dir: String): DataFrame = {
     val sh = ngramsRaw(documents(s, dir), DecontamN)

@@ -281,7 +281,73 @@ object EventsOps {
       |LEFT JOIN conv USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Time-series resample + gap fill: a sparse daily series (days with
+    * no qualifying events are MISSING, not zero) is re-gridded onto
+    * the full day spine and forward-filled — last observation carried
+    * forward, the standard feature-store/monitoring resample. Days
+    * before a series' first observation stay NULL (LOCF has nothing
+    * to carry), and observation counts fill with 0 — the two fill
+    * semantics a resample must keep distinct.
+    *
+    * Scale shape: the aggregate runs BEFORE the spine join, so the
+    * exchange carries one row per (series, observed day), never raw
+    * events; the spine is |series| × |days| (metadata-sized, built
+    * from one min/max row) and broadcasts; LOCF is a running `last(
+    * ignoreNulls)` windowed PER SERIES — each series' window sorts
+    * spine-sized rows, and series are independent, so a 100k-series
+    * store parallelizes on the series key with no global sort. Output
+    * days are strings (the engine's cross-engine schema rule: no DATE
+    * in output schemas).
+    */
+  def q114GapFill(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val bounds = e.agg(
+      min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+      .head()
+    val spine = e.select(col("event_type")).distinct()
+      .crossJoin(org.apache.spark.sql.functions.broadcast(
+        e.sparkSession.range(1).select(explode(sequence(
+          lit(bounds.getDate(0)), lit(bounds.getDate(1)))).as("day"))))
+    val daily = e.filter(col("value") > 300)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_obs"), max(col("value")).as("mx"))
+    val bySeries = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(
+        col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        last(col("mx"), ignoreNulls = true).over(bySeries).as("filled_max"))
+      .orderBy("event_type", "day")
+  }
+
+  val q114Oracle: String =
+    """WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo,
+      |                  max(CAST(ts AS DATE)) AS hi FROM events),
+      |spine AS (
+      |  SELECT t.event_type, CAST(d.day AS DATE) AS day
+      |  FROM (SELECT DISTINCT event_type FROM events) t
+      |  CROSS JOIN (SELECT unnest(generate_series(
+      |    (SELECT lo FROM b), (SELECT hi FROM b),
+      |    INTERVAL 1 DAY)) AS day) d),
+      |daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    count(*) AS n_obs, max(value) AS mx
+      |  FROM events WHERE value > 300
+      |  GROUP BY event_type, CAST(ts AS DATE))
+      |SELECT s.event_type,
+      | strftime(s.day, '%Y-%m-%d') AS day,
+      | CAST(coalesce(d.n_obs, 0) AS BIGINT) AS n_obs,
+      | last_value(d.mx IGNORE NULLS) OVER (
+      |   PARTITION BY s.event_type ORDER BY s.day
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max
+      |FROM spine s LEFT JOIN daily d USING (event_type, day)
+      |ORDER BY event_type, day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_gap_fill" -> (q114GapFill _),
     "q49_asof_join" -> (q49AsofJoin _),
     "q50_approx_distinct" -> (q50ApproxDistinct _),
     "q65_percentiles" -> (q65Percentiles _),
@@ -291,6 +357,7 @@ object EventsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q114_gap_fill" -> q114Oracle,
     "q49_asof_join" -> q49Oracle,
     // q50: sketch-implementation-specific — rows-only check
     "q65_percentiles" -> q65Oracle,

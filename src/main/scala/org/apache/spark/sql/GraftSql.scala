@@ -34,5 +34,8 @@ object GraftSql {
     registry.createOrReplaceTempFunction("graft_dot_product",
       exprs => graft.functions.VectorExpressions.DotProduct(
         exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_word_ngrams",
+      exprs => graft.functions.ShingleExpressions.WordNGrams(
+        exprs.head, exprs(1).eval().asInstanceOf[Int]), "built-in")
   }
 }
