@@ -106,6 +106,15 @@ object Layout {
     * path even where the dimension side would broadcast.
     */
   def q110BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    // self-clean: a fresh JVM's in-memory catalog has forgotten the
+    // table but the warehouse directory survives — saveAsTable then
+    // refuses the orphaned location, so drop BOTH catalog entry and dir
+    Seq("graft_b_customer", "graft_b_orders").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      graft.lake.MiniLake.deleteRecursively(
+        s.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:") + s"/$t")
+    }
     val c0 = graft.Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
     val o0 = graft.Tables.orders(s, dir).select("o_custkey", "o_orderkey")
     writeBucketed(c0, "graft_b_customer", Seq("c_custkey"), 8)

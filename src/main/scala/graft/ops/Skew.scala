@@ -84,11 +84,56 @@ object Skew {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** A deliberately hot-keyed join (a quarter of all events collapse
+    * onto one key — the classic null-key/power-law shape) left to
+    * AQE's runtime skew-join handling rather than explicit salting:
+    * the complementary lever to [[saltedSum]]. The RESULT is
+    * layout-independent (what the oracle checks); SkewJoinSpec forces
+    * tiny skew thresholds and asserts the executed plan actually
+    * split the hot partition (`isSkewJoin`) — proving the engine's
+    * plans stay AQE-compatible (no accidental broadcast pin, no
+    * custom node blocking the rewrite) so a 100 TB hot key gets
+    * spread at runtime with zero query changes.
+    *
+    * Cents (exact integers) keep the join-side sums engine-exact.
+    */
+  def q115SkewJoin(s: SparkSession, dir: String): DataFrame = {
+    // half of all events collapse onto customer key 1; the merge hint
+    // pins sort-merge (the dimension would broadcast at this SF, and a
+    // broadcast join has no partitions to skew). Both join children
+    // stay plain scan → exchange → sort shapes: AQE's OptimizeSkewedJoin
+    // only matches SMJ(Sort(Stage), Sort(Stage)) — an aggregate between
+    // stage and sort disqualifies the rewrite, a plan property worth
+    // pinning in the spec.
+    val l = events(s, dir).select(
+      when(col("user_id") % 2 === 0, 1L).otherwise(col("user_id")).as("k"),
+      round(col("value") * 100, 0).cast("long").as("cents"))
+    val c = customer(s, dir)
+      .select(col("c_custkey").as("k"), col("c_mktsegment"))
+    l.join(c.hint("merge"), "k")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("total_cents"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q115Oracle: String =
+    """WITH l AS (SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE user_id END
+      |             AS k,
+      |           CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |    FROM events)
+      |SELECT c_mktsegment, count(*) AS n,
+      | CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM l JOIN customer ON k = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q81_salted_agg" -> (q81SaltedAgg _)
+    "q81_salted_agg" -> (q81SaltedAgg _),
+    "q115_skew_join" -> (q115SkewJoin _)
   )
 
   def oracles: Map[String, String] = Map(
-    "q81_salted_agg" -> q81Oracle
+    "q81_salted_agg" -> q81Oracle,
+    "q115_skew_join" -> q115Oracle
   )
 }

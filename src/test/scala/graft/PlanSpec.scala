@@ -111,4 +111,42 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("parseJson") || plan.contains("parse_json"), plan)
     assert(plan.contains("variant_get") || plan.contains("VariantGet"), plan)
   }
+
+  test("q106: moment statistics aggregate in one exchange, no window") {
+    val plan = planOf(graft.ops.Profiling.q106StatsProfile(spark, sf))
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).size
+    assert(exchanges <= 1, plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q107: the composite filter is one scan ending in one aggregate " +
+      "exchange") {
+    val plan = planOf(graft.ops.CorpusHygiene.q107C4Filter(spark, sf))
+    val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).size
+    assert(scans == 1, plan)
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).size
+    assert(exchanges <= 1, plan)
+  }
+
+  test("q111: N expectation rules still cost exactly one scan") {
+    val plan = planOf(graft.ops.Profiling.q111Expectations(spark, sf))
+    val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).size
+    assert(scans == 1, plan)
+  }
+
+  test("q112: candidate recount joins via broadcast, never a shuffle join") {
+    val plan = planOf(graft.ops.HeavyHitters.q112HeavyHitters(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q114: the spine join sees aggregated days, not raw events") {
+    val plan = planOf(graft.ops.EventsOps.q114GapFill(spark, sf))
+    // LOCF windows over the spine grid; the raw-event frame must be
+    // aggregated (HashAggregate below the join) before joining
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("Window"), plan)
+  }
 }
