@@ -13,6 +13,15 @@ object Bench {
       // churn straight through that, so a query's compiled classes are
       // evicted before its timed run. Static conf — must be set here.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // Coalesce small shuffles to advisory size instead of keeping
+      // cpus-many slivers (the recommended prod setting): at this SF a
+      // 32-partition shuffle is 32 scheduling roundtrips for ~20k rows
+      // each, and scheduling latency — not compute — is what the
+      // shared host's stall bursts tax. Fewer, right-sized tasks are
+      // also what a real cluster wants.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.locality.wait", "0s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet-footer paths once so the first timed
@@ -63,11 +72,15 @@ object Bench {
         }
       }
     }
+    // Returns NaN on failure: a query that dies fast must never win
+    // the per-query minimum over an honest successful sample.
     def timeOne(name: String, fn: (SparkSession, String)
         => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => Double.NaN }
     }
     // Pass 1 times every query once. The shared host stalls in bursts
     // (observed: the same trivial query swinging 0.2s → 95s between
@@ -80,9 +93,14 @@ object Bench {
     // worst outliers, and any unspent budget keeps shrinking the tail.
     // The minimum is the steady-state per-query cost — the number that
     // extrapolates to a long-lived cluster.
+    // a failed sample records a 120s penalty — visible in the total,
+    // finite in the JSON, small enough that the retime loop still
+    // retries it when budget allows
+    val failPenalty = 120.0
     val results = scala.collection.mutable.Map.empty[String, Double]
     SparkEntry.queries.foreach { case (name, fn) =>
-      results(name) = timeOne(name, fn)
+      val t = timeOne(name, fn)
+      results(name) = if (t.isNaN) failPenalty else t
     }
     var improving = true
     while (improving && timeLeft > 0) {
@@ -93,7 +111,7 @@ object Bench {
         // query's previous sample must fit in what's left, with slack
         if (timeLeft > (prev * 1.5 * 1e9).toLong + 5_000_000_000L) {
           val t = timeOne(name, SparkEntry.queries(name))
-          if (t < prev) { results(name) = t; improving = true }
+          if (!t.isNaN && t < prev) { results(name) = t; improving = true }
         }
       }
     }
