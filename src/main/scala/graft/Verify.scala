@@ -22,6 +22,15 @@ object Verify {
       // pyarrow read of our results carries the same logical type as the
       // DuckDB oracle's output — keeps timestamp columns hash-comparable.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Same rationale as Bench: coalesce small shuffles to advisory
+      // size rather than keeping cpus-many slivers — scheduling
+      // roundtrips, not compute, dominate at gate SF, and the shared
+      // host stalls in bursts. Results are unaffected (every query is
+      // hash-gated); the dump just finishes well inside any driver
+      // timeout.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.locality.wait", "0s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
