@@ -127,7 +127,8 @@ object EventsStream {
         "session_value")),
     "q58_stream_lake_ingest" -> (LakeIngestStream.q58StreamLakeIngest _),
     "q84_partitioned_ingest" -> (LakeIngestStream.q84PartitionedIngest _),
-    "q88_stream_upsert" -> (LakeIngestStream.q88StreamUpsert _)
+    "q88_stream_upsert" -> (LakeIngestStream.q88StreamUpsert _),
+    "q116_streaming_view" -> (LakeIngestStream.q116StreamingView _)
   )
 
   /** Identical to the batch q18 oracle — streaming must agree with
@@ -146,6 +147,7 @@ object EventsStream {
     "q58_stream_lake_ingest" -> LakeIngestStream.q58Oracle,
     "q84_partitioned_ingest" -> LakeIngestStream.q84Oracle,
     "q88_stream_upsert" -> LakeIngestStream.q88Oracle,
+    "q116_streaming_view" -> LakeIngestStream.q116Oracle,
     // window membership stated directly: ts belongs to the 4 sliding
     // windows starting at floor15(ts) - k*15min, k in 0..3
     "q102_stream_sliding" ->

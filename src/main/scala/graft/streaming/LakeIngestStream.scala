@@ -220,4 +220,57 @@ object LakeIngestStream {
       |SELECT user_id, event_id, event_type, value
       |FROM r WHERE rn = 1
       |ORDER BY user_id""".stripMargin
+
+  /** Streaming MATERIALIZED VIEW with exactly-once maintenance — the
+    * delta-log pattern: each micro-batch reduces to a per-group delta
+    * row (count + exact-integer cents sum), appended to the gold lake
+    * with the (appId, batchId) txn marker, so a replayed batch is
+    * SKIPPED rather than double-folded; the view itself is the sum
+    * over the appended deltas. Read-modify-write never happens — the
+    * fold is append-only and therefore exactly-once for free, the
+    * same trick Delta's streaming aggregation sinks use. Batch IVM
+    * over the CDF is q113; this is its streaming front half.
+    *
+    * Scale: each micro-batch ships group-count rows (not events) into
+    * a metadata-sized lake table; the view read aggregates
+    * batches × groups rows. OPTIMIZE-compaction (q84) bounds the
+    * delta-log length; a 100 TB firehose maintains its rollup at
+    * per-batch cost O(groups).
+    */
+  def q116StreamingView(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val watch = graft.Scratch.dir("graft_sivm_src")
+    val goldPath = graft.Scratch.dir("graft_sivm_gold").toString + "/gold"
+    stageDayChunks(s, dir, watch)
+
+    val ingestSchema = StructType(Seq(
+      StructField("day", StringType), StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val stream = s.readStream.schema(ingestSchema)
+      .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+    val sink: (Dataset[Row], Long) => Unit = (batch, batchId) => {
+      val delta = batch.groupBy("event_type").agg(
+        count(lit(1)).as("d_n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("d_cents"))
+      MiniLake.compact(s, goldPath)
+        .appendIfAbsent(delta, "q116_view", batchId)
+      ()
+    }
+    val query = stream.writeStream.foreachBatch(sink).start()
+    try query.processAllAvailable() finally query.stop()
+
+    MiniLake(s, goldPath).snapshot()
+      .groupBy("event_type")
+      .agg(sum("d_n").as("n"), sum("d_cents").as("total_cents"))
+      .orderBy("event_type")
+  }
+
+  val q116Oracle: String =
+    """SELECT event_type, count(*) AS n,
+      | CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+      |   AS total_cents
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }
