@@ -346,8 +346,58 @@ object EventsOps {
       |FROM spine s LEFT JOIN daily d USING (event_type, day)
       |ORDER BY event_type, day""".stripMargin
 
+  /** Rolling distinct users — DAU, trailing-7-day WAU, and their
+    * ratio (the product-analytics "stickiness" report). COUNT
+    * DISTINCT over a sliding date RANGE is not window-decomposable
+    * (Spark has no distinct-over-range frame), so the scalable shape
+    * is dedup-then-explode: reduce events to distinct (user, day)
+    * pairs FIRST (map-side-combinable — the only pass over raw
+    * events), then explode each pair to the ≤7 target days it
+    * supports and count distinct per day. The shuffle carries
+    * user-day pairs ×7, never events ×7; an HLL++ sketch per day is
+    * the approximate variant when even that is too wide.
+    *
+    * Stickiness is a ratio of exact integers rounded to 4 dp —
+    * hash-stable cross-engine.
+    */
+  def q117RollingActive(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = ud.select("day").distinct()
+    val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "day")
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
+  val q117Oracle: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |            FROM events),
+      |days AS (SELECT DISTINCT day FROM ud),
+      |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud
+      |        GROUP BY day),
+      |x AS (SELECT user_id,
+      |  unnest([day + to_days(CAST(k AS INTEGER))
+      |          for k in generate_series(0, 6)]) AS day
+      | FROM ud),
+      |wau AS (SELECT x.day, count(DISTINCT x.user_id) AS wau
+      |        FROM x JOIN days d ON x.day = d.day GROUP BY x.day)
+      |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+      | round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+      |FROM dau JOIN wau ON dau.day = wau.day
+      |ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_gap_fill" -> (q114GapFill _),
+    "q117_rolling_active" -> (q117RollingActive _),
     "q49_asof_join" -> (q49AsofJoin _),
     "q50_approx_distinct" -> (q50ApproxDistinct _),
     "q65_percentiles" -> (q65Percentiles _),
@@ -358,6 +408,7 @@ object EventsOps {
 
   def oracles: Map[String, String] = Map(
     "q114_gap_fill" -> q114Oracle,
+    "q117_rolling_active" -> q117Oracle,
     "q49_asof_join" -> q49Oracle,
     // q50: sketch-implementation-specific — rows-only check
     "q65_percentiles" -> q65Oracle,

@@ -62,6 +62,35 @@ class StatsHofSpec extends AnyFunSuite {
     }
   }
 
+  test("q117: rolling WAU equals a direct trailing-range recount") {
+    val got = EventsOps.q117RollingActive(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // direct (quadratic) recount: users with any activity in the
+    // trailing 7-day range ending at each day
+    val ud = graft.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .as[(Long, java.sql.Date)].collect()
+    val byDay = ud.groupBy(_._2).map { case (d, xs) =>
+      d -> xs.map(_._1).toSet
+    }
+    got.foreach { case (dayStr, dau, wau, stick) =>
+      val day = java.sql.Date.valueOf(dayStr)
+      assert(dau === byDay(day).size.toLong, s"dau $dayStr")
+      val trailing = byDay.collect {
+        case (d, users)
+            if !d.after(day) &&
+              d.toLocalDate.plusDays(6).compareTo(day.toLocalDate) >= 0 =>
+          users
+      }.foldLeft(Set.empty[Long])(_ ++ _)
+      assert(wau === trailing.size.toLong, s"wau $dayStr")
+      assert(wau >= dau, s"wau >= dau must hold at $dayStr")
+      assert(math.abs(stick - math.rint(dau.toDouble / wau * 1e4) / 1e4)
+        < 1e-12, s"stickiness $dayStr")
+    }
+  }
+
   test("q108: bit-identical under repartitioning (decimal accumulation)") {
     val a = Vectors.q108HofVectorMath(spark, sf).collect().toSeq
     val dir = graft.Scratch.dir("graft_q108").toString
