@@ -17,8 +17,12 @@ run / fork := true
 scalacOptions ++= Seq("-deprecation", "-feature", "-unchecked",
   "-Xlint:inaccessible,infer-any,missing-interpolator,nullary-unit")
 // Mirror of the reference's PR gate (.github/workflows/pr_checks.yml:
-// 24-48 — lint, tests, artifacts) as one offline command.
+// 24-48 — lint, tests, artifacts) as one offline command. Formatting
+// (.scalafmt.conf) needs the network-resolved scalafmt CLI, so inside
+// this container the lint leg is the compiler's -Xlint set; CI with
+// network prepends `scalafmt --check .`.
 addCommandAlias("check", ";compile;Test/compile;test;package")
+addCommandAlias("ciCheck", "check")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

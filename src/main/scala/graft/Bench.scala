@@ -98,9 +98,14 @@ object Bench {
     // retries it when budget allows
     val failPenalty = 120.0
     val results = scala.collection.mutable.Map.empty[String, Double]
+    // queries whose RECORDED sample is the penalty, not a real timing —
+    // emitted as a separate "failed" list so JSON consumers can tell
+    // 'broken' from 'slow' even when the retime loop never clears them
+    val failed = scala.collection.mutable.Set.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       val t = timeOne(name, fn)
-      results(name) = if (t.isNaN) failPenalty else t
+      if (t.isNaN) { results(name) = failPenalty; failed += name }
+      else results(name) = t
     }
     var improving = true
     while (improving && timeLeft > 0) {
@@ -111,7 +116,9 @@ object Bench {
         // query's previous sample must fit in what's left, with slack
         if (timeLeft > (prev * 1.5 * 1e9).toLong + 5_000_000_000L) {
           val t = timeOne(name, SparkEntry.queries(name))
-          if (!t.isNaN && t < prev) { results(name) = t; improving = true }
+          if (!t.isNaN && t < prev) {
+            results(name) = t; failed -= name; improving = true
+          }
         }
       }
     }
@@ -128,11 +135,13 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val fullQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failedJson = failed.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries":$qs,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":$fullQs,"sf":"$sfDir"}""")
     spark.stop()
     // last line of program output so it survives the tail capture
     println(line)

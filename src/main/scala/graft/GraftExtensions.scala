@@ -40,8 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_word_ngrams"),
       new ExpressionInfo(classOf[WordNGrams].getName, "graft_word_ngrams"),
-      (exprs: Seq[Expression]) => WordNGrams(exprs.head,
-        exprs(1).eval().asInstanceOf[Int])))
+      (exprs: Seq[Expression]) =>
+        graft.functions.ShingleExpressions.wordNGramsFromExprs(exprs)))
     // the custom whole-operator path: plans TopKPerGroupNode as
     // partial → exchange → final bounded-heap execs, with the
     // group-filter pushdown rule alongside

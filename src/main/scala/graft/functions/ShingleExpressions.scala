@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftSql
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native word-n-gram shingling — the innermost kernel of the dedup /
@@ -67,6 +67,15 @@ object ShingleExpressions {
     new GenericArrayData(out)
   }
 
+  /** Null-text contract: as a standard null-intolerant UnaryExpression,
+    * NULL text yields NULL (and `explode` then drops the document) —
+    * unlike the replaced posexplode formulation, where size(null) = -1
+    * hit the short-document branch and contributed one empty-string
+    * shingle. The driver testdata guarantees non-null `documents.text`,
+    * so the engines agree; a corpus with NULL text must decide
+    * explicitly: `coalesce(text, '')` to keep the document, or
+    * `explode_outer` to keep a null-shingle row.
+    */
   case class WordNGrams(child: Expression, n: Int)
       extends UnaryExpression {
 
@@ -88,4 +97,25 @@ object ShingleExpressions {
 
   def word_ngrams(c: Column, n: Int): Column =
     GraftSql.columnOf(WordNGrams(GraftSql.expressionOf(c), n))
+
+  /** Validated SQL-registration constructor for
+    * `graft_word_ngrams(text, n)`: n must be a foldable INT literal.
+    * Checked up front so a column or BIGINT/string literal fails with
+    * a readable contract message instead of an opaque
+    * ClassCastException at eval time. (Spark 4 removed
+    * AnalysisException's plain-string constructor, so the message
+    * travels via IllegalArgumentException — what `require` throws —
+    * which the parser surfaces verbatim.)
+    */
+  def wordNGramsFromExprs(exprs: Seq[Expression]): WordNGrams = {
+    require(exprs.length == 2,
+      "graft_word_ngrams(text, n) takes exactly 2 arguments")
+    val nExpr = exprs(1)
+    require(nExpr.foldable && nExpr.dataType == IntegerType,
+      "graft_word_ngrams(text, n): n must be an integer literal, got " +
+        s"${nExpr.sql} of type ${nExpr.dataType.simpleString}")
+    val v = nExpr.eval()
+    require(v != null, "graft_word_ngrams(text, n): n must not be NULL")
+    WordNGrams(exprs.head, v.asInstanceOf[Int])
+  }
 }

@@ -840,10 +840,15 @@ final class MiniLake(spark: SparkSession, val path: String,
     * its data files BEFORE publishing the log entry, so a concurrent
     * vacuum with no retention window could delete an in-flight
     * append's files and let its entry publish referencing nothing.
-    * The lifecycle queries (compact-then-vacuum in the same job) pass
-    * `retainMillis = 0`, which is safe only with no in-flight writers.
+    * The DEFAULT is therefore a Delta-parity 7-day window — safe under
+    * concurrent writers with a week of slack. `retainMillis = 0` is
+    * the explicit opt-in for single-writer lifecycles
+    * (compact-then-vacuum in the same job) that want immediate
+    * reclamation and KNOW no write is in flight.
     */
-  def vacuum(retainMillis: Long = 0L): Unit = {
+  val DefaultVacuumRetainMillis: Long = 7L * 24 * 60 * 60 * 1000
+
+  def vacuum(retainMillis: Long = DefaultVacuumRetainMillis): Unit = {
     val entries = listVersions.map(readEntry)
     val live = liveFiles(latestVersion).toSet
     // data files of insert-only commits double as that commit's change

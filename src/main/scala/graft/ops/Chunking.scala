@@ -85,20 +85,57 @@ object Chunking {
   /** Context-window size for packing. */
   val PackTokens = 1024
 
+  /** Shards for the packing prefix sum — matches the session's
+    * parallelism posture; at 100 TB this is the cluster's core count.
+    */
+  val PackShards = 32
+
   /** Greedy sequential packing: documents in stable doc_id order are
     * assigned to training bins by their exclusive prefix token count —
     * bin = floor(prefix / windowSize), the standard streaming
     * approximation of sequence packing (each bin holds consecutive
-    * documents totalling ≈ the context window). One running-sum window
-    * over the whole corpus; at scale the same statement partitions by
-    * shard key first.
+    * documents totalling ≈ the context window).
+    *
+    * The global running sum is a TWO-PHASE PREFIX SUM, never a
+    * single-partition window (which would funnel one row per document
+    * — billions at scale — through one task): documents hash into
+    * order-preserving doc_id-range shards; phase 1 aggregates one
+    * token subtotal per shard (`PackShards` rows, driver-collected
+    * like the watermark lookups) whose running offsets are broadcast
+    * back; phase 2 windows WITHIN each shard in parallel and adds the
+    * shard's offset. PlanSpec asserts the plan carries no
+    * unpartitioned window. The id-bounds probe and the subtotal pass
+    * each scan only pruned columns; a production pipeline over an
+    * unsplittable-tokenizer corpus would checkpoint the (doc_id, n)
+    * projection instead of computing it twice.
     */
   def q73Packing(s: SparkSession, dir: String): DataFrame = {
-    val byDoc = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    documents(s, dir)
+    val perDoc = documents(s, dir)
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
-      .withColumn("prefix", coalesce(sum("n").over(byDoc), lit(0L)))
+    val bounds = perDoc.agg(min("doc_id"), max("doc_id")).head()
+    if (bounds.isNullAt(0)) return perDoc
+      .select(lit(0L).as("bin"), lit(0L).as("n_docs"),
+        lit(0L).as("total_tokens"), col("doc_id").as("first_doc"),
+        col("doc_id").as("last_doc")).limit(0)
+    val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, maxId - minId + 1)
+    val shardCol = ((col("doc_id") - minId) * PackShards / span).cast("int")
+    val sharded = perDoc.withColumn("shard", shardCol)
+    // phase 1: per-shard subtotals → exclusive running offsets
+    val subtotals = sharded.groupBy("shard").agg(sum("n").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = subtotals.map { case (sh, t) =>
+      val o = acc; acc += t; (sh, o)
+    }
+    val offsetDf = s.createDataFrame(offsets.toSeq).toDF("shard", "base")
+    // phase 2: intra-shard exclusive prefix, offset by the shard base
+    val intraW = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("intra", coalesce(sum("n").over(intraW), lit(0L)))
+      .join(broadcast(offsetDf), "shard")
+      .withColumn("prefix", col("base") + col("intra"))
       .withColumn("bin", floor(col("prefix") / PackTokens))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"), sum("n").as("total_tokens"),

@@ -29,6 +29,12 @@ object CorpusHygiene {
     *
     * Scale shape: shingles are xxhash64'd before the first exchange
     * (8-byte keys on the wire, never strings — the q41/q94 pattern).
+    * Hash-as-identity accepts 64-bit collision risk: ~10⁹ distinct
+    * shingles put the birthday bound near 3%-per-corpus odds of ONE
+    * collided pair perturbing two rows' counts by 1 — fine for an
+    * audit report; a pipeline gating deletions on these counts at
+    * 100 TB should widen the key to a 128-bit pair (two seeded
+    * xxhash64 columns) at double the shuffle-key width.
     * Cross-doc sharing is decided by a groupBy on the hash whose
     * output is FILTERED to shared shingles before joining back, so the
     * join's build side is only the duplicated tail of the shingle

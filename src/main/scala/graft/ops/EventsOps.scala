@@ -71,10 +71,15 @@ object EventsOps {
       |WHERE side = 1
       |ORDER BY event_id""".stripMargin
 
-  /** HyperLogLog++ distinct counting (approx_count_distinct) next to
-    * the exact count. No SQL oracle — DuckDB's HLL sketch differs by
-    * implementation; EventsOpsSpec bounds the error against exact
-    * instead (rows-only driver check).
+  /** HyperLogLog++ distinct counting (approx_count_distinct) gated via
+    * a bounded-error witness: the sketch estimate itself is
+    * implementation-specific (DuckDB's HLL differs), so the oracle
+    * can't state it — but it CAN state the exact count plus the claim
+    * the sketch exists to satisfy, |approx−exact|/exact ≤ 5%. The
+    * boolean is deterministic because HLL register merges are
+    * max-commutative: the sketch value is independent of partitioning
+    * and arrival order, so the same data always yields the same
+    * estimate. EventsOpsSpec keeps the tighter numeric bound.
     */
   def q50ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -82,7 +87,16 @@ object EventsOps {
       .agg(
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) /
+          col("exact_users") <= 0.05).as("approx_within_5pct"))
       .orderBy("event_type")
+
+  val q50Oracle: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      | TRUE AS approx_within_5pct
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
   /** Exact interpolated percentiles of value per event type — the
     * latency/size-distribution report shape. Spark's `percentile` and
@@ -410,7 +424,7 @@ object EventsOps {
     "q114_gap_fill" -> q114Oracle,
     "q117_rolling_active" -> q117Oracle,
     "q49_asof_join" -> q49Oracle,
-    // q50: sketch-implementation-specific — rows-only check
+    "q50_approx_distinct" -> q50Oracle,
     "q65_percentiles" -> q65Oracle,
     "q75_band_join" -> q75Oracle,
     "q82_daily_deltas" -> q82Oracle,

@@ -84,8 +84,9 @@ object Skew {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
-  /** A deliberately hot-keyed join (a quarter of all events collapse
-    * onto one key — the classic null-key/power-law shape) left to
+  /** A deliberately hot-keyed join (half of all events — every even
+    * user_id — collapse onto one key, the classic null-key/power-law
+    * shape) left to
     * AQE's runtime skew-join handling rather than explicit salting:
     * the complementary lever to [[saltedSum]]. The RESULT is
     * layout-independent (what the oracle checks); SkewJoinSpec forces

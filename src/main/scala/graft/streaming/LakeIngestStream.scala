@@ -147,7 +147,9 @@ object LakeIngestStream {
 
     val t = MiniLake(s, lakePath)
     t.compactFiles() // one file per day replaces the per-batch layout
-    t.vacuum()       // reclaim the pre-compaction ingest files
+    // single-writer lifecycle (the stream has stopped): zero retention
+    // is the explicit opt-in for immediate reclamation
+    t.vacuum(retainMillis = 0L)
     t.snapshotWhere(p => p("day") >= "2024-01-05" && p("day") <= "2024-01-07")
       .groupBy("day")
       .agg(count(lit(1)).as("n"),

@@ -35,7 +35,7 @@ object GraftSql {
       exprs => graft.functions.VectorExpressions.DotProduct(
         exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_word_ngrams",
-      exprs => graft.functions.ShingleExpressions.WordNGrams(
-        exprs.head, exprs(1).eval().asInstanceOf[Int]), "built-in")
+      exprs => graft.functions.ShingleExpressions
+        .wordNGramsFromExprs(exprs), "built-in")
   }
 }

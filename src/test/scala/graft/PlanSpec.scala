@@ -142,6 +142,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q73: the packing prefix sum carries no unpartitioned window") {
+    val plan = graft.ops.Chunking.q73Packing(spark, sf)
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    val unpartitioned = plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      s"single-partition window found:\n${unpartitioned.mkString("\n")}")
+  }
+
   test("q114: the spine join sees aggregated days, not raw events") {
     val plan = planOf(graft.ops.EventsOps.q114GapFill(spark, sf))
     // LOCF windows over the spine grid; the raw-event frame must be

@@ -138,7 +138,7 @@ class MiniLakeModelSpec extends AnyFunSuite {
               journal ++= rows.keys.map(("insert", _))
               model = rows
             }
-          case Vacuum => t.vacuum()
+          case Vacuum => t.vacuum(retainMillis = 0L)
           case Compact => t.compactFiles()
         }
         val snap = t.snapshot().select("key", "value")

@@ -123,7 +123,7 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
     t.create(kv(1L -> "a"))
     t.overwrite(kv(2L -> "b")) // makes v0 files unreferenced
     val before = t.latestVersion
-    t.vacuum()
+    t.vacuum(retainMillis = 0L)
     assert(t.latestVersion === before)
     assert(t.snapshot().as[(Long, String)].collect().toSeq === Seq(2L -> "b"))
     // change files survive vacuum: the delete of key 1 is still visible
@@ -148,10 +148,44 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
     // the guard that protects an in-flight concurrent append's files
     t.vacuum(retainMillis = 60 * 60 * 1000L)
     assert(parquetCount === before)
-    // no window reclaims the stale rewrite files (single-writer case)
-    t.vacuum()
+    // explicit zero window reclaims the stale rewrite files
+    // (single-writer opt-in; the default is a 7-day retention)
+    t.vacuum(retainMillis = 0L)
     assert(parquetCount < before)
     assert(t.snapshot().as[(Long, String)].collect().toSeq === Seq(1L -> "a3"))
+  }
+
+  test("default vacuum is safe against an in-flight concurrent append") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a"))
+    t.overwrite(kv(2L -> "b")) // v0's files are unreferenced but young
+    // simulate appendConcurrent mid-flight: data files staged into a
+    // c-<uuid> dir, log entry NOT yet published — exactly the window a
+    // zero-retention vacuum would destroy
+    val staged = java.nio.file.Paths.get(dir, "data", "c-inflight0001")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.write(staged.resolve("part-0.parquet"), Array[Byte](1))
+    def count: Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+      try s.filter(_.toString.endsWith(".parquet")).count() finally s.close()
+    }
+    val before = count
+    t.vacuum() // DEFAULT retention: young files survive
+    assert(count === before, "default vacuum deleted young files")
+    assert(java.nio.file.Files.exists(staged.resolve("part-0.parquet")))
+    // real race: appends publishing while default vacuums interleave
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val appender = new Thread(() => try {
+      (0 until 4).foreach(i => t.appendConcurrent(kv((10L + i) -> s"t$i")))
+    } catch { case e: Throwable => errors.add(e) })
+    val vac = new Thread(() => try {
+      (0 until 8).foreach(_ => t.vacuum())
+    } catch { case e: Throwable => errors.add(e) })
+    appender.start(); vac.start(); appender.join(); vac.join()
+    assert(errors.isEmpty, errors)
+    // every published append still reads back intact
+    assert(t.snapshot().orderBy("key").as[(Long, String)].collect().toSeq ===
+      Seq(2L -> "b", 10L -> "t0", 11L -> "t1", 12L -> "t2", 13L -> "t3"))
   }
 
   test("vacuum reclaims change-file debris but keeps entry-listed change files") {
@@ -163,7 +197,7 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
     val debris = java.nio.file.Paths.get(dir, "changes", "v=1", "w-loser00")
     java.nio.file.Files.createDirectories(debris)
     java.nio.file.Files.write(debris.resolve("part-0.parquet"), Array[Byte](1))
-    t.vacuum()
+    t.vacuum(retainMillis = 0L)
     assert(!java.nio.file.Files.exists(debris.resolve("part-0.parquet")))
     // the real change feed still reads
     assert(t.readChanges(1, 1).filter("_change_type = 'delete'").count() === 1L)
@@ -239,7 +273,7 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
     // time travel to the pre-compaction version still works
     assert(t.snapshot(vBefore).count() === 6L)
     // and vacuum reclaims the small files without breaking the feed
-    t.vacuum()
+    t.vacuum(retainMillis = 0L)
     assert(t.snapshot().orderBy("key").as[(Long, String)].collect().toSeq === before)
     assert(t.readChanges(0, t.latestVersion)
       .select("key", "_change_type").as[(Long, String)].collect().sorted.toSeq
@@ -297,8 +331,9 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
     val ch = t.readChanges(1, t.latestVersion)
       .select("key", "_change_type").as[(Long, String)].collect().toSet
     assert(ch === (0 until n).map(i => (10L + i, "insert")).toSet)
-    // vacuum keeps the c-<uuid> data files (live + change-backed)
-    t.vacuum()
+    // even a zero-window vacuum keeps the c-<uuid> data files
+    // (live + change-backed)
+    t.vacuum(retainMillis = 0L)
     assert(t.snapshot().count() === (n + 1).toLong)
   }
 
@@ -322,7 +357,7 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(ranged.inputFiles.forall(_.contains("/v=1/")))
     // compaction rewrites carry fresh stats — skipping keeps working
     t.compactFiles()
-    t.vacuum()
+    t.vacuum(retainMillis = 0L)
     val afterCompact = t.snapshotForRange("key", 120L, 180L)
     assert(afterCompact.count() === 61L)
   }
