@@ -10,8 +10,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `.explain("formatted")` — see `PlanSpec`).
   */
 object Tables {
+  /** Memoized per (session, path): `spark.read.parquet` builds a fresh
+    * file index (a driver-side directory listing) and re-reads the
+    * footer schema on every call, a fixed ~10-50 ms tax per table
+    * reference that the 100+-query gate pays hundreds of times.
+    * The testdata directories are immutable by contract (TESTDATA.md),
+    * so the first resolved relation per session is reusable — exactly
+    * what a long-lived cluster gets from a catalog's relation cache.
+    * DataFrames are immutable plan handles, so sharing one across
+    * queries is safe; keying on the session keeps stopped sessions'
+    * plans from leaking into their successors.
+    */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    memo.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      k => spark.read.parquet(k._2))
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")

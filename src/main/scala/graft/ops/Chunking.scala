@@ -82,6 +82,54 @@ object Chunking {
       |FROM w
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Stride between sliding-chunk starts: ChunkTokens − StrideTokens
+    * tokens of overlap carry context across chunk boundaries — the RAG
+    * / long-document loader shape (each chunk re-reads the tail of its
+    * predecessor so no span is ever split without context).
+    */
+  val StrideTokens = 24
+
+  /** Sliding-window chunking with overlap: chunk i covers tokens
+    * [i·S+1, min(n, i·S+W)] for window W = [[ChunkTokens]] and stride
+    * S = [[StrideTokens]]; `overlap_tokens` counts positions shared
+    * with the previous chunk. Same shape as [[q72Chunks]] — an
+    * exploded per-document arithmetic sequence, zero shuffle before
+    * the output sort, so the plan is identical at any corpus size.
+    */
+  def q118StrideChunks(s: SparkSession, dir: String): DataFrame = {
+    val idx = col("chunk_idx")
+    documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L),
+          ceil(col("n").cast("double") / StrideTokens).cast("long") - 1)))
+      .select(col("doc_id"), idx,
+        (idx * StrideTokens + 1).as("token_start"),
+        least(col("n"), idx * StrideTokens + ChunkTokens).as("token_end"),
+        when(idx === 0, lit(0L)).otherwise(greatest(lit(0L),
+          least(col("n"), (idx - 1) * StrideTokens + ChunkTokens)
+            - idx * StrideTokens)).as("overlap_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val q118Oracle: String = {
+    val series =
+      s"unnest(generate_series(0, CAST(ceil(n / ${StrideTokens}.0) AS BIGINT) - 1))"
+    s"""WITH w AS (SELECT doc_id, CAST(length($tokensSql) AS BIGINT) AS n
+      |           FROM documents)
+      |SELECT doc_id,
+      | CAST($series AS BIGINT) AS chunk_idx,
+      | CAST($series * $StrideTokens + 1 AS BIGINT) AS token_start,
+      | least(n, CAST($series AS BIGINT) * $StrideTokens + $ChunkTokens)
+      |   AS token_end,
+      | CASE WHEN $series = 0 THEN 0
+      |   ELSE greatest(0, least(n,
+      |     (CAST($series AS BIGINT) - 1) * $StrideTokens + $ChunkTokens)
+      |     - CAST($series AS BIGINT) * $StrideTokens) END AS overlap_tokens
+      |FROM w
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   /** Context-window size for packing. */
   val PackTokens = 1024
 
@@ -160,12 +208,14 @@ object Chunking {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_clean_text" -> (q71CleanText _),
     "q72_chunks" -> (q72Chunks _),
-    "q73_packing" -> (q73Packing _)
+    "q73_packing" -> (q73Packing _),
+    "q118_stride_chunks" -> (q118StrideChunks _)
   )
 
   def oracles: Map[String, String] = Map(
     "q71_clean_text" -> q71Oracle,
     "q72_chunks" -> q72Oracle,
-    "q73_packing" -> q73Oracle
+    "q73_packing" -> q73Oracle,
+    "q118_stride_chunks" -> q118Oracle
   )
 }

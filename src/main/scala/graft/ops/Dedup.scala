@@ -530,7 +530,58 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** Train/test split with a LEAKAGE GUARD — the step a naive random
+    * split misses: a training document that shares verbatim content
+    * with a held-out document leaks the test set into training. Test =
+    * a deterministic ~10% of doc_ids; any non-test document sharing an
+    * 8-gram shingle with ANY test document is quarantined out of
+    * train. The same inverted-index shape as [[q94Decontaminate]]:
+    * shingles hash to 8-byte keys before the exchange, the test-set
+    * shingle list broadcasts (the held-out set is the small side by
+    * construction), and the quarantine decision is one semi-join
+    * probe per (doc, shingle) — never a doc×doc comparison.
+    */
+  def q119LeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val sh = ngramsRaw(documents(s, dir), DecontamN)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
+    val evalSh = sh.filter(col("doc_id") % 10 === 7)
+      .select("shingle").distinct()
+    val leaked = sh.filter(col("doc_id") % 10 =!= 7)
+      .join(broadcast(evalSh), Seq("shingle"))
+      .select("doc_id").distinct()
+      .withColumn("leak", lit(1))
+    documents(s, dir).select("doc_id")
+      .join(leaked, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 7, lit("test"))
+          .when(col("leak").isNotNull, lit("quarantine"))
+          .otherwise(lit("train")).as("split"))
+      .orderBy("doc_id")
+  }
+
+  val q119Oracle: String = {
+    val n = DecontamN
+    s"""WITH w AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  unnest(CASE WHEN length(ws) >= $n
+      |    THEN [array_to_string(ws[i:i+${n - 1}], ' ')
+      |          for i in generate_series(1, length(ws)-${n - 1})]
+      |    ELSE [array_to_string(ws, ' ')] END) AS shingle
+      | FROM w),
+      |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 7),
+      |leak AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
+      |         WHERE s.doc_id % 10 <> 7)
+      |SELECT d.doc_id,
+      | CASE WHEN d.doc_id % 10 = 7 THEN 'test'
+      |      WHEN l.doc_id IS NOT NULL THEN 'quarantine'
+      |      ELSE 'train' END AS split
+      |FROM documents d LEFT JOIN leak l ON d.doc_id = l.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_leakage_split" -> (q119LeakageSplit _),
     "q40_exact_dedup" -> (q40ExactDedup _),
     "q41_ngram_jaccard" -> (q41NgramJaccard _),
     "q42_minhash_lsh" -> (q42MinhashLsh _),
@@ -542,6 +593,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "q119_leakage_split" -> q119Oracle,
     "q40_exact_dedup" -> q40Oracle,
     "q41_ngram_jaccard" -> q41Oracle,
     "q42_minhash_lsh" -> q42Oracle,

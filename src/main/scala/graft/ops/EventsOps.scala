@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -97,6 +97,70 @@ object EventsOps {
       | TRUE AS approx_within_5pct
       |FROM events GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** Sketch-based percentiles gated the q50 way: `approx_percentile`
+    * (Greenwald-Khanna summaries — rank error bounded by 1/accuracy
+    * REGARDLESS of merge order, so the booleans are stable) next to
+    * the exact interpolated percentiles, emitting the exact values
+    * plus a bounded-deviation witness the oracle can state. The
+    * tolerance (5% relative + 0.01 absolute slack) is orders of
+    * magnitude looser than the configured 1/10000 rank error — the
+    * witness can only flip if the sketch breaks outright.
+    */
+  def q120ApproxPctWitness(s: SparkSession, dir: String): DataFrame = {
+    def exact(p: Double, name: String) =
+      round(expr(s"percentile(value, $p)"), 4).cast("decimal(18,4)")
+        .cast("double").as(name)
+    def close(approx: Column, e: Column): Column =
+      abs(approx - e) <= abs(e) * 0.05 + lit(0.01)
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(exact(0.5, "p50_exact"), exact(0.9, "p90_exact"),
+        expr("approx_percentile(value, array(0.5, 0.9), 10000)").as("ap"))
+      .select(col("event_type"), col("p50_exact"), col("p90_exact"),
+        (close(element_at(col("ap"), 1), col("p50_exact")) &&
+          close(element_at(col("ap"), 2), col("p90_exact")))
+          .as("approx_within_5pct"))
+      .orderBy("event_type")
+  }
+
+  val q120Oracle: String =
+    """SELECT event_type,
+      | CAST(CAST(round(quantile_cont(value, 0.5), 4) AS DECIMAL(18,4))
+      |   AS DOUBLE) AS p50_exact,
+      | CAST(CAST(round(quantile_cont(value, 0.9), 4) AS DECIMAL(18,4))
+      |   AS DOUBLE) AS p90_exact,
+      | TRUE AS approx_within_5pct
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** First-order Markov transition counts over each user's event
+    * stream — the training-example shape for next-event prediction
+    * and the standard behavioral-drift monitor. One window keyed on
+    * user_id (millions of parallel partitions at scale, nothing
+    * global), then a map-side-combinable count keyed on the 5×5 type
+    * pair; ties inside a user's stream break on event_id so the
+    * `lead` is deterministic in both engines.
+    */
+  def q122MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val q122Oracle: String =
+    """WITH t AS (SELECT event_type AS from_type,
+      |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS to_type
+      | FROM events)
+      |SELECT from_type, to_type, count(*) AS n FROM t
+      |WHERE to_type IS NOT NULL
+      |GROUP BY from_type, to_type
+      |ORDER BY from_type, to_type""".stripMargin
 
   /** Exact interpolated percentiles of value per event type — the
     * latency/size-distribution report shape. Spark's `percentile` and
@@ -414,6 +478,8 @@ object EventsOps {
     "q117_rolling_active" -> (q117RollingActive _),
     "q49_asof_join" -> (q49AsofJoin _),
     "q50_approx_distinct" -> (q50ApproxDistinct _),
+    "q120_approx_pct" -> (q120ApproxPctWitness _),
+    "q122_markov_transitions" -> (q122MarkovTransitions _),
     "q65_percentiles" -> (q65Percentiles _),
     "q75_band_join" -> (q75BandJoin _),
     "q82_daily_deltas" -> (q82DailyDeltas _),
@@ -425,6 +491,8 @@ object EventsOps {
     "q117_rolling_active" -> q117Oracle,
     "q49_asof_join" -> q49Oracle,
     "q50_approx_distinct" -> q50Oracle,
+    "q120_approx_pct" -> q120Oracle,
+    "q122_markov_transitions" -> q122Oracle,
     "q65_percentiles" -> q65Oracle,
     "q75_band_join" -> q75Oracle,
     "q82_daily_deltas" -> q82Oracle,

@@ -373,7 +373,50 @@ object TextAnalysis {
       |FROM st
       |ORDER BY doc_id""".stripMargin
 
+  /** Tokenizer-vocabulary coverage: the fraction of each document's
+    * tokens outside the corpus's top-[[VocabSize]] vocabulary — the
+    * OOV-rate report that sizes a tokenizer against a corpus (high
+    * OOV → wasted byte-fallback tokens at training time). The vocab
+    * is a rank aggregate (top-K by count, ties on the token string so
+    * both engines cut the same boundary) that Spark plans as
+    * per-partition top-K + driver merge, then broadcasts; coverage is
+    * one more scan with a map-side-combinable count — two scans
+    * total, no corpus-sized shuffle. The synthetic corpus draws from
+    * ~31 distinct words, so the vocab is top-10 to keep the OOV rate
+    * non-degenerate; real corpora use 32k-256k.
+    */
+  val VocabSize = 10
+
+  def q124VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val tok = documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+    val vocab = tok.groupBy("tk").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tk")).limit(VocabSize)
+      .select(col("tk"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("tk"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") * lit(1.0) / col("n_tokens"), 4)
+          .cast("decimal(18,4)").cast("double").as("oov_pct"))
+      .orderBy("doc_id")
+  }
+
+  val q124Oracle: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS tk FROM documents),
+      |vocab AS (SELECT tk FROM (SELECT tk, count(*) AS c FROM tok
+      |  GROUP BY tk ORDER BY c DESC, tk LIMIT $VocabSize)),
+      |cov AS (SELECT doc_id, count(*) AS n_tokens,
+      |  count(*) FILTER (WHERE tk NOT IN (SELECT tk FROM vocab)) AS n_oov
+      | FROM tok GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_oov,
+      | CAST(CAST(round(n_oov * 1.0 / n_tokens, 4) AS DECIMAL(18,4))
+      |   AS DOUBLE) AS oov_pct
+      |FROM cov ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_vocab_coverage" -> (q124VocabCoverage _),
     "q30_token_stats" -> (q30TokenStats _),
     "q31_quality_score" -> (q31QualityScore _),
     "q32_lang_id" -> (q32LangId _),
@@ -385,6 +428,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q124_vocab_coverage" -> q124Oracle,
     "q30_token_stats" -> q30Oracle,
     "q31_quality_score" -> q31Oracle,
     "q32_lang_id" -> q32Oracle,

@@ -213,17 +213,99 @@ object Vectors {
       |        AS DECIMAL(18,6)))) AS DOUBLE), 4) AS rev_dot
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // ---- Product quantization (PQ) -------------------------------------
+
+  /** PQ layout: the d-dim vector splits into `PqSubspaces` contiguous
+    * subvectors, each coded by its nearest of `PqCodes` sample-fit
+    * centroids — 8 bytes per 64-float vector, a 32× compression
+    * (Jégou, Douze, Schmid, "Product quantization for nearest
+    * neighbor search", TPAMI 2011).
+    */
+  val PqSubspaces = 8
+  val PqCodes = 16
+  val PqSampleFactor = 256
+  val PqIters = 10
+
+  /** PQ compression gated by a comparative witness: per vector, the
+    * PQ reconstruction must beat the rank-0 baseline (reconstructing
+    * every vector as the sample mean). A fixed error bound would be
+    * data-shaped — near-uniform vectors cap how much ANY 4-bit-per-
+    * subspace code can capture (measured rel-err ≈0.74 here vs ≈1.0
+    * baseline, min margin 0.13 across SFs) — but "the codebook beats
+    * no codebook, per vector" is the data-independent claim a
+    * quantizer must satisfy. Training is the [[Similarity]] sample-fit
+    * pattern: per-subspace deterministic Lloyd's on a hash-ordered
+    * ≤256·k sample collected to the driver; coding is one UDF pass,
+    * closure-broadcast codebooks, fully distributed.
+    */
+  def q121PqQuantize(s: SparkSession, dir: String): DataFrame = {
+    val vecs = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val sample = vecs
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h"), col("vec_id")).limit(PqSampleFactor * PqCodes)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val dim = sample.head.length
+    require(dim % PqSubspaces == 0,
+      s"dim $dim not divisible into $PqSubspaces subspaces")
+    val dsub = dim / PqSubspaces
+    val books: Array[Array[Array[Double]]] = Array.tabulate(PqSubspaces) {
+      m =>
+        Similarity.lloydFit(
+          sample.map(_.slice(m * dsub, (m + 1) * dsub)), PqCodes, PqIters)
+    }
+    val mean: Array[Double] = Array.tabulate(dim) { i =>
+      var t = 0.0; sample.foreach(v => t += v(i)); t / sample.length
+    }
+    val bc = s.sparkContext.broadcast((books, mean))
+    val witness = udf((vv: Seq[Double]) => {
+      val v = vv.toArray
+      val (bks, mn) = bc.value
+      var ePq = 0.0; var eMean = 0.0
+      var m = 0
+      while (m < bks.length) {
+        val off = m * (v.length / bks.length)
+        val d = v.length / bks.length
+        // nearest codeword in this subspace (tie → lowest code id)
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < bks(m).length) {
+          var dd = 0.0; var i = 0
+          while (i < d) {
+            val x = v(off + i) - bks(m)(c)(i); dd += x * x; i += 1
+          }
+          if (dd < bd) { bd = dd; best = c }
+          c += 1
+        }
+        ePq += bd
+        var i = 0
+        while (i < d) {
+          val x = v(off + i) - mn(off + i); eMean += x * x; i += 1
+        }
+        m += 1
+      }
+      ePq < eMean // relative errors share the denominator — compare raw
+    })
+    vecs.select(col("vec_id"), witness(col("v")).as("pq_beats_baseline"))
+      .orderBy("vec_id")
+  }
+
+  val q121Oracle: String =
+    """SELECT vec_id, TRUE AS pq_beats_baseline
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_label_centroids" -> (q60LabelCentroids _),
     "q77_quantize_int8" -> (q77Quantize _),
     "q85_centroid_aggregator" -> (q85CentroidAggregator _),
-    "q108_hof_vector_math" -> (q108HofVectorMath _)
+    "q108_hof_vector_math" -> (q108HofVectorMath _),
+    "q121_pq_quantize" -> (q121PqQuantize _)
   )
 
   def oracles: Map[String, String] = Map(
     "q60_label_centroids" -> q60Oracle,
     "q77_quantize_int8" -> q77Oracle,
     "q85_centroid_aggregator" -> q60Oracle,
-    "q108_hof_vector_math" -> q108Oracle
+    "q108_hof_vector_math" -> q108Oracle,
+    "q121_pq_quantize" -> q121Oracle
   )
 }
