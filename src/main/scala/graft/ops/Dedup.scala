@@ -580,8 +580,88 @@ object Dedup {
       |ORDER BY d.doc_id""".stripMargin
   }
 
+  val SetSimN = 3
+  val SetSimTau = 0.5
+
+  /** Set-similarity self-join by PREFIX FILTERING (Bayardo, Ma,
+    * Srikant, "Scaling up all pairs similarity search", WWW 2007 —
+    * the AllPairs/PPJoin candidate generator): exact Jaccard ≥ τ
+    * pairs over 3-gram shingle sets, WITHOUT intersecting all
+    * co-occurring pairs.
+    *
+    * Why it's exact: order every set by global rarity (document
+    * frequency asc, hash asc — one consistent total order). If
+    * J(x,y) ≥ τ then |x∩y| ≥ τ·max(|x|,|y|); were no common element
+    * inside x's first |x|−⌈τ|x|⌉+1 elements, ALL common elements
+    * would sit in x's ⌈τ|x|⌉−1-element suffix — fewer than τ|x| ≤
+    * |x∩y| of them, a contradiction. The minimal common element
+    * therefore lies in BOTH prefixes, so joining prefixes only loses
+    * nothing.
+    *
+    * Why it scales where q41's df-capped index degrades gracefully:
+    * the candidate join's posting lists hold only each document's
+    * RAREST few shingles — frequency ordering pushes hot shingles
+    * into suffixes that never enter the join — and verification runs
+    * `array_intersect` on the candidate pairs alone, never the full
+    * co-occurrence matrix. Shuffle keys are 8-byte hashes throughout.
+    */
+  def q130SetSimJoin(s: SparkSession, dir: String): DataFrame = {
+    val sh = ngramsRaw(documents(s, dir), SetSimN)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+      .distinct()
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("g"))
+    val prefixes = sh.join(dfreq, "g")
+      .withColumn("rk", row_number().over(wDoc))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("rk") <= col("k") - ceil(col("k") * SetSimTau) + 1)
+      .select("doc_id", "g")
+    val cands = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val docSets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("g"))).as("gs"),
+        count(lit(1)).as("k"))
+    val jac = col("i") * lit(1.0) / (col("k1") + col("k2") - col("i"))
+    cands
+      .join(docSets.select(col("doc_id").as("id1"), col("gs").as("g1"),
+        col("k").as("k1")), "id1")
+      .join(docSets.select(col("doc_id").as("id2"), col("gs").as("g2"),
+        col("k").as("k2")), "id2")
+      .withColumn("i", size(array_intersect(col("g1"), col("g2"))).cast("long"))
+      .filter(jac >= SetSimTau)
+      .select(col("id1"), col("id2"),
+        round(jac, 4).cast("decimal(18,4)").cast("double").as("jaccard"))
+      .orderBy("id1", "id2")
+  }
+
+  val q130Oracle: String = {
+    val n = SetSimN
+    s"""WITH w AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+      |s AS (SELECT DISTINCT doc_id,
+      |  unnest(CASE WHEN length(ws) >= $n
+      |    THEN [array_to_string(ws[i:i+${n - 1}], ' ')
+      |          for i in generate_series(1, length(ws)-${n - 1})]
+      |    ELSE [array_to_string(ws, ' ')] END) AS g
+      | FROM w),
+      |sz AS (SELECT doc_id, count(*) AS k FROM s GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+      | FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2)
+      |SELECT id1, id2,
+      | CAST(CAST(round(i * 1.0 / (x.k + y.k - i), 4) AS DECIMAL(18,4))
+      |   AS DOUBLE) AS jaccard
+      |FROM inter JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+      |WHERE i * 1.0 / (x.k + y.k - i) >= $SetSimTau
+      |ORDER BY id1, id2""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_leakage_split" -> (q119LeakageSplit _),
+    "q130_setsim_join" -> (q130SetSimJoin _),
     "q40_exact_dedup" -> (q40ExactDedup _),
     "q41_ngram_jaccard" -> (q41NgramJaccard _),
     "q42_minhash_lsh" -> (q42MinhashLsh _),
@@ -594,6 +674,7 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "q119_leakage_split" -> q119Oracle,
+    "q130_setsim_join" -> q130Oracle,
     "q40_exact_dedup" -> q40Oracle,
     "q41_ngram_jaccard" -> q41Oracle,
     "q42_minhash_lsh" -> q42Oracle,

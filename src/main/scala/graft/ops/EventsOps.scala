@@ -162,6 +162,48 @@ object EventsOps {
       |GROUP BY from_type, to_type
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** Slowly-changing-dimension Type 2 built from an event stream: each
+    * user's event_type is treated as a mutable status attribute, and
+    * the output is the classic SCD2 validity-interval table — one row
+    * per status CHANGE with [valid_from, valid_to) millisecond bounds,
+    * the open current interval marked with a −1 sentinel. Two windows,
+    * both keyed on user_id (never global): lag() finds change points,
+    * lead() over the change points closes each interval. Consecutive
+    * same-status events collapse — the output carries one row per
+    * transition, not per event.
+    */
+  def q126Scd2(s: SparkSession, dir: String): DataFrame = {
+    val wEv = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val chg = events(s, dir)
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+      .withColumn("prev", lag("event_type", 1).over(wEv))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"), col("event_type").as("status"),
+        col("ms"), col("event_id"))
+    val wChg = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    chg
+      .withColumn("valid_to_ms",
+        coalesce(lead("ms", 1).over(wChg), lit(-1L)))
+      .select(col("user_id"), col("status"),
+        col("ms").as("valid_from_ms"), col("valid_to_ms"))
+      .orderBy("user_id", "valid_from_ms", "status")
+  }
+
+  val q126Oracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id,
+      |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS prev
+      | FROM events),
+      |chg AS (SELECT user_id, event_type AS status, ms, event_id FROM e
+      |  WHERE prev IS NULL OR prev <> event_type),
+      |iv AS (SELECT user_id, status, ms AS valid_from_ms,
+      |  lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+      |    AS valid_to_ms
+      | FROM chg)
+      |SELECT user_id, status, valid_from_ms,
+      | coalesce(valid_to_ms, CAST(-1 AS BIGINT)) AS valid_to_ms
+      |FROM iv ORDER BY user_id, valid_from_ms, status""".stripMargin
+
   /** Exact interpolated percentiles of value per event type — the
     * latency/size-distribution report shape. Spark's `percentile` and
     * DuckDB's `quantile_cont` implement the same linear interpolation
@@ -480,6 +522,7 @@ object EventsOps {
     "q50_approx_distinct" -> (q50ApproxDistinct _),
     "q120_approx_pct" -> (q120ApproxPctWitness _),
     "q122_markov_transitions" -> (q122MarkovTransitions _),
+    "q126_scd2" -> (q126Scd2 _),
     "q65_percentiles" -> (q65Percentiles _),
     "q75_band_join" -> (q75BandJoin _),
     "q82_daily_deltas" -> (q82DailyDeltas _),
@@ -493,6 +536,7 @@ object EventsOps {
     "q50_approx_distinct" -> q50Oracle,
     "q120_approx_pct" -> q120Oracle,
     "q122_markov_transitions" -> q122Oracle,
+    "q126_scd2" -> q126Oracle,
     "q65_percentiles" -> q65Oracle,
     "q75_band_join" -> q75Oracle,
     "q82_daily_deltas" -> q82Oracle,

@@ -314,7 +314,42 @@ object Pipeline {
       |UNION ALL SELECT 2, t, f, 0, f FROM c
       |ORDER BY version""".stripMargin
 
+  /** Right-to-be-forgotten: purge every row a set of users owns from a
+    * versioned lake table, then AUDIT the purge from the change feed —
+    * the GDPR/DSAR lifecycle the reference's health-data setting makes
+    * mandatory. The delete is MiniLake's one-pass copy-on-write
+    * rewrite (partition-prunable at scale); the audit never rescans
+    * the table: purge counts come from the delete commit's CDF
+    * preimages (batch-sized), and the `remaining` proof probes the
+    * post-delete snapshot for the targeted users only. Output per
+    * forgotten user: rows purged, rows remaining (must be 0).
+    */
+  def q125ForgetUser(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_forget").toString
+    val t = MiniLake(s, s"$base/events")
+    t.create(events(s, dir)
+      .select("event_id", "user_id", "event_type", "value"))
+    val isTarget = col("user_id") % 29 === 3
+    t.delete(isTarget)
+    val purged = t.readChanges(t.latestVersion, t.latestVersion)
+      .filter(col("_change_type") === "delete")
+      .groupBy("user_id").agg(count(lit(1)).as("rows_purged"))
+    val remaining = t.snapshot().filter(isTarget)
+      .groupBy("user_id").agg(count(lit(1)).as("r"))
+    purged.join(remaining, Seq("user_id"), "left")
+      .select(col("user_id"), col("rows_purged"),
+        coalesce(col("r"), lit(0L)).as("remaining"))
+      .orderBy("user_id")
+  }
+
+  val q125Oracle: String =
+    """SELECT user_id, count(*) AS rows_purged,
+      | CAST(0 AS BIGINT) AS remaining
+      |FROM events WHERE user_id % 29 = 3
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_forget_user" -> (q125ForgetUser _),
     "q19_cdc_roundtrip" -> (q19CdcRoundtrip _),
     "q54_bucketed_cdc" -> (q54BucketedCdc _),
     "q80_partitioned_lake" -> (q80PartitionedLake _),
@@ -326,6 +361,7 @@ object Pipeline {
   )
 
   def oracles: Map[String, String] = Map(
+    "q125_forget_user" -> q125Oracle,
     "q19_cdc_roundtrip" -> q19Oracle,
     "q54_bucketed_cdc" -> q19Oracle,
     "q80_partitioned_lake" -> q80Oracle,

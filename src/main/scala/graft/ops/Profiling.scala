@@ -153,15 +153,49 @@ object Profiling {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY rule")
   }
 
+  /** Fixed-width value histogram per event type — the distribution
+    * report behind data-drift monitors and equi-width histogram
+    * statistics. Bucket = min(⌊value/64⌋, 7), so the top bucket is
+    * open-ended; counts plus a per-bucket mass column. One scan, one
+    * map-side-combinable aggregate keyed on (type, bucket) — 40 groups
+    * regardless of table size. The mass sums values quantized to
+    * DECIMAL(18,2) (their storage precision) so the totals are
+    * order-independent across engines and partitionings.
+    */
+  val HistBucketWidth = 64.0
+  val HistTopBucket = 7
+
+  def q129ValueHistogram(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"),
+        least(floor(col("value") / HistBucketWidth), lit(HistTopBucket))
+          .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")), 2)
+          .cast("decimal(18,2)").cast("double").as("total"))
+      .orderBy("event_type", "bucket")
+
+  val q129Oracle: String =
+    s"""SELECT event_type,
+      | least(CAST(floor(value / $HistBucketWidth) AS BIGINT),
+      |   $HistTopBucket) AS bucket,
+      | count(*) AS n,
+      | CAST(CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2)
+      |   AS DECIMAL(18,2)) AS DOUBLE) AS total
+      |FROM events GROUP BY event_type, bucket
+      |ORDER BY event_type, bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_column_profile" -> (q83ColumnProfile _),
     "q106_stats_profile" -> (q106StatsProfile _),
-    "q111_expectations" -> (q111Expectations _)
+    "q111_expectations" -> (q111Expectations _),
+    "q129_value_histogram" -> (q129ValueHistogram _)
   )
 
   def oracles: Map[String, String] = Map(
     "q83_column_profile" -> q83Oracle,
     "q106_stats_profile" -> q106Oracle,
-    "q111_expectations" -> q111Oracle
+    "q111_expectations" -> q111Oracle,
+    "q129_value_histogram" -> q129Oracle
   )
 }

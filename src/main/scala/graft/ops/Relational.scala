@@ -687,7 +687,54 @@ object Relational {
       |  (o_orderpriority), ())
       |ORDER BY status, priority""".stripMargin
 
+  /** Cross-nation trade flows (TPC-H Q7's shape): revenue between every
+    * (supplier nation, customer nation) pair. Two fact-sized joins
+    * (lineitem⋈orders on orderkey, then customer/supplier keys) that
+    * shuffle — correct at 100 TB, where neither side broadcasts — and
+    * two 25-row nation lookups that must NOT shuffle: both resolve as
+    * broadcast joins of the same tiny table under two aliases.
+    * Revenue quantizes per item to DECIMAL(18,4) before the sum so the
+    * cross-engine total is order-independent (the q10/q106 rule).
+    */
+  def q127TradeFlows(s: SparkSession, dir: String): DataFrame = {
+    val itemRev = round(col("l_extendedprice") * (lit(1) - col("l_discount")),
+      4).cast("decimal(18,4)")
+    val sn = nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val cn = nation(s, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    lineitem(s, dir)
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+      .filter(col("s_nk") =!= col("c_nk"))
+      .groupBy("supp_nation", "cust_nation")
+      .agg(
+        round(sum(itemRev), 2).cast("decimal(18,2)").cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation")
+  }
+
+  val q127Oracle: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      | CAST(CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount),
+      |   4) AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS DOUBLE)
+      |   AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE sn.n_nationkey <> cn.n_nationkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_trade_flows" -> (q127TradeFlows _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q4_order_priority" -> (q4OrderPriority _),
@@ -717,6 +764,7 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q127_trade_flows" -> q127Oracle,
     "q1_pricing_summary" -> q1Oracle,
     "q3_shipping_priority" -> q3Oracle,
     "q4_order_priority" -> q4Oracle,

@@ -153,6 +153,12 @@ class PlanSpec extends AnyFunSuite {
       s"single-partition window found:\n${unpartitioned.mkString("\n")}")
   }
 
+  test("q130: set-similarity join never degenerates to a cross product") {
+    val plan = planOf(graft.ops.Dedup.q130SetSimJoin(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q114: the spine join sees aggregated days, not raw events") {
     val plan = planOf(graft.ops.EventsOps.q114GapFill(spark, sf))
     // LOCF windows over the spine grid; the raw-event frame must be

@@ -69,6 +69,86 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(n === expected)
   }
 
+  test("q125: forget-user purges every target row and audits from the CDF") {
+    val rows = Pipeline.q125ForgetUser(spark, sf).collect()
+    val ev = graft.Tables.events(spark, sf)
+    val expected = ev.filter("user_id % 29 = 3")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rows_purged") ===
+        expected(r.getAs[Long]("user_id")))
+      assert(r.getAs[Long]("remaining") === 0L)
+    }
+  }
+
+  test("q126: SCD2 intervals are contiguous, alternating, half-open") {
+    val rows = EventsOps.q126Scd2(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("user_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("valid_from_ms"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // each interval closes exactly where the next opens
+          assert(a.getAs[Long]("valid_to_ms") ===
+            b.getAs[Long]("valid_from_ms"))
+          // a change point really changes the status
+          assert(a.getAs[String]("status") !== b.getAs[String]("status"))
+        case _ => ()
+      }
+      assert(sorted.last.getAs[Long]("valid_to_ms") === -1L) // open current
+    }
+  }
+
+  test("q127: trade flows cover all nation pairs and conserve line items") {
+    val rows = Relational.q127TradeFlows(spark, sf).collect()
+    // ≤ 25×24 ordered cross-nation pairs; sparse at the spec's tiny SF
+    assert(rows.nonEmpty && rows.length <= 25 * 24)
+    assert(rows.forall(r =>
+      r.getAs[String]("supp_nation") != r.getAs[String]("cust_nation")))
+    val expected = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf), org.apache.spark.sql.functions
+        .col("l_orderkey") === org.apache.spark.sql.functions.col("o_orderkey"))
+      .join(graft.Tables.customer(spark, sf), org.apache.spark.sql.functions
+        .col("o_custkey") === org.apache.spark.sql.functions.col("c_custkey"))
+      .join(graft.Tables.supplier(spark, sf), org.apache.spark.sql.functions
+        .col("l_suppkey") === org.apache.spark.sql.functions.col("s_suppkey"))
+      .filter("s_nationkey <> c_nationkey").count()
+    assert(rows.map(_.getAs[Long]("n_items")).sum === expected)
+  }
+
+  test("q129: histogram conserves the row count within bucket bounds") {
+    val rows = Profiling.q129ValueHistogram(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum ===
+      graft.Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0L && b <= Profiling.HistTopBucket.toLong)
+    }
+  }
+
+  test("q130: prefix filtering loses no pair vs the exhaustive join") {
+    import org.apache.spark.sql.functions._
+    val filtered = Dedup.q130SetSimJoin(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    // exhaustive candidate generation: every co-occurring pair
+    val sh = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(graft.functions.ShingleExpressions
+        .word_ngrams(col("text"), Dedup.SetSimN)).as("g")).distinct()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("k"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("id1"), col("k").as("k1")), "id1")
+      .join(sz.select(col("doc_id").as("id2"), col("k").as("k2")), "id2")
+      .filter(col("i") * lit(1.0) / (col("k1") + col("k2") - col("i"))
+        >= Dedup.SetSimTau)
+      .select("id1", "id2").collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(filtered === brute)
+  }
+
   test("q124: OOV counts are consistent and bounded") {
     val rows = TextAnalysis.q124VocabCoverage(spark, sf).collect()
     assert(rows.nonEmpty)
