@@ -162,6 +162,47 @@ object EventsOps {
       |GROUP BY from_type, to_type
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** Daily funnel conversion: the fraction of (user, day) activity
+    * streams containing the ordered view→click→purchase subsequence.
+    * The per-user-day event sequence materializes as ONE row per
+    * (user, day) — `collect_list` of (ms, event_id, type) structs,
+    * `array_sort`ed so the aggregation is order-deterministic under
+    * any partitioning (bare collect_list is not), joined to a type
+    * string the subsequence regex probes. State per group is a day of
+    * one user's events — bounded — and the daily rollup is
+    * map-side-combinable.
+    */
+  def q132FunnelConversion(s: SparkSession, dir: String): DataFrame = {
+    val converted = regexp_like(col("types"), lit("view.*click.*purchase"))
+      .cast("int")
+    events(s, dir)
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(array_sort(collect_list(
+        struct(col("ms"), col("event_id"), col("event_type")))).as("seq"))
+      .withColumn("types",
+        array_join(transform(col("seq"), _.getField("event_type")), ","))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_user_days"),
+        sum(converted).cast("long").as("n_converted"),
+        round(sum(converted) * lit(1.0) / count(lit(1)), 4)
+          .cast("decimal(18,4)").cast("double").as("conversion"))
+      .orderBy("day")
+  }
+
+  val q132Oracle: String =
+    """WITH seq AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+      |  string_agg(event_type, ',' ORDER BY epoch_ms(ts), event_id)
+      |    AS types
+      | FROM events GROUP BY 1, 2)
+      |SELECT day, count(*) AS n_user_days,
+      | CAST(sum(CASE WHEN regexp_matches(types, 'view.*click.*purchase')
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+      | CAST(CAST(round(sum(CASE WHEN regexp_matches(types,
+      |   'view.*click.*purchase') THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+      |   AS DECIMAL(18,4)) AS DOUBLE) AS conversion
+      |FROM seq GROUP BY day ORDER BY day""".stripMargin
+
   /** Slowly-changing-dimension Type 2 built from an event stream: each
     * user's event_type is treated as a mutable status attribute, and
     * the output is the classic SCD2 validity-interval table — one row
@@ -523,6 +564,7 @@ object EventsOps {
     "q120_approx_pct" -> (q120ApproxPctWitness _),
     "q122_markov_transitions" -> (q122MarkovTransitions _),
     "q126_scd2" -> (q126Scd2 _),
+    "q132_funnel_conversion" -> (q132FunnelConversion _),
     "q65_percentiles" -> (q65Percentiles _),
     "q75_band_join" -> (q75BandJoin _),
     "q82_daily_deltas" -> (q82DailyDeltas _),
@@ -537,6 +579,7 @@ object EventsOps {
     "q120_approx_pct" -> q120Oracle,
     "q122_markov_transitions" -> q122Oracle,
     "q126_scd2" -> q126Oracle,
+    "q132_funnel_conversion" -> q132Oracle,
     "q65_percentiles" -> q65Oracle,
     "q75_band_join" -> q75Oracle,
     "q82_daily_deltas" -> q82Oracle,

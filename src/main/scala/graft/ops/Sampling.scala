@@ -278,7 +278,36 @@ object Sampling {
       |GROUP BY shard
       |ORDER BY shard""".stripMargin
 
+  /** Class-rebalance plan: per label, the oversampling factor that
+    * equalizes class sizes to the majority class — the plan an
+    * imbalanced-classification pipeline feeds into weighted sampling
+    * or loss weighting. One tiny aggregate (numLabels rows) plus a
+    * broadcast of the 1-row max — the q103 boundaries-broadcast
+    * pattern, no window, no second scan of raw data.
+    */
+  def q133RebalancePlan(s: SparkSession, dir: String): DataFrame = {
+    val counts = embeddings(s, dir).groupBy("label")
+      .agg(count(lit(1)).as("n"))
+    val mx = counts.agg(max("n").as("target"))
+    counts.join(broadcast(mx))
+      .select(col("label").cast("int").as("label"), col("n"),
+        col("target"),
+        round(col("target") * lit(1.0) / col("n"), 4)
+          .cast("decimal(18,4)").cast("double").as("rep_factor"))
+      .orderBy("label")
+  }
+
+  val q133Oracle: String =
+    """WITH c AS (SELECT label, count(*) AS n FROM embeddings
+      |           GROUP BY label),
+      |m AS (SELECT max(n) AS target FROM c)
+      |SELECT label, n, target,
+      | CAST(CAST(round(target * 1.0 / n, 4) AS DECIMAL(18,4)) AS DOUBLE)
+      |   AS rep_factor
+      |FROM c, m ORDER BY label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_rebalance_plan" -> (q133RebalancePlan _),
     "q59_hash_split" -> (q59HashSplit _),
     "q78_capped_sample" -> (q78CappedSample _),
     "q89_training_mix" -> (q89TrainingMix _),
@@ -287,6 +316,7 @@ object Sampling {
   )
 
   def oracles: Map[String, String] = Map(
+    "q133_rebalance_plan" -> q133Oracle,
     "q59_hash_split" -> q59Oracle,
     "q78_capped_sample" -> q78Oracle,
     "q89_training_mix" -> q89Oracle,

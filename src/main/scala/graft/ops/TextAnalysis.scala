@@ -415,7 +415,49 @@ object TextAnalysis {
       |   AS DOUBLE) AS oov_pct
       |FROM cov ORDER BY doc_id""".stripMargin
 
+  /** Frequent token PAIRS (market-basket co-occurrence over documents):
+    * unordered token pairs appearing together in at least
+    * `PairMinSupport` of documents — the Apriori/FP-growth first level
+    * that powers collocation mining and feature crosses. Support is
+    * RELATIVE (a fraction of the corpus) so the query is
+    * scale-invariant. Pair generation is a within-document self-join
+    * on distinct tokens: at 100 TB the pair stream is bounded by
+    * Σ k_d² over per-doc distinct counts — the quadratic lives inside
+    * each document (k small by nature of vocabularies), never across
+    * documents — and the support count is map-side-combinable on the
+    * (t1, t2) key.
+    */
+  val PairMinSupport = 0.64
+
+  def q135FrequentPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    // metadata-only count — the relative-support threshold
+    val minSupport = math.ceil(docs.count() * PairMinSupport).toLong
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+      .distinct()
+    tok.as("a")
+      .join(tok.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tk") < col("b.tk"))
+      .groupBy(col("a.tk").as("t1"), col("b.tk").as("t2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("t1"), col("t2"))
+  }
+
+  val q135Oracle: String =
+    s"""WITH tok AS (SELECT DISTINCT doc_id, unnest($tokensSql) AS tk
+      |             FROM documents),
+      |n AS (SELECT CAST(ceil(count(*) * $PairMinSupport) AS BIGINT) AS ms
+      |      FROM documents),
+      |pairs AS (SELECT a.tk AS t1, b.tk AS t2, count(*) AS support
+      | FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.tk < b.tk
+      | GROUP BY 1, 2)
+      |SELECT t1, t2, support FROM pairs, n WHERE support >= ms
+      |ORDER BY support DESC, t1, t2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_frequent_pairs" -> (q135FrequentPairs _),
     "q124_vocab_coverage" -> (q124VocabCoverage _),
     "q30_token_stats" -> (q30TokenStats _),
     "q31_quality_score" -> (q31QualityScore _),
@@ -428,6 +470,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q135_frequent_pairs" -> q135Oracle,
     "q124_vocab_coverage" -> q124Oracle,
     "q30_token_stats" -> q30Oracle,
     "q31_quality_score" -> q31Oracle,

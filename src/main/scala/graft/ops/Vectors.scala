@@ -293,7 +293,66 @@ object Vectors {
     """SELECT vec_id, TRUE AS pq_beats_baseline
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** Embedding-distribution drift between two populations (labels
+    * split by parity — standing in for reference-week vs current-week
+    * corpora): per leading dimension, the total-variation distance
+    * between the populations' 8-bucket value histograms. TVD = ½Σ|p−q|
+    * is the drift metric that needs NO logarithms — PSI/KL would hinge
+    * on each engine's ln() ulp behavior, while TVD is pure arithmetic
+    * on exact count ratios, so the cross-engine hash is stable. Per-
+    * bucket |p−q| quantizes to DECIMAL(18,6) before the 8-term sum for
+    * order-independence. One scan, (pop, dim, bucket) keyed —
+    * map-side-combinable at any corpus size.
+    */
+  val DriftDims = 8
+  val DriftBuckets = 8
+
+  def q134DriftTvd(s: SparkSession, dir: String): DataFrame = {
+    val x = embeddings(s, dir)
+      .select((col("label") % 2).as("pop"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .filter(col("pos") < DriftDims)
+      .select(col("pop"), (col("pos") + 1).as("dim"), col("v"))
+    val b = x.groupBy(col("pop"), col("dim"),
+        least(greatest(floor((col("v") + 0.5) * DriftBuckets).cast("long"),
+          lit(0L)), lit(DriftBuckets - 1L)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val tot = b.groupBy("pop", "dim").agg(sum("n").as("t"))
+    val p = b.join(tot, Seq("pop", "dim"))
+      .groupBy("dim", "bucket")
+      .agg(
+        sum(when(col("pop") === 0, col("n") * lit(1.0) / col("t"))).as("p0"),
+        sum(when(col("pop") === 1, col("n") * lit(1.0) / col("t"))).as("p1"))
+    p.groupBy("dim")
+      .agg((round(sum(round(abs(coalesce(col("p0"), lit(0.0))
+          - coalesce(col("p1"), lit(0.0))), 6).cast("decimal(18,6)"))
+        .cast("double") * 0.5, 4)).cast("decimal(18,4)").cast("double")
+        .as("tvd"))
+      .select(col("dim").cast("long").as("dim"), col("tvd"))
+      .orderBy("dim")
+  }
+
+  val q134Oracle: String =
+    s"""WITH x AS (SELECT label % 2 AS pop, dim, CAST(v AS DOUBLE) AS v
+      |  FROM (SELECT label, unnest(embedding) AS v,
+      |          unnest(generate_series(1, len(embedding))) AS dim
+      |        FROM embeddings) WHERE dim <= $DriftDims),
+      |b AS (SELECT pop, dim, least(greatest(CAST(floor((v + 0.5)
+      |    * $DriftBuckets) AS BIGINT), 0), ${DriftBuckets - 1}) AS bucket,
+      |  count(*) AS n FROM x GROUP BY 1, 2, 3),
+      |tot AS (SELECT pop, dim, sum(n) AS t FROM b GROUP BY 1, 2),
+      |p AS (SELECT b.dim, b.bucket,
+      |  sum(CASE WHEN b.pop = 0 THEN n * 1.0 / t END) AS p0,
+      |  sum(CASE WHEN b.pop = 1 THEN n * 1.0 / t END) AS p1
+      | FROM b JOIN tot ON b.pop = tot.pop AND b.dim = tot.dim
+      | GROUP BY 1, 2)
+      |SELECT dim, CAST(CAST(round(CAST(sum(CAST(round(abs(coalesce(p0, 0)
+      |  - coalesce(p1, 0)), 6) AS DECIMAL(18,6))) AS DOUBLE) * 0.5, 4)
+      |  AS DECIMAL(18,4)) AS DOUBLE) AS tvd
+      |FROM p GROUP BY dim ORDER BY dim""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_drift_tvd" -> (q134DriftTvd _),
     "q60_label_centroids" -> (q60LabelCentroids _),
     "q77_quantize_int8" -> (q77Quantize _),
     "q85_centroid_aggregator" -> (q85CentroidAggregator _),
@@ -302,6 +361,7 @@ object Vectors {
   )
 
   def oracles: Map[String, String] = Map(
+    "q134_drift_tvd" -> q134Oracle,
     "q60_label_centroids" -> q60Oracle,
     "q77_quantize_int8" -> q77Oracle,
     "q85_centroid_aggregator" -> q60Oracle,

@@ -119,7 +119,69 @@ object EventsStream {
     }
   }
 
+  /** Streaming top-k: the hourly (window, type) counts maintained by
+    * the streaming aggregation, ranked to the top 3 types per window.
+    * Ranking is not an incremental-state operator (a rank can change
+    * retroactively as counts grow), so the canonical split applies:
+    * the STREAM maintains the watermark-bounded additive state — the
+    * windowed counts — and the rank runs batch-side over the sink
+    * (in production, over the compacted sink table or in the serving
+    * query). Both halves are partition-parallel: streaming state keys
+    * on (window, type), the rank windows per hour.
+    */
+  def topKStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val watchDir = graft.Scratch.dir("graft_stream_topk")
+    java.nio.file.Files.createSymbolicLink(
+      watchDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = s.readStream
+      .schema(rawSchema)
+      .parquet(watchDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("n"))
+
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(prevShuffle.toInt, 4).toString)
+    val name = "graft_topk_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val query = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      query.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("hour").orderBy(col("n").desc, col("event_type"))
+      val result = s.table(name)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy("hour", "rk")
+      result.cache().count()
+      result
+    } finally {
+      query.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+  }
+
+  val q131Oracle: String =
+    """WITH hourly AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  count(*) AS n
+      | FROM events GROUP BY 1, 2),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY hour
+      |  ORDER BY n DESC, event_type) AS rk FROM hourly)
+      |SELECT CAST(hour AS TIMESTAMP) AS hour, event_type, n, rk
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY hour, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_stream_topk" -> ((s, dir) => topKStream(s, dir)),
     "q48_stream_hourly" -> ((s, dir) => hourlyStream(s, dir)),
     "q102_stream_sliding" -> ((s, dir) => slidingStream(s, dir)),
     "q51_stream_sessions" -> ((s, dir) => SessionizeStream.sessions(s, dir)
@@ -135,6 +197,7 @@ object EventsStream {
     * batch on a bounded input.
     */
   def oracles: Map[String, String] = Map(
+    "q131_stream_topk" -> q131Oracle,
     // identical to the batch q10 oracle — stateful streaming must agree
     // with the window-based batch sessionizer
     "q51_stream_sessions" -> graft.ops.Relational.q10Oracle,

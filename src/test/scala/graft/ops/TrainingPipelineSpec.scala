@@ -149,6 +149,56 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(filtered === brute)
   }
 
+  test("q131: streaming top-k agrees with the batch ranking") {
+    import org.apache.spark.sql.functions._
+    // hour cast to string on both sides: ntz vs ltz carriers differ
+    // (LocalDateTime vs Timestamp) while the wall-clock text agrees
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("hour", col("hour").cast("string"))
+      .collect().map(r => (r.getAs[String]("hour"),
+        r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Long]("rk"))).toSet
+    val streamed = key(graft.streaming.EventsStream.topKStream(spark, sf))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("hour").orderBy(col("n").desc, col("event_type"))
+    val batch = key(graft.Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3))
+    assert(streamed === batch)
+  }
+
+  test("q132/q133/q134/q135: report invariants hold") {
+    val funnel = EventsOps.q132FunnelConversion(spark, sf).collect()
+    assert(funnel.nonEmpty)
+    funnel.foreach { r =>
+      assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_user_days"))
+      val c = r.getAs[Double]("conversion")
+      assert(c >= 0.0 && c <= 1.0)
+    }
+    val plan = Sampling.q133RebalancePlan(spark, sf).collect()
+    val target = plan.map(_.getAs[Long]("n")).max
+    plan.foreach { r =>
+      assert(r.getAs[Long]("target") === target)
+      assert(r.getAs[Double]("rep_factor") >= 1.0)
+    }
+    val drift = Vectors.q134DriftTvd(spark, sf).collect()
+    assert(drift.length === Vectors.DriftDims)
+    drift.foreach { r =>
+      val t = r.getAs[Double]("tvd")
+      assert(t >= 0.0 && t <= 1.0)
+    }
+    val pairs = TextAnalysis.q135FrequentPairs(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    pairs.foreach { r =>
+      assert(r.getAs[String]("t1") < r.getAs[String]("t2"))
+      assert(r.getAs[Long]("support") <= nDocs)
+      assert(r.getAs[Long]("support") >=
+        math.ceil(nDocs * TextAnalysis.PairMinSupport).toLong)
+    }
+  }
+
   test("q124: OOV counts are consistent and bounded") {
     val rows = TextAnalysis.q124VocabCoverage(spark, sf).collect()
     assert(rows.nonEmpty)
