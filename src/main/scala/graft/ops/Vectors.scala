@@ -182,10 +182,20 @@ object Vectors {
     * the lambda's left fold and DuckDB's list_sum then agree exactly.
     * Per-row, no shuffle: scales linearly.
     */
+  /** Term quantization is INTEGER-EXACT: each term maps through
+    * ⌊x·10⁶ + 0.5⌋ — multiply, add, floor are bit-identical IEEE ops
+    * in every engine — and the sum runs over longs. The earlier
+    * `round(x, 6)`-into-DECIMAL variant was subtly engine-dependent:
+    * Spark rounds through BigDecimal's view of the double while DuckDB
+    * rounds with float arithmetic, and the two differ by 1 ulp on some
+    * inputs (observed: 2/2000 rows at sf0.1 flipping the 4th decimal
+    * of the final sum). The final value is exact-sum/10⁶ — one shared
+    * IEEE division — with no output-side round() at all.
+    */
   def q108HofVectorMath(s: SparkSession, dir: String): DataFrame = {
-    def decSum(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      aggregate(arr, lit(0).cast("decimal(28,6)"),
-        (acc, x) => (acc + x).cast("decimal(28,6)"))
+    def q6Sum(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(arr, lit(0L),
+        (acc, x) => acc + floor(x * 1e6 + 0.5).cast("long"))
     val e = col("embedding")
     val d = e.cast("array<double>")
     embeddings(s, dir)
@@ -193,10 +203,9 @@ object Vectors {
         col("vec_id"),
         size(e).cast("long").as("dim"),
         size(filter(d, x => x > 0)).cast("long").as("n_pos"),
-        round(decSum(transform(d, x => round(abs(x), 6)
-          .cast("decimal(18,6)"))).cast("double"), 4).as("l1_norm"),
-        round(decSum(zip_with(d, reverse(d), (a, b) => round(a * b, 6)
-          .cast("decimal(18,6)"))).cast("double"), 4).as("rev_dot"))
+        (q6Sum(transform(d, x => abs(x))) / lit(1000000.0)).as("l1_norm"),
+        (q6Sum(zip_with(d, reverse(d), (a, b) => a * b)) / lit(1000000.0))
+          .as("rev_dot"))
       .orderBy("vec_id")
   }
 
@@ -204,13 +213,14 @@ object Vectors {
     """SELECT vec_id,
       | CAST(len(embedding) AS BIGINT) AS dim,
       | CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
-      | round(CAST(list_sum(list_transform(embedding,
-      |   x -> CAST(round(abs(CAST(x AS DOUBLE)), 6)
-      |        AS DECIMAL(18,6)))) AS DOUBLE), 4) AS l1_norm,
-      | round(CAST(list_sum(list_transform(
+      | CAST(list_sum(list_transform(embedding,
+      |   x -> CAST(floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5)
+      |        AS BIGINT))) AS DOUBLE) / 1000000.0 AS l1_norm,
+      | CAST(list_sum(list_transform(
       |   list_zip(embedding, list_reverse(embedding)),
-      |   p -> CAST(round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE), 6)
-      |        AS DECIMAL(18,6)))) AS DOUBLE), 4) AS rev_dot
+      |   p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+      |        * 1000000 + 0.5) AS BIGINT))) AS DOUBLE) / 1000000.0
+      |   AS rev_dot
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   // ---- Product quantization (PQ) -------------------------------------
