@@ -245,6 +245,40 @@ object EventsOps {
       | coalesce(valid_to_ms, CAST(-1 AS BIGINT)) AS valid_to_ms
       |FROM iv ORDER BY user_id, valid_from_ms, status""".stripMargin
 
+  /** Inter-arrival gap distribution: per event type, the median and
+    * p90 of milliseconds between a user's consecutive events — the
+    * queueing/engagement metric behind session-timeout tuning and
+    * bot detection. One user-keyed lag window (parallel per user),
+    * then the exact-percentile report pattern (q65) over the gaps.
+    */
+  def q137ArrivalGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    events(s, dir)
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+      .withColumn("gap", col("ms") - lag("ms", 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap, 0.5)"), 4).cast("decimal(18,4)")
+          .cast("double").as("p50_gap_ms"),
+        round(expr("percentile(gap, 0.9)"), 4).cast("decimal(18,4)")
+          .cast("double").as("p90_gap_ms"))
+      .orderBy("event_type")
+  }
+
+  val q137Oracle: String =
+    """WITH g AS (SELECT event_type,
+      |  epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+      |    ORDER BY epoch_ms(ts), event_id) AS gap
+      | FROM events)
+      |SELECT event_type, count(*) AS n_gaps,
+      | CAST(CAST(round(quantile_cont(gap, 0.5), 4) AS DECIMAL(18,4))
+      |   AS DOUBLE) AS p50_gap_ms,
+      | CAST(CAST(round(quantile_cont(gap, 0.9), 4) AS DECIMAL(18,4))
+      |   AS DOUBLE) AS p90_gap_ms
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Exact interpolated percentiles of value per event type — the
     * latency/size-distribution report shape. Spark's `percentile` and
     * DuckDB's `quantile_cont` implement the same linear interpolation
@@ -565,6 +599,7 @@ object EventsOps {
     "q122_markov_transitions" -> (q122MarkovTransitions _),
     "q126_scd2" -> (q126Scd2 _),
     "q132_funnel_conversion" -> (q132FunnelConversion _),
+    "q137_arrival_gaps" -> (q137ArrivalGaps _),
     "q65_percentiles" -> (q65Percentiles _),
     "q75_band_join" -> (q75BandJoin _),
     "q82_daily_deltas" -> (q82DailyDeltas _),
@@ -580,6 +615,7 @@ object EventsOps {
     "q122_markov_transitions" -> q122Oracle,
     "q126_scd2" -> q126Oracle,
     "q132_funnel_conversion" -> q132Oracle,
+    "q137_arrival_gaps" -> q137Oracle,
     "q65_percentiles" -> q65Oracle,
     "q75_band_join" -> q75Oracle,
     "q82_daily_deltas" -> q82Oracle,

@@ -348,8 +348,68 @@ object Pipeline {
       |FROM events WHERE user_id % 29 = 3
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Semantic diff between two table VERSIONS — the "what changed
+    * since the snapshot I trained on" audit. Unlike the change feed
+    * (which requires CDF-tracked history), the diff works on ANY two
+    * snapshots: full outer join on the PK comparing row fingerprints
+    * (xxhash64 over every non-key column), categorizing keys as
+    * added / removed / changed. One co-partitioned join keyed on the
+    * PK; fingerprints hash row content to 8 bytes BEFORE the
+    * exchange, so the shuffle never carries full rows twice.
+    *
+    * Scenario: v0 = orders with key%3=0; append key%3=1; delete
+    * key%6=0; update priority where key%9=3 — diff(v0, latest).
+    */
+  def q138VersionDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_diff").toString
+    val t = MiniLake(s, s"$base/orders")
+    val src = orders(s, dir)
+    t.create(src.filter(col("o_orderkey") % 3 === 0))
+    val v0 = t.latestVersion
+    t.append(src.filter(col("o_orderkey") % 3 === 1))
+    t.delete(col("o_orderkey") % 6 === 0)
+    t.update(col("o_orderkey") % 9 === 3,
+      Map("o_orderpriority" -> lit("9-DIFFED")))
+
+    def keyed(df: DataFrame, side: String) = {
+      val nonKey = df.columns.filterNot(_ == "o_orderkey").sorted.map(col)
+      df.select(col("o_orderkey"),
+        xxhash64(nonKey: _*).as(s"fp_$side"))
+    }
+    keyed(t.snapshot(v0), "old")
+      .join(keyed(t.snapshot(), "new"), Seq("o_orderkey"), "full_outer")
+      .select(when(col("fp_old").isNull, "added")
+        .when(col("fp_new").isNull, "removed")
+        .when(col("fp_old") =!= col("fp_new"), "changed")
+        .otherwise("unchanged").as("category"))
+      .groupBy("category").agg(count(lit(1)).as("n"))
+      .orderBy("category")
+  }
+
+  /** The oracle replays the scenario's set algebra directly on the
+    * source table: v0 = key%3=0; latest = (v0 ∪ key%3=1) − key%6=0,
+    * with key%9=3 rows updated (every %9=3 key is in v0 ∪ appended:
+    * 3 | 9·k+3 ⟺ always, so "changed" = %9=3 minus deleted).
+    */
+  val q138Oracle: String =
+    """WITH v0 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0),
+      |appended AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 1),
+      |cat AS (
+      |  SELECT 'added' AS category, count(*) AS n FROM appended
+      |  WHERE o_orderkey % 6 <> 0
+      |  UNION ALL
+      |  SELECT 'removed', count(*) FROM v0 WHERE o_orderkey % 6 = 0
+      |  UNION ALL
+      |  SELECT 'changed', count(*) FROM v0
+      |  WHERE o_orderkey % 9 = 3 AND o_orderkey % 6 <> 0
+      |  UNION ALL
+      |  SELECT 'unchanged', count(*) FROM v0
+      |  WHERE o_orderkey % 6 <> 0 AND o_orderkey % 9 <> 3)
+      |SELECT category, n FROM cat WHERE n > 0 ORDER BY category""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_forget_user" -> (q125ForgetUser _),
+    "q138_version_diff" -> (q138VersionDiff _),
     "q19_cdc_roundtrip" -> (q19CdcRoundtrip _),
     "q54_bucketed_cdc" -> (q54BucketedCdc _),
     "q80_partitioned_lake" -> (q80PartitionedLake _),
@@ -362,6 +422,7 @@ object Pipeline {
 
   def oracles: Map[String, String] = Map(
     "q125_forget_user" -> q125Oracle,
+    "q138_version_diff" -> q138Oracle,
     "q19_cdc_roundtrip" -> q19Oracle,
     "q54_bucketed_cdc" -> q19Oracle,
     "q80_partitioned_lake" -> q80Oracle,

@@ -185,7 +185,147 @@ object Profiling {
       |FROM events GROUP BY event_type, bucket
       |ORDER BY event_type, bucket""".stripMargin
 
+  /** Count-min-sketch frequency estimates gated the witness way
+    * (completing the sketch family: HLL q50, Greenwald-Khanna q120,
+    * Misra-Gries q112): the CMS estimate is seeded-hash-deterministic
+    * but implementation-specific, so the gate emits the exact counts
+    * plus the two claims a CMS must satisfy — estimates never
+    * UNDER-count (one-sided error), and overshoot stays within ε·N.
+    * The sketch is Spark's built-in (`DataFrameStatFunctions
+    * .countMinSketch`), merged tree-wise from per-partition sketches —
+    * CMS counters are additive, so the merge is order-independent and
+    * the booleans are stable.
+    */
+  def q136CmsWitness(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val ev = events(s, dir)
+    val eps = 0.001
+    val sketch = ev.stat.countMinSketch(col("event_type"),
+      eps = eps, confidence = 0.99, seed = 42)
+    val exact = ev.groupBy("event_type").agg(count(lit(1)).as("exact_n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val total = exact.map(_._2).sum
+    val rows = exact.map { case (t, n) =>
+      val est = sketch.estimateCount(t)
+      org.apache.spark.sql.Row(t, n, est >= n, est <= n + (eps * total).toLong)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("exact_n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("never_undercounts",
+        org.apache.spark.sql.types.BooleanType),
+      org.apache.spark.sql.types.StructField("within_eps",
+        org.apache.spark.sql.types.BooleanType)))
+    s.createDataFrame(rows.toList.asJava, schema).orderBy("event_type")
+  }
+
+  val q136Oracle: String =
+    """SELECT event_type, count(*) AS exact_n,
+      | TRUE AS never_undercounts, TRUE AS within_eps
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Group-median imputation: a deterministic mask nulls out ~8% of
+    * values (event_id % 13), and the imputer fills each null with its
+    * event_type's median computed over the SURVIVING values — the
+    * standard numeric-imputation step before model training. Output:
+    * per type, how many rows were imputed and with what value. The
+    * median is the exact interpolated percentile (the q65 parity
+    * pattern); at unbounded group cardinality the sketch variant
+    * (q120) is the scale path.
+    */
+  def q139MedianImpute(s: SparkSession, dir: String): DataFrame = {
+    val masked = events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        when(col("event_id") % 13 === 0, lit(null)).otherwise(col("value"))
+          .as("v"))
+    val med = masked.groupBy("event_type")
+      .agg(expr("percentile(v, 0.5)").as("m"))
+    masked.filter(col("v").isNull)
+      .join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_imputed"),
+        round(min("m"), 4).cast("decimal(18,4)").cast("double")
+          .as("imputed_value"))
+      .orderBy("event_type")
+  }
+
+  val q139Oracle: String =
+    """WITH masked AS (SELECT event_id, event_type,
+      |  CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v
+      | FROM events),
+      |med AS (SELECT event_type, quantile_cont(v, 0.5) AS m FROM masked
+      |        GROUP BY event_type)
+      |SELECT m2.event_type, count(*) AS n_imputed,
+      | CAST(CAST(round(min(med.m), 4) AS DECIMAL(18,4)) AS DOUBLE)
+      |   AS imputed_value
+      |FROM masked m2 JOIN med ON m2.event_type = med.event_type
+      |WHERE m2.v IS NULL
+      |GROUP BY m2.event_type ORDER BY m2.event_type""".stripMargin
+
+  /** Trailing-window z-score anomaly flags over daily order revenue.
+    * Parity discipline: windowed SUMS run over exact integer cents
+    * (assoc-order-free — DuckDB aggregates sliding frames through a
+    * segment tree, Spark iterates them; float sums would disagree in
+    * the last ulp), and the z-test then runs identical IEEE double
+    * expressions on those exact integers in both engines. The sqrt
+    * never happens: |x−μ| > 2σ is tested as (x−μ)² > 4σ² with
+    * σ² = (s2 − s1²/n)/(n−1) inlined.
+    */
+  def q140ZscoreAnomalies(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = orders(s, dir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("cents"))
+    val w = Window.orderBy("day").rowsBetween(-7, -1)
+    // the window is a ~2400-row daily aggregate, the q82/q97 class —
+    // calendar-bounded, never data-sized (see q73 for the contrast)
+    val z = daily
+      .withColumn("s1", sum("cents").over(w))
+      .withColumn("s2", sum(col("cents") * col("cents")).over(w))
+      .withColumn("nw", count(lit(1)).over(w))
+    val xd = col("cents").cast("double")
+    val s1d = col("s1").cast("double")
+    val s2d = col("s2").cast("double")
+    val nwd = col("nw").cast("double")
+    val varTerm = s2d - s1d * s1d / nwd
+    z.select(col("day").cast("string").as("day"),
+        (xd / 100.0).as("total"),
+        (col("nw") >= 7 && varTerm > 0 &&
+          (xd - s1d / nwd) * (xd - s1d / nwd)
+            > lit(4.0) * varTerm / (nwd - 1)).as("anomaly"))
+      .orderBy("day")
+  }
+
+  val q140Oracle: String =
+    """WITH d AS (SELECT o_orderdate AS day,
+      |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      | FROM orders GROUP BY 1),
+      |z AS (SELECT day, cents,
+      |  sum(cents) OVER w AS s1,
+      |  sum(cents * cents) OVER w AS s2,
+      |  count(*) OVER w AS nw
+      | FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING
+      |   AND 1 PRECEDING))
+      |SELECT CAST(day AS VARCHAR) AS day,
+      | CAST(cents AS DOUBLE) / 100.0 AS total,
+      | CASE WHEN nw >= 7
+      |   AND CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |       / CAST(nw AS DOUBLE) > 0
+      |   AND (CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(nw AS DOUBLE))
+      |     * (CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(nw AS DOUBLE))
+      |     > 4.0 * (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |       / CAST(nw AS DOUBLE)) / (CAST(nw AS DOUBLE) - 1)
+      |   THEN TRUE ELSE FALSE END AS anomaly
+      |FROM z ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_cms_witness" -> (q136CmsWitness _),
+    "q139_median_impute" -> (q139MedianImpute _),
+    "q140_zscore_anomalies" -> (q140ZscoreAnomalies _),
     "q83_column_profile" -> (q83ColumnProfile _),
     "q106_stats_profile" -> (q106StatsProfile _),
     "q111_expectations" -> (q111Expectations _),
@@ -193,6 +333,9 @@ object Profiling {
   )
 
   def oracles: Map[String, String] = Map(
+    "q136_cms_witness" -> q136Oracle,
+    "q139_median_impute" -> q139Oracle,
+    "q140_zscore_anomalies" -> q140Oracle,
     "q83_column_profile" -> q83Oracle,
     "q106_stats_profile" -> q106Oracle,
     "q111_expectations" -> q111Oracle,

@@ -199,6 +199,45 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q136-q140: sketch witnesses, gaps, diff, imputation, anomalies") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf)
+
+    val cms = Profiling.q136CmsWitness(spark, sf).collect()
+    assert(cms.map(_.getAs[Long]("exact_n")).sum === ev.count())
+    cms.foreach { r =>
+      assert(r.getAs[Boolean]("never_undercounts"))
+      assert(r.getAs[Boolean]("within_eps"))
+    }
+
+    val gaps = EventsOps.q137ArrivalGaps(spark, sf).collect()
+    // every event except each user's first contributes exactly one gap
+    assert(gaps.map(_.getAs[Long]("n_gaps")).sum ===
+      ev.count() - ev.select("user_id").distinct().count())
+    gaps.foreach(r => assert(r.getAs[Double]("p50_gap_ms") <=
+      r.getAs[Double]("p90_gap_ms")))
+
+    val diff = Pipeline.q138VersionDiff(spark, sf).collect()
+      .map(r => r.getAs[String]("category") -> r.getAs[Long]("n")).toMap
+    val keys = graft.Tables.orders(spark, sf).select("o_orderkey")
+    def n(cond: String) = keys.filter(cond).count()
+    assert(diff.getOrElse("added", 0L) === n("o_orderkey % 3 = 1"))
+    assert(diff.getOrElse("removed", 0L) ===
+      n("o_orderkey % 3 = 0 AND o_orderkey % 6 = 0"))
+    assert(diff.getOrElse("changed", 0L) ===
+      n("o_orderkey % 9 = 3 AND o_orderkey % 6 <> 0"))
+
+    val imp = Profiling.q139MedianImpute(spark, sf).collect()
+    assert(imp.map(_.getAs[Long]("n_imputed")).sum ===
+      ev.filter("event_id % 13 = 0").count())
+
+    val anom = Profiling.q140ZscoreAnomalies(spark, sf).collect()
+    // the first 7 days lack a full trailing window — never flagged
+    assert(anom.take(7).forall(!_.getAs[Boolean]("anomaly")))
+    assert(anom.length === graft.Tables.orders(spark, sf)
+      .select("o_orderdate").distinct().count().toInt)
+  }
+
   test("q124: OOV counts are consistent and bounded") {
     val rows = TextAnalysis.q124VocabCoverage(spark, sf).collect()
     assert(rows.nonEmpty)
