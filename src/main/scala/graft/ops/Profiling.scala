@@ -283,9 +283,14 @@ object Profiling {
     val w = Window.orderBy("day").rowsBetween(-7, -1)
     // the window is a ~2400-row daily aggregate, the q82/q97 class —
     // calendar-bounded, never data-sized (see q73 for the contrast)
+    // cents² exceeds int64 once daily revenue passes ~$30M (observed
+    // at sf0.1) — the squared terms and their sum carry exactly in
+    // decimal128 (HUGEINT on the oracle side), still association-free
     val z = daily
       .withColumn("s1", sum("cents").over(w))
-      .withColumn("s2", sum(col("cents") * col("cents")).over(w))
+      .withColumn("s2",
+        sum(col("cents").cast("decimal(20,0)")
+          * col("cents").cast("decimal(20,0)")).over(w))
       .withColumn("nw", count(lit(1)).over(w))
     val xd = col("cents").cast("double")
     val s1d = col("s1").cast("double")
@@ -306,7 +311,7 @@ object Profiling {
       | FROM orders GROUP BY 1),
       |z AS (SELECT day, cents,
       |  sum(cents) OVER w AS s1,
-      |  sum(cents * cents) OVER w AS s2,
+      |  sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) OVER w AS s2,
       |  count(*) OVER w AS nw
       | FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING
       |   AND 1 PRECEDING))
