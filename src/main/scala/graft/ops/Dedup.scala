@@ -606,15 +606,27 @@ object Dedup {
     * co-occurrence matrix. Shuffle keys are 8-byte hashes throughout.
     */
   def q130SetSimJoin(s: SparkSession, dir: String): DataFrame = {
-    val sh = ngramsRaw(documents(s, dir), SetSimN)
+    import org.apache.spark.sql.expressions.Window
+    // The shingle table feeds FIVE consumers (df counts, both prefix
+    // sides, both verification sides); without materialization each
+    // consumer re-runs scan+shingle+distinct — the measured plan held
+    // six parquet scans. localCheckpoint computes it once and keeps
+    // lineage O(1) (the q57 pattern); at 100 TB this is the
+    // checkpoint-the-shingle-table step every set-similarity pipeline
+    // performs before candidate generation.
+    val docSets = ngramsRaw(documents(s, dir), SetSimN)
       .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
       .distinct()
-    import org.apache.spark.sql.expressions.Window
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("g"))).as("gs"),
+        count(lit(1)).as("k"))
+      .localCheckpoint()
+    val sh = docSets.select(col("doc_id"), col("k"),
+      explode(col("gs")).as("g"))
     val dfreq = sh.groupBy("g").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("g"))
     val prefixes = sh.join(dfreq, "g")
       .withColumn("rk", row_number().over(wDoc))
-      .withColumn("k", count(lit(1)).over(Window.partitionBy("doc_id")))
       .filter(col("rk") <= col("k") - ceil(col("k") * SetSimTau) + 1)
       .select("doc_id", "g")
     val cands = prefixes.as("a")
@@ -622,9 +634,6 @@ object Dedup {
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    val docSets = sh.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("g"))).as("gs"),
-        count(lit(1)).as("k"))
     val jac = col("i") * lit(1.0) / (col("k1") + col("k2") - col("i"))
     cands
       .join(docSets.select(col("doc_id").as("id1"), col("gs").as("g1"),
