@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -441,12 +442,13 @@ object Dedup {
     labels.orderBy("doc_id")
   }
 
-  /** Transitive closure over the same pair graph; min reachable node =
-    * cluster id. Small-graph formulation (the gate corpus has tens of
-    * near-dup pairs) — the Spark side is the at-scale formulation.
+  /** Shared oracle CTE chain: MinHash-banded candidate pairs →
+    * undirected edges → transitive closure (`reach`), ending with the
+    * per-root min reachable node. Used by q57 (raw labels) and q141
+    * (per-cluster survivorship on top of the labels).
     */
-  val q57Oracle: String =
-    s"""WITH RECURSIVE $shinglesSql,
+  private val ccCtes: String =
+    s"""$shinglesSql,
       |sig AS (SELECT doc_id,
       |  min(md5('0|' || shingle)) AS m0, min(md5('1|' || shingle)) AS m1,
       |  min(md5('2|' || shingle)) AS m2, min(md5('3|' || shingle)) AS m3,
@@ -463,10 +465,63 @@ object Dedup {
       |reach(root, node) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
-      |  SELECT r.root, e.dst FROM reach r JOIN e ON r.node = e.src)
+      |  SELECT r.root, e.dst FROM reach r JOIN e ON r.node = e.src)""".stripMargin
+
+  /** Transitive closure over the same pair graph; min reachable node =
+    * cluster id. Small-graph formulation (the gate corpus has tens of
+    * near-dup pairs) — the Spark side is the at-scale formulation.
+    */
+  val q57Oracle: String =
+    s"""WITH RECURSIVE $ccCtes
       |SELECT root AS doc_id, min(node) AS cluster_id
       |FROM reach GROUP BY root
       |ORDER BY doc_id""".stripMargin
+
+  /** Cluster survivorship ([EXT]): after near-dup clustering (q57's
+    * connected components over the MinHash-LSH pair graph), pick the
+    * canonical document per multi-member cluster — the doc with the
+    * most characters, ties to the lowest doc_id — and report cluster
+    * sizes. This is the "keep one representative" step every dedup
+    * pipeline runs between candidate clustering and corpus rewrite
+    * (cf. the reference's dedup-then-select flow; the richest-document
+    * rule is the common default when no quality model is available).
+    *
+    * Scale shape: the windows partition by `cluster_id`, whose groups
+    * are near-dup clusters — bounded by duplication depth (tens), never
+    * corpus-sized — so no single-partition window exists; the join back
+    * to `documents` for `n_chars` is label-frame-sized against a scan.
+    */
+  def q141ClusterCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val pairs = q42MinhashLsh(s, dir).select(col("id1"), col("id2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = connectedComponents(docs.select("doc_id"), pairs)
+    pairs.unpersist()
+    val w = Window.partitionBy("cluster_id")
+    val byRichness = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    labels.join(docs, "doc_id")
+      .withColumn("n_members", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(byRichness))
+      .filter(col("rn") === 1 && col("n_members") > 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_doc"),
+        col("n_chars").as("canonical_chars"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
+  val q141Oracle: String =
+    s"""WITH RECURSIVE $ccCtes,
+      |labels AS (SELECT root AS doc_id, min(node) AS cluster_id
+      |           FROM reach GROUP BY root),
+      |sized AS (SELECT l.doc_id, l.cluster_id, d.n_chars,
+      |  count(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+      |  row_number() OVER (PARTITION BY l.cluster_id
+      |      ORDER BY d.n_chars DESC, l.doc_id) AS rn
+      | FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+      |SELECT cluster_id, doc_id AS canonical_doc,
+      |  n_chars AS canonical_chars, n_members
+      |FROM sized WHERE rn = 1 AND n_members > 1
+      |ORDER BY cluster_id""".stripMargin
 
   /** Benchmark decontamination ([EXT]): flag training documents that
     * share any word n-gram with a held-out evaluation set — the
@@ -671,6 +726,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_leakage_split" -> (q119LeakageSplit _),
     "q130_setsim_join" -> (q130SetSimJoin _),
+    "q141_cluster_canonical" -> (q141ClusterCanonical _),
     "q40_exact_dedup" -> (q40ExactDedup _),
     "q41_ngram_jaccard" -> (q41NgramJaccard _),
     "q42_minhash_lsh" -> (q42MinhashLsh _),
@@ -684,6 +740,7 @@ object Dedup {
   def oracles: Map[String, String] = Map(
     "q119_leakage_split" -> q119Oracle,
     "q130_setsim_join" -> q130Oracle,
+    "q141_cluster_canonical" -> q141Oracle,
     "q40_exact_dedup" -> q40Oracle,
     "q41_ngram_jaccard" -> q41Oracle,
     "q42_minhash_lsh" -> q42Oracle,

@@ -67,6 +67,28 @@ class DedupSpec extends AnyFunSuite {
     cluster.foreach { case (d, cid) => assert(find(d) === cid) }
   }
 
+  test("cluster canonical picks the richest member of each multi-doc cluster") {
+    val sf = "/root/testdata/sf0.001"
+    val labels = Dedup.q57DedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val chars = graft.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars")).toMap
+    val expected = labels.groupBy(_._2).filter(_._2.length > 1).map {
+      case (cid, members) =>
+        val docs = members.map(_._1)
+        // richest doc wins; ties break to the lowest doc_id
+        val canon = docs.minBy(d => (-chars(d), d))
+        cid -> ((canon, chars(canon), docs.length.toLong))
+    }
+    val got = Dedup.q141ClusterCanonical(spark, sf).collect().map { r =>
+      r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("canonical_doc"), r.getAs[Long]("canonical_chars"),
+          r.getAs[Long]("n_members")))
+    }.toMap
+    assert(got === expected)
+  }
+
   test("simhash of identical docs is identical") {
     val sf = "/root/testdata/sf0.001"
     val fp = Dedup.q43Simhash(spark, sf).collect()
