@@ -34,23 +34,54 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark 4 has no
-    * native type for (PARQUET_TYPE_ILLEGAL by default). Read it as a
-    * nanos long via the legacy conf, then floor-truncate to a
-    * microsecond TimestampType — the same ns→µs truncation DuckDB
-    * applies when casting TIMESTAMP_NS to TIMESTAMP, so oracle
-    * comparisons stay exact.
+  /** `events.ts` as physically stored varies by testdata vintage:
+    * older drops wrote INT64 TIMESTAMP(NANOS) — a type Spark 4 can only
+    * read as a nanos long via the legacy conf — while newer drops write
+    * plain TIMESTAMP_MICROS. Read whatever is on disk; callers
+    * normalize with [[normalizeEventTs]].
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // cast to NTZ (session tz is UTC, so wall-clock identical) to match
-    // how Spark infers the other tables' parquet timestamps
-    // (inferTimestampNTZ) — keeps result-parquet logical types uniform.
-    table(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000L"))
-        .cast("timestamp_ntz"))
+    table(s, d, "events")
   }
+
+  /** The as-stored events schema — file streams need it explicitly
+    * (`readStream.schema(...)`), and declaring a schema that disagrees
+    * with the footer makes the vectorized reader return raw physical
+    * values (micros read as "long" → silently wrong timestamps).
+    */
+  def eventsRawSchema(s: SparkSession, d: String): org.apache.spark.sql.types.StructType =
+    eventsRaw(s, d).schema
+
+  /** Normalize `ts` to timestamp_ntz whichever way it was stored:
+    * a nanos long is floor-truncated to µs (the same ns→µs truncation
+    * DuckDB applies casting TIMESTAMP_NS to TIMESTAMP, so oracle
+    * comparisons stay exact); a native timestamp is cast directly
+    * (session tz is UTC, so LTZ→NTZ is wall-clock identical). NTZ to
+    * match how Spark infers the other tables' parquet timestamps
+    * (inferTimestampNTZ) — keeps result-parquet logical types uniform.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = normalizeTo(df, "timestamp_ntz")
+
+  /** LTZ variant for streaming: `withWatermark` rejects TIMESTAMP_NTZ
+    * event-time columns. Session tz is UTC, so the wall-clock values
+    * are identical to the NTZ batch reads.
+    */
+  def normalizeEventTsLtz(df: DataFrame): DataFrame = normalizeTo(df, "timestamp")
+
+  private def normalizeTo(df: DataFrame, target: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          timestamp_micros(expr("ts div 1000L")).cast(target))
+      case _ =>
+        df.withColumn("ts", col("ts").cast(target))
+    }
+  }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(eventsRaw(s, d))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -19,16 +19,9 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet raw schema — ts is INT64 TIMESTAMP(NANOS) read as
-    * long (see Tables.events) and converted after read.
-    */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  // events.parquet's as-stored schema comes from Tables.eventsRawSchema
+  // (its ts physical type varies by testdata vintage); each stream
+  // normalizes ts with Tables.normalizeEventTs right after the source.
 
   def hourlyStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -40,9 +33,9 @@ object EventsStream {
       watchDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val stream = s.readStream
-      .schema(rawSchema)
+      .schema(graft.Tables.eventsRawSchema(s, dir))
       .parquet(watchDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+      .transform(graft.Tables.normalizeEventTsLtz)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
@@ -88,9 +81,9 @@ object EventsStream {
       watchDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val stream = s.readStream
-      .schema(rawSchema)
+      .schema(graft.Tables.eventsRawSchema(s, dir))
       .parquet(watchDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+      .transform(graft.Tables.normalizeEventTsLtz)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -136,9 +129,9 @@ object EventsStream {
       watchDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val stream = s.readStream
-      .schema(rawSchema)
+      .schema(graft.Tables.eventsRawSchema(s, dir))
       .parquet(watchDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+      .transform(graft.Tables.normalizeEventTsLtz)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))

@@ -23,27 +23,21 @@ import graft.lake.MiniLake
   */
 object LakeIngestStream {
 
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Stream events into a fresh lake table, then aggregate the landed
     * snapshot — proving the full firehose→bronze→query path against
     * the batch oracle.
     */
   def q58StreamLakeIngest(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val watchDir = graft.Scratch.dir("graft_ingest_src")
     java.nio.file.Files.createSymbolicLink(
       watchDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val lakePath = graft.Scratch.dir("graft_ingest_lake").toString + "/events"
 
-    val stream = s.readStream.schema(rawSchema).parquet(watchDir.toString)
+    // as-stored schema (ts physical type varies by testdata vintage) —
+    // the bronze landing keeps raw fidelity; ts is unused downstream
+    val stream = s.readStream.schema(graft.Tables.eventsRawSchema(s, dir))
+      .parquet(watchDir.toString)
     val sink: (Dataset[Row], Long) => Unit = (batch, batchId) => {
       MiniLake(s, lakePath).appendIfAbsent(batch, "q58_ingest", batchId)
       ()

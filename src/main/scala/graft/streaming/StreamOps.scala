@@ -16,14 +16,6 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   private def watchDirFor(dir: String, copies: Int): String = {
     val watch = graft.Scratch.dir("graft_stream_ops")
     (1 to copies).foreach(i => java.nio.file.Files.createSymbolicLink(
@@ -32,14 +24,15 @@ object StreamOps {
     watch.toString
   }
 
-  private def rawStream(s: SparkSession, watch: String,
+  private def rawStream(s: SparkSession, watch: String, srcDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = s.readStream.schema(rawSchema)
+    // schema must match the footer exactly (its ts physical type varies
+    // by testdata vintage) — a mismatched declared type makes the
+    // vectorized reader surface raw physical values
+    val reader = s.readStream.schema(graft.Tables.eventsRawSchema(s, srcDir))
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
-    reader.parquet(watch)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+    graft.Tables.normalizeEventTsLtz(reader.parquet(watch))
   }
 
   private def runToMemorySink(s: SparkSession, out: DataFrame): DataFrame = {
@@ -69,7 +62,7 @@ object StreamOps {
     * joined pairs.
     */
   def q62StreamJoin(s: SparkSession, dir: String): DataFrame = {
-    val raw = rawStream(s, watchDirFor(dir, 1))
+    val raw = rawStream(s, watchDirFor(dir, 1), dir)
     val views = raw.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("view_id"))
@@ -115,7 +108,7 @@ object StreamOps {
     * single-copy batch answer.
     */
   def q63StreamDedup(s: SparkSession, dir: String): DataFrame = {
-    val deduped = rawStream(s, watchDirFor(dir, 2), maxFilesPerTrigger = Some(1))
+    val deduped = rawStream(s, watchDirFor(dir, 2), dir, maxFilesPerTrigger = Some(1))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
     runToMemorySink(s, deduped)
@@ -146,7 +139,7 @@ object StreamOps {
   def q99StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
     val dim = graft.Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val enriched = rawStream(s, watchDirFor(dir, 1))
+    val enriched = rawStream(s, watchDirFor(dir, 1), dir)
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
     runToMemorySink(s, enriched)
       .groupBy("c_mktsegment")
