@@ -590,7 +590,95 @@ object EventsOps {
       |FROM dau JOIN wau ON dau.day = wau.day
       |ORDER BY day""".stripMargin
 
+  /** Retention cohort matrix — the "day-N retention" table every
+    * product-analytics stack derives: users bucketed by first-seen day
+    * (their cohort), then distinct-user counts per (cohort, day-offset)
+    * cell. One shuffle on user_id computes the cohort via a window-min
+    * (no second join against a per-user cohort table); the cell
+    * aggregation then shuffles the already-deduplicated (user, day)
+    * pairs — rows bounded by users × active-days, far below raw events.
+    */
+  def q143RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id")
+    ud.withColumn("cohort_day", min(col("day")).over(w))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("offset_days"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset_days").cast("long").as("offset_days"), col("n_users"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
+  val q143Oracle: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |            FROM events),
+      |c AS (SELECT user_id, day,
+      |  min(day) OVER (PARTITION BY user_id) AS cohort_day FROM ud)
+      |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+      | CAST(day - cohort_day AS BIGINT) AS offset_days,
+      | count(DISTINCT user_id) AS n_users
+      |FROM c
+      |GROUP BY cohort_day, day - cohort_day
+      |ORDER BY cohort_day, offset_days""".stripMargin
+
+  /** Last-touch attribution: each purchase credits the user's most
+    * recent preceding non-purchase event within a 1-hour lookback, or
+    * 'none'. Same union-free ordered-window shape as the as-of join
+    * (q49): one shuffle on user_id, last(ignoreNulls) over
+    * rows-preceding — no range-join explosion, and the plan is a
+    * sort-merge window at any scale. Ties at the same millisecond
+    * resolve by event_id (mirrored in the oracle).
+    */
+  def q144LastTouch(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nonPurchase = when(col("event_type") =!= "purchase", col("event_type"))
+    e.withColumn("prev_type",
+        last(nonPurchase, ignoreNulls = true).over(w))
+      .withColumn("prev_ms",
+        last(when(col("event_type") =!= "purchase", col("ms")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("prev_ms").isNotNull &&
+          col("prev_ms") >= col("ms") - lit(3600000L), col("prev_type"))
+          .otherwise(lit("none")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("value"), 2).cast("decimal(18,2)")
+          .cast("double").as("attributed_value"))
+      .orderBy("channel")
+  }
+
+  val q144Oracle: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, value,
+      |  epoch_ms(ts) AS ms FROM events),
+      |t AS (SELECT *,
+      |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_type,
+      |  last_value(CASE WHEN event_type <> 'purchase' THEN ms END
+      |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ms
+      |  FROM e)
+      |SELECT CASE WHEN prev_ms IS NOT NULL AND prev_ms >= ms - 3600000
+      |       THEN prev_type ELSE 'none' END AS channel,
+      | count(*) AS n_purchases,
+      | CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS DOUBLE)
+      |   AS attributed_value
+      |FROM t
+      |WHERE event_type = 'purchase'
+      |GROUP BY 1
+      |ORDER BY channel""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_retention_cohorts" -> (q143RetentionCohorts _),
+    "q144_last_touch" -> (q144LastTouch _),
     "q114_gap_fill" -> (q114GapFill _),
     "q117_rolling_active" -> (q117RollingActive _),
     "q49_asof_join" -> (q49AsofJoin _),
@@ -607,6 +695,8 @@ object EventsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q143_retention_cohorts" -> q143Oracle,
+    "q144_last_touch" -> q144Oracle,
     "q114_gap_fill" -> q114Oracle,
     "q117_rolling_active" -> q117Oracle,
     "q49_asof_join" -> q49Oracle,

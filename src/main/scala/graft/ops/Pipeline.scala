@@ -407,7 +407,45 @@ object Pipeline {
       |  WHERE o_orderkey % 6 <> 0 AND o_orderkey % 9 <> 3)
       |SELECT category, n FROM cat WHERE n > 0 ORDER BY category""".stripMargin
 
+  /** Additive schema evolution on append (Delta mergeSchema parity,
+    * MiniLake.append(df, mergeSchema = true)): v0 lands three columns,
+    * a later ingest adds a `quality` column; the snapshot null-fills
+    * the pre-evolution files at read time (no rewrite of history — the
+    * property that matters when "history" is 100 TB). The report
+    * proves both halves: legacy rows survive with NULL quality, new
+    * rows carry their computed values, and the oracle states the same
+    * split directly over `documents`.
+    */
+  def q145SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.Scratch.dir("graft_schevo").toString + "/docs"
+    val t = MiniLake(s, path)
+    val d = documents(s, dir)
+    t.create(d.filter(col("doc_id") < 250)
+      .select("doc_id", "lang", "n_chars"))
+    t.append(d.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (length(col("text")) % 100).cast("long").as("quality")),
+      mergeSchema = true)
+    t.snapshot()
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("quality").isNull, 1L).otherwise(0L)).as("n_legacy"),
+        sum(coalesce(col("quality"), lit(0L))).as("quality_sum"))
+      .orderBy("lang")
+  }
+
+  val q145Oracle: String =
+    """SELECT lang, count(*) AS n,
+      | CAST(sum(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_legacy,
+      | CAST(sum(CASE WHEN doc_id >= 250 THEN length(text) % 100 ELSE 0 END)
+      |   AS BIGINT) AS quality_sum
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_schema_evolution" -> (q145SchemaEvolution _),
     "q125_forget_user" -> (q125ForgetUser _),
     "q138_version_diff" -> (q138VersionDiff _),
     "q19_cdc_roundtrip" -> (q19CdcRoundtrip _),
@@ -421,6 +459,7 @@ object Pipeline {
   )
 
   def oracles: Map[String, String] = Map(
+    "q145_schema_evolution" -> q145Oracle,
     "q125_forget_user" -> q125Oracle,
     "q138_version_diff" -> q138Oracle,
     "q19_cdc_roundtrip" -> q19Oracle,

@@ -733,7 +733,100 @@ object Relational {
       |WHERE sn.n_nationkey <> cn.n_nationkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Weighted PageRank (damping 0.85, 3 synchronous iterations) over
+    * the nation trade graph — edges are the q127 flows weighted by
+    * item count. Iterative distributed linear algebra in fixed-point
+    * INTEGER arithmetic so both engines agree bit-for-bit at any
+    * scale:
+    *  - edge weights normalize to per-source integer shares out of
+    *    10^6 (bounded regardless of corpus size — no overflow at
+    *    100 TB, where raw rank×weight products would blow past int64);
+    *  - ranks live at scale 10^12; a step is
+    *    teleport + Σ floor(floor(r·17/20) · share / 10^6) — integer
+    *    div is deterministic and summation order-free, unlike float.
+    * The rank vector (one row per node) broadcasts to the edge join
+    * each iteration; only the edge aggregation shuffles. Dangling
+    * mass evaporates (documented PageRank variant; oracle mirrors).
+    */
+  def q146PagerankTrade(s: SparkSession, dir: String): DataFrame = {
+    val edgesRaw = lineitem(s, dir)
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val edges = edgesRaw
+      .withColumn("share", expr("(w * 1000000L) div sum(w) OVER " +
+        "(PARTITION BY src)"))
+      .select("src", "dst", "share")
+      .persist()
+    val nodes = nation(s, dir).select(col("n_nationkey").as("node"),
+      col("n_name"))
+    val nNodes = 25L // TPC-H nation is fixed-cardinality
+    val scale = 1000000000000L
+    val teleport = scale * 15L / (100L * nNodes)
+    var ranks = nodes.select(col("node"), lit(scale / nNodes).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(broadcast(ranks), col("src") === col("node"))
+        .select(col("dst"),
+          expr("(r * 17L div 20L) * share div 1000000L").as("c"))
+        .groupBy("dst").agg(sum("c").as("inflow"))
+      ranks = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(teleport) + coalesce(col("inflow"), lit(0L))).as("r"))
+    }
+    val out = ranks.join(broadcast(nodes), "node")
+      .select(col("n_name").as("nation"), col("r").as("pr_scaled"))
+      .orderBy(col("pr_scaled").desc, col("nation"))
+    edges.unpersist()
+    out
+  }
+
+  val q146Oracle: String =
+    """WITH ew AS (
+      |  SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE s_nationkey <> c_nationkey
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT src, dst,
+      |    (w * 1000000) // sum(w) OVER (PARTITION BY src) AS share
+      |  FROM ew),
+      |r0 AS (SELECT n_nationkey AS node, 1000000000000 // 25 AS r
+      |       FROM nation),
+      |i1 AS (SELECT n.n_nationkey AS node,
+      |  CAST(6000000000 + coalesce(
+      |    sum((r0.r * 17 // 20) * e.share // 1000000), 0) AS BIGINT) AS r
+      | FROM nation n
+      | LEFT JOIN edges e ON e.dst = n.n_nationkey
+      | LEFT JOIN r0 ON r0.node = e.src
+      | GROUP BY 1),
+      |i2 AS (SELECT n.n_nationkey AS node,
+      |  CAST(6000000000 + coalesce(
+      |    sum((i1.r * 17 // 20) * e.share // 1000000), 0) AS BIGINT) AS r
+      | FROM nation n
+      | LEFT JOIN edges e ON e.dst = n.n_nationkey
+      | LEFT JOIN i1 ON i1.node = e.src
+      | GROUP BY 1),
+      |i3 AS (SELECT n.n_nationkey AS node,
+      |  CAST(6000000000 + coalesce(
+      |    sum((i2.r * 17 // 20) * e.share // 1000000), 0) AS BIGINT) AS r
+      | FROM nation n
+      | LEFT JOIN edges e ON e.dst = n.n_nationkey
+      | LEFT JOIN i2 ON i2.node = e.src
+      | GROUP BY 1)
+      |SELECT nn.n_name AS nation, CAST(i3.r AS BIGINT) AS pr_scaled
+      |FROM i3 JOIN nation nn ON nn.n_nationkey = i3.node
+      |ORDER BY pr_scaled DESC, nation""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_pagerank_trade" -> (q146PagerankTrade _),
     "q127_trade_flows" -> (q127TradeFlows _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -764,6 +857,7 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q146_pagerank_trade" -> q146Oracle,
     "q127_trade_flows" -> q127Oracle,
     "q1_pricing_summary" -> q1Oracle,
     "q3_shipping_priority" -> q3Oracle,

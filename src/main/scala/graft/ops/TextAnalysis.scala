@@ -456,7 +456,107 @@ object TextAnalysis {
       |SELECT t1, t2, support FROM pairs, n WHERE support >= ms
       |ORDER BY support DESC, t1, t2""".stripMargin
 
+  /** BM25 top-k retrieval (Okapi, k1=1.2, b=0.75) for a fixed query
+    * term set — the ranking function behind corpus search and
+    * retrieval-based decontamination. The plan is one narrow pass:
+    * per-document term frequencies come from codegen'd array filters
+    * (no explode, no shuffle on tokens); the two corpus scalars
+    * (N, avgdl) and the per-term document frequencies are single-row
+    * aggregates broadcast back onto the scan; the global top-k is
+    * Spark's distributed TakeOrdered, never a single-partition sort.
+    *
+    * Cross-engine parity: idf (the only transcendental) is rounded to
+    * 6 dp before use, each per-term score is rounded and quantized to
+    * DECIMAL(18,6) BEFORE the cross-term sum (exact integer addition,
+    * order-independent), and the oracle states the identical
+    * expression tree so IEEE evaluation order matches.
+    */
+  def q142Bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val qterms = Seq("spark", "join", "scan")
+    val docs = documents(s, dir)
+      .withColumn("ws", tokens(col("text")))
+      .select(col("doc_id") +: col("ws") +:
+        size(col("ws")).cast("long").as("dl") +:
+        qterms.map(t => size(filter(col("ws"), w => w === lit(t)))
+          .cast("long").as(s"tf_$t")): _*)
+    // corpus scalars + per-term dfs: ONE single-row aggregate over the
+    // tf columns, broadcast back (the q103 1-row-aggregate pattern)
+    val aggCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+      qterms.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
+    val stats = docs.agg(aggCols.head, aggCols.tail: _*)
+    val scored0 = docs.crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs"))
+    val scored = qterms.foldLeft(scored0) { (d, t) =>
+      d.withColumn(s"sc_$t",
+        round(
+          round(log(lit(1.0) + (col("n_docs") - col(s"df_$t") + lit(0.5)) /
+            (col(s"df_$t") + lit(0.5))), 6) *
+          ((col(s"tf_$t") * lit(2.2)) /
+            (col(s"tf_$t") + lit(1.2) *
+              (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))),
+          6).cast("decimal(18,6)"))
+    }
+    val top = scored
+      .withColumn("score_dec",
+        qterms.map(t => col(s"sc_$t")).reduce(_ + _))
+      .filter(col("score_dec") > 0)
+      .orderBy(col("score_dec").desc, col("doc_id"))
+      .limit(10)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_dec").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"),
+        col("score_dec").cast("double").as("score"))
+      .orderBy("rank")
+  }
+
+  val q142Oracle: String =
+    s"""WITH w AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+      |d AS (SELECT doc_id, ws, CAST(length(ws) AS BIGINT) AS dl FROM w),
+      |tf AS (SELECT doc_id, dl,
+      |  CAST(coalesce(length(list_filter(ws, x -> x = 'spark')), 0)
+      |    AS BIGINT) AS tf_spark,
+      |  CAST(coalesce(length(list_filter(ws, x -> x = 'join')), 0)
+      |    AS BIGINT) AS tf_join,
+      |  CAST(coalesce(length(list_filter(ws, x -> x = 'scan')), 0)
+      |    AS BIGINT) AS tf_scan
+      | FROM d),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+      |  sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+      |  sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+      |  sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS df_scan
+      | FROM tf),
+      |scored AS (SELECT doc_id,
+      |  CAST(round(round(ln(1.0 + (n_docs - df_spark + 0.5)
+      |      / (df_spark + 0.5)), 6)
+      |    * ((tf_spark * 2.2) / (tf_spark + 1.2
+      |      * (1.0 - 0.75 + 0.75 * dl
+      |        / (CAST(sum_dl AS DOUBLE) / n_docs)))), 6)
+      |    AS DECIMAL(18,6))
+      |  + CAST(round(round(ln(1.0 + (n_docs - df_join + 0.5)
+      |      / (df_join + 0.5)), 6)
+      |    * ((tf_join * 2.2) / (tf_join + 1.2
+      |      * (1.0 - 0.75 + 0.75 * dl
+      |        / (CAST(sum_dl AS DOUBLE) / n_docs)))), 6)
+      |    AS DECIMAL(18,6))
+      |  + CAST(round(round(ln(1.0 + (n_docs - df_scan + 0.5)
+      |      / (df_scan + 0.5)), 6)
+      |    * ((tf_scan * 2.2) / (tf_scan + 1.2
+      |      * (1.0 - 0.75 + 0.75 * dl
+      |        / (CAST(sum_dl AS DOUBLE) / n_docs)))), 6)
+      |    AS DECIMAL(18,6)) AS score_dec
+      | FROM tf CROSS JOIN stats),
+      |top AS (SELECT * FROM scored WHERE score_dec > 0
+      |  ORDER BY score_dec DESC, doc_id LIMIT 10)
+      |SELECT CAST(row_number() OVER (ORDER BY score_dec DESC, doc_id)
+      |    AS BIGINT) AS rank,
+      |  doc_id, CAST(score_dec AS DOUBLE) AS score
+      |FROM top
+      |ORDER BY rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_bm25_topk" -> (q142Bm25TopK _),
     "q135_frequent_pairs" -> (q135FrequentPairs _),
     "q124_vocab_coverage" -> (q124VocabCoverage _),
     "q30_token_stats" -> (q30TokenStats _),
@@ -470,6 +570,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q142_bm25_topk" -> q142Oracle,
     "q135_frequent_pairs" -> q135Oracle,
     "q124_vocab_coverage" -> q124Oracle,
     "q30_token_stats" -> q30Oracle,
