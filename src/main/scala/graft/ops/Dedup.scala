@@ -678,9 +678,13 @@ object Dedup {
       .localCheckpoint()
     val sh = docSets.select(col("doc_id"), col("k"),
       explode(col("gs")).as("g"))
-    val dfreq = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    // document frequency as a count-over-window keyed on the shingle:
+    // one exchange of the shingle table, where a groupBy + join back
+    // costs two more full-table exchanges for the same answer
+    val wG = Window.partitionBy("g")
     val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("g"))
-    val prefixes = sh.join(dfreq, "g")
+    val prefixes = sh
+      .withColumn("df", count(lit(1)).over(wG))
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <= col("k") - ceil(col("k") * SetSimTau) + 1)
       .select("doc_id", "g")
