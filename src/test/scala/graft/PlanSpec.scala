@@ -166,4 +166,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan)
     assert(plan.contains("Window"), plan)
   }
+
+  test("q142: the global top-k is a distributed TakeOrdered, stats broadcast") {
+    val plan = planOf(graft.ops.TextAnalysis.q142Bm25TopK(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("BatchEvalPython"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("q146: each PageRank step joins edges to a broadcast rank vector") {
+    val plan = planOf(Relational.q146PagerankTrade(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
