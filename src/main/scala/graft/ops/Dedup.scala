@@ -727,7 +727,62 @@ object Dedup {
       |ORDER BY id1, id2""".stripMargin
   }
 
+  /** Entity resolution by rarest-token blocking ([EXT]): near-duplicate
+    * part names found as (block, verify) — the Fellegi-Sunter /
+    * Dedupe.io blocking pattern. The pipeline first collapses the
+    * table to DISTINCT names with occurrence counts (at 100 TB the
+    * entity catalog is orders of magnitude smaller than the fact
+    * table — this aggregate is the only full scan); each name then
+    * enters exactly ONE block, keyed by its globally rarest token
+    * (document frequency asc, token asc — a total order encoded as a
+    * sortable string so a plain min() picks it). Rarest-token keying
+    * bounds block sizes the way q130's prefix filter bounds posting
+    * lists: hot tokens never become block keys. Pairs are verified
+    * with exact Levenshtein INSIDE blocks only — never all pairs.
+    */
+  def q147ErBlocking(s: SparkSession, dir: String): DataFrame = {
+    val names = part(s, dir).groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"))
+    val tok = names.select(col("name"), col("n_parts"),
+      explode(split(col("name"), " ")).as("t"))
+    val wT = Window.partitionBy("t")
+    val blk = tok
+      .withColumn("df", count(lit(1)).over(wT))
+      .withColumn("key", concat(lpad(col("df").cast("string"), 10, "0"),
+        lit("|"), col("t")))
+      .groupBy("name").agg(min(col("key")).as("bkey"),
+        max(col("n_parts")).as("n_parts"))
+    blk.as("a").join(blk.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.name") < col("b.name"))
+      .withColumn("dist",
+        levenshtein(col("a.name"), col("b.name")).cast("long"))
+      .filter(col("dist") <= 4)
+      .select(col("a.name").as("name1"), col("b.name").as("name2"),
+        col("dist"), col("a.n_parts").as("parts1"),
+        col("b.n_parts").as("parts2"))
+      .orderBy("name1", "name2")
+  }
+
+  val q147Oracle: String =
+    """WITH names AS (SELECT p_name AS name, count(*) AS n_parts
+      |  FROM part GROUP BY p_name),
+      |tok AS (SELECT name, n_parts,
+      |  unnest(string_split(name, ' ')) AS t FROM names),
+      |df AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+      |blk AS (SELECT name,
+      |  min(concat(lpad(CAST(df.df AS VARCHAR), 10, '0'), '|', tok.t))
+      |    AS bkey,
+      |  max(n_parts) AS n_parts
+      | FROM tok JOIN df USING (t) GROUP BY name)
+      |SELECT a.name AS name1, b.name AS name2,
+      | CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+      | a.n_parts AS parts1, b.n_parts AS parts2
+      |FROM blk a JOIN blk b ON a.bkey = b.bkey AND a.name < b.name
+      |WHERE levenshtein(a.name, b.name) <= 4
+      |ORDER BY name1, name2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_er_blocking" -> (q147ErBlocking _),
     "q119_leakage_split" -> (q119LeakageSplit _),
     "q130_setsim_join" -> (q130SetSimJoin _),
     "q141_cluster_canonical" -> (q141ClusterCanonical _),
@@ -743,6 +798,7 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "q119_leakage_split" -> q119Oracle,
+    "q147_er_blocking" -> q147Oracle,
     "q130_setsim_join" -> q130Oracle,
     "q141_cluster_canonical" -> q141Oracle,
     "q40_exact_dedup" -> q40Oracle,

@@ -327,7 +327,93 @@ object Profiling {
       |   THEN TRUE ELSE FALSE END AS anomaly
       |FROM z ORDER BY day""".stripMargin
 
+  /** Pairwise Pearson correlation matrix over lineitem's numeric
+    * columns — the feature-correlation sweep a pipeline runs before
+    * model training. ONE scan computes every moment (all 15 sums in a
+    * single map-side-combinable aggregate; profiling K columns never
+    * costs K scans — the q83 rule), then the 6 pairs unfold from the
+    * single wide row.
+    *
+    * Cross-engine exactness (the q140 discipline): each column is
+    * quantized to integer units at read (cents, basis points), all
+    * sums and cross-products accumulate in decimal128/HUGEINT —
+    * price² sums pass int64 at sf0.1 — so every aggregate is an
+    * order-independent exact integer; the final correlation is one
+    * identical IEEE expression over those exact values, rounded to
+    * 6 dp.
+    */
+  def q149CorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val units = Seq(
+      "qty" -> round(col("l_quantity") * 100).cast("long"),
+      "price" -> round(col("l_extendedprice") * 100).cast("long"),
+      "disc" -> round(col("l_discount") * 10000).cast("long"),
+      "tax" -> round(col("l_tax") * 10000).cast("long"))
+    val keys = units.map(_._1)
+    val pairs = for {
+      i <- keys.indices; j <- keys.indices if i < j
+    } yield (keys(i), keys(j))
+    val withUnits = lineitem(s, dir).select(
+      units.map { case (k, e) => e.as(k) }: _*)
+    val dec = (k: String) => col(k).cast("decimal(20,0)")
+    val aggCols =
+      (count(lit(1)).as("n") +:
+        keys.map(k => sum(col(k)).as(s"s_$k"))) ++
+      keys.map(k => sum(dec(k) * dec(k)).as(s"ss_$k")) ++
+      pairs.map { case (a, b) => sum(dec(a) * dec(b)).as(s"sp_${a}_$b") }
+    val wide = withUnits.agg(aggCols.head, aggCols.tail: _*)
+    // unfold the single wide row via one explode — a union of 6
+    // selects would re-run the scan + aggregate per pair
+    val corrStructs = pairs.map { case (a, b) =>
+      val nD = col("n").cast("double")
+      val sx = col(s"s_$a").cast("double"); val sy = col(s"s_$b").cast("double")
+      val sxx = col(s"ss_$a").cast("double"); val syy = col(s"ss_$b").cast("double")
+      val sxy = col(s"sp_${a}_$b").cast("double")
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        round((nD * sxy - sx * sy) /
+          (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy)), 6)
+          .as("corr"))
+    }
+    wide.select(explode(array(corrStructs: _*)).as("r"))
+      .select(col("r.col_x"), col("r.col_y"), col("r.corr"))
+      .orderBy("col_x", "col_y")
+  }
+
+  val q149Oracle: String = {
+    val units = Seq(
+      "qty" -> "CAST(round(l_quantity * 100) AS BIGINT)",
+      "price" -> "CAST(round(l_extendedprice * 100) AS BIGINT)",
+      "disc" -> "CAST(round(l_discount * 10000) AS BIGINT)",
+      "tax" -> "CAST(round(l_tax * 10000) AS BIGINT)")
+    val keys = units.map(_._1)
+    val pairs = for {
+      i <- keys.indices; j <- keys.indices if i < j
+    } yield (keys(i), keys(j))
+    val unitSel = units.map { case (k, e) => s"$e AS $k" }.mkString(", ")
+    val sums =
+      (Seq("count(*) AS n") ++
+        keys.map(k => s"sum($k) AS s_$k") ++
+        keys.map(k => s"sum(CAST($k AS HUGEINT) * CAST($k AS HUGEINT)) AS ss_$k") ++
+        pairs.map { case (a, b) =>
+          s"sum(CAST($a AS HUGEINT) * CAST($b AS HUGEINT)) AS sp_${a}_$b" })
+        .mkString(", ")
+    val rows = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y,
+        | round((CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE)
+        |   - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE)
+        |      - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+        |    * sqrt(CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE)
+        |      - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 6)
+        |   AS corr FROM wide""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH u AS (SELECT $unitSel FROM lineitem),
+      |wide AS (SELECT $sums FROM u)
+      |$rows
+      |ORDER BY col_x, col_y""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_corr_matrix" -> (q149CorrMatrix _),
     "q136_cms_witness" -> (q136CmsWitness _),
     "q139_median_impute" -> (q139MedianImpute _),
     "q140_zscore_anomalies" -> (q140ZscoreAnomalies _),
@@ -338,6 +424,7 @@ object Profiling {
   )
 
   def oracles: Map[String, String] = Map(
+    "q149_corr_matrix" -> q149Oracle,
     "q136_cms_witness" -> q136Oracle,
     "q139_median_impute" -> q139Oracle,
     "q140_zscore_anomalies" -> q140Oracle,

@@ -825,7 +825,50 @@ object Relational {
       |FROM i3 JOIN nation nn ON nn.n_nationkey = i3.node
       |ORDER BY pr_scaled DESC, nation""".stripMargin
 
+  /** 2-D skyline (Pareto front): parts not dominated on
+    * (size, retail price), both minimized — the classic "cheapest for
+    * its size class" query. A naive skyline is a quadratic NOT-EXISTS
+    * self-join; this plan is two scans and no self-join:
+    *  1. per-size minimum price (map-side-combinable aggregate);
+    *  2. prefix-minimum over the per-size frontier — a window over the
+    *     ~size-cardinality aggregate (the q82/q97 calendar-bounded
+    *     class, never data-sized — contrast q73);
+    *  3. broadcast the frontier back: a row survives iff it achieves
+    *     its size's minimum AND every strictly smaller size is
+    *     strictly more expensive.
+    * Equivalence to NOT EXISTS dominance: a dominator has size ≤ and
+    * price ≤ with one strict; within a size that is any cheaper row
+    * (eliminated by 3's first conjunct); across sizes any ≤-price row
+    * at a smaller size (eliminated by the prefix-min conjunct).
+    * Equal (size, price) duplicates dominate nothing strictly and all
+    * survive — both engines agree.
+    */
+  def q148Skyline(s: SparkSession, dir: String): DataFrame = {
+    val p = part(s, dir).select(col("p_partkey"),
+      col("p_size").cast("long").as("size"), col("p_retailprice").as("price"))
+    val bySize = p.groupBy("size").agg(min("price").as("minp"))
+    val wPrefix = Window.orderBy("size")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = bySize.withColumn("prefix_min", min("minp").over(wPrefix))
+    p.join(broadcast(frontier), "size")
+      .filter(col("price") === col("minp") &&
+        (col("prefix_min").isNull || col("prefix_min") > col("price")))
+      .select(col("p_partkey"), col("size"), col("price"))
+      .orderBy("p_partkey")
+  }
+
+  val q148Oracle: String =
+    """SELECT p.p_partkey, CAST(p.p_size AS BIGINT) AS size,
+      | p.p_retailprice AS price
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_size <= p.p_size AND q.p_retailprice <= p.p_retailprice
+      |    AND (q.p_size < p.p_size OR q.p_retailprice < p.p_retailprice))
+      |ORDER BY p.p_partkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_skyline" -> (q148Skyline _),
     "q146_pagerank_trade" -> (q146PagerankTrade _),
     "q127_trade_flows" -> (q127TradeFlows _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -857,6 +900,7 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q148_skyline" -> q148Oracle,
     "q146_pagerank_trade" -> q146Oracle,
     "q127_trade_flows" -> q127Oracle,
     "q1_pricing_summary" -> q1Oracle,

@@ -64,6 +64,50 @@ class AnalyticsRoundSixSpec extends AnyFunSuite {
     assert(legacy === below)
   }
 
+  test("q147: blocked pairs are ordered, verified, and block-consistent") {
+    val rows = Dedup.q147ErBlocking(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("name1") < r.getAs[String]("name2"))
+      assert(r.getAs[Long]("dist") >= 1 && r.getAs[Long]("dist") <= 4)
+      assert(r.getAs[Long]("parts1") >= 1 && r.getAs[Long]("parts2") >= 1)
+    }
+    // no duplicate pairs
+    val keys = rows.map(r => (r.getAs[String]("name1"), r.getAs[String]("name2")))
+    assert(keys.distinct.length === keys.length)
+  }
+
+  test("q148: the two-phase skyline equals brute-force dominance") {
+    import org.apache.spark.sql.functions.col
+    val got = Relational.q148Skyline(spark, sf).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("size"),
+        r.getAs[Double]("price"))).toSet
+    val all = graft.Tables.part(spark, sf)
+      .select(col("p_partkey").cast("long"), col("p_size").cast("long"),
+        col("p_retailprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val brute = all.filter { case (_, sz, pr) =>
+      !all.exists { case (_, sz2, pr2) =>
+        sz2 <= sz && pr2 <= pr && (sz2 < sz || pr2 < pr)
+      }
+    }.toSet
+    assert(got === brute)
+  }
+
+  test("q149: quantized exact correlation tracks Spark's float corr") {
+    import org.apache.spark.sql.functions.{col, corr}
+    val got = Profiling.q149CorrMatrix(spark, sf).collect()
+      .map(r => (r.getAs[String]("col_x"), r.getAs[String]("col_y")) ->
+        r.getAs[Double]("corr")).toMap
+    val li = graft.Tables.lineitem(spark, sf)
+    val ref = li.agg(
+      corr(col("l_quantity"), col("l_extendedprice")).as("qp"),
+      corr(col("l_discount"), col("l_tax")).as("dt")).collect()(0)
+    assert(math.abs(got(("qty", "price")) - ref.getAs[Double]("qp")) < 1e-4)
+    assert(math.abs(got(("disc", "tax")) - ref.getAs[Double]("dt")) < 1e-4)
+    // correlations are well-formed
+    got.values.foreach(v => assert(v >= -1.0 && v <= 1.0))
+  }
+
   test("q146: fixed-point PageRank conserves bounded mass") {
     val rows = Relational.q146PagerankTrade(spark, sf).collect()
     assert(rows.length === 25)
