@@ -781,7 +781,48 @@ object Dedup {
       |WHERE levenshtein(a.name, b.name) <= 4
       |ORDER BY name1, name2""".stripMargin
 
+  /** Incremental near-dup via LSH against an existing index — the
+    * day-2 shape of q42: when a new batch lands (simulated here as the
+    * doc_id % 10 == 0 slice, standing in for a CDF insert batch), its
+    * banded signatures probe ONLY the standing corpus's band buckets.
+    * Work is O(batch × bucket density), never corpus × corpus: the
+    * standing side's banded index is exactly what a production
+    * pipeline keeps materialized in the lake and maintains from the
+    * change feed (q74's watermark machinery), so daily dedup of a
+    * 100 TB corpus costs one batch-sized shuffle join, not a rescan.
+    * Join skew is bounded by the hot-band cap argument of q41 (bands
+    * are 2-minhash composites — collisions require genuine
+    * similarity).
+    */
+  def q153IncrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val isNew = col("doc_id") % 10 === 0
+    val newBanded = bandedSignatures(docs.filter(isNew))
+    val oldBanded = bandedSignatures(docs.filter(!isNew))
+    newBanded.as("a")
+      .join(oldBanded.as("b"), "band")
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("dup_of"))
+      .distinct()
+      .orderBy("new_id", "dup_of")
+  }
+
+  val q153Oracle: String =
+    s"""WITH $shinglesSql,
+      |sig AS (SELECT doc_id,
+      |  min(md5('0|' || shingle)) AS m0, min(md5('1|' || shingle)) AS m1,
+      |  min(md5('2|' || shingle)) AS m2, min(md5('3|' || shingle)) AS m3,
+      |  min(md5('4|' || shingle)) AS m4, min(md5('5|' || shingle)) AS m5
+      | FROM sh GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, unnest(['0:' || m0 || m1, '1:' || m2 || m3,
+      |                         '2:' || m4 || m5]) AS band FROM sig)
+      |SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS dup_of
+      |FROM banded a JOIN banded b ON a.band = b.band
+      |WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+      |ORDER BY new_id, dup_of""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_incremental_lsh" -> (q153IncrementalLsh _),
     "q147_er_blocking" -> (q147ErBlocking _),
     "q119_leakage_split" -> (q119LeakageSplit _),
     "q130_setsim_join" -> (q130SetSimJoin _),
@@ -797,6 +838,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "q153_incremental_lsh" -> q153Oracle,
     "q119_leakage_split" -> q119Oracle,
     "q147_er_blocking" -> q147Oracle,
     "q130_setsim_join" -> q130Oracle,

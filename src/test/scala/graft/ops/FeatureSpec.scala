@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Semantic contracts for the feature-engineering/reconciliation wave:
+  * equi-depth binning, chi-square association, order-independent table
+  * checksums, and incremental LSH dedup.
+  */
+class FeatureSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q150: deciles partition all rows into ~equal, ordered bins") {
+    val rows = Features.q150EquidepthBins(spark, sf).collect()
+    val n = graft.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === n)
+    val bins = rows.map(_.getAs[Int]("bin"))
+    assert(bins.toSeq == bins.sorted.toSeq && bins.forall(b => b >= 0 && b <= 9))
+    // equi-DEPTH: every decile within 2x of the ideal tenth (ties on
+    // the 6-dp grid can shift mass between adjacent bins, never 2x)
+    rows.map(_.getAs[Long]("n")).foreach { c =>
+      assert(c > n / 20 && c < n / 5, s"bin count $c vs ideal ${n / 10}")
+    }
+    // bin value ranges are disjoint and ascending
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+      case _ => ()
+    }
+  }
+
+  test("q151: contingency mass conserved, contributions non-negative") {
+    val rows = Features.q151ChiSquare(spark, sf).collect()
+    val n = graft.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("obs")).sum === n)
+    // expected cell masses also sum to N (within rounding)
+    val expSum = rows.map(_.getAs[Double]("expected")).sum
+    assert(math.abs(expSum - n) < 1.0)
+    assert(rows.forall(_.getAs[Double]("chi2_contrib") >= 0.0))
+  }
+
+  test("q152: gate checksum row counts match the tables") {
+    val rows = Features.q152TableChecksum(spark, sf).collect()
+      .map(r => r.getAs[String]("table_name") -> r.getAs[Long]("n_rows"))
+      .toMap
+    assert(rows("orders") === graft.Tables.orders(spark, sf).count())
+    assert(rows("customer") === graft.Tables.customer(spark, sf).count())
+    assert(rows("lineitem") === graft.Tables.lineitem(spark, sf).count())
+  }
+
+  test("checksum() is invariant under repartitioning and row order") {
+    val base = graft.Tables.orders(spark, sf)
+    val a = Features.checksum(base).collect()(0)
+    val b = Features.checksum(base.repartition(13)).collect()(0)
+    val c = Features.checksum(
+      base.orderBy(org.apache.spark.sql.functions.col("o_totalprice"))).collect()(0)
+    assert(a.getAs[java.math.BigDecimal]("checksum")
+      .compareTo(b.getAs[java.math.BigDecimal]("checksum")) == 0)
+    assert(a.getAs[java.math.BigDecimal]("checksum")
+      .compareTo(c.getAs[java.math.BigDecimal]("checksum")) == 0)
+    assert(a.getAs[Long]("n_rows") === b.getAs[Long]("n_rows"))
+    // and it actually detects a difference
+    val d = Features.checksum(base.limit(base.count().toInt - 1)).collect()(0)
+    assert(a.getAs[java.math.BigDecimal]("checksum")
+      .compareTo(d.getAs[java.math.BigDecimal]("checksum")) != 0)
+  }
+
+  test("q153: incremental LSH == the full self-join restricted to the batch") {
+    val inc = Dedup.q153IncrementalLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"))).toSet
+    inc.foreach { case (n, o) => assert(n % 10 == 0 && o % 10 != 0) }
+    // the full q42 pair set, restricted to exactly-one-side-in-batch,
+    // must equal the incremental result (no lost candidates)
+    val full = Dedup.q42MinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+    val expected = full.collect {
+      case (a, b) if a % 10 == 0 && b % 10 != 0 => (a, b)
+      case (a, b) if b % 10 == 0 && a % 10 != 0 => (b, a)
+    }.toSet
+    assert(inc === expected)
+  }
+}
