@@ -182,13 +182,193 @@ object Features {
       .agg(count(lit(1)).as("n_rows"),
         sum(col("fp").cast("decimal(38,0)")).as("checksum"))
 
+  /** Triangle counting over the co-purchase graph (parts appearing in
+    * the same order) via degree-ordered edge orientation — the
+    * Suri/Vassilvitskii "MR triangle" shape that makes the count
+    * feasible at scale: every edge is directed from its lower-(degree,
+    * id) endpoint to its higher one, so each triangle is counted
+    * exactly once, at its lowest-ranked vertex, and the wedge join
+    * fans out by ORIENTED out-degree — O(Σ d_out²), with d_out
+    * bounded by √|E| on any graph, instead of the unbounded Σ deg² a
+    * naive wedge count pays on hot nodes (a part in 1M orders never
+    * becomes a 10¹² wedge hub).
+    *
+    * Edge generation is bounded too: pairs are formed within an order
+    * (≤ C(items-per-order, 2) per order — TPC-H orders hold ≤ a few
+    * items at any SF), never across orders. All arithmetic is integer
+    * counts — bit-exact in any engine.
+    */
+  def q154Triangles(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") &&
+        col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    val lt = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = edges.join(du, "u").join(dv, "v")
+      .select(
+        when(lt, col("u")).otherwise(col("v")).as("src"),
+        when(lt, col("v")).otherwise(col("u")).as("dst"),
+        when(lt, col("dv")).otherwise(col("du")).as("ddst"))
+    val wedgeLt = col("e1.ddst") < col("e2.ddst") ||
+      (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && wedgeLt)
+      .select(col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val triangles = wedges.join(oriented.as("e3"),
+      col("b") === col("e3.src") && col("c") === col("e3.dst"))
+    triangles.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  val q154Oracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem),
+      |edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |deg AS (SELECT node, count(*) AS deg FROM (
+      |   SELECT u AS node FROM edges
+      |   UNION ALL SELECT v AS node FROM edges) t GROUP BY node),
+      |eo AS (SELECT CASE WHEN lt THEN u ELSE v END AS src,
+      |    CASE WHEN lt THEN v ELSE u END AS dst,
+      |    CASE WHEN lt THEN dv ELSE du END AS ddst
+      |  FROM (SELECT u, v, du.deg AS du, dv.deg AS dv,
+      |      (du.deg < dv.deg OR (du.deg = dv.deg AND u < v)) AS lt
+      |    FROM edges JOIN deg du ON u = du.node
+      |      JOIN deg dv ON v = dv.node) o),
+      |w AS (SELECT e1.dst AS b, e2.dst AS c FROM eo e1 JOIN eo e2
+      |  ON e1.src = e2.src AND (e1.ddst < e2.ddst OR
+      |     (e1.ddst = e2.ddst AND e1.dst < e2.dst))),
+      |tri AS (SELECT count(*) AS n_triangles FROM w
+      |  JOIN eo e3 ON w.b = e3.src AND w.c = e3.dst)
+      |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+      |  (SELECT count(*) FROM edges) AS n_edges,
+      |  n_triangles
+      |FROM tri""".stripMargin
+
+  /** Johnson-Lindenstrauss random projection of the 64-d embeddings to
+    * 8 dimensions — the cheap-dimensionality-reduction front of an ANN
+    * or clustering pipeline. The projection matrix is an Achlioptas
+    * sparse sign matrix derived from md5(i|j) (+1 / −1 / 0 at
+    * 3/16 / 3/16 / 10/16), so it is seedless-deterministic and both
+    * engines reconstruct the identical matrix from nothing. Embedding
+    * components quantize to integer micro-units before the dot
+    * product, so the projected values are EXACT integers — no
+    * float-sum ordering hazard.
+    *
+    * Scale shape: the 64×8 matrix is metadata (broadcast); the
+    * projection is one scan with a per-row map-side aggregate
+    * (posexplode → join g → partial sums); the output is 8 longs per
+    * vector. At 100 TB nothing shuffles except the per-vector partial
+    * sums keyed on (vec_id, j) — and with [[graft.functions
+    * .VectorExpressions]]-style codegen the explode disappears into
+    * an in-row loop (left declarative here: the gate proves the
+    * semantics, the expression variant is a mechanical swap).
+    */
+  def q155JlProjection(s: SparkSession, dir: String): DataFrame = {
+    val g = s.range(64).select(col("id").cast("int").as("i"))
+      .crossJoin(s.range(8).select(col("id").cast("int").as("j")))
+      .withColumn("h",
+        substring(md5(concat_ws("|", col("i"), col("j"))), 1, 1))
+      .withColumn("g",
+        when(col("h") <= "2", 1L).when(col("h") <= "5", -1L).otherwise(0L))
+      .select("i", "j", "g")
+    embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "e")))
+      .withColumn("eq",
+        round(col("e").cast("double") * 1e6).cast("long"))
+      .join(broadcast(g), "i")
+      .groupBy("vec_id", "j")
+      .agg(sum(col("eq") * col("g")).as("p"))
+      .orderBy("vec_id", "j")
+  }
+
+  val q155Oracle: String =
+    """WITH d AS (SELECT unnest(generate_series(1, 64)) AS i),
+      |k AS (SELECT unnest(generate_series(0, 7)) AS j),
+      |g AS (SELECT i - 1 AS i0, j,
+      |  CASE WHEN h <= '2' THEN 1 WHEN h <= '5' THEN -1 ELSE 0 END AS g
+      | FROM (SELECT i, j, substr(md5((i - 1) || '|' || j), 1, 1) AS h
+      |   FROM d, k) t),
+      |e AS (SELECT vec_id, i - 1 AS i0,
+      |  CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS eq
+      | FROM embeddings, d)
+      |SELECT vec_id, j, CAST(sum(eq * g) AS BIGINT) AS p
+      |FROM e JOIN g USING (i0)
+      |GROUP BY vec_id, j
+      |ORDER BY vec_id, j""".stripMargin
+
+  /** Robust (median/IQR) scaling statistics per event type with
+    * Tukey-fence outlier counts — the outlier-resistant complement to
+    * q106's moment profile: median and IQR ignore tail garbage that
+    * wrecks mean/stddev on raw telemetry. Two passes: a per-type
+    * percentile aggregate (3 values per type — broadcast back), then
+    * one scan counting fence violations. The fence comparison runs on
+    * 6-dp decimals (quantized values, rounded quartiles), so the
+    * boundary decision is exact decimal arithmetic in both engines.
+    */
+  def q156RobustScale(s: SparkSession, dir: String): DataFrame = {
+    val v = round(col("value"), 6).cast("decimal(18,6)")
+    val ev = events(s, dir).select(col("event_type"), v.as("v"))
+    val dec = (c: org.apache.spark.sql.Column) =>
+      round(c, 6).cast("decimal(18,6)")
+    val stats = ev.groupBy("event_type").agg(
+      dec(expr("percentile(v, 0.5)")).as("med"),
+      dec(expr("percentile(v, 0.75)") - expr("percentile(v, 0.25)"))
+        .as("iqr"))
+    ev.join(broadcast(stats), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("med").cast("double")).as("median_v"),
+        max(col("iqr").cast("double")).as("iqr_v"),
+        sum(when(abs(col("v") - col("med")) >
+          col("iqr") * lit(BigDecimal("1.5")), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val q156Oracle: String =
+    """WITH v AS (SELECT event_type,
+      |  CAST(round(value, 6) AS DECIMAL(18,6)) AS v FROM events),
+      |st AS (SELECT event_type,
+      |  CAST(round(quantile_cont(v, 0.5), 6) AS DECIMAL(18,6)) AS med,
+      |  CAST(round(quantile_cont(v, 0.75) - quantile_cont(v, 0.25), 6)
+      |    AS DECIMAL(18,6)) AS iqr
+      | FROM v GROUP BY event_type)
+      |SELECT v.event_type, count(*) AS n,
+      | CAST(max(med) AS DOUBLE) AS median_v,
+      | CAST(max(iqr) AS DOUBLE) AS iqr_v,
+      | CAST(sum(CASE WHEN abs(v - med) > iqr * 1.5 THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS n_outliers
+      |FROM v JOIN st ON v.event_type = st.event_type
+      |GROUP BY v.event_type
+      |ORDER BY v.event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_triangles" -> (q154Triangles _),
+    "q155_jl_projection" -> (q155JlProjection _),
+    "q156_robust_scale" -> (q156RobustScale _),
     "q150_equidepth_bins" -> (q150EquidepthBins _),
     "q151_chi_square" -> (q151ChiSquare _),
     "q152_table_checksum" -> (q152TableChecksum _)
   )
 
   def oracles: Map[String, String] = Map(
+    "q154_triangles" -> q154Oracle,
+    "q155_jl_projection" -> q155Oracle,
+    "q156_robust_scale" -> q156Oracle,
     "q150_equidepth_bins" -> q150Oracle,
     "q151_chi_square" -> q151Oracle,
     "q152_table_checksum" -> q152Oracle

@@ -67,6 +67,60 @@ class FeatureSpec extends AnyFunSuite {
       .compareTo(d.getAs[java.math.BigDecimal]("checksum")) != 0)
   }
 
+  test("q154: oriented triangle count equals brute-force enumeration") {
+    import org.apache.spark.sql.functions.col
+    val row = Features.q154Triangles(spark, sf).collect()(0)
+    // brute force: undirected edge set, count unordered triples
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).values
+    val edges = byOrder.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val brute = edges.toSeq.map { case (a, b) =>
+      adj.getOrElse(a, Set.empty).count(c => b < c && edges.contains((b, c)))
+    }.sum
+    assert(row.getAs[Long]("n_triangles") === brute)
+    assert(row.getAs[Long]("n_edges") === edges.size)
+    assert(row.getAs[Long]("n_nodes") === nodes.size)
+  }
+
+  test("q155: projection is linear and deterministic across runs") {
+    val a = Features.q155JlProjection(spark, sf).collect()
+    val b = Features.q155JlProjection(spark, sf).collect()
+    assert(a.length == b.length && a.length ==
+      graft.Tables.embeddings(spark, sf).count() * 8)
+    assert(a.zip(b).forall { case (x, y) =>
+      x.getAs[Long]("p") == y.getAs[Long]("p") })
+    // a projected coordinate is a signed sum of |quantized| components,
+    // so its magnitude is bounded by the L1 norm in micro-units
+    import org.apache.spark.sql.functions._
+    val l1 = graft.Tables.embeddings(spark, sf)
+      .select(aggregate(transform(col("embedding"),
+        e => abs(round(e.cast("double") * 1e6).cast("long"))),
+        lit(0L), (acc, x) => acc + x).as("l1"))
+      .agg(max("l1")).collect()(0).getLong(0)
+    assert(a.forall(r => math.abs(r.getAs[Long]("p")) <= l1))
+  }
+
+  test("q156: robust stats bound the data and fences catch the tails") {
+    import org.apache.spark.sql.functions._
+    val rows = Features.q156RobustScale(spark, sf).collect()
+    val n = graft.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === n)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("iqr_v") >= 0.0)
+      // Tukey fences at 1.5 IQR keep the bulk: whatever the tail shape,
+      // at most 25% of the mass can sit beyond the fences (each fence
+      // is ≥ one quartile-width past its quartile)
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n") / 4)
+    }
+  }
+
   test("q153: incremental LSH == the full self-join restricted to the batch") {
     val inc = Dedup.q153IncrementalLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"))).toSet
