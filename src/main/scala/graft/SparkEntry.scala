@@ -15,7 +15,8 @@ object SparkEntry {
       streaming.StreamOps.queries ++ ops.Chunking.queries ++
       ops.Skew.queries ++ ops.Profiling.queries ++ ops.Reshape.queries ++
       ops.CorpusHygiene.queries ++ ops.Layout.queries ++
-      ops.HeavyHitters.queries ++ ops.Ivm.queries ++ ops.Features.queries
+      ops.HeavyHitters.queries ++ ops.Ivm.queries ++ ops.Features.queries ++
+      ops.TextSources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
       streaming.StreamOps.oracles ++ ops.Chunking.oracles ++
       ops.Skew.oracles ++ ops.Profiling.oracles ++ ops.Reshape.oracles ++
       ops.CorpusHygiene.oracles ++ ops.Layout.oracles ++
-      ops.HeavyHitters.oracles ++ ops.Ivm.oracles ++ ops.Features.oracles
+      ops.HeavyHitters.oracles ++ ops.Ivm.oracles ++ ops.Features.oracles ++
+      ops.TextSources.oracles
 }

@@ -356,7 +356,120 @@ object Features {
       |GROUP BY v.event_type
       |ORDER BY v.event_type""".stripMargin
 
+  /** EWMA (α = 0.5) of daily revenue per event type — the trend
+    * smoother behind rate monitors and spend dashboards. The half-life
+    * decay is EXACT fixed-point arithmetic: daily revenue becomes
+    * integer cents, each lagged day contributes cents · 2^(15−k)
+    * (k = day distance, window 16 days), and the decayed sum stays an
+    * exact int64 until ONE final division — multiplication by a power
+    * of two is the only "float" op and it is exact, so both engines
+    * produce bit-identical doubles with no ordering hazard. α = 0.5 is
+    * chosen precisely because its weights are binary-exact; arbitrary
+    * α would reintroduce the pow() ulp race.
+    *
+    * Scale shape: raw events collapse to (type, day) cents in one
+    * map-side-combinable aggregate — day-cardinality, metadata-sized
+    * forever after; the 16-day decay is a bounded self-join on that
+    * tiny aggregate, never on raw events.
+    */
+  def q159Ewma(s: SparkSession, dir: String): DataFrame = {
+    val cents = (round(col("value"), 2).cast("decimal(18,2)") * 100)
+      .cast("long")
+    val daily = events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(cents).as("rev_cents"))
+    val diff = datediff(col("a.day"), col("b.day"))
+    daily.as("a")
+      .join(daily.as("b"), diff >= 0 && diff <= 15)
+      .groupBy(col("a.day").as("day"))
+      .agg(max(when(diff === 0, col("b.rev_cents"))).as("rev_cents"),
+        sum(col("b.rev_cents") *
+          pow(lit(2.0), lit(15) - diff).cast("long")).as("num"))
+      .select(col("day").cast("string").as("day"),
+        round(col("rev_cents") / 100.0, 2).as("revenue"),
+        round(col("num").cast("double") / (32768.0 * 100.0), 4)
+          .as("ewma_decayed"))
+      .orderBy("day")
+  }
+
+  val q159Oracle: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+      |  CAST(sum(CAST(CAST(round(value, 2) AS DECIMAL(18,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS rev_cents
+      | FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT CAST(a.day AS VARCHAR) AS day,
+      | round(max(CASE WHEN a.day = b.day THEN b.rev_cents END) / 100.0, 2)
+      |   AS revenue,
+      | round(CAST(CAST(sum(b.rev_cents *
+      |     CAST(pow(2, 15 - date_diff('day', b.day, a.day)) AS BIGINT))
+      |   AS BIGINT) AS DOUBLE) / (32768.0 * 100.0), 4) AS ewma_decayed
+      |FROM daily a JOIN daily b
+      |  ON date_diff('day', b.day, a.day) BETWEEN 0 AND 15
+      |GROUP BY a.day
+      |ORDER BY a.day""".stripMargin
+
+  /** Interval-overlap join via grid bucketing — the interval×interval
+    * sibling of q75's point-in-band join: per-(user, day) activity
+    * intervals [first event, last event] against ±30 min incident
+    * windows around error events; output = per-incident count of
+    * distinct user-days whose activity overlaps the window.
+    *
+    * The naive `a.start <= b.end AND b.start <= a.end` theta join is a
+    * cartesian at scale. Instead both interval sets explode onto a
+    * 1-hour grid (an interval covers ceil(len/W)+1 ≈ len/W buckets —
+    * bounded by interval length, the tunable W trading explode factor
+    * against bucket density), meet on a bucket-key equi join, dedupe
+    * the (incident, user-day) pair ONCE via groupBy, and re-verify the
+    * exact overlap predicate on the survivors. Work is
+    * O(overlaps + grid cells), partitioned by bucket; no nested-loop
+    * join exists in the plan (PlanSpec-checkable shape shared with
+    * q75).
+    */
+  def q160IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = 3600000L // 1 h grid
+    val ev = events(s, dir)
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+    val activity = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min("ms").as("a_start"), max("ms").as("a_end"))
+    val incidents = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), (col("ms") - 1800000L).as("i_start"),
+        (col("ms") + 1800000L).as("i_end"))
+    def gridded(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn("bucket",
+        explode(sequence(floor(col(lo) / w), floor(col(hi) / w))))
+    val cand = gridded(incidents, "i_start", "i_end").as("i")
+      .join(gridded(activity, "a_start", "a_end").as("a"), "bucket")
+      .filter(col("a_start") <= col("i_end") &&
+        col("i_start") <= col("a_end"))
+      .select(col("event_id"), col("user_id"), col("day"))
+      .distinct()
+    incidents.join(cand, Seq("event_id"), "left")
+      .groupBy("event_id")
+      .agg(sum(when(col("user_id").isNotNull, 1L).otherwise(0L))
+        .as("n_user_days"))
+      .orderBy("event_id")
+  }
+
+  val q160Oracle: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |  CAST(ts AS DATE) AS day,
+      |  epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+      |activity AS (SELECT user_id, day, min(ms) AS a_start,
+      |  max(ms) AS a_end FROM ev GROUP BY 1, 2),
+      |incidents AS (SELECT event_id, ms - 1800000 AS i_start,
+      |  ms + 1800000 AS i_end FROM ev WHERE event_type = 'error')
+      |SELECT i.event_id,
+      | CAST(count(a.user_id) AS BIGINT) AS n_user_days
+      |FROM incidents i LEFT JOIN activity a
+      |  ON a.a_start <= i.i_end AND i.i_start <= a.a_end
+      |GROUP BY i.event_id
+      |ORDER BY i.event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_ewma" -> (q159Ewma _),
+    "q160_interval_join" -> (q160IntervalJoin _),
     "q154_triangles" -> (q154Triangles _),
     "q155_jl_projection" -> (q155JlProjection _),
     "q156_robust_scale" -> (q156RobustScale _),
@@ -366,6 +479,8 @@ object Features {
   )
 
   def oracles: Map[String, String] = Map(
+    "q159_ewma" -> q159Oracle,
+    "q160_interval_join" -> q160Oracle,
     "q154_triangles" -> q154Oracle,
     "q155_jl_projection" -> q155Oracle,
     "q156_robust_scale" -> q156Oracle,

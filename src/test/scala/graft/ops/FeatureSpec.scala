@@ -121,6 +121,53 @@ class FeatureSpec extends AnyFunSuite {
     }
   }
 
+  test("q157/q158: text roundtrips reproduce the parquet fidelity report") {
+    import org.apache.spark.sql.functions._
+    val direct = graft.Tables.documents(spark, sf)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("sum_len"),
+        min(md5(col("text"))).as("min_md5"))
+      .orderBy("lang").collect().toSeq
+    assert(TextSources.q157JsonlRoundtrip(spark, sf).collect().toSeq == direct)
+    assert(TextSources.q158CsvRoundtrip(spark, sf).collect().toSeq == direct)
+  }
+
+  test("q159: EWMA recurrence holds exactly in cents fixed-point") {
+    val rows = Features.q159Ewma(spark, sf).collect()
+      .map(r => (r.getAs[String]("day"), r.getAs[Double]("revenue"),
+        r.getAs[Double]("ewma_decayed"))).sortBy(_._1)
+    // decayed sum dominates the day's own revenue, and the recurrence
+    // s_t <= rev_t + s_{t-1} (drop-off only removes mass)
+    rows.foreach { case (_, rev, s) => assert(s >= rev - 1e-9) }
+    rows.sliding(2).foreach {
+      case Array((_, _, sPrev), (_, rev, sCur)) =>
+        // 1e-3 slack: revenue is 2-dp- and the sums 4-dp-rounded
+        assert(sCur <= rev + sPrev / 2 + 1e-3)
+      case _ => ()
+    }
+  }
+
+  test("q160: grid-bucketed interval join equals the brute-force theta join") {
+    import org.apache.spark.sql.functions._
+    val out = Features.q160IntervalJoin(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n_user_days")).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_date(col("ts")).cast("string").as("day"),
+        unix_millis(col("ts").cast("timestamp")).as("ms")).collect()
+    val activity = ev.groupBy(r => (r.getAs[Long]("user_id"), r.getAs[String]("day")))
+      .map { case (_, rs) =>
+        (rs.map(_.getAs[Long]("ms")).min, rs.map(_.getAs[Long]("ms")).max) }
+    val brute = ev.filter(_.getAs[String]("event_type") == "error").map { e =>
+      val ms = e.getAs[Long]("ms")
+      e.getAs[Long]("event_id") ->
+        activity.count { case (s0, e0) => s0 <= ms + 1800000L && ms - 1800000L <= e0 }
+          .toLong
+    }.toMap
+    assert(out === brute)
+  }
+
   test("q153: incremental LSH == the full self-join restricted to the batch") {
     val inc = Dedup.q153IncrementalLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"))).toSet
