@@ -82,9 +82,13 @@ object Features {
     * scanned exactly once.
     */
   def q151ChiSquare(s: SparkSession, dir: String): DataFrame = {
+    // the 15-row contingency table feeds four consumers (row totals,
+    // column totals, N, and the cell join) — cut the plan so the
+    // orders scan runs once, not four times
     val cells = orders(s, dir)
       .groupBy("o_orderpriority", "o_orderstatus")
       .agg(count(lit(1)).as("obs"))
+      .localCheckpoint()
     val rowTot = cells.groupBy("o_orderpriority")
       .agg(sum("obs").as("row_tot"))
     val colTot = cells.groupBy("o_orderstatus")
@@ -214,11 +218,16 @@ object Features {
     val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
     val lt = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
+    // the oriented edge list is referenced three times (both wedge
+    // sides + the closing probe) and the counts twice more — cut the
+    // plan once so the expensive edge derivation runs ONCE, not per
+    // reference (the q130 shingle-table pattern)
     val oriented = edges.join(du, "u").join(dv, "v")
       .select(
         when(lt, col("u")).otherwise(col("v")).as("src"),
         when(lt, col("v")).otherwise(col("u")).as("dst"),
         when(lt, col("dv")).otherwise(col("du")).as("ddst"))
+      .localCheckpoint()
     val wedgeLt = col("e1.ddst") < col("e2.ddst") ||
       (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))
     val wedges = oriented.as("e1")
@@ -228,8 +237,10 @@ object Features {
     val triangles = wedges.join(oriented.as("e3"),
       col("b") === col("e3.src") && col("c") === col("e3.dst"))
     triangles.agg(count(lit(1)).as("n_triangles"))
-      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .crossJoin(oriented.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(oriented
+        .select(explode(array(col("src"), col("dst"))).as("node"))
+        .agg(countDistinct(col("node")).as("n_nodes")))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
@@ -375,10 +386,12 @@ object Features {
   def q159Ewma(s: SparkSession, dir: String): DataFrame = {
     val cents = (round(col("value"), 2).cast("decimal(18,2)") * 100)
       .cast("long")
+    // day-cardinality aggregate used on both join sides — one scan
     val daily = events(s, dir)
       .filter(col("event_type") === "purchase")
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(cents).as("rev_cents"))
+      .localCheckpoint()
     val diff = datediff(col("a.day"), col("b.day"))
     daily.as("a")
       .join(daily.as("b"), diff >= 0 && diff <= 15)

@@ -180,4 +180,36 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q160: the interval join meets on grid buckets, never a nested loop") {
+    val plan = planOf(graft.ops.Features.q160IntervalJoin(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q154: triangle wedges join on src equi-keys, no cartesian") {
+    val plan = planOf(graft.ops.Features.q154Triangles(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the wedge join must be an equi join on src (the orientation's
+    // whole point); the only nested-loop joins are the three 1-row
+    // count scalars at the top
+    assert(plan.contains("Join [src"), plan)
+    // the oriented edge derivation is cut once — the checkpointed scan
+    // replaces the 5x re-derivation (no parquet re-scan per reference)
+    assert(plan.contains("Scan ExistingRDD"), plan)
+  }
+
+  test("q155: the projection matrix broadcasts; no UDF in the pipeline") {
+    val plan = planOf(graft.ops.Features.q155JlProjection(spark, sf))
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("q152: the checksum aggregate is one scan with partial aggregation") {
+    val plan = planOf(graft.ops.Features.q152TableChecksum(spark, sf))
+    // each branch: partial HashAggregate -> single-partition final; the
+    // fingerprint sum must map-side combine (no Exchange carrying rows)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+  }
 }
