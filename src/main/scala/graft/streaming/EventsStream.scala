@@ -180,6 +180,9 @@ object EventsStream {
     "q51_stream_sessions" -> ((s, dir) => SessionizeStream.sessions(s, dir)
       .select("user_id", "session_seq", "n_events", "start_ms", "end_ms",
         "session_value")),
+    "q161_tws_sessions" -> ((s, dir) => TwsSessionizeStream.sessions(s, dir)
+      .select("user_id", "session_seq", "n_events", "start_ms", "end_ms",
+        "session_value")),
     "q58_stream_lake_ingest" -> (LakeIngestStream.q58StreamLakeIngest _),
     "q84_partitioned_ingest" -> (LakeIngestStream.q84PartitionedIngest _),
     "q88_stream_upsert" -> (LakeIngestStream.q88StreamUpsert _),
@@ -194,6 +197,8 @@ object EventsStream {
     // identical to the batch q10 oracle — stateful streaming must agree
     // with the window-based batch sessionizer
     "q51_stream_sessions" -> graft.ops.Relational.q10Oracle,
+    // the third independent sessionizer against the same batch oracle
+    "q161_tws_sessions" -> graft.ops.Relational.q10Oracle,
     "q48_stream_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         | count(*) AS n, round(sum(value),2) AS total_value

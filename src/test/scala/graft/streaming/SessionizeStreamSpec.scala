@@ -12,15 +12,19 @@ class SessionizeStreamSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  private def sessionSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("start_ms"),
+        r.getAs[Long]("end_ms"), r.getAs[Double]("session_value"))).toSet
+
   test("streaming sessions equal batch sessions") {
-    val batch = Relational.q10Sessions(spark, sf).collect()
-      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq"),
-        r.getAs[Long]("n_events"), r.getAs[Long]("start_ms"),
-        r.getAs[Long]("end_ms"), r.getAs[Double]("session_value"))).toSet
-    val stream = SessionizeStream.sessions(spark, sf).collect()
-      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq"),
-        r.getAs[Long]("n_events"), r.getAs[Long]("start_ms"),
-        r.getAs[Long]("end_ms"), r.getAs[Double]("session_value"))).toSet
-    assert(stream === batch)
+    assert(sessionSet(SessionizeStream.sessions(spark, sf)) ===
+      sessionSet(Relational.q10Sessions(spark, sf)))
+  }
+
+  test("transformWithState sessions equal batch sessions") {
+    assert(sessionSet(TwsSessionizeStream.sessions(spark, sf)) ===
+      sessionSet(Relational.q10Sessions(spark, sf)))
   }
 }
