@@ -480,7 +480,68 @@ object Features {
       |GROUP BY i.event_id
       |ORDER BY i.event_id""".stripMargin
 
+  /** Point-in-time (PIT) join — the feature-store lookup: each
+    * purchase probes the user's SCD2 status history (q126's validity
+    * intervals) AS OF one millisecond before the purchase, answering
+    * "what state was the user in when they converted" without leaking
+    * the conversion event itself into its own feature (the train-serve
+    * temporal-leakage guard).
+    *
+    * Scale shape: both sides shuffle ONCE on user_id — the natural
+    * feature-store key — and the interval probe is a per-user merge
+    * (intervals per user are bounded by that user's status changes,
+    * so skew is per-entity history length, never global). No range
+    * join, no broadcast of the full history. Probes before a user's
+    * first interval fall into the 'none' bucket via the left join.
+    */
+  def q162PitJoin(s: SparkSession, dir: String): DataFrame = {
+    val facts = events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"),
+        round(col("value"), 2).cast("decimal(18,2)").as("v"))
+    val ivs = EventsOps.q126Scd2(s, dir)
+      .select(col("user_id"), col("status"),
+        col("valid_from_ms"), col("valid_to_ms"))
+    val p = col("ms") - 1
+    facts.join(ivs,
+        facts("user_id") === ivs("user_id") &&
+          p >= col("valid_from_ms") &&
+          (col("valid_to_ms") === -1L || p < col("valid_to_ms")),
+        "left")
+      .groupBy(coalesce(col("status"), lit("none")).as("prior_status"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("v")).cast("double").as("total_value"))
+      .orderBy("prior_status")
+  }
+
+  val q162Oracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms,
+      |  event_id, value,
+      |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS prev
+      | FROM events),
+      |chg AS (SELECT user_id, event_type AS status, ms, event_id FROM e
+      |  WHERE prev IS NULL OR prev <> event_type),
+      |iv AS (SELECT user_id, status, ms AS valid_from_ms,
+      |  coalesce(lead(ms) OVER (PARTITION BY user_id ORDER BY ms,
+      |    event_id), CAST(-1 AS BIGINT)) AS valid_to_ms
+      | FROM chg),
+      |facts AS (SELECT user_id, ms,
+      |  CAST(round(value, 2) AS DECIMAL(18,2)) AS v
+      | FROM e WHERE event_type = 'purchase')
+      |SELECT coalesce(iv.status, 'none') AS prior_status,
+      | count(*) AS n_purchases,
+      | CAST(sum(v) AS DOUBLE) AS total_value
+      |FROM facts LEFT JOIN iv
+      |  ON facts.user_id = iv.user_id
+      |  AND facts.ms - 1 >= iv.valid_from_ms
+      |  AND (iv.valid_to_ms = -1 OR facts.ms - 1 < iv.valid_to_ms)
+      |GROUP BY 1
+      |ORDER BY prior_status""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_pit_join" -> (q162PitJoin _),
     "q159_ewma" -> (q159Ewma _),
     "q160_interval_join" -> (q160IntervalJoin _),
     "q154_triangles" -> (q154Triangles _),
@@ -492,6 +553,7 @@ object Features {
   )
 
   def oracles: Map[String, String] = Map(
+    "q162_pit_join" -> q162Oracle,
     "q159_ewma" -> q159Oracle,
     "q160_interval_join" -> q160Oracle,
     "q154_triangles" -> q154Oracle,

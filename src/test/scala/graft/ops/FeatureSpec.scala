@@ -168,6 +168,24 @@ class FeatureSpec extends AnyFunSuite {
     assert(out === brute)
   }
 
+  test("q162: every purchase PIT-joins to exactly one prior status") {
+    import org.apache.spark.sql.functions._
+    val rows = Features.q162PitJoin(spark, sf).collect()
+    val purchases = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum === purchases)
+    // 'none' bucket == purchases that are their user's very first event
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val firstPurchases = graft.Tables.events(spark, sf)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("event_type") === "purchase").count()
+    val none = rows.find(_.getAs[String]("prior_status") == "none")
+      .map(_.getAs[Long]("n_purchases")).getOrElse(0L)
+    assert(none === firstPurchases)
+  }
+
   test("q153: incremental LSH == the full self-join restricted to the batch") {
     val inc = Dedup.q153IncrementalLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"))).toSet
