@@ -134,7 +134,13 @@ final class MiniLake(spark: SparkSession, val path: String,
             c -> (mm.get(0), mm.get(1))
           }.toMap
         }.toMap)
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty),
+      dvAdds = Option(m.get("dvAdds"))
+        .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
+        .getOrElse(Seq.empty),
+      dvRemoves = Option(m.get("dvRemoves"))
+        .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
+        .getOrElse(Seq.empty))
   }
 
   /** File-level min/max stats for INT64 and UTF8-string columns, read
@@ -259,7 +265,13 @@ final class MiniLake(spark: SparkSession, val path: String,
     val withChangeFiles =
       if (e.changeFiles.isEmpty) withStatsStr
       else withStatsStr + ("changeFiles" -> e.changeFiles.asJava)
-    val bytes = mapper.writeValueAsBytes(withChangeFiles.asJava)
+    val withDvAdds =
+      if (e.dvAdds.isEmpty) withChangeFiles
+      else withChangeFiles + ("dvAdds" -> e.dvAdds.asJava)
+    val withDvs =
+      if (e.dvRemoves.isEmpty) withDvAdds
+      else withDvAdds + ("dvRemoves" -> e.dvRemoves.asJava)
+    val bytes = mapper.writeValueAsBytes(withDvs.asJava)
     val tmp = logDir.resolve(s".${e.version}.json.tmp")
     Files.write(tmp, bytes)
     try Files.createLink(logDir.resolve(s"${e.version}.json"), tmp)
@@ -283,13 +295,61 @@ final class MiniLake(spark: SparkSession, val path: String,
     live.toSeq
   }
 
-  /** Full snapshot as of `asOf` (default: latest). S1 surface. */
+  /** Deletion-vector files live as of `asOf` — added by
+    * [[deleteVectored]] commits, retired whenever a commit rewrites
+    * the whole live set (update/overwrite/COW delete/restore/optimize/
+    * [[materializeDeletes]]). Same fold as [[liveFiles]]; DV rows whose
+    * target data file has since left the live set are inert (their
+    * `_dv_file` matches nothing at read time), so partial rewrites —
+    * the bucketed merge — need no DV bookkeeping at all.
+    */
+  private def liveDvFiles(asOf: Long): Seq[String] = {
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    listVersions.filter(_ <= asOf).foreach { v =>
+      val e = readEntry(v)
+      live --= e.dvRemoves
+      live ++= e.dvAdds
+    }
+    live.toSeq
+  }
+
+  /** Apply live deletion vectors to a file-sourced frame: anti-join on
+    * (physical file, row position) from the `_metadata` struct — the
+    * Iceberg positional-delete / Delta deletion-vector read shape. The
+    * DV side is deleted-rows-sized (bounded by churn since the last
+    * materialize, never table-sized), so it broadcasts; the scan side
+    * stays a plain parquet scan with pushdown intact. When no DVs are
+    * live this is the identity — zero cost on the hot path.
+    */
+  private def applyDvs(base: DataFrame, asOf: Long,
+      keepPos: Boolean = false): DataFrame = {
+    val dvFiles = liveDvFiles(asOf)
+    if (dvFiles.isEmpty && !keepPos) base
+    else {
+      val withPos = base
+        .withColumn(DvFileCol, col("_metadata.file_path"))
+        .withColumn(DvPosCol, col("_metadata.row_index"))
+      val joined =
+        if (dvFiles.isEmpty) withPos
+        else {
+          val dv = spark.read.schema(DvSchema).parquet(dvFiles: _*)
+          withPos.join(broadcast(dv), Seq(DvFileCol, DvPosCol), "left_anti")
+        }
+      if (keepPos) joined else joined.drop(DvFileCol, DvPosCol)
+    }
+  }
+
+  /** Full snapshot as of `asOf` (default: latest). S1 surface.
+    * Merge-on-read: live deletion vectors are applied here, so every
+    * consumer (reads, COW rewrites, merges) sees the post-delete
+    * table without the delete having rewritten a single data file.
+    */
   def snapshot(asOf: Long = latestVersion): DataFrame = {
     require(asOf >= 0, s"table $path does not exist")
     val files = liveFiles(asOf)
     val sch = schemaAt(asOf)
     if (files.isEmpty) emptyDf(spark, sch)
-    else spark.read.schema(sch).parquet(files: _*)
+    else applyDvs(spark.read.schema(sch).parquet(files: _*), asOf)
   }
 
   /** Partition-pruned snapshot: `keep` sees each live file's partition
@@ -307,7 +367,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     val files = liveFiles(latestVersion).filter(f => keep(partValuesOf(f)))
     val sch = schemaAt(latestVersion)
     if (files.isEmpty) emptyDf(spark, sch)
-    else spark.read.schema(sch).parquet(files: _*)
+    else applyDvs(spark.read.schema(sch).parquet(files: _*), latestVersion)
   }
 
   /** Stats-pruned range read (data skipping): open only the live files
@@ -345,7 +405,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     val sch = schemaAt(latestVersion)
     val base =
       if (files.isEmpty) emptyDf(spark, sch)
-      else spark.read.schema(sch).parquet(files: _*)
+      else applyDvs(spark.read.schema(sch).parquet(files: _*), latestVersion)
     ranges.foldLeft(base) { case (d, (c, (lo, hi))) =>
       d.filter(col(c) >= lo && col(c) <= hi)
     }
@@ -379,7 +439,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     val sch = schemaAt(latestVersion)
     val base =
       if (files.isEmpty) emptyDf(spark, sch)
-      else spark.read.schema(sch).parquet(files: _*)
+      else applyDvs(spark.read.schema(sch).parquet(files: _*), latestVersion)
     ranges.foldLeft(base) { case (d, (c, (lo, hi))) =>
       d.filter(col(c) >= lo && col(c) <= hi)
     }
@@ -651,12 +711,15 @@ final class MiniLake(spark: SparkSession, val path: String,
     val prior = liveFiles(v - 1)
     if (prior.nonEmpty) {
       val sch = schema
-      val data = spark.read.schema(sch).parquet(prior: _*)
+      // OPTIMIZE doubles as DV materialization: the rewrite reads
+      // through the deletion vectors, so the compacted files carry
+      // only surviving rows and the DVs retire with the old files.
+      val data = applyDvs(spark.read.schema(sch).parquet(prior: _*), v - 1)
       val n = data.count()
       val adds = writeData(data, v, rowHint = Some(n))
       writeEntry(CommitEntry(v, "optimize", System.currentTimeMillis(),
         sch.json, adds, prior, hasChanges = false,
-        bucketSpec = bucketSpec))
+        bucketSpec = bucketSpec, dvRemoves = liveDvFiles(v - 1)))
     }
   }
 
@@ -702,10 +765,14 @@ final class MiniLake(spark: SparkSession, val path: String,
     withCommitPlanning {
       val v = nextVersion
       val removed = if (removesAll) liveFiles(v - 1) else Seq.empty
+      // a full rewrite reads THROUGH the deletion vectors (snapshot
+      // applies them), so the new files already exclude DV'd rows and
+      // every live DV retires with this commit
+      val dvRemoved = if (removesAll) liveDvFiles(v - 1) else Seq.empty
       val (adds, chg) = inParallel(writeData(data, v), writeChanges(changes, v))
       writeEntry(CommitEntry(v, mode, System.currentTimeMillis(),
         data.schema.json, adds, removed, hasChanges = true,
-        bucketSpec = bucketSpec, changeFiles = chg))
+        bucketSpec = bucketSpec, changeFiles = chg, dvRemoves = dvRemoved))
     }
 
   /** MERGE (S4): `whenNotMatchedInsertAll` ∪ `whenMatchedDelete`, keyed
@@ -828,7 +895,8 @@ final class MiniLake(spark: SparkSession, val path: String,
       } else (writeData(newData, v), Seq.empty[String])
     writeEntry(CommitEntry(v, "update", System.currentTimeMillis(),
       target.schema.json, adds, removed, hasChanges = trackChanges,
-      bucketSpec = bucketSpec, changeFiles = chg))
+      bucketSpec = bucketSpec, changeFiles = chg,
+      dvRemoves = liveDvFiles(v - 1)))
   }
 
   /** Physical GC of files no longer referenced by the live set — MUST
@@ -862,9 +930,12 @@ final class MiniLake(spark: SparkSession, val path: String,
     // NOT listed by any entry are debris from a commit attempt that
     // lost its publish race (each attempt writes its own w-<uuid> dir)
     val listedChanges = entries.flatMap(_.changeFiles).toSet
-    val protectedFiles = live ++ changeBacked ++ listedChanges
+    // live deletion vectors are part of the current table state;
+    // retired DVs (materialized/rewritten away) age out like data files
+    val liveDvs = liveDvFiles(latestVersion).toSet
+    val protectedFiles = live ++ changeBacked ++ listedChanges ++ liveDvs
     val cutoff = System.currentTimeMillis() - retainMillis
-    Seq("data", "changes").map(root.resolve).foreach { d =>
+    Seq("data", "changes", "dv").map(root.resolve).foreach { d =>
       if (Files.isDirectory(d)) {
         // legacy layout: entries without a changeFiles list own their
         // whole changes/v=<v> directory — leave those subtrees alone
@@ -915,10 +986,88 @@ final class MiniLake(spark: SparkSession, val path: String,
           rowHint = Some(nDel)))
       writeEntry(CommitEntry(v, "delete", System.currentTimeMillis(),
         target.schema.json, adds, liveFiles(v - 1), hasChanges = true,
-        bucketSpec = bucketSpec, changeFiles = chg))
+        bucketSpec = bucketSpec, changeFiles = chg,
+        dvRemoves = liveDvFiles(v - 1)))
     }
     doomed.unpersist()
     nDel
+  }
+
+  /** Merge-on-read DELETE — the deletion-vector path (Delta DVs /
+    * Iceberg positional deletes): instead of rewriting the live set,
+    * record the doomed rows' (physical file, row position) pairs in a
+    * sidecar parquet and let every read anti-join them away via the
+    * `_metadata` struct. Same observable semantics as [[delete]] —
+    * NULL predicate keeps the row, CDF publishes one `delete` preimage
+    * per removed row, zero-match still commits a version — but the
+    * write cost is O(deleted rows), not O(table).
+    *
+    * This is THE delete a 100 TB table wants: a copy-on-write of a
+    * wide table to drop 0.1% of rows rewrites 100 TB; the DV commit
+    * writes megabytes. The read-side tax is one broadcast anti-join
+    * (DV side bounded by churn since the last materialize);
+    * [[materializeDeletes]] or [[compactFiles]] folds the DVs back
+    * into clean files when the vectors grow past taste. Time travel
+    * honors DVs exactly: `snapshot(asOf)` applies the vectors live as
+    * of that version, no more, no fewer.
+    */
+  def deleteVectored(pred: Column): Long = withCommitPlanning {
+    val files = liveFiles(latestVersion)
+    val sch = schema
+    val matched = coalesce(pred, lit(false))
+    // evaluate the predicate over the DV-applied snapshot (rows already
+    // vectored out must not re-match), keeping the physical position
+    // columns the sidecar needs
+    val base =
+      if (files.isEmpty) return 0L
+      else applyDvs(spark.read.schema(sch).parquet(files: _*),
+        latestVersion, keepPos = true)
+    val doomed = base.filter(matched)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDel = doomed.rdd.count()
+    val v = nextVersion
+    if (nDel == 0) {
+      writeEntry(CommitEntry(v, "delete-dv", System.currentTimeMillis(),
+        sch.json, Seq.empty, Seq.empty, hasChanges = false,
+        bucketSpec = bucketSpec))
+    } else {
+      val dvDir = attemptDir("dv", v)
+      val (dvFiles, chg) = inParallel(
+        {
+          doomed.select(col(DvFileCol), col(DvPosCol))
+            .coalesce(filesFor(nDel)).write.parquet(dvDir.toString)
+          parquetFilesIn(dvDir)
+        },
+        writeChanges(doomed.drop(DvFileCol, DvPosCol)
+          .withColumn(ChangeType, lit("delete")), v, rowHint = Some(nDel)))
+      writeEntry(CommitEntry(v, "delete-dv", System.currentTimeMillis(),
+        sch.json, Seq.empty, Seq.empty, hasChanges = true,
+        bucketSpec = bucketSpec, changeFiles = chg, dvAdds = dvFiles))
+    }
+    doomed.unpersist()
+    nDel
+  }
+
+  /** Fold live deletion vectors into clean data files (Delta's
+    * REORG TABLE ... APPLY (PURGE)): one rewrite of the live set with
+    * the DVs applied, after which reads are plain scans again. No
+    * logical row changes — the commit publishes no CDF rows (the
+    * deletes already published at their [[deleteVectored]] versions).
+    * No-op when nothing is vectored.
+    */
+  def materializeDeletes(): Unit = withCommitPlanning {
+    val v = nextVersion
+    val dvs = liveDvFiles(v - 1)
+    if (dvs.nonEmpty) {
+      val prior = liveFiles(v - 1)
+      val sch = schema
+      val data = applyDvs(spark.read.schema(sch).parquet(prior: _*), v - 1)
+      val n = data.count()
+      val adds = writeData(data, v, rowHint = Some(n))
+      writeEntry(CommitEntry(v, "materialize", System.currentTimeMillis(),
+        sch.json, adds, prior, hasChanges = false,
+        bucketSpec = bucketSpec, dvRemoves = dvs))
+    }
   }
 
   /** RESTORE TABLE ... TO VERSION AS OF v — Delta RESTORE semantics: a
@@ -978,6 +1127,19 @@ object MiniLake {
 
   val BucketCol = "_bucket"
 
+  /** Deletion-vector sidecar columns: the doomed row's physical file
+    * (as `_metadata.file_path` spells it at read time) and its
+    * position within that file (`_metadata.row_index` — stable for a
+    * written parquet file).
+    */
+  val DvFileCol = "_dv_file"
+  val DvPosCol = "_dv_pos"
+  private[lake] val DvSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField(DvFileCol,
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField(DvPosCol,
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
   /** Path-segment prefix for value-partition directories. */
   val PartPrefix = "_p_"
 
@@ -1011,7 +1173,9 @@ object MiniLake {
       partitionCols: Seq[String] = Seq.empty,
       stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
       changeFiles: Seq[String] = Seq.empty,
-      statsStr: Map[String, Map[String, (String, String)]] = Map.empty)
+      statsStr: Map[String, Map[String, (String, String)]] = Map.empty,
+      dvAdds: Seq[String] = Seq.empty,
+      dvRemoves: Seq[String] = Seq.empty)
 
   def apply(spark: SparkSession, path: String): MiniLake =
     new MiniLake(spark, path)

@@ -314,6 +314,53 @@ object Pipeline {
       |UNION ALL SELECT 2, t, f, 0, f FROM c
       |ORDER BY version""".stripMargin
 
+  /** Merge-on-read deletion vectors end to end: create a lineitem
+    * lake, `deleteVectored` a predicate (O(deleted rows) sidecar, zero
+    * data files rewritten), read through the vectors, then
+    * `materializeDeletes` and read again — both phases must report the
+    * identical per-flag aggregate, and the CDF must carry exactly the
+    * deleted rows. This is the delete shape a 100 TB table requires:
+    * the COW alternative rewrites the table to drop a sliver.
+    *
+    * The oracle states the survivor aggregate twice (once per phase)
+    * plus the delete count from the predicate — so a DV read that
+    * leaked a deleted row, a materialize that dropped a survivor, or a
+    * CDF that double-published all hash-mismatch.
+    */
+  def q163DeletionVectors(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_dv").toString
+    val t = MiniLake(s, s"$base/lineitem")
+    t.create(lineitem(s, dir)
+      .filter(col("l_orderkey") % 3 === 0)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"))
+    val doomed = col("l_quantity") < 10
+    t.deleteVectored(doomed)                    // v1: sidecar only
+    val nDel = t.readChanges(1, 1)
+      .filter(col("_change_type") === "delete").count()
+    def report(phase: String) = t.snapshot()
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      .select(lit(phase).as("phase"), col("l_returnflag"), col("n"),
+        col("sum_qty"), lit(nDel).as("n_deleted"))
+    val dvPhase = report("dv")
+    t.materializeDeletes()                      // v2: fold DVs away
+    dvPhase.unionByName(report("materialized"))
+      .orderBy("phase", "l_returnflag")
+  }
+
+  val q163Oracle: String =
+    """WITH sub AS (SELECT * FROM lineitem WHERE l_orderkey % 3 = 0),
+      |del AS (SELECT count(*) AS n_deleted FROM sub WHERE l_quantity < 10),
+      |agg AS (SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      | FROM sub WHERE NOT l_quantity < 10 GROUP BY l_returnflag)
+      |SELECT p.phase, a.l_returnflag, a.n, a.sum_qty, d.n_deleted
+      |FROM agg a, del d,
+      |  (SELECT 'dv' AS phase UNION ALL SELECT 'materialized') p
+      |ORDER BY p.phase, a.l_returnflag""".stripMargin
+
   /** Right-to-be-forgotten: purge every row a set of users owns from a
     * versioned lake table, then AUDIT the purge from the change feed —
     * the GDPR/DSAR lifecycle the reference's health-data setting makes
@@ -455,7 +502,8 @@ object Pipeline {
     "q91_range_skipping" -> (q91RangeSkipping _),
     "q100_zorder_2d" -> (q100Zorder2d _),
     "q101_string_skipping" -> (q101StringSkipping _),
-    "q109_delete_restore" -> (q109DeleteRestore _)
+    "q109_delete_restore" -> (q109DeleteRestore _),
+    "q163_deletion_vectors" -> (q163DeletionVectors _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -469,6 +517,7 @@ object Pipeline {
     "q91_range_skipping" -> q91Oracle,
     "q100_zorder_2d" -> q100Oracle,
     "q101_string_skipping" -> q101Oracle,
-    "q109_delete_restore" -> q109Oracle
+    "q109_delete_restore" -> q109Oracle,
+    "q163_deletion_vectors" -> q163Oracle
   )
 }
