@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -230,12 +230,20 @@ object Features {
       .localCheckpoint()
     val wedgeLt = col("e1.ddst") < col("e2.ddst") ||
       (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))
+    // the closing probe joins wedges (the BIG side — Θ(Σ out-deg²)
+    // rows) against edges: pack each (lo, hi) node pair into ONE
+    // 8-byte key so the wedge shuffle carries a single long per row
+    // instead of two, and the join compares one word (partkeys are
+    // < 2^32 by the TPC-H data model, checked nowhere cheaper than
+    // the bit budget itself: shiftleft discards nothing below 2^32)
+    def packed(a: Column, b: Column): Column =
+      shiftleft(a, 32).bitwiseOR(b)
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && wedgeLt)
-      .select(col("e1.dst").as("b"), col("e2.dst").as("c"))
-    val triangles = wedges.join(oriented.as("e3"),
-      col("b") === col("e3.src") && col("c") === col("e3.dst"))
+      .select(packed(col("e1.dst"), col("e2.dst")).as("bc"))
+    val closing = oriented.select(packed(col("src"), col("dst")).as("bc"))
+    val triangles = wedges.join(closing, "bc")
     triangles.agg(count(lit(1)).as("n_triangles"))
       .crossJoin(oriented.agg(count(lit(1)).as("n_edges")))
       .crossJoin(oriented
