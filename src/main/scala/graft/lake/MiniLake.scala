@@ -445,6 +445,36 @@ final class MiniLake(spark: SparkSession, val path: String,
     }
   }
 
+  /** Build/refresh the file-level Bloom index for `colName` (long-
+    * typed) over the current live set — ONE aggregation job keyed on
+    * the physical file, sidecar-published ([[BloomIndex]]). Point
+    * lookups via [[snapshotForPoint]] then skip files that provably
+    * lack the value — the skipping min/max stats cannot give on a
+    * column the layout doesn't cluster.
+    */
+  def buildBloomIndex(colName: String,
+      expectedItemsPerFile: Long = 1L << 16, fpp: Double = 0.01): Unit =
+    BloomIndex.build(spark, path, colName, liveFiles(latestVersion),
+      schema, expectedItemsPerFile, fpp)
+
+  /** Bloom-pruned point lookup: open only live files whose per-file
+    * Bloom might contain one of `values`, then apply the exact
+    * predicate (Bloom false positives are extra reads, never wrong
+    * rows; unindexed files are conservatively kept). The prune is a
+    * driver-side metadata decision, exactly like the min/max paths.
+    */
+  def snapshotForPoint(colName: String, values: Seq[Long]): DataFrame = {
+    require(latestVersion >= 0, s"table $path does not exist")
+    val index = BloomIndex.load(path, colName)
+    val files = liveFiles(latestVersion)
+      .filter(f => BloomIndex.mightContain(index, f, values))
+    val sch = schemaAt(latestVersion)
+    val base =
+      if (files.isEmpty) emptyDf(spark, sch)
+      else applyDvs(spark.read.schema(sch).parquet(files: _*), latestVersion)
+    base.filter(col(colName).isin(values: _*))
+  }
+
   /** Partition values encoded in a file's path (`_p_<col>=<value>`). */
   private def partValuesOf(file: String): Map[String, String] =
     file.split('/').iterator

@@ -361,6 +361,42 @@ object Pipeline {
       |  (SELECT 'dv' AS phase UNION ALL SELECT 'materialized') p
       |ORDER BY p.phase, a.l_returnflag""".stripMargin
 
+  /** File-level Bloom skipping as a gate: the events table lands in
+    * four interleaved appends (every file's event_id [min, max] spans
+    * the whole domain — min/max stats keep everything), the Bloom
+    * index is built in one aggregation pass, and a 5-id point lookup
+    * reads only the files whose filters might hold those ids.
+    * BloomIndexSpec proves the pruning physically; this gate pins the
+    * numbers. At 100 TB this is the lookup path for "fetch these
+    * specific documents/events by id" on layouts clustered by
+    * something else — the case where sort-based skipping gives zero.
+    */
+  def q164BloomSkipping(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_bloom").toString
+    val t = MiniLake(s, s"$base/events")
+    val e = events(s, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    t.create(e.filter(col("event_id") % 4 === 0))
+    (1 to 3).foreach(m => t.append(e.filter(col("event_id") % 4 === m)))
+    t.buildBloomIndex("event_id")
+    val probes = Seq(7L, 42L, 123L, 500L, 801L)
+    t.snapshotForPoint("event_id", probes)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).cast("decimal(18,2)")
+          .cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val q164Oracle: String =
+    """SELECT event_type, count(*) AS n,
+      | CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS DOUBLE)
+      |   AS total_value
+      |FROM events
+      |WHERE event_id IN (7, 42, 123, 500, 801)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Right-to-be-forgotten: purge every row a set of users owns from a
     * versioned lake table, then AUDIT the purge from the change feed —
     * the GDPR/DSAR lifecycle the reference's health-data setting makes
@@ -503,7 +539,8 @@ object Pipeline {
     "q100_zorder_2d" -> (q100Zorder2d _),
     "q101_string_skipping" -> (q101StringSkipping _),
     "q109_delete_restore" -> (q109DeleteRestore _),
-    "q163_deletion_vectors" -> (q163DeletionVectors _)
+    "q163_deletion_vectors" -> (q163DeletionVectors _),
+    "q164_bloom_skipping" -> (q164BloomSkipping _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -518,6 +555,7 @@ object Pipeline {
     "q100_zorder_2d" -> q100Oracle,
     "q101_string_skipping" -> q101Oracle,
     "q109_delete_restore" -> q109Oracle,
-    "q163_deletion_vectors" -> q163Oracle
+    "q163_deletion_vectors" -> q163Oracle,
+    "q164_bloom_skipping" -> q164Oracle
   )
 }
