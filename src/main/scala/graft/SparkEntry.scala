@@ -16,7 +16,7 @@ object SparkEntry {
       ops.Skew.queries ++ ops.Profiling.queries ++ ops.Reshape.queries ++
       ops.CorpusHygiene.queries ++ ops.Layout.queries ++
       ops.HeavyHitters.queries ++ ops.Ivm.queries ++ ops.Features.queries ++
-      ops.TextSources.queries
+      ops.TextSources.queries ++ ops.Eval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +29,5 @@ object SparkEntry {
       ops.Skew.oracles ++ ops.Profiling.oracles ++ ops.Reshape.oracles ++
       ops.CorpusHygiene.oracles ++ ops.Layout.oracles ++
       ops.HeavyHitters.oracles ++ ops.Ivm.oracles ++ ops.Features.oracles ++
-      ops.TextSources.oracles
+      ops.TextSources.oracles ++ ops.Eval.oracles
 }

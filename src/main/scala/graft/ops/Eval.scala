@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Model-evaluation operators ([EXT], SURVEY.md §2.10): the metrics a
+  * training pipeline computes over scored predictions at corpus scale,
+  * where "collect the scores and call sklearn" stopped being an option
+  * somewhere around the first terabyte.
+  */
+object Eval {
+
+  /** Exact ROC-AUC via the Mann-Whitney U statistic — the rank-sum
+    * identity AUC = U/(P·N), with midrank tie handling, computed
+    * WITHOUT a global sort of the scores: scores are integers, so the
+    * table aggregates to one row per distinct score (bounded ≤ ~13k
+    * rows at any table size) and the rank arithmetic runs over that
+    * metadata-sized frame. The scan does one map-side-combinable
+    * aggregate; nothing row-scale crosses a single partition — the
+    * q82/q103 "global window only over a tiny aggregate" rule.
+    *
+    * The "model" is a deterministic integer score (a Knuth
+    * multiplicative hash of event_id, boosted for actual purchases so
+    * the metric is discriminative, AUC ≈ 0.87) and the label is
+    * is-purchase — every term integer-exact cross-engine, with 2U kept
+    * as an integer (midranks contribute halves) and ONE float division
+    * at the end, the q140/q159 fixed-point rule.
+    */
+  def q165Auc(s: SparkSession, dir: String): DataFrame = {
+    val scored = events(s, dir).select(
+      (pmod(col("event_id") * lit(2654435761L), lit(9973L)) +
+        when(col("event_type") === "purchase", lit(3000L))
+          .otherwise(lit(0L))).as("score"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+    val cells = scored.groupBy("score")
+      .agg(sum("pos").as("p"), (count(lit(1)) - sum("pos")).as("n"))
+    // negatives strictly below each score; the frame is ≤13k rows (the
+    // score domain), so the unpartitioned window is metadata-sized
+    val below = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("cumneg", coalesce(sum("n").over(below), lit(0L)))
+      .agg(
+        sum("p").as("n_pos"), sum("n").as("n_neg"),
+        sum(col("p") * (lit(2L) * col("cumneg") + col("n"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        round(col("u2") / (lit(2.0) * col("n_pos") * col("n_neg")), 6)
+          .cast("decimal(18,6)").cast("double").as("auc"))
+  }
+
+  val q165Oracle: String =
+    """WITH scored AS (SELECT
+      |  (event_id * 2654435761) % 9973 +
+      |    CASE WHEN event_type = 'purchase' THEN 3000 ELSE 0 END AS score,
+      |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      | FROM events),
+      |cells AS (SELECT score, CAST(sum(pos) AS BIGINT) AS p,
+      |   CAST(count(*) - sum(pos) AS BIGINT) AS n
+      | FROM scored GROUP BY score),
+      |r AS (SELECT p, n, coalesce(sum(n) OVER (ORDER BY score
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+      | FROM cells)
+      |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+      |  CAST(sum(n) AS BIGINT) AS n_neg,
+      |  CAST(sum(p * (2 * cumneg + n)) AS BIGINT) AS u2,
+      |  CAST(CAST(round(sum(p * (2 * cumneg + n)) /
+      |      (2.0 * sum(p) * sum(n)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS auc
+      |FROM r""".stripMargin
+
+  /** Distributed-sketch MERGEABILITY, the property that makes
+    * approximate distinct counting work on a cluster at all: per-day
+    * partial HLL sketches (DataSketches `hll_sketch_agg`) union into
+    * per-type estimates (`hll_union_agg`) that must equal the
+    * single-pass sketch over the same stream to within sketch noise —
+    * if partial+merge drifted materially from direct, every two-stage
+    * rollup in the warehouse would be suspect. (Bit-equality does NOT
+    * hold: the union's target representation differs from the direct
+    * sketch's once inputs cross the sparse→dense HLL mode boundary —
+    * observed at sf0.1 — so the witness is a 2% consistency bound,
+    * ~the sketch's own error at lgK 12, not `===`.) Emits the exact
+    * count, a 5%-error witness for the merged estimate (q50's
+    * bounded-error pattern), and the merge-consistency witness. At
+    * 100 TB the daily partials are what you'd persist (a few KB per
+    * (type, day)); re-aggregating them to any coarser grain costs
+    * metadata, not a rescan.
+    */
+  def q166SketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val daily = e.withColumn("day", to_date(col("ts")))
+      .groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"))
+    val direct = e.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+          .as("direct_est"),
+        countDistinct(col("user_id")).as("exact_users"))
+    merged.join(direct, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("merged_est") - col("exact_users")) /
+          col("exact_users") <= 0.05).as("merged_within_5pct"),
+        (abs(col("merged_est") - col("direct_est")) <=
+          col("direct_est") * 0.02).as("merge_consistent"))
+      .orderBy("event_type")
+  }
+
+  val q166Oracle: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      | TRUE AS merged_within_5pct, TRUE AS merge_consistent
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_auc" -> (q165Auc _),
+    "q166_sketch_merge" -> (q166SketchMerge _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q165_auc" -> q165Oracle,
+    "q166_sketch_merge" -> q166Oracle
+  )
+}

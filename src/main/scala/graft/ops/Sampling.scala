@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -306,7 +307,83 @@ object Sampling {
       |   AS rep_factor
       |FROM c, m ORDER BY label""".stripMargin
 
+  /** Probability-proportional-to-size SYSTEMATIC sampling — the
+    * weighted sampler survey statistics and data-mix tuning reach for
+    * when "uniform 1%" over-represents penny orders: walk the
+    * key-ordered cumulative weight and take one unit every
+    * `total/target` of mass, so an order's selection probability is
+    * proportional to its value, with zero randomness (the determinism
+    * every engine-parity gate here demands — md5-ordered q78 is the
+    * unweighted sibling).
+    *
+    * Exactness: weights are integer cents (the q140 fixed-point
+    * rule), the stride is integer division, and a row is selected iff
+    * a stride multiple lands inside its (exclusive, inclusive]
+    * cumulative-weight span — pure int64, no float anywhere until the
+    * report.
+    *
+    * Scale shape: the cumulative sum is the q73 two-phase prefix sum —
+    * per-shard subtotals (one tiny aggregate, driver-folded into
+    * exclusive offsets) + intra-shard window — so nothing row-scale
+    * ever crosses one partition; a global `sum() over (order by)` here
+    * would be the exact single-task collapse the q73 scale fix
+    * removed.
+    */
+  def q167PpsSample(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val bounds = o.agg(min("o_orderkey"), max("o_orderkey"),
+      sum("cents")).head()
+    val (minK, maxK) = (bounds.getLong(0), bounds.getLong(1))
+    val total = bounds.getLong(2)
+    val stride = math.max(1L, total / 100L)
+    val span = math.max(1L, maxK - minK + 1)
+    val nShards = 32
+    val sharded = o.withColumn("shard",
+      ((col("o_orderkey") - minK) * nShards / span).cast("int"))
+    val subtotals = sharded.groupBy("shard").agg(sum("cents").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = subtotals.map { case (sh, t) =>
+      val off = acc; acc += t; (sh, off)
+    }
+    val offsetDf = s.createDataFrame(offsets.toSeq).toDF("shard", "base")
+    val intraW = Window.partitionBy("shard").orderBy("o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("intra", coalesce(sum("cents").over(intraW), lit(0L)))
+      .join(broadcast(offsetDf), "shard")
+      .withColumn("lo", col("base") + col("intra"))
+      // `div` (floor division on int64) — Column./ would promote to
+      // double and break the exact stride-boundary arithmetic
+      .filter(expr(s"(lo + cents) div ${stride}L > lo div ${stride}L"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_selected"),
+        (sum("cents") / 100.0).cast("decimal(18,2)").cast("double")
+          .as("selected_value"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q167Oracle: String =
+    """WITH o AS (SELECT o_orderkey, o_orderpriority,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      | FROM orders),
+      |tot AS (SELECT greatest(CAST(sum(cents) // 100 AS BIGINT), 1)
+      |  AS stride FROM o),
+      |c AS (SELECT o_orderpriority, cents,
+      |  coalesce(sum(cents) OVER (ORDER BY o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+      | FROM o)
+      |SELECT o_orderpriority, count(*) AS n_selected,
+      | CAST(CAST(sum(cents) / 100.0 AS DECIMAL(18,2)) AS DOUBLE)
+      |   AS selected_value
+      |FROM c, tot
+      |WHERE (lo + cents) // stride > lo // stride
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_pps_sample" -> (q167PpsSample _),
     "q133_rebalance_plan" -> (q133RebalancePlan _),
     "q59_hash_split" -> (q59HashSplit _),
     "q78_capped_sample" -> (q78CappedSample _),
@@ -316,6 +393,7 @@ object Sampling {
   )
 
   def oracles: Map[String, String] = Map(
+    "q167_pps_sample" -> q167Oracle,
     "q133_rebalance_plan" -> q133Oracle,
     "q59_hash_split" -> q59Oracle,
     "q78_capped_sample" -> q78Oracle,
