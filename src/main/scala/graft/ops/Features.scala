@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -548,7 +549,40 @@ object Features {
       |GROUP BY 1
       |ORDER BY prior_status""".stripMargin
 
+  /** Frequency-ordered categorical indexer (MLlib StringIndexer
+    * semantics, frequencyDesc with lexical tie-break): build the
+    * label→index dictionary from counts, then ENCODE the table through
+    * a broadcast join-back and prove the round trip by re-counting
+    * encoded rows per index. At 100 TB the dictionary is
+    * cardinality-sized metadata (one map-side-combinable aggregate);
+    * the encode is a broadcast hash join the scan absorbs — the rows
+    * never shuffle. Deterministic: index = rank over (count DESC,
+    * value ASC), both stated identically in the oracle.
+    */
+  def q170StringIndexer(s: SparkSession, dir: String): DataFrame = {
+    val dict = orders(s, dir).groupBy(col("o_orderpriority").as("value"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("idx", row_number().over(
+        Window.orderBy(col("n").desc, col("value"))).cast("long") - 1)
+    val encoded = orders(s, dir)
+      .join(broadcast(dict.select(col("value"), col("idx"))),
+        col("o_orderpriority") === col("value"))
+      .groupBy("idx").agg(count(lit(1)).as("n_encoded"))
+    dict.join(encoded, "idx")
+      .select(col("idx"), col("value"), col("n"), col("n_encoded"))
+      .orderBy("idx")
+  }
+
+  val q170Oracle: String =
+    """WITH dict AS (SELECT o_orderpriority AS value, count(*) AS n,
+      |  CAST(row_number() OVER (ORDER BY count(*) DESC,
+      |    o_orderpriority) AS BIGINT) - 1 AS idx
+      | FROM orders GROUP BY o_orderpriority)
+      |SELECT idx, value, n, n AS n_encoded
+      |FROM dict ORDER BY idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_string_indexer" -> (q170StringIndexer _),
     "q162_pit_join" -> (q162PitJoin _),
     "q159_ewma" -> (q159Ewma _),
     "q160_interval_join" -> (q160IntervalJoin _),
@@ -561,6 +595,7 @@ object Features {
   )
 
   def oracles: Map[String, String] = Map(
+    "q170_string_indexer" -> q170Oracle,
     "q162_pit_join" -> q162Oracle,
     "q159_ewma" -> q159Oracle,
     "q160_interval_join" -> q160Oracle,

@@ -366,17 +366,64 @@ object Similarity {
   def q55AnnIvf(s: SparkSession, dir: String): DataFrame =
     epsWitness(q45CosineTopK(s, dir), ivfTop5(s, dir))
 
+  /** Late-interaction (MaxSim) scoring — the ColBERT retrieval scorer:
+    * a query is a SET of vectors, a document a SET of vectors (here:
+    * each label's corpus vectors stand in for one multi-vector
+    * document), and score(doc) = Σ_q max_d cos(q, d). Captures
+    * fine-grained term-level matching that single-vector cosine
+    * (q45) averages away.
+    *
+    * Scale shape: the query set is bounded and broadcast; ONE scan of
+    * the corpus computes all (query, vector) sims (codegen'd native
+    * expression, no shuffle on the corpus side); the max-per-(doc,
+    * query) and sum-per-doc reductions are two map-side-combinable
+    * aggregates over (docs × |Q|) keys — never materializing a
+    * similarity matrix. Exactness: each sim rounds to 6 dp and the
+    * final sum runs in decimal, so addition order cannot flip a bit
+    * (the q140 rule applied to floats).
+    */
+  def q169Maxsim(s: SparkSession, dir: String): DataFrame = {
+    val vecs = vecsDouble(s, dir)
+    val queries = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val corpus = vecs.filter(col("vec_id") >= 5)
+    val sims = corpus.join(broadcast(queries))
+      .select(col("label"), col("qid"),
+        round(cosine_similarity(col("qv"), col("v")), 6)
+          .cast("decimal(18,6)").as("sim"))
+    sims.groupBy("label", "qid").agg(max("sim").as("best"))
+      .groupBy("label").agg(sum("best").cast("double").as("maxsim_score"))
+      .select(col("label"), col("maxsim_score"))
+      .orderBy(col("maxsim_score").desc, col("label"))
+  }
+
+  val q169Oracle: String =
+    """WITH e AS (SELECT vec_id, label,
+      |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      | FROM embeddings),
+      |sims AS (SELECT c.label, q.vec_id AS qid,
+      |   CAST(round(list_cosine_similarity(q.v, c.v), 6)
+      |     AS DECIMAL(18,6)) AS sim
+      | FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id >= 5),
+      |best AS (SELECT label, qid, max(sim) AS best
+      | FROM sims GROUP BY label, qid)
+      |SELECT label, CAST(sum(best) AS DOUBLE) AS maxsim_score
+      |FROM best GROUP BY label
+      |ORDER BY maxsim_score DESC, label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_embedding_near_dup" -> (q44EmbeddingNearDup _),
     "q45_cosine_topk" -> (q45CosineTopK _),
     "q46_ann_lsh" -> (q46AnnLsh _),
-    "q55_ann_ivf" -> (q55AnnIvf _)
+    "q55_ann_ivf" -> (q55AnnIvf _),
+    "q169_maxsim" -> (q169Maxsim _)
   )
 
   def oracles: Map[String, String] = Map(
     "q44_embedding_near_dup" -> q44Oracle,
     "q45_cosine_topk" -> q45Oracle,
     "q46_ann_lsh" -> witnessOracle,
-    "q55_ann_ivf" -> witnessOracle
+    "q55_ann_ivf" -> witnessOracle,
+    "q169_maxsim" -> q169Oracle
   )
 }

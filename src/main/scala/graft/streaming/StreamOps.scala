@@ -159,15 +159,124 @@ object StreamOps {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Watch dir for the outer join: the real events file plus a later
+    * SENTINEL file holding one far-future row. Outer-join null results
+    * only emit when the watermark passes a row's join-window end; a
+    * bounded file stream's watermark stops at max(ts) − delay, which
+    * strands the last window's unmatched rows in state forever. The
+    * sentinel (delivered as its own micro-batch — the file source
+    * orders by modification time, and the sentinel is written after
+    * the symlink target's mtime) advances the watermark past
+    * everything, so EVERY unmatched row flushes exactly once and the
+    * result equals the batch left join. This is the bounded-replay
+    * analogue of the idle-source watermark heartbeat a production
+    * stream uses.
+    */
+  private def watchDirWithSentinel(s: SparkSession, dir: String): String = {
+    val watch = graft.Scratch.dir("graft_stream_outer")
+    java.nio.file.Files.createSymbolicLink(
+      watch.resolve("events_1.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val raw = graft.Tables.eventsRaw(s, dir)
+    // TWO sentinels in separate micro-batches: eviction for rows below
+    // watermark W happens in the batch AFTER W is reached, so the
+    // second sentinel's batch deterministically flushes everything the
+    // first one unlocked — no reliance on the engine scheduling a
+    // trailing empty batch before processAllAvailable returns.
+    (1 to 2).foreach { i =>
+      // the sentinel must SURVIVE the event-type filters: pushdown
+      // places them below the watermark collector, so a row of a
+      // filtered-out type never advances the clock. One 'view' and
+      // one 'purchase' row per sentinel, on an impossible user id the
+      // batch-side aggregate excludes.
+      val types = {
+        import s.implicits._
+        Seq("view", "purchase").toDF("sentinel_type")
+      }
+      val sentinel = raw.limit(1)
+        .crossJoin(types)
+        .withColumn("event_id", lit(-i.toLong))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => // ns vintage
+            lit(java.lang.Long.MAX_VALUE / 4 * i)
+          case _ => expr("timestamp'2101-01-01 00:00:00'" +
+            s" + interval $i days").cast(raw.schema("ts").dataType)
+        })
+        .withColumn("event_type", col("sentinel_type"))
+        .select(raw.columns.map(col).toSeq: _*)
+      val tmp = graft.Scratch.dir(s"graft_stream_outer_tmp$i")
+      sentinel.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(
+        _.toString.endsWith(".parquet")).findFirst().get()
+      val dest = watch.resolve(s"events_${i + 1}_sentinel.parquet")
+      java.nio.file.Files.move(part, dest)
+      // the file source replays oldest-mtime-first: stagger explicitly
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + i * 60_000L))
+    }
+    watch.toString
+  }
+
+  /** Watermarked stream-stream LEFT OUTER join — q62's funnel with the
+    * non-converting views kept: a view row with no purchase in its
+    * hour emits (view, null) once its window is provably closed (the
+    * outer join's state eviction), so the stream answers "which
+    * impressions did NOT convert" — the half of funnel analysis the
+    * inner join cannot see. Watermarks are declared BEFORE the
+    * type filters so the sentinel advances both sides' clocks.
+    */
+  def q168StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val raw = rawStream(s, watchDirWithSentinel(s, dir), dir,
+      maxFilesPerTrigger = Some(1))
+    val views = raw.withWatermark("ts", "1 hour")
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val purchases = raw.withWatermark("ts", "1 hour")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val joined = views.join(purchases,
+      expr("v_user = p_user AND p_ts >= v_ts AND " +
+        "p_ts <= v_ts + interval 1 hour"), "left_outer")
+    runToMemorySink(s, joined)
+      .filter(col("v_user") >= 0) // exclude the watermark sentinels
+      .groupBy(date_format(col("v_ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(when(col("purchase_id").isNotNull, 1L).otherwise(0L))
+          .as("n_converted"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L))
+          .as("n_unconverted"))
+      .orderBy("day")
+  }
+
+  val q168Oracle: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |  make_timestamp(epoch_us(ts)) AS ts FROM events)
+      |SELECT strftime(v.ts, '%Y-%m-%d') AS day,
+      | CAST(sum(CASE WHEN p.event_id IS NOT NULL THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS n_converted,
+      | CAST(sum(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS n_unconverted
+      |FROM (SELECT * FROM e WHERE event_type = 'view') v
+      |LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id
+      | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_stream_join" -> (q62StreamJoin _),
     "q63_stream_dedup" -> (q63StreamDedup _),
-    "q99_stream_static_join" -> (q99StreamStaticJoin _)
+    "q99_stream_static_join" -> (q99StreamStaticJoin _),
+    "q168_stream_outer_join" -> (q168StreamOuterJoin _)
   )
 
   def oracles: Map[String, String] = Map(
     "q62_stream_join" -> q62Oracle,
     "q63_stream_dedup" -> q63Oracle,
-    "q99_stream_static_join" -> q99Oracle
+    "q99_stream_static_join" -> q99Oracle,
+    "q168_stream_outer_join" -> q168Oracle
   )
 }

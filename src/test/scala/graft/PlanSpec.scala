@@ -212,4 +212,27 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan)
     assert(!plan.contains("SortAggregate"), plan)
   }
+
+  test("q169: the query set broadcasts; the corpus never shuffles for the join") {
+    val plan = planOf(graft.ops.Similarity.q169Maxsim(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    // both reductions (max per (label, qid), sum per label) partial-agg
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q170: the dictionary encode is a broadcast join; rows never shuffle") {
+    val plan = planOf(graft.ops.Features.q170StringIndexer(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q167: the PPS prefix sum is shard-partitioned, never one task") {
+    val plan = planOf(graft.ops.Sampling.q167PpsSample(spark, sf))
+    // the q73 rule: the running sum must be a partitioned window (the
+    // single-partition form logs "No Partition Defined" and collapses
+    // to one task at scale)
+    val winLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.forall(_.contains("shard")), winLines.mkString("\n"))
+  }
 }
