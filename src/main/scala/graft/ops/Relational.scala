@@ -867,7 +867,59 @@ object Relational {
       |    AND (q.p_size < p.p_size OR q.p_retailprice < p.p_retailprice))
       |ORDER BY p.p_partkey""".stripMargin
 
+  /** Argmin join — TPC-H Q2's correlated "supplier with the minimum
+    * price per part" decorrelated the Spark-native way: ONE aggregate
+    * of `min(struct(price, suppkey))` per part (struct ordering is the
+    * lexicographic (price, tie-break) — argmin without a join back or
+    * a per-group sort), then the winners roll up per supplier nation
+    * through a broadcast dimension join. At 100 TB this is one
+    * co-partitioned shuffle on the group key; the window-rank
+    * alternative sorts inside every partition and the correlated
+    * subquery form rescans per row. Cents are exact int64; doubles
+    * appear only in the final report column.
+    */
+  def q174ArgminJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir).select(col("l_partkey"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"),
+      col("l_suppkey"))
+    val winners = li.groupBy("l_partkey")
+      .agg(min(struct(col("cents"), col("l_suppkey"))).as("w"))
+      .select(col("l_partkey"), col("w.cents").as("cents"),
+        col("w.l_suppkey").as("l_suppkey"))
+    winners
+      .join(broadcast(supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_parts_won"),
+        (sum("cents") / 100.0).cast("decimal(18,2)").cast("double")
+          .as("total_min_price"))
+      .orderBy("n_name")
+  }
+
+  val q174Oracle: String =
+    """WITH li AS (SELECT l_partkey,
+      |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents, l_suppkey
+      | FROM lineitem),
+      |w AS (SELECT l_partkey, cents, l_suppkey,
+      |  row_number() OVER (PARTITION BY l_partkey
+      |    ORDER BY cents, l_suppkey) AS rn
+      | FROM li)
+      |SELECT n_name, count(*) AS n_parts_won,
+      | CAST(CAST(sum(cents) / 100.0 AS DECIMAL(18,2)) AS DOUBLE)
+      |   AS total_min_price
+      |FROM w
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE rn = 1
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_argmin_join" -> (q174ArgminJoin _),
     "q148_skyline" -> (q148Skyline _),
     "q146_pagerank_trade" -> (q146PagerankTrade _),
     "q127_trade_flows" -> (q127TradeFlows _),
@@ -900,6 +952,7 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q174_argmin_join" -> q174Oracle,
     "q148_skyline" -> q148Oracle,
     "q146_pagerank_trade" -> q146Oracle,
     "q127_trade_flows" -> q127Oracle,

@@ -555,7 +555,102 @@ object TextAnalysis {
       |FROM top
       |ORDER BY rank""".stripMargin
 
+  /** One BPE training iteration — the pair-count step tokenizer
+    * training loops over: among adjacent character pairs inside
+    * tokens, weighted by corpus token frequency, which merge wins?
+    * (Sennrich et al., "Neural machine translation of rare words with
+    * subword units", ACL 2016.) At corpus scale the trick is that the
+    * pair counting runs over the DISTINCT-WORD table with a frequency
+    * column — vocabulary-sized, orders of magnitude below the token
+    * stream — exactly how fastBPE/HF tokenizers structure the loop.
+    * One aggregate builds the word-frequency table, a codegen'd
+    * `transform(sequence(...))` explodes each distinct word's
+    * bigrams (no UDF), one weighted count ranks candidates; ties
+    * break lexically so the merge choice is total-ordered.
+    */
+  def q172BpeMerge(s: SparkSession, dir: String): DataFrame = {
+    val words = documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val pairs = words.filter(length(col("w")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+    pairs.groupBy("pair").agg(sum("freq").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(10)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("pair"))).cast("long"))
+      .select("rank", "pair", "n")
+  }
+
+  val q172Oracle: String =
+    s"""WITH words AS (SELECT unnest($tokensSql) AS w FROM documents),
+      |wf AS (SELECT w, count(*) AS freq FROM words GROUP BY w),
+      |pairs AS (SELECT unnest([substr(w, i, 2)
+      |    for i in generate_series(1, length(w) - 1)]) AS pair, freq
+      |  FROM wf WHERE length(w) >= 2),
+      |counts AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+      |  FROM pairs GROUP BY pair),
+      |top AS (SELECT * FROM counts ORDER BY n DESC, pair LIMIT 10)
+      |SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT)
+      |    AS rank, pair, n
+      |FROM top ORDER BY rank""".stripMargin
+
+  /** Association LIFT over q135's frequent pairs — the log-free
+    * association strength (lift = P(a,b)/(P(a)P(b)); PMI is its log,
+    * which q134's TVD argument avoids): exact rational in doc counts,
+    * quantized once. The pair-support table is q135's; the per-token doc
+    * frequencies re-aggregate from the SAME exploded-token table —
+    * nothing beyond the frequent pairs ever materializes.
+    */
+  def q173PairLift(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val nDocs = docs.count()
+    val minSupport = math.ceil(nDocs * PairMinSupport).toLong
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+      .distinct()
+      .localCheckpoint() // feeds the pair join twice + the df counts
+    val pairs = tok.as("a")
+      .join(tok.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tk") < col("b.tk"))
+      .groupBy(col("a.tk").as("t1"), col("b.tk").as("t2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val df = tok.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    pairs
+      .join(broadcast(df.select(col("tk").as("t1"), col("df").as("df1"))), "t1")
+      .join(broadcast(df.select(col("tk").as("t2"), col("df").as("df2"))), "t2")
+      .select(col("t1"), col("t2"), col("support"),
+        round(col("support").cast("double") * nDocs /
+          (col("df1") * col("df2")), 6)
+          .cast("decimal(18,6)").cast("double").as("lift"))
+      .orderBy(col("lift").desc, col("t1"), col("t2"))
+  }
+
+  val q173Oracle: String =
+    s"""WITH tok AS (SELECT DISTINCT doc_id, unnest($tokensSql) AS tk
+      |             FROM documents),
+      |n AS (SELECT count(*) AS nd,
+      |  CAST(ceil(count(*) * $PairMinSupport) AS BIGINT) AS ms
+      |  FROM documents),
+      |pairs AS (SELECT a.tk AS t1, b.tk AS t2, count(*) AS support
+      | FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.tk < b.tk
+      | GROUP BY 1, 2),
+      |df AS (SELECT tk, count(*) AS df FROM tok GROUP BY tk)
+      |SELECT t1, t2, support,
+      |  CAST(CAST(round(CAST(support AS DOUBLE) * nd / (x.df * y.df), 6)
+      |    AS DECIMAL(18,6)) AS DOUBLE) AS lift
+      |FROM pairs, n
+      |JOIN df x ON t1 = x.tk JOIN df y ON t2 = y.tk
+      |WHERE support >= ms
+      |ORDER BY lift DESC, t1, t2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_bpe_merge" -> (q172BpeMerge _),
+    "q173_pair_lift" -> (q173PairLift _),
     "q142_bm25_topk" -> (q142Bm25TopK _),
     "q135_frequent_pairs" -> (q135FrequentPairs _),
     "q124_vocab_coverage" -> (q124VocabCoverage _),
@@ -570,6 +665,8 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q172_bpe_merge" -> q172Oracle,
+    "q173_pair_lift" -> q173Oracle,
     "q142_bm25_topk" -> q142Oracle,
     "q135_frequent_pairs" -> q135Oracle,
     "q124_vocab_coverage" -> q124Oracle,

@@ -266,17 +266,102 @@ object StreamOps {
       |GROUP BY 1
       |ORDER BY day""".stripMargin
 
+  /** Watch dir for the late-data gate, in five micro-batches: the real
+    * file; a sentinel that advances the watermark AND lets the next
+    * batch EVICT the closed windows; a LATE file (every event
+    * time-shifted back 2 days, ids offset); two more sentinels to
+    * flush the tail. The eviction batch between real and late data is
+    * the point: measured on this engine, a late row for a window still
+    * in state MERGES (no data loss inside the horizon — batch 0+1
+    * totals stay exact), while a late row for an EVICTED window is
+    * dropped outright with no state resurrection and no duplicate
+    * emission. The gate pins the second half; q63 pins the first.
+    */
+  private def watchDirWithLateReplay(s: SparkSession, dir: String): String = {
+    val watch = graft.Scratch.dir("graft_stream_late")
+    java.nio.file.Files.createSymbolicLink(
+      watch.resolve("events_1.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val raw = graft.Tables.eventsRaw(s, dir)
+    val isNs = raw.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    def stage(df: DataFrame, name: String, mtimeOffsetMs: Long): Unit = {
+      val tmp = graft.Scratch.dir(s"graft_stream_late_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(
+        _.toString.endsWith(".parquet")).findFirst().get()
+      val dest = watch.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + mtimeOffsetMs))
+    }
+    def sentinel(i: Int): DataFrame = raw.limit(1)
+      .withColumn("event_id", lit(-i.toLong))
+      .withColumn("ts",
+        if (isNs) lit(java.lang.Long.MAX_VALUE / 8 * i)
+        else expr("timestamp'2090-01-01 00:00:00'" +
+          s" + interval $i days").cast(raw.schema("ts").dataType))
+      .withColumn("event_type", lit("sentinel"))
+    val late = raw
+      .withColumn("event_id", col("event_id") + lit(1_000_000L))
+      .withColumn("ts",
+        if (isNs) col("ts") - lit(2L * 24 * 3600 * 1_000_000_000L)
+        else (col("ts").cast("timestamp") - expr("interval 2 days"))
+          .cast(raw.schema("ts").dataType))
+    stage(sentinel(1), "events_2_sentinel", 60_000L)
+    stage(late, "events_3_late", 120_000L)
+    stage(sentinel(2), "events_4_sentinel", 180_000L)
+    stage(sentinel(3), "events_5_sentinel", 240_000L)
+    watch.toString
+  }
+
+  /** Late-data DROP semantics under a watermark — the contract that
+    * bounds streaming state at all: once a window's state is evicted,
+    * a straggler/replayed segment for it must contribute NOTHING — no
+    * state resurrection, no duplicate append emission, no count drift.
+    * The stream sees the real file, an evicting watermark tick, a
+    * 2-days-late full copy, and the flush sentinels; the append-mode
+    * hourly aggregate must equal the batch answer over the real file
+    * alone, with every (window, type) group emitted exactly once.
+    */
+  def q171StreamLateDrop(s: SparkSession, dir: String): DataFrame = {
+    val agg = rawStream(s, watchDirWithLateReplay(s, dir), dir,
+      maxFilesPerTrigger = Some(1))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).cast("decimal(18,2)")
+          .cast("double").as("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("n"), col("total_value"))
+    runToMemorySink(s, agg)
+      .filter(col("event_type") =!= "sentinel")
+      .orderBy("hour", "event_type")
+  }
+
+  val q171Oracle: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+      | event_type, count(*) AS n,
+      | CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS DOUBLE)
+      |   AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_stream_join" -> (q62StreamJoin _),
     "q63_stream_dedup" -> (q63StreamDedup _),
     "q99_stream_static_join" -> (q99StreamStaticJoin _),
-    "q168_stream_outer_join" -> (q168StreamOuterJoin _)
+    "q168_stream_outer_join" -> (q168StreamOuterJoin _),
+    "q171_stream_late_drop" -> (q171StreamLateDrop _)
   )
 
   def oracles: Map[String, String] = Map(
     "q62_stream_join" -> q62Oracle,
     "q63_stream_dedup" -> q63Oracle,
     "q99_stream_static_join" -> q99Oracle,
-    "q168_stream_outer_join" -> q168Oracle
+    "q168_stream_outer_join" -> q168Oracle,
+    "q171_stream_late_drop" -> q171Oracle
   )
 }
