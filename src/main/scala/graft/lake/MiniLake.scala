@@ -896,6 +896,58 @@ final class MiniLake(spark: SparkSession, val path: String,
     (nIns, nDel)
   }
 
+  /** MERGE with UPDATE-matched semantics (the Delta
+    * `whenMatchedUpdate` / `whenNotMatchedInsertAll` pair; [[merge]]
+    * is the reference's delete-matched variant): source rows whose PK
+    * exists in the target REPLACE the matched rows' non-key columns,
+    * source rows with absent PKs insert, unmatched target rows stay.
+    * The change feed records the Delta story — update_preimage /
+    * update_postimage per matched row, insert per new row. Replay of
+    * the same source is NOT idempotent for updates by design (matches
+    * Delta: the postimage re-publishes); idempotent writers pair this
+    * with [[lastTxnVersion]] txn markers like every other commit.
+    * The source must be PK-unique (Delta raises on multiple matches;
+    * here duplicate source rows would each land) — CDC batches are,
+    * by construction.
+    *
+    * Scale: both anti/semi probes key on the PK — one co-partitioned
+    * shuffle; the rewrite is the same copy-on-write as [[merge]]
+    * (bucket-scoped on bucketed tables via the same delete-then-write
+    * path would apply; this variant rewrites the live set, the right
+    * call for wide-update CDC batches). Deltas stay batch-sized.
+    */
+  def mergeUpdate(source: DataFrame, pks: Seq[String]): (Long, Long) =
+    withCommitPlanning {
+      requireSchemaMatch(source)
+      val target = snapshot()
+      val srcKeys = source.select(pks.map(col): _*).distinct()
+      val pre = target.join(srcKeys, pks, "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val untouched = target.join(srcKeys, pks, "left_anti")
+      val post = source.join(target.select(pks.map(col): _*), pks,
+        "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val inserts = source.join(target.select(pks.map(col): _*), pks,
+        "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nUpd = post.rdd.count()
+      val nIns = inserts.rdd.count()
+      val v = nextVersion
+      val newData = untouched.unionByName(post).unionByName(inserts)
+      val changes = pre.withColumn(ChangeType, lit("update_preimage"))
+        .unionByName(post.withColumn(ChangeType, lit("update_postimage")))
+        .unionByName(inserts.withColumn(ChangeType, lit("insert")))
+      val (adds, chg) = inParallel(
+        writeData(newData, v),
+        writeChanges(changes, v, rowHint = Some(2 * nUpd + nIns)))
+      writeEntry(CommitEntry(v, "merge-update", System.currentTimeMillis(),
+        target.schema.json, adds, liveFiles(v - 1), hasChanges = true,
+        bucketSpec = bucketSpec, changeFiles = chg,
+        dvRemoves = liveDvFiles(v - 1)))
+      pre.unpersist(); post.unpersist(); inserts.unpersist()
+      (nUpd, nIns)
+    }
+
   /** In-place column update of rows matching `pred` (S5 — the watermark
     * bump). Records Delta-style update_preimage/update_postimage change
     * rows (common_types.py:70-77). Internal bookkeeping tables whose
@@ -1231,6 +1283,46 @@ object MiniLake {
   def partitioned(spark: SparkSession, path: String,
       cols: Seq[String]): MiniLake =
     new MiniLake(spark, path, partitionColsAtCreate = cols)
+
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`): a new
+    * table whose first commit REFERENCES the source's live data files
+    * (and live deletion vectors) — zero bytes copied, metadata-only,
+    * instant at any size. Reads equal the source's snapshot at clone
+    * time; subsequent writes to either table diverge independently
+    * (the clone's rewrites produce its own files under its own root).
+    * The clone's vacuum only walks the clone's directory, so it can
+    * never reclaim source files; vacuum on the SOURCE can invalidate
+    * clones (the same documented hazard Delta shallow clones have) —
+    * retention windows are the guard.
+    *
+    * The dev/test workflow this enables at 100 TB: clone prod, run the
+    * migration/experiment against the clone, diff (q138), drop — all
+    * without copying a byte of data.
+    */
+  def shallowClone(spark: SparkSession, srcPath: String,
+      destPath: String): MiniLake = {
+    val src = new MiniLake(spark, srcPath)
+    require(src.exists, s"source table $srcPath does not exist")
+    val dest = new MiniLake(spark, destPath)
+    require(!dest.exists, s"destination $destPath already exists")
+    val v = src.latestVersion
+    val entry = src.readEntry(v)
+    val live = src.liveFiles(v).toSet
+    // carry the source's skipping index for the referenced files —
+    // re-reading 100 TB worth of footers to rebuild it would defeat
+    // the metadata-only point
+    val allEntries = src.listVersions.map(src.readEntry)
+    val stats = allEntries.flatMap(_.stats).filter(f => live(f._1)).toMap
+    val statsStr =
+      allEntries.flatMap(_.statsStr).filter(f => live(f._1)).toMap
+    dest.writeEntry(CommitEntry(0L, "clone", System.currentTimeMillis(),
+      src.schemaAt(v).json, src.liveFiles(v), Seq.empty,
+      hasChanges = false, bucketSpec = entry.bucketSpec,
+      partitionCols = entry.partitionCols,
+      stats = stats, statsStr = statsStr,
+      dvAdds = src.liveDvFiles(v)))
+    dest
+  }
 
   /** S8 existence probe (isDeltaTable analogue). */
   def exists(path: String): Boolean = {

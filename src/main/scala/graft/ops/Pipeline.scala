@@ -397,6 +397,92 @@ object Pipeline {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** UPDATE-matched MERGE end to end (q175): the upsert shape CDC
+    * consumers feed a gold table with — matched PKs replace, absent
+    * PKs insert, untouched rows stay, and the change feed tells the
+    * row-level story (pre/postimage + insert). The oracle restates
+    * the final table arithmetically AND pins the CDF counts, so a
+    * double-apply, sign error, or missed branch hash-mismatches.
+    */
+  def q175MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_upsert").toString
+    val t = MiniLake(s, s"$base/events")
+    val e = events(s, dir).select(col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    t.create(e)
+    val updates = e.filter(col("event_id") % 7 === 0)
+      .withColumn("cents", col("cents") + 11L)
+    val inserts = e.filter(col("event_id") % 13 === 0)
+      .withColumn("event_id", col("event_id") + 10_000_000L)
+      .withColumn("event_type", lit("replay"))
+    val (nUpd, nIns) = t.mergeUpdate(updates.unionByName(inserts),
+      Seq("event_id"))
+    t.snapshot()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+      .select(col("event_type"), col("n"), col("total_cents"),
+        lit(nUpd).as("n_updated"), lit(nIns).as("n_inserted"))
+      .orderBy("event_type")
+  }
+
+  val q175Oracle: String =
+    """WITH base AS (SELECT event_id, event_type,
+      |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |fin AS (
+      |  SELECT event_id, event_type,
+      |    CASE WHEN event_id % 7 = 0 THEN cents + 11 ELSE cents END
+      |      AS cents
+      |  FROM base
+      |  UNION ALL
+      |  SELECT event_id + 10000000, 'replay', cents FROM base
+      |  WHERE event_id % 13 = 0),
+      |cnt AS (SELECT
+      |  (SELECT count(*) FROM base WHERE event_id % 7 = 0) AS n_updated,
+      |  (SELECT count(*) FROM base WHERE event_id % 13 = 0) AS n_inserted)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents, n_updated, n_inserted
+      |FROM fin, cnt
+      |GROUP BY event_type, n_updated, n_inserted
+      |ORDER BY event_type""".stripMargin
+
+  /** Shallow CLONE lifecycle (q176): clone the orders lake (metadata
+    * only — zero data copied at any size), then DV-delete and append
+    * on the CLONE; source and clone must report independently — the
+    * clone sees its edits, the source stays bit-identical to its
+    * pre-clone state. This is the clone-prod/experiment/diff/drop
+    * workflow a 100 TB migration rehearsal runs.
+    */
+  def q176ShallowClone(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_clone").toString
+    val t = MiniLake(s, s"$base/orders")
+    t.create(orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .filter(col("o_orderkey") % 2 === 0))
+    val c = MiniLake.shallowClone(s, s"$base/orders", s"$base/orders_c")
+    c.deleteVectored(col("o_orderstatus") === "F")
+    c.append(s.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(-1L, "X", 100L)), c.schema))
+    def report(side: String, lake: MiniLake) = lake.snapshot()
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("total_cents"))
+      .select(lit(side).as("side"), col("n_rows"), col("total_cents"))
+    report("clone", c).unionByName(report("source", t)).orderBy("side")
+  }
+
+  val q176Oracle: String =
+    """WITH base AS (SELECT o_orderkey, o_orderstatus,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      | FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT 'clone' AS side,
+      |  CAST((SELECT count(*) FROM base WHERE o_orderstatus <> 'F') + 1
+      |    AS BIGINT) AS n_rows,
+      |  CAST((SELECT sum(cents) FROM base WHERE o_orderstatus <> 'F')
+      |    + 100 AS BIGINT) AS total_cents
+      |UNION ALL
+      |SELECT 'source', count(*), CAST(sum(cents) AS BIGINT) FROM base
+      |ORDER BY side""".stripMargin
+
   /** Right-to-be-forgotten: purge every row a set of users owns from a
     * versioned lake table, then AUDIT the purge from the change feed —
     * the GDPR/DSAR lifecycle the reference's health-data setting makes
@@ -540,7 +626,9 @@ object Pipeline {
     "q101_string_skipping" -> (q101StringSkipping _),
     "q109_delete_restore" -> (q109DeleteRestore _),
     "q163_deletion_vectors" -> (q163DeletionVectors _),
-    "q164_bloom_skipping" -> (q164BloomSkipping _)
+    "q164_bloom_skipping" -> (q164BloomSkipping _),
+    "q175_merge_upsert" -> (q175MergeUpsert _),
+    "q176_shallow_clone" -> (q176ShallowClone _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -556,6 +644,8 @@ object Pipeline {
     "q101_string_skipping" -> q101Oracle,
     "q109_delete_restore" -> q109Oracle,
     "q163_deletion_vectors" -> q163Oracle,
-    "q164_bloom_skipping" -> q164Oracle
+    "q164_bloom_skipping" -> q164Oracle,
+    "q175_merge_upsert" -> q175Oracle,
+    "q176_shallow_clone" -> q176Oracle
   )
 }
