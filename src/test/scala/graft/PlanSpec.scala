@@ -227,6 +227,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q174: argmin is one aggregate — no window, no join-back to lineitem") {
+    val plan = planOf(Relational.q174ArgminJoin(spark, sf))
+    assert(!plan.contains("Window"), plan)
+    // dims broadcast; the only shuffle keys on the group-by
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // exactly one scan of lineitem (a join-back shape would need two)
+    val lineitemScans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(lineitemScans === 1, s"lineitem scanned $lineitemScans times")
+  }
+
   test("q167: the PPS prefix sum is shard-partitioned, never one task") {
     val plan = planOf(graft.ops.Sampling.q167PpsSample(spark, sf))
     // the q73 rule: the running sum must be a partitioned window (the
