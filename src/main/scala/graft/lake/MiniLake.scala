@@ -278,6 +278,21 @@ final class MiniLake(spark: SparkSession, val path: String,
     finally Files.deleteIfExists(tmp)
   }
 
+  /** DESCRIBE HISTORY parity (S6 surface, full form): one row per
+    * commit — version, operation, timestamp, file/DV deltas, whether
+    * CDF rows were published. Metadata-only (reads the log, never the
+    * data); the audit/debugging entry point every lake table needs.
+    */
+  def history: DataFrame = {
+    import spark.implicits._
+    listVersions.map(readEntry).map { e =>
+      (e.version, e.mode, e.timestampMs, e.adds.size.toLong,
+        e.removes.size.toLong, e.dvAdds.size.toLong,
+        e.dvRemoves.size.toLong, e.hasChanges)
+    }.toDF("version", "operation", "timestamp_ms", "n_files_added",
+      "n_files_removed", "n_dvs_added", "n_dvs_removed", "has_changes")
+  }
+
   def schemaAt(v: Long): StructType =
     DataType.fromJson(readEntry(v).schemaJson).asInstanceOf[StructType]
 

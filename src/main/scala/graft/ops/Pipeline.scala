@@ -483,6 +483,39 @@ object Pipeline {
       |SELECT 'source', count(*), CAST(sum(cents) AS BIGINT) FROM base
       |ORDER BY side""".stripMargin
 
+  /** DESCRIBE HISTORY as a gate (q177): a scripted lifecycle —
+    * create, append, DV-delete, update-merge, OPTIMIZE — must leave
+    * exactly the predicted audit trail: operations, file/DV deltas,
+    * CDF flags, in order. Runs on a `compact` (one-file-per-commit)
+    * lake so the file counts are layout-deterministic. The history
+    * read is metadata-only — log entries, no data scan — which is
+    * what makes it usable on a 100 TB table from a notebook.
+    */
+  def q177TableHistory(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_hist").toString
+    val t = MiniLake.compact(s, s"$base/orders")
+    val o = orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"))
+    t.create(o.filter(col("o_orderkey") % 4 === 0))          // v0
+    t.append(o.filter(col("o_orderkey") % 4 === 1))          // v1
+    t.deleteVectored(col("o_orderstatus") === "F")           // v2
+    t.mergeUpdate(o.filter(col("o_orderkey") % 8 === 0)      // v3
+      .withColumn("o_orderstatus", lit("U")), Seq("o_orderkey"))
+    t.compactFiles()                                         // v4
+    t.history.drop("timestamp_ms").orderBy("version")
+  }
+
+  val q177Oracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(0 AS BIGINT), 'create',       CAST(1 AS BIGINT),
+      |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE),
+      | (1, 'append',   1, 0, 0, 0, TRUE),
+      | (2, 'delete-dv', 0, 0, 1, 0, TRUE),
+      | (3, 'merge-update', 1, 2, 0, 1, TRUE),
+      | (4, 'optimize', 1, 1, 0, 0, FALSE)
+      |) AS t(version, operation, n_files_added, n_files_removed,
+      |       n_dvs_added, n_dvs_removed, has_changes)
+      |ORDER BY version""".stripMargin
+
   /** Right-to-be-forgotten: purge every row a set of users owns from a
     * versioned lake table, then AUDIT the purge from the change feed —
     * the GDPR/DSAR lifecycle the reference's health-data setting makes
@@ -628,7 +661,8 @@ object Pipeline {
     "q163_deletion_vectors" -> (q163DeletionVectors _),
     "q164_bloom_skipping" -> (q164BloomSkipping _),
     "q175_merge_upsert" -> (q175MergeUpsert _),
-    "q176_shallow_clone" -> (q176ShallowClone _)
+    "q176_shallow_clone" -> (q176ShallowClone _),
+    "q177_table_history" -> (q177TableHistory _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -646,6 +680,7 @@ object Pipeline {
     "q163_deletion_vectors" -> q163Oracle,
     "q164_bloom_skipping" -> q164Oracle,
     "q175_merge_upsert" -> q175Oracle,
-    "q176_shallow_clone" -> q176Oracle
+    "q176_shallow_clone" -> q176Oracle,
+    "q177_table_history" -> q177Oracle
   )
 }

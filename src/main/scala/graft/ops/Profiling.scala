@@ -412,7 +412,54 @@ object Profiling {
       |ORDER BY col_x, col_y""".stripMargin
   }
 
+  /** Benford leading-digit audit (q178) — the forensic-accounting /
+    * synthetic-data smoke test: natural multi-magnitude amounts
+    * follow P(d) = log10(1+1/d); fabricated or truncated data
+    * doesn't. The nine expected rates are LITERALS (6 dp) in both
+    * engines — no runtime log10, so the q134 no-transcendentals rule
+    * holds — and the digit extraction is integer/string arithmetic.
+    * One map-side-combinable 9-group aggregate; the total re-derives
+    * from the cells (never a second scan), broadcast back.
+    */
+  def q178BenfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val benford = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+      0.066947, 0.057992, 0.051153, 0.045757)
+    val rates = s.createDataFrame(
+      benford.zipWithIndex.map { case (r, i) => (i + 1, r) })
+      .toDF("digit", "expected_rate")
+    val cells = orders(s, dir)
+      .select(substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = cells.agg(sum("n").as("n_total"))
+    cells.join(broadcast(rates), Seq("digit"), "right")
+      .crossJoin(broadcast(total))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("n"), lit(0L)) / col("n_total"), 6)
+          .cast("decimal(18,6)").cast("double").as("observed_rate"),
+        col("expected_rate"))
+      .orderBy("digit")
+  }
+
+  val q178Oracle: String =
+    """WITH cells AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+      |    AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+      |  count(*) AS n
+      | FROM orders GROUP BY 1),
+      |tot AS (SELECT sum(n) AS n_total FROM cells),
+      |exp AS (SELECT * FROM (VALUES (1, 0.301030), (2, 0.176091),
+      |  (3, 0.124939), (4, 0.096910), (5, 0.079181), (6, 0.066947),
+      |  (7, 0.057992), (8, 0.051153), (9, 0.045757))
+      |  AS t(digit, expected_rate))
+      |SELECT exp.digit, CAST(coalesce(cells.n, 0) AS BIGINT) AS n,
+      |  CAST(CAST(round(coalesce(cells.n, 0) / n_total, 6)
+      |    AS DECIMAL(18,6)) AS DOUBLE) AS observed_rate,
+      |  CAST(expected_rate AS DOUBLE) AS expected_rate
+      |FROM exp LEFT JOIN cells ON exp.digit = cells.digit, tot
+      |ORDER BY exp.digit""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_benford_audit" -> (q178BenfordAudit _),
     "q149_corr_matrix" -> (q149CorrMatrix _),
     "q136_cms_witness" -> (q136CmsWitness _),
     "q139_median_impute" -> (q139MedianImpute _),
@@ -424,6 +471,7 @@ object Profiling {
   )
 
   def oracles: Map[String, String] = Map(
+    "q178_benford_audit" -> q178Oracle,
     "q149_corr_matrix" -> q149Oracle,
     "q136_cms_witness" -> q136Oracle,
     "q139_median_impute" -> q139Oracle,
