@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -113,13 +113,100 @@ object Eval {
       |FROM events GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** CUPED variance reduction for an A/B readout (Deng, Xu, Kohavi,
+    * Walker, "Improving the sensitivity of online controlled
+    * experiments by utilizing pre-experiment data", WSDM 2013): the
+    * adjusted metric ŷ = y − θ(x − x̄) with θ = cov(x,y)/var(x), where
+    * x is each user's PRE-period spend and y the in-experiment spend.
+    * The workhorse of experimentation platforms — same mean, much
+    * tighter variance, so experiments need fewer users.
+    *
+    * Scale shape: one pass builds per-user (x, y) with conditional
+    * sums (user-keyed, map-side-combinable); θ's pooled moments are
+    * ONE further aggregate over users (decimal128 cross-products, the
+    * q140 overflow rule); per-variant rollups re-aggregate the same
+    * user frame. Nothing joins row-scale; the variant report is
+    * 2 rows. Exactness: every moment is an exact integer; the
+    * θ/adjusted-mean arithmetic is one identical IEEE expression tree
+    * in both engines, rounded once at 6 dp.
+    */
+  def q179Cuped(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        dayofmonth(col("ts")).as("dom"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val perUser = e.groupBy("user_id").agg(
+      sum(when(col("dom") < 15, col("cents")).otherwise(0L)).as("x"),
+      sum(when(col("dom") >= 15, col("cents")).otherwise(0L)).as("y"))
+      .withColumn("variant", pmod(col("user_id"), lit(2)).cast("int"))
+      .localCheckpoint() // feeds the pooled moments AND both rollups
+    val dec = (c: Column) => c.cast("decimal(20,0)")
+    val pooled = perUser.agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(dec(col("x")) * dec(col("y"))).cast("decimal(38,0)")
+        .cast("double").as("sxy"),
+      sum(dec(col("x")) * dec(col("x"))).cast("decimal(38,0)")
+        .cast("double").as("sxx"))
+    val byVariant = perUser.groupBy("variant").agg(
+      count(lit(1)).as("n_users"),
+      sum("x").as("vx"), sum("y").as("vy"))
+    val theta = (col("sxy") - col("sx").cast("double") * col("sy") / col("n")) /
+      (col("sxx") - col("sx").cast("double") * col("sx") / col("n"))
+    byVariant.crossJoin(broadcast(pooled))
+      .select(col("variant"), col("n_users"),
+        round(col("vy").cast("double") / col("n_users") / 100.0, 6)
+          .cast("decimal(18,6)").cast("double").as("mean_y"),
+        round((col("vy").cast("double") / col("n_users") -
+          theta * (col("vx").cast("double") / col("n_users") -
+            col("sx").cast("double") / col("n"))) / 100.0, 6)
+          .cast("decimal(18,6)").cast("double").as("adj_mean_y"),
+        round(theta, 6).cast("decimal(18,6)").cast("double").as("theta"))
+      .orderBy("variant")
+  }
+
+  val q179Oracle: String =
+    """WITH e AS (SELECT user_id, CAST(day(ts) AS INTEGER) AS dom,
+      |  CAST(round(value * 100) AS BIGINT) AS cents
+      | FROM events WHERE event_type = 'purchase'),
+      |pu AS (SELECT user_id,
+      |  CAST(sum(CASE WHEN dom < 15 THEN cents ELSE 0 END) AS BIGINT)
+      |    AS x,
+      |  CAST(sum(CASE WHEN dom >= 15 THEN cents ELSE 0 END) AS BIGINT)
+      |    AS y,
+      |  CAST(user_id % 2 AS INTEGER) AS variant
+      | FROM e GROUP BY user_id),
+      |pooled AS (SELECT count(*) AS n,
+      |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |  CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+      |  CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx
+      | FROM pu),
+      |bv AS (SELECT variant, count(*) AS n_users,
+      |  CAST(sum(x) AS BIGINT) AS vx, CAST(sum(y) AS BIGINT) AS vy
+      | FROM pu GROUP BY variant)
+      |SELECT variant, n_users,
+      | CAST(CAST(round(CAST(vy AS DOUBLE) / n_users / 100.0, 6)
+      |   AS DECIMAL(18,6)) AS DOUBLE) AS mean_y,
+      | CAST(CAST(round((CAST(vy AS DOUBLE) / n_users -
+      |   ((sxy - CAST(sx AS DOUBLE) * sy / n) /
+      |    (sxx - CAST(sx AS DOUBLE) * sx / n)) *
+      |   (CAST(vx AS DOUBLE) / n_users - CAST(sx AS DOUBLE) / n))
+      |   / 100.0, 6) AS DECIMAL(18,6)) AS DOUBLE) AS adj_mean_y,
+      | CAST(CAST(round((sxy - CAST(sx AS DOUBLE) * sy / n) /
+      |   (sxx - CAST(sx AS DOUBLE) * sx / n), 6)
+      |   AS DECIMAL(18,6)) AS DOUBLE) AS theta
+      |FROM bv, pooled
+      |ORDER BY variant""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q165_auc" -> (q165Auc _),
-    "q166_sketch_merge" -> (q166SketchMerge _)
+    "q166_sketch_merge" -> (q166SketchMerge _),
+    "q179_cuped" -> (q179Cuped _)
   )
 
   def oracles: Map[String, String] = Map(
     "q165_auc" -> q165Oracle,
-    "q166_sketch_merge" -> q166Oracle
+    "q166_sketch_merge" -> q166Oracle,
+    "q179_cuped" -> q179Oracle
   )
 }
