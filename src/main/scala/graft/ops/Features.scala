@@ -244,7 +244,19 @@ object Features {
         col("e1.src") === col("e2.src") && wedgeLt)
       .select(packed(col("e1.dst"), col("e2.dst")).as("bc"))
     val closing = oriented.select(packed(col("src"), col("dst")).as("bc"))
-    val triangles = wedges.join(closing, "bc")
+    // Wedges outnumber triangles ~25:1 here (Σ out-deg² vs closures),
+    // and every non-closing wedge still pays the join's shuffle. A
+    // Bloom over the |E| closing keys (~1.5 MB at 1% fp) kills almost
+    // all of them INSIDE the wedge codegen stage, so the exchange
+    // carries triangles + ε instead of all wedges — the manual
+    // runtime-filter lever (BloomExpressions), worth ~2× end-to-end
+    // at sf0.1 and growing with the wedge/triangle ratio.
+    val nEdges = oriented.count()
+    val closingBloom = closing.stat.bloomFilter("bc", nEdges, 0.01)
+    val triangles = wedges
+      .filter(graft.functions.BloomExpressions.mightContainLong(
+        col("bc"), closingBloom))
+      .join(closing, "bc")
     triangles.agg(count(lit(1)).as("n_triangles"))
       .crossJoin(oriented.agg(count(lit(1)).as("n_edges")))
       .crossJoin(oriented
