@@ -768,6 +768,31 @@ final class MiniLake(spark: SparkSession, val path: String,
     }
   }
 
+  /** Partition-scoped OPTIMIZE: compact only the partitions `keep`
+    * selects (same driver-side file-list predicate as
+    * [[snapshotWhere]]). On a 1000-partition table where yesterday's
+    * ingest left 500 small files in ONE day, this rewrites that day
+    * and nothing else — the whole-table [[compactFiles]] would decode
+    * and rewrite 100 TB to fix 1 GB. Untouched partitions' files stay
+    * live in place; deletion vectors are untouched too (a DV row for
+    * a rewritten file goes inert, and the rewrite reads through DVs,
+    * so row content is preserved either way).
+    */
+  def compactPartitions(keep: Map[String, String] => Boolean): Unit =
+    withCommitPlanning {
+      val v = nextVersion
+      val hit = liveFiles(v - 1).filter(f => keep(partValuesOf(f)))
+      if (hit.nonEmpty) {
+        val sch = schema
+        val data = applyDvs(spark.read.schema(sch).parquet(hit: _*), v - 1)
+        val n = data.count()
+        val adds = writeData(data, v, rowHint = Some(n))
+        writeEntry(CommitEntry(v, "optimize", System.currentTimeMillis(),
+          sch.json, adds, hit, hasChanges = false,
+          bucketSpec = bucketSpec))
+      }
+    }
+
   /** Insert-only commit: the data files double as the change feed
     * (changesMode=insertsFromData) — one write instead of two.
     */

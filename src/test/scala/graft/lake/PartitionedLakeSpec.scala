@@ -117,4 +117,35 @@ class PartitionedLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
   }
 
   private def kvOld(rows: (Long, String)*) = rows.toDF("key", "value")
+
+  test("compactPartitions rewrites only the selected partition's files") {
+    val t = MiniLake.partitioned(spark, dir, Seq("day"))
+    t.create(days(("2024-01-01", 1L, "a"), ("2024-01-02", 2L, "b")))
+    t.append(days(("2024-01-01", 3L, "c")))
+    t.append(days(("2024-01-01", 4L, "d")))
+    def filesOf(day: String): Set[String] =
+      t.snapshotWhere(p => p.get("day").contains(day)).inputFiles.toSet
+    val day1Before = filesOf("2024-01-01")
+    val day2Before = filesOf("2024-01-02")
+    assert(day1Before.size === 3)
+
+    t.compactPartitions(p => p.get("day").contains("2024-01-01"))
+
+    assert(filesOf("2024-01-01").size === 1, "day 1 compacted to one file")
+    assert(filesOf("2024-01-02") === day2Before, "day 2 files untouched")
+    assert(t.snapshot().orderBy("id").as[(String, Long, String)]
+      .collect().toSeq === Seq(("2024-01-01", 1L, "a"),
+        ("2024-01-02", 2L, "b"), ("2024-01-01", 3L, "c"),
+        ("2024-01-01", 4L, "d")).sortBy(_._2))
+  }
+
+  test("compactPartitions preserves DV-deleted row content") {
+    val t = MiniLake.partitioned(spark, dir, Seq("day"))
+    t.create(days(("2024-01-01", 1L, "a"), ("2024-01-01", 2L, "b"),
+      ("2024-01-02", 3L, "c")))
+    t.deleteVectored(col("id") === 2L)
+    t.compactPartitions(p => p.get("day").contains("2024-01-01"))
+    assert(t.snapshot().select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 3L))
+  }
 }
