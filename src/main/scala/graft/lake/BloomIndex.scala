@@ -25,6 +25,14 @@ import org.apache.spark.util.sketch.BloomFilter
   * `<table>/_index/` published atomically. Files added after the build
   * simply have no entry and are conservatively kept by lookups, so a
   * stale index is slower, never wrong; rebuilding refreshes it.
+  *
+  * Sizing honesty: the sidecar holds ~`expectedItemsPerFile`-sized
+  * filters (~80 KB at the default), and lookups load it driver-side —
+  * fine to ~10k files (≈1 GB of metadata, the same order as a Delta
+  * log checkpoint). Past that, shrink `expectedItemsPerFile` toward
+  * the true per-file cardinality, or shard the sidecar and prune in a
+  * metadata Spark job; correctness never depends on the choice
+  * because absent entries are kept.
   */
 object BloomIndex {
 
