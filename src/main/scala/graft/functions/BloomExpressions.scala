@@ -60,4 +60,41 @@ object BloomExpressions {
 
   def mightContainLong(c: Column, bloom: BloomFilter): Column =
     GraftSql.columnOf(BloomMightContainLong(GraftSql.expressionOf(c), bloom))
+
+  /** Optimal Bloom size in bits for `n` items at false-positive rate
+    * `p` (standard formula m = -n·ln p / (ln 2)²).
+    */
+  def optimalBits(n: Long, p: Double): Long =
+    math.ceil(-n.max(1L) * math.log(p) /
+      (math.log(2) * math.log(2))).toLong
+
+  /** Best achievable false-positive rate for `n` items in `bits` bits
+    * with the optimal hash count: p ≈ e^(-(m/n)·(ln 2)²).
+    */
+  def achievableFpp(n: Long, bits: Long): Double =
+    math.exp(-(bits.toDouble / n.max(1L)) * math.log(2) * math.log(2))
+
+  /** Build a Bloom filter over `df(key)` bounded by a BYTE budget, or
+    * decline. A plan-referenced bloom is a driver-side object shipped
+    * inside every task binary, so its size must NOT scale with the
+    * data: at the target fpp the optimal filter grows ~1.2 bytes/key,
+    * which is ~1 MB at 10⁶ keys but ~120 MB at 10⁸ and driver-fatal
+    * at 10⁹. Under the cap we build at the target fpp; over it we
+    * build AT the cap if the cap-constrained fpp is still selective
+    * (≤ `maxFpp`), and return None once the capped filter would pass
+    * most keys anyway — a prune that drops <(1-maxFpp) of rows isn't
+    * worth a multi-MB task-binary tax. Callers treat None as "run the
+    * unpruned join": the prune is an optimization, never a semantic.
+    */
+  def boundedBloomFilter(df: DataFrame, key: String, expectedItems: Long,
+      maxBytes: Long, fpp: Double = 0.01,
+      maxFpp: Double = 0.25): Option[BloomFilter] = {
+    val n = expectedItems.max(1L)
+    val capBits = maxBytes * 8
+    if (optimalBits(n, fpp) <= capBits)
+      Some(df.stat.bloomFilter(key, n, fpp))
+    else if (achievableFpp(n, capBits) <= maxFpp)
+      Some(df.stat.bloomFilter(key, n, capBits))
+    else None
+  }
 }

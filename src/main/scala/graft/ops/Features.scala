@@ -246,17 +246,24 @@ object Features {
     val closing = oriented.select(packed(col("src"), col("dst")).as("bc"))
     // Wedges outnumber triangles ~25:1 here (Σ out-deg² vs closures),
     // and every non-closing wedge still pays the join's shuffle. A
-    // Bloom over the |E| closing keys (~1.5 MB at 1% fp) kills almost
-    // all of them INSIDE the wedge codegen stage, so the exchange
-    // carries triangles + ε instead of all wedges — the manual
-    // runtime-filter lever (BloomExpressions), worth ~2× end-to-end
-    // at sf0.1 and growing with the wedge/triangle ratio.
+    // Bloom over the |E| closing keys (~1.1 MB at 1% fp at sf0.1)
+    // kills almost all of them INSIDE the wedge codegen stage, so the
+    // exchange carries triangles + ε instead of all wedges — the
+    // manual runtime-filter lever (BloomExpressions), worth ~2×
+    // end-to-end at sf0.1 and growing with the wedge/triangle ratio.
+    // The filter is a DRIVER object shipped in every task binary, so
+    // it is byte-capped (16 MB ≈ 1.3×10⁷ keys at 1% fp): past the cap
+    // it degrades to the cap-sized filter while still selective, and
+    // past ~10⁸ edges it is skipped entirely — the closing equi join
+    // is exact without it, so scale costs the optimization, never
+    // the answer.
     val nEdges = oriented.count()
-    val closingBloom = closing.stat.bloomFilter("bc", nEdges, 0.01)
-    val triangles = wedges
+    val closingBloom = graft.functions.BloomExpressions
+      .boundedBloomFilter(closing, "bc", nEdges, maxBytes = 16L << 20)
+    val prunedWedges = closingBloom.fold(wedges)(b => wedges
       .filter(graft.functions.BloomExpressions.mightContainLong(
-        col("bc"), closingBloom))
-      .join(closing, "bc")
+        col("bc"), b)))
+    val triangles = prunedWedges.join(closing, "bc")
     triangles.agg(count(lit(1)).as("n_triangles"))
       .crossJoin(oriented.agg(count(lit(1)).as("n_edges")))
       .crossJoin(oriented
