@@ -300,7 +300,7 @@ final class MiniLake(spark: SparkSession, val path: String,
 
   // ---- reads --------------------------------------------------------
 
-  private def liveFiles(asOf: Long): Seq[String] = {
+  private[lake] def liveFiles(asOf: Long): Seq[String] = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     listVersions.filter(_ <= asOf).foreach { v =>
       val e = readEntry(v)
@@ -480,9 +480,9 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   def snapshotForPoint(colName: String, values: Seq[Long]): DataFrame = {
     require(latestVersion >= 0, s"table $path does not exist")
-    val index = BloomIndex.load(path, colName)
+    val index = BloomIndex.open(path, colName)
     val files = liveFiles(latestVersion)
-      .filter(f => BloomIndex.mightContain(index, f, values))
+      .filter(f => index.mightContain(f, values))
     val sch = schemaAt(latestVersion)
     val base =
       if (files.isEmpty) emptyDf(spark, sch)

@@ -48,12 +48,12 @@ class BloomIndexSpec extends AnyFunSuite with BeforeAndAfterEach {
   test("the bloom prunes files min/max cannot") {
     val t = build()
     t.buildBloomIndex("key")
-    val index = BloomIndex.load(dir, "key")
-    assert(index.nonEmpty)
-    val live = index.keys.toSeq
+    val index = BloomIndex.open(dir, "key")
+    assert(index.numShards > 0)
+    val live = t.liveFiles(t.latestVersion)
     // key 42 lives in exactly one append's files (42 % 4 == 2); the
     // other appends' filters must rule their files out
-    val kept = live.count(f => BloomIndex.mightContain(index, f, Seq(42L)))
+    val kept = live.count(f => index.mightContain(f, Seq(42L)))
     assert(kept < live.size,
       s"bloom kept all $kept/${live.size} files — no pruning")
     // min/max stats CANNOT prune here: every append covers the domain
@@ -75,6 +75,55 @@ class BloomIndexSpec extends AnyFunSuite with BeforeAndAfterEach {
     val got = t.snapshotForPoint("key", Seq(3L))
       .select("key").as[Long].collect().toSeq
     assert(got === Seq(3L))
+  }
+
+  test("10k-file sidecar: a point lookup loads exactly ONE shard") {
+    // synthetic index — 10k per-file filters sharded at the default
+    // granularity (→ 10 shards); building a real 10k-file lake would
+    // dominate the suite without testing anything extra
+    val nFiles = 10000
+    val blooms = (0 until nFiles).map { i =>
+      val b = org.apache.spark.util.sketch.BloomFilter.create(4, 0.01)
+      b.putLong(i.toLong) // file i holds exactly key i
+      s"$dir/part-$i.parquet" -> b
+    }.toMap
+    BloomIndex.writeLocal(dir, "key", blooms)
+    val index = BloomIndex.open(dir, "key")
+    assert(index.numShards ===
+      math.ceil(nFiles.toDouble / BloomIndex.DefaultFilesPerShard).toInt)
+    // one probed file → one shard deserialized, not the sidecar
+    assert(index.mightContain(s"$dir/part-42.parquet", Seq(42L)))
+    assert(index.shardsLoaded === 1)
+    // a second probe hashing to the SAME shard reuses the cache
+    val sameShard = (0 until nFiles)
+      .map(i => s"$dir/part-$i.parquet")
+      .find(f => f != s"$dir/part-42.parquet" &&
+        BloomIndex.shardOf(f, index.numShards) ==
+          BloomIndex.shardOf(s"$dir/part-42.parquet", index.numShards)).get
+    index.mightContain(sameShard, Seq(1L))
+    assert(index.shardsLoaded === 1)
+    // an unknown file is conservatively kept (entry absent)
+    assert(index.mightContain(s"$dir/part-new.parquet", Seq(9L)))
+    // and pruning actually works across shards: file i rejects key j≠i
+    assert(!index.mightContain(s"$dir/part-7.parquet", Seq(9999L)))
+    assert(index.shardsLoaded <= 3)
+  }
+
+  test("a vanished shard file degrades to keep-everything, not wrong") {
+    val blooms = (0 until 3000).map { i =>
+      val b = org.apache.spark.util.sketch.BloomFilter.create(4, 0.01)
+      b.putLong(i.toLong)
+      s"$dir/part-$i.parquet" -> b
+    }.toMap
+    BloomIndex.writeLocal(dir, "key", blooms, filesPerShard = 1000)
+    // simulate a racing rebuild that GC'd shard 2
+    Files.delete(java.nio.file.Paths.get(dir, "_index", "bloom_key.shard2.json"))
+    val index = BloomIndex.open(dir, "key")
+    val inShard2 = (0 until 3000).map(i => s"$dir/part-$i.parquet")
+      .filter(f => BloomIndex.shardOf(f, 3) == 2)
+    assert(inShard2.nonEmpty)
+    // every file whose shard is gone is kept for any probe value
+    assert(inShard2.forall(f => index.mightContain(f, Seq(987654L))))
   }
 
   test("lookups read through deletion vectors") {

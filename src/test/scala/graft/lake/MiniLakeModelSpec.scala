@@ -9,14 +9,15 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 
 /** Model-based property test: a random sequence of lake operations
-  * (append / merge / update / overwrite / vacuum / compact) runs
-  * against both the real MiniLake and a trivial driver-side model
-  * (a Map plus a change journal). After every step the lake's snapshot
-  * must equal the model's map and the cumulative change feed must
-  * equal the journal — catching cross-operation interactions
-  * (compaction after merge, vacuum after overwrite, change feeds
-  * spanning insertsFromData and rewrite commits) that single-operation
-  * specs can't.
+  * (append / merge / update / overwrite / delete-via-DV / materialize
+  * / shallow-clone / vacuum / compact) runs against both the real
+  * MiniLake and a trivial driver-side model (a Map plus a change
+  * journal). After every step the lake's snapshot must equal the
+  * model's map and the cumulative change feed must equal the journal —
+  * catching cross-operation interactions (compaction after merge,
+  * vacuum after overwrite, merge over outstanding deletion vectors,
+  * reads of a shallow clone while its source keeps mutating) that
+  * single-operation specs can't.
   */
 class MiniLakeModelSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
@@ -27,6 +28,9 @@ class MiniLakeModelSpec extends AnyFunSuite {
   private case class Merge(ins: Map[Long, String], del: Set[Long]) extends Op
   private case class Update(key: Long, value: String) extends Op
   private case class Overwrite(rows: Map[Long, String]) extends Op
+  private case class DeleteVec(keys: Set[Long]) extends Op
+  private case object Materialize extends Op
+  private case object Clone extends Op
   private case object Vacuum extends Op
   private case object Compact extends Op
 
@@ -42,7 +46,10 @@ class MiniLakeModelSpec extends AnyFunSuite {
       del <- Gen.listOf(Gen.choose(0L, 20L)).map(_.toSet)
     } yield Merge(ins, del)),
     2 -> kvGen.map { case (k, v) => Update(k, v) },
+    2 -> Gen.listOf(Gen.choose(0L, 20L)).map(ks => DeleteVec(ks.toSet)),
     1 -> Gen.mapOf(kvGen).map(m => Overwrite(m)),
+    1 -> Gen.const(Materialize),
+    1 -> Gen.const(Clone),
     1 -> Gen.const(Vacuum),
     1 -> Gen.const(Compact))
 
@@ -58,16 +65,17 @@ class MiniLakeModelSpec extends AnyFunSuite {
 
   test("random op sequences on a value-partitioned table") {
     // same model, but the table carries a derived partition column
-    // (part = key % 3) — merge rewrites, compaction, vacuum, and the
-    // change feed all run through the `_p_part=` layout, and pruned
-    // reads must agree with the filtered model after every sequence
+    // (part = key % 3) — merge rewrites, DV deletes, compaction
+    // (incl. the partition-scoped form), vacuum, and the change feed
+    // all run through the `_p_part=` layout, and pruned reads must
+    // agree with the filtered model after every sequence
     (0 until 2).foreach { run =>
       val pdf = (rows: Map[Long, String]) =>
         df(rows).withColumn("part",
           org.apache.spark.sql.functions.expr("cast(key % 3 as string)"))
       runFuzz(run, seedBase = 9876L,
         mkTable = d => MiniLake.partitioned(spark, d, Seq("part")),
-        toDf = pdf,
+        toDf = pdf, partitioned = true,
         finalCheck = (t, model) => (0L until 3L).foreach { p =>
           val pruned = t.snapshotWhere(m => m("part") == p.toString)
             .select("key", "value").as[(Long, String)].collect().toMap
@@ -77,15 +85,50 @@ class MiniLakeModelSpec extends AnyFunSuite {
     }
   }
 
+  test("clone survives source overwrite + vacuum under retention") {
+    // the clone-source-vacuum race: a shallow clone references the
+    // SOURCE's data files by path; when the source later rewrites
+    // (its old files leave the live set) and vacuums, only the
+    // retention window keeps the clone readable — Delta's documented
+    // semantics, reproduced here deterministically
+    val dir = Files.createTempDirectory("graft_race").toString + "/t"
+    val t = MiniLake(spark, dir)
+    t.create(df(Map(1L -> "a", 2L -> "b")))
+    t.append(df(Map(3L -> "c")))
+    // compact first so the clone references a REWRITE-produced file:
+    // insert-commit files double as the change feed and are vacuum-
+    // protected forever, so only rewritten files can actually age out
+    t.compactFiles()
+    val cdir = dir + "_clone"
+    val c = MiniLake.shallowClone(spark, dir, cdir)
+    val frozen = Map(1L -> "a", 2L -> "b", 3L -> "c")
+    // source rewrites everything: clone-referenced files go dead
+    t.overwrite(df(Map(9L -> "z")))
+    // default 7-day retention protects the just-retired files
+    t.vacuum()
+    assert(c.snapshot().select("key", "value")
+      .as[(Long, String)].collect().toMap === frozen,
+      "retention-windowed vacuum must keep clone-referenced files")
+    assert(t.snapshot().select("key", "value")
+      .as[(Long, String)].collect().toMap === Map(9L -> "z"))
+    // zero retention really does age them out — the hazard is real,
+    // which is exactly why the fuzz stops asserting clones post-vacuum
+    t.vacuum(retainMillis = 0L)
+    intercept[Exception] { c.snapshot().count() }
+    MiniLake.deleteRecursively(cdir)
+    MiniLake.deleteRecursively(dir)
+  }
+
   private def runFuzz(run: Int, seedBase: Long,
       mkTable: String => MiniLake,
       toDf: Map[Long, String] => org.apache.spark.sql.DataFrame,
+      partitioned: Boolean = false,
       finalCheck: (MiniLake, Map[Long, String]) => Unit = (_, _) => ())
       : Unit = {
     def df(rows: Map[Long, String]): org.apache.spark.sql.DataFrame =
       toDf(rows)
     locally {
-      val ops = Gen.listOfN(10, opGen)
+      val ops = Gen.listOfN(14, opGen)
         .pureApply(Gen.Parameters.default, Seed(seedBase + run))
       val dir = Files.createTempDirectory("graft_model").toString + "/t"
       val t = mkTable(dir)
@@ -94,8 +137,14 @@ class MiniLakeModelSpec extends AnyFunSuite {
       // journal of (change_type, key) multiset across all versions
       val journal = scala.collection.mutable.ArrayBuffer[(String, Long)]()
       journal ++= model.keys.map(("insert", _))
+      // shallow clones made mid-sequence: (clone, model frozen at the
+      // clone point, dir). Asserted after every subsequent op — until
+      // a source vacuum, which may legitimately delete files a clone
+      // references once the source rewrote them (see the race test)
+      var clones = List.empty[(MiniLake, Map[Long, String], String)]
+      val cloneDirs = scala.collection.mutable.ArrayBuffer[String]()
 
-      ops.foreach { op =>
+      ops.zipWithIndex.foreach { case (op, i) =>
         op match {
           case Append(rows) =>
             // appended PKs may collide with live ones — MiniLake append
@@ -138,12 +187,45 @@ class MiniLakeModelSpec extends AnyFunSuite {
               journal ++= rows.keys.map(("insert", _))
               model = rows
             }
-          case Vacuum => t.vacuum(retainMillis = 0L)
-          case Compact => t.compactFiles()
+          case DeleteVec(keys) =>
+            val doomed = model.keySet.intersect(keys)
+            val n = t.deleteVectored(
+              org.apache.spark.sql.functions.col("key")
+                .isin(keys.toSeq: _*))
+            assert(n === doomed.size.toLong,
+              s"DV delete count diverged after $op (run $run)")
+            model --= doomed
+            journal ++= doomed.map(("delete", _))
+          case Materialize =>
+            // folds DVs into clean files; zero logical changes
+            t.materializeDeletes()
+          case Clone =>
+            val cdir = dir + s"_clone$i"
+            val c = MiniLake.shallowClone(spark, dir, cdir)
+            cloneDirs += cdir
+            clones ::= ((c, model, cdir))
+          case Vacuum =>
+            t.vacuum(retainMillis = 0L)
+            // zero-retention vacuum may delete files a clone still
+            // references (exactly Delta's hazard) — stop asserting them
+            clones = Nil
+          case Compact =>
+            if (partitioned && model.nonEmpty && i % 2 == 0) {
+              // partition-scoped OPTIMIZE of one modeled partition;
+              // must leave every partition's rows intact
+              val p = (i % 3).toString
+              t.compactPartitions(m => m("part") == p)
+            } else t.compactFiles()
         }
         val snap = t.snapshot().select("key", "value")
           .as[(Long, String)].collect().toMap
         assert(snap === model, s"snapshot diverged after $op (run $run)")
+        clones.foreach { case (c, frozen, cd) =>
+          val cs = c.snapshot().select("key", "value")
+            .as[(Long, String)].collect().toMap
+          assert(cs === frozen,
+            s"clone $cd diverged after source op $op (run $run)")
+        }
       }
 
       val changes = t.readChanges(0, t.latestVersion)
@@ -151,6 +233,7 @@ class MiniLakeModelSpec extends AnyFunSuite {
       assert(changes.sorted.toSeq === journal.sorted.toSeq,
         s"change feed diverged (run $run)")
       finalCheck(t, model)
+      cloneDirs.foreach(MiniLake.deleteRecursively)
       MiniLake.deleteRecursively(dir)
     }
   }
