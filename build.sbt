@@ -22,7 +22,20 @@ scalacOptions ++= Seq("-deprecation", "-feature", "-unchecked",
 // this container the lint leg is the compiler's -Xlint set; CI with
 // network prepends `scalafmt --check .`.
 addCommandAlias("check", ";compile;Test/compile;test;package")
-addCommandAlias("ciCheck", "check")
+// License-header gate — the analogue of the reference's
+// .github/linters/check_headers_exist.sh (pr_checks.yml:24-48): every
+// tracked source file must open with a copyright/SPDX header.
+lazy val licenseHeaderCheck =
+  taskKey[Unit]("fail on source files missing a license header")
+licenseHeaderCheck := {
+  val srcs = ((baseDirectory.value / "src") ** "*.scala").get ++
+    ((baseDirectory.value / "scripts") ** "*.py").get
+  val bad = srcs.filterNot(f =>
+    IO.readLines(f).take(3).exists(_.contains("SPDX-License-Identifier")))
+  if (bad.nonEmpty)
+    sys.error(bad.mkString("missing license header:\n  ", "\n  ", ""))
+}
+addCommandAlias("ciCheck", ";licenseHeaderCheck;check")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

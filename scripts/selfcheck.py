@@ -1,4 +1,6 @@
 #!/usr/bin/env python3
+#  Copyright (c) 2026 graft contributors
+#  SPDX-License-Identifier: Apache-2.0
 """Local mirror of the driver's correctness gate (dev tool only — the
 shipped Scala library does not depend on this).
 

@@ -1,3 +1,6 @@
+// Copyright (c) 2026 graft contributors
+// SPDX-License-Identifier: Apache-2.0
+
 package graft
 
 import org.apache.spark.sql.SparkSession
