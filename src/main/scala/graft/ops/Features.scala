@@ -248,25 +248,37 @@ object Features {
       .select(packed(col("e1.dst"), col("e2.dst")).as("bc"))
     val closing = oriented.select(packed(col("src"), col("dst")).as("bc"))
     // Wedges outnumber triangles ~25:1 here (Σ out-deg² vs closures),
-    // and every non-closing wedge still pays the join's shuffle. A
-    // Bloom over the |E| closing keys (~1.1 MB at 1% fp at sf0.1)
-    // kills almost all of them INSIDE the wedge codegen stage, so the
-    // exchange carries triangles + ε instead of all wedges — the
-    // manual runtime-filter lever (BloomExpressions), worth ~2×
-    // end-to-end at sf0.1 and growing with the wedge/triangle ratio.
-    // The filter is a DRIVER object shipped in every task binary, so
-    // it is byte-capped (16 MB ≈ 1.3×10⁷ keys at 1% fp): past the cap
-    // it degrades to the cap-sized filter while still selective, and
-    // past ~10⁸ edges it is skipped entirely — the closing equi join
-    // is exact without it, so scale costs the optimization, never
-    // the answer.
+    // and every non-closing wedge still pays the closing join. The
+    // join strategy is picked by |E|, never letting any driver-side
+    // object scale with the data:
+    //  - |E| ≤ 2×10⁶ (~16 MB of packed longs): BROADCAST the closing
+    //    keys — the wedge stream probes a hash table inside its own
+    //    codegen stage and never exchanges at all. sf0.1 (~0.9 M
+    //    edges) sits here: the Σ out-deg² wedge rows are born, probed,
+    //    and counted in one stage.
+    //  - larger: shuffle join, with a byte-capped Bloom prune (16 MB ≈
+    //    1.3×10⁷ keys at 1% fp) killing non-closing wedges before the
+    //    exchange; past the cap the filter degrades (cap-sized, fpp ≤
+    //    25%) and past ~10⁸ edges it is skipped — the closing equi
+    //    join is exact without it, so scale costs the optimization,
+    //    never the answer or the driver.
     val nEdges = oriented.count()
-    val closingBloom = graft.functions.BloomExpressions
-      .boundedBloomFilter(closing, "bc", nEdges, maxBytes = 16L << 20)
-    val prunedWedges = closingBloom.fold(wedges)(b => wedges
-      .filter(graft.functions.BloomExpressions.mightContainLong(
-        col("bc"), b)))
-    val triangles = prunedWedges.join(closing, "bc")
+    // conf-tunable so specs can force the shuffle+Bloom path on small
+    // graphs; 2M packed longs ≈ 16 MB broadcast, a comfortable default
+    val broadcastEdgeCap = s.conf
+      .getOption("graft.triangles.broadcastEdges").map(_.toLong)
+      .getOrElse(2_000_000L)
+    val triangles =
+      if (nEdges <= broadcastEdgeCap)
+        wedges.join(broadcast(closing), "bc")
+      else {
+        val closingBloom = graft.functions.BloomExpressions
+          .boundedBloomFilter(closing, "bc", nEdges, maxBytes = 16L << 20)
+        val pruned = closingBloom.fold(wedges)(b => wedges
+          .filter(graft.functions.BloomExpressions.mightContainLong(
+            col("bc"), b)))
+        pruned.join(closing, "bc")
+      }
     triangles.agg(count(lit(1)).as("n_triangles"))
       .crossJoin(oriented.agg(count(lit(1)).as("n_edges")))
       .crossJoin(oriented

@@ -90,6 +90,13 @@ class FeatureSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_triangles") === brute)
     assert(row.getAs[Long]("n_edges") === edges.size)
     assert(row.getAs[Long]("n_nodes") === nodes.size)
+    // the big-graph strategy (shuffle join + byte-capped Bloom prune)
+    // must agree with the broadcast path the small fixture takes
+    spark.conf.set("graft.triangles.broadcastEdges", "0")
+    try {
+      val big = Features.q154Triangles(spark, sf).collect()(0)
+      assert(big === row, "bloom/shuffle path diverged from broadcast")
+    } finally spark.conf.unset("graft.triangles.broadcastEdges")
   }
 
   test("q155: projection is linear and deterministic across runs") {
