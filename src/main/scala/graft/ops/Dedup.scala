@@ -258,44 +258,77 @@ object Dedup {
     * only on band-collision candidates, as `bit_count(a XOR b)` over
     * the fingerprints parsed base-2 — all native codegen'd expressions.
     */
-  def q67SimhashNearDup(s: SparkSession, dir: String): DataFrame = {
+  def q67SimhashNearDup(s: SparkSession, dir: String): DataFrame =
     // 32-bit signature (vs q43's 16-bit gate query): at 16 bits a
     // templated corpus collides so heavily that hamming ≤ 2 matches
     // ~30% of all pairs — no discrimination and a quadratic pair
     // list. Doubling the signature makes the same threshold select
     // real near-dups (~1% of pairs on this corpus) and shrinks the
-    // band buckets 32×, which is where the join cost lives. One md5
-    // per token still feeds every bit.
-    val tok = documents(s, dir)
+    // band buckets 32×, which is where the join cost lives.
+    simhashNearDupPairs(documents(s, dir), widthBits = 32)
+      .orderBy("id1", "id2")
+
+  /** Band-collision candidate pairs for a `widthBits` SimHash: 3 bands
+    * of ⌈w/3⌉-ish bits each, so ≤2 differing bits leave ≥1 band intact
+    * (pigeonhole) and every qualifying pair meets on a (band_index,
+    * band_value) equi-join key — no all-pairs comparison anywhere.
+    *
+    * WIDTH IS THE SCALE KNOB, measured empirically (SCALE.md, sf0.1→
+    * sf1 run): with fixed band width b, expected candidate volume is
+    * Σ_buckets C(occ,2) ≈ n²/2^(b+1) — quadratic in the corpus once
+    * bucket occupancy n/2^b passes O(1). Keeping occupancy constant
+    * needs widthBits ≥ 3·(log₂ n − c): 32 bits (2^11 buckets/band)
+    * carries ~10⁵ docs; 10⁸ docs want ~64 bits (2^21 buckets/band).
+    * Width is semantic (it defines which pairs are "near"), so it is
+    * a caller parameter with the sizing rule documented, not an
+    * auto-adapted default that would make results corpus-dependent.
+    */
+  private[ops] def simhashBandCandidates(docs: DataFrame,
+      widthBits: Int): DataFrame = {
+    require(widthBits >= 3 && widthBits <= 64,
+      s"widthBits $widthBits outside [3, 64]")
+    // md5 yields 32 hex chars = 32 bit-votes; wider signatures draw
+    // from sha2-256's 64. One hash per token feeds every bit.
+    val hashHex = if (widthBits <= 32) md5(col("w")) else sha2(col("w"), 256)
+    val tok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .withColumn("h", md5(col("w")))
-    val bitSums = (0 until 32).map(j =>
+      .withColumn("h", hashHex)
+    val bitSums = (0 until widthBits).map(j =>
       sum(when(substring(col("h"), j + 1, 1) >= "8", 1).otherwise(-1))
         .as(s"b$j"))
     val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val bits = (0 until 32).map(j =>
+    val bits = (0 until widthBits).map(j =>
       when(col(s"b$j") >= 0, lit("1")).otherwise(lit("0")))
     val fp = agg.select(col("doc_id"), concat(bits: _*).as("simhash"))
+      // conv parses ≤64 binary digits into the long's raw bits (top
+      // bit set → negative value, same bit pattern — XOR/bit_count
+      // only ever see bits)
       .withColumn("h", conv(col("simhash"), 2, 10).cast("long"))
-    // 3 bands (11+11+10 bits): ≤2 differing bits leave ≥1 band intact
+    val w1 = (widthBits + 2) / 3
+    val w2 = (widthBits - w1 + 1) / 2
+    val w3 = widthBits - w1 - w2
     val banded = fp.select(col("doc_id"), col("h"),
       explode(array(
-        concat(lit("0:"), substring(col("simhash"), 1, 11)),
-        concat(lit("1:"), substring(col("simhash"), 12, 11)),
-        concat(lit("2:"), substring(col("simhash"), 23, 10)))).as("band"))
+        concat(lit("0:"), substring(col("simhash"), 1, w1)),
+        concat(lit("1:"), substring(col("simhash"), w1 + 1, w2)),
+        concat(lit("2:"), substring(col("simhash"), w1 + w2 + 1, w3))))
+        .as("band"))
     banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long")
           .as("hamming"))
+  }
+
+  /** Exact hamming ≤ 2 near-dup pairs over band-collision candidates. */
+  def simhashNearDupPairs(docs: DataFrame, widthBits: Int): DataFrame =
+    simhashBandCandidates(docs, widthBits)
       // filter BEFORE distinct: hamming is a pure function of the
       // pair, so the order commutes, and the ≤2 cut drops ~99% of the
       // candidate volume before the dedup shuffle has to carry it
       .filter(col("hamming") <= 2)
       .distinct()
-      .orderBy("id1", "id2")
-  }
 
   /** Oracle computes Hamming positionally (DuckDB lacks base-2 conv):
     * count of positions where the fingerprint strings differ.

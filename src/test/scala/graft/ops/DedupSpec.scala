@@ -92,6 +92,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("simhash band width is the candidate-volume scale knob") {
+    // 2000 unrelated docs: signatures are ~uniform, so band-bucket
+    // collisions are pure occupancy noise — at 32 bits (11-bit bands,
+    // 2048 buckets) expected candidates ≈ 3·C(n,2)/2^11 ≈ thousands;
+    // at 64 bits (21-bit bands) occupancy drops ~1000× and the
+    // candidate list with it. This is the empirical basis for the
+    // widthBits ≥ 3·log₂(n) sizing rule in SCALE.md: a fixed width
+    // goes quadratic once n outgrows its bucket space (measured
+    // sf0.1→sf1: 12.8× wall at 10× docs), a log-scaled width stays
+    // linear.
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 2000).map { i =>
+      (i.toLong, Seq.fill(30)("w" + rnd.nextInt(500000)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val c32 = Dedup.simhashBandCandidates(docs, 32).count()
+    val c64 = Dedup.simhashBandCandidates(docs, 64).count()
+    assert(c32 > 100L, s"fixture too sparse to show occupancy ($c32)")
+    assert(c64 * 10 < c32,
+      s"64-bit bands must collapse candidate volume: $c64 vs $c32")
+  }
+
   test("simhash of identical docs is identical") {
     val sf = "/root/testdata/sf0.001"
     val fp = Dedup.q43Simhash(spark, sf).collect()
