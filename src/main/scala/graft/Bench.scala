@@ -16,14 +16,16 @@ object Bench {
       // churn straight through that, so a query's compiled classes are
       // evicted before its timed run. Static conf — must be set here.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
-      // Coalesce small shuffles to advisory size instead of keeping
-      // cpus-many slivers (the recommended prod setting): at this SF a
-      // 32-partition shuffle is 32 scheduling roundtrips for ~20k rows
-      // each, and scheduling latency — not compute — is what the
-      // shared host's stall bursts tax. Fewer, right-sized tasks are
-      // also what a real cluster wants.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        "false")
+      // AQE partition coalescing stays at its DEFAULT
+      // (parallelismFirst=true): an earlier round set it false to
+      // coalesce the many tiny shuffles to advisory size, but
+      // size-based coalescing is blind to EXPANSION stages — q154's
+      // wedge join emits ~25× its input, and coalescing its ~20 MB
+      // shuffle input to one task serialized the whole Σ out-deg²
+      // expansion (measured: 11.3 s vs 3.3 s warm at sf0.1). The
+      // default floors coalescing at the parallelism, which is
+      // exactly the guard expansion joins need; the tiny queries pay
+      // sub-ms extra scheduling per stage.
       .config("spark.locality.wait", "0s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
