@@ -59,8 +59,13 @@ class MiniLakeModelSpec extends AnyFunSuite {
   private def df(rows: Map[Long, String]) =
     rows.toSeq.toDF("key", "value")
 
+  // CI runs a fixed small seed set; GRAFT_FUZZ_RUNS widens the sweep
+  // for one-off robustness passes (e.g. GRAFT_FUZZ_RUNS=20 sbt
+  // "testOnly graft.lake.MiniLakeModelSpec")
+  private val fuzzRuns = sys.env.get("GRAFT_FUZZ_RUNS").map(_.toInt)
+
   test("random op sequences: snapshot == model, change feed == journal") {
-    (0 until 4).foreach { run =>
+    (0 until fuzzRuns.getOrElse(4)).foreach { run =>
       runFuzz(run, seedBase = 1234L,
         mkTable = d => MiniLake(spark, d), toDf = df)
     }
@@ -72,7 +77,7 @@ class MiniLakeModelSpec extends AnyFunSuite {
     // (incl. the partition-scoped form), vacuum, and the change feed
     // all run through the `_p_part=` layout, and pruned reads must
     // agree with the filtered model after every sequence
-    (0 until 2).foreach { run =>
+    (0 until fuzzRuns.getOrElse(2)).foreach { run =>
       val pdf = (rows: Map[Long, String]) =>
         df(rows).withColumn("part",
           org.apache.spark.sql.functions.expr("cast(key % 3 as string)"))
