@@ -200,6 +200,10 @@ class PlanSpec extends AnyFunSuite {
     // the oriented edge derivation is cut once — the checkpointed scan
     // replaces the 5x re-derivation (no parquet re-scan per reference)
     assert(plan.contains("Scan ExistingRDD"), plan)
+    // small graph (|E| ≤ the broadcast cap): the closing join must be
+    // a broadcast probe inside the wedge stage — the wedge stream
+    // (Σ out-deg² rows) must never reach an exchange
+    assert(plan.contains("BroadcastHashJoin [bc"), plan)
   }
 
   test("q155: the projection matrix broadcasts; no UDF in the pipeline") {
