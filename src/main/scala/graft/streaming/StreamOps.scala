@@ -66,6 +66,11 @@ object StreamOps {
     s.conf.set("spark.sql.shuffle.partitions",
       math.min(prevShuffle.toInt, 4).toString)
     val query = out.writeStream.outputMode("append")
+      // offsets/commits/state-store deltas fsync per micro-batch;
+      // Scratch prefers RAM-backed storage, same reasoning as fast
+      // local disks for state stores on a real cluster
+      .option("checkpointLocation",
+        graft.Scratch.dir("graft_sops_ckpt").toString)
       .format("memory").queryName(name).start()
     try {
       query.processAllAvailable()
