@@ -35,7 +35,22 @@ licenseHeaderCheck := {
   if (bad.nonEmpty)
     sys.error(bad.mkString("missing license header:\n  ", "\n  ", ""))
 }
-addCommandAlias("ciCheck", ";licenseHeaderCheck;check")
+// End-of-file discipline — the analogue of the reference pre-commit's
+// end-of-file-fixer: every source file ends with exactly one newline.
+lazy val eofCheck =
+  taskKey[Unit]("fail on source files not ending in one newline")
+eofCheck := {
+  val srcs = ((baseDirectory.value / "src") ** "*.scala").get ++
+    ((baseDirectory.value / "scripts") ** "*.py").get
+  val bad = srcs.filter { f =>
+    val bytes = IO.readBytes(f)
+    bytes.isEmpty || bytes.last != '\n' ||
+      (bytes.length >= 2 && bytes(bytes.length - 2) == '\n')
+  }
+  if (bad.nonEmpty)
+    sys.error(bad.mkString("bad end-of-file:\n  ", "\n  ", ""))
+}
+addCommandAlias("ciCheck", ";licenseHeaderCheck;eofCheck;check")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
