@@ -69,6 +69,81 @@ class StreamRecoverySpec extends AnyFunSuite {
     graft.lake.MiniLake.deleteRecursively(base)
   }
 
+  test("restart from checkpoint recovers stream-stream join state") {
+    // left rows arrive in run 1, matching right rows only in run 2:
+    // the pairs can appear in run 2's sink ONLY if the join's buffered
+    // left state survived the restart — the recovery half of what the
+    // in-run gates (q62/q168) prove
+    val base = Files.createTempDirectory("graft_recover_join").toString
+    val watch = s"$base/in"; Files.createDirectories(Paths.get(watch))
+    val ckpt = s"$base/ckpt"
+    val tsSchema = StructType(Seq(
+      StructField("id", LongType), StructField("kind", StringType),
+      StructField("ts", TimestampType)))
+
+    def writeTsChunk(name: String, rows: Seq[(Long, String, Int)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_chunk").toString
+      rows.toDF("id", "kind", "mins")
+        .withColumn("ts", expr(
+          "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,mins,0)"))
+        .drop("mins")
+        .coalesce(1).write.parquet(s"$tmp/p")
+      val part = Files.list(Paths.get(s"$tmp/p")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.move(Paths.get(part), Paths.get(watch, name))
+      graft.lake.MiniLake.deleteRecursively(tmp)
+    }
+
+    val out = s"$base/out"; Files.createDirectories(Paths.get(out))
+
+    def runOnce(): Unit = {
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val raw = spark.readStream.schema(tsSchema).parquet(watch)
+      val left = raw.filter(col("kind") === "v")
+        .select(col("id").as("v_id"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val right = raw.filter(col("kind") === "p")
+        .select(col("id").as("p_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      // the memory sink refuses checkpoint recovery; foreachBatch is
+      // the recoverable sink shape (and the production one)
+      val q = left.join(right,
+          expr("v_id = p_id AND p_ts >= v_ts AND " +
+            "p_ts <= v_ts + interval 1 hour"))
+        .select(col("v_id"), col("p_id"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out): Unit
+        }
+        .start()
+      try q.processAllAvailable() finally {
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+    }
+
+    val pairSchema = StructType(Seq(
+      StructField("v_id", LongType), StructField("p_id", LongType)))
+    def sunk(): Seq[(Long, Long)] =
+      spark.read.schema(pairSchema).parquet(out)
+        .as[(Long, Long)].collect().sorted.toSeq
+
+    writeTsChunk("chunk_a.parquet",
+      (0L until 20L).map(i => (i, "v", 0)))
+    runOnce()
+    assert(sunk().isEmpty, "no right side yet")
+    writeTsChunk("chunk_b.parquet",
+      (0L until 20L).map(i => (i, "p", 10)))
+    // a NEW query over the SAME checkpoint reads only chunk_b; pairs
+    // require chunk_a's left rows out of the recovered join state
+    runOnce()
+    assert(sunk() === (0L until 20L).map(i => (i, i)),
+      "join state must survive the restart")
+    graft.lake.MiniLake.deleteRecursively(base)
+  }
+
   test("restart from checkpoint recovers aggregation state") {
     val base = Files.createTempDirectory("graft_recover_agg").toString
     val watch = s"$base/in"; Files.createDirectories(Paths.get(watch))
