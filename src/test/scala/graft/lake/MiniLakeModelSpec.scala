@@ -31,6 +31,7 @@ class MiniLakeModelSpec extends AnyFunSuite {
   private case class Merge(ins: Map[Long, String], del: Set[Long]) extends Op
   private case class Update(key: Long, value: String) extends Op
   private case class Overwrite(rows: Map[Long, String]) extends Op
+  private case class MergeUpd(rows: Map[Long, String]) extends Op
   private case class DeleteVec(keys: Set[Long]) extends Op
   private case object Materialize extends Op
   private case object Clone extends Op
@@ -49,6 +50,7 @@ class MiniLakeModelSpec extends AnyFunSuite {
       del <- Gen.listOf(Gen.choose(0L, 20L)).map(_.toSet)
     } yield Merge(ins, del)),
     2 -> kvGen.map { case (k, v) => Update(k, v) },
+    2 -> Gen.mapOf(kvGen).map(m => MergeUpd(m)),
     2 -> Gen.listOf(Gen.choose(0L, 20L)).map(ks => DeleteVec(ks.toSet)),
     1 -> Gen.mapOf(kvGen).map(m => Overwrite(m)),
     1 -> Gen.const(Materialize),
@@ -194,6 +196,19 @@ class MiniLakeModelSpec extends AnyFunSuite {
               journal ++= model.keys.map(("delete", _))
               journal ++= rows.keys.map(("insert", _))
               model = rows
+            }
+          case MergeUpd(rows) =>
+            if (rows.nonEmpty) {
+              val (nUpd, nIns) = t.mergeUpdate(df(rows), Seq("key"))
+              val matched = rows.filter(kv => model.contains(kv._1))
+              val inserted = rows.filter(kv => !model.contains(kv._1))
+              assert((nUpd, nIns) ===
+                ((matched.size.toLong, inserted.size.toLong)),
+                s"mergeUpdate counts diverged after $op (run $run)")
+              journal ++= matched.keys.map(("update_preimage", _))
+              journal ++= matched.keys.map(("update_postimage", _))
+              journal ++= inserted.keys.map(("insert", _))
+              model ++= rows
             }
           case DeleteVec(keys) =>
             val doomed = model.keySet.intersect(keys)
