@@ -33,6 +33,7 @@ class MiniLakeModelSpec extends AnyFunSuite {
   private case class Overwrite(rows: Map[Long, String]) extends Op
   private case class MergeUpd(rows: Map[Long, String]) extends Op
   private case class DeleteVec(keys: Set[Long]) extends Op
+  private case class DeleteCow(keys: Set[Long]) extends Op
   private case object Materialize extends Op
   private case object Clone extends Op
   private case object Vacuum extends Op
@@ -52,6 +53,7 @@ class MiniLakeModelSpec extends AnyFunSuite {
     2 -> kvGen.map { case (k, v) => Update(k, v) },
     2 -> Gen.mapOf(kvGen).map(m => MergeUpd(m)),
     2 -> Gen.listOf(Gen.choose(0L, 20L)).map(ks => DeleteVec(ks.toSet)),
+    1 -> Gen.listOf(Gen.choose(0L, 20L)).map(ks => DeleteCow(ks.toSet)),
     1 -> Gen.mapOf(kvGen).map(m => Overwrite(m)),
     1 -> Gen.const(Materialize),
     1 -> Gen.const(Clone),
@@ -217,6 +219,17 @@ class MiniLakeModelSpec extends AnyFunSuite {
                 .isin(keys.toSeq: _*))
             assert(n === doomed.size.toLong,
               s"DV delete count diverged after $op (run $run)")
+            model --= doomed
+            journal ++= doomed.map(("delete", _))
+          case DeleteCow(keys) =>
+            // copy-on-write DELETE: same logical semantics as the DV
+            // path, different physical mechanism — both fuzz together
+            val doomed = model.keySet.intersect(keys)
+            val n = t.delete(
+              org.apache.spark.sql.functions.col("key")
+                .isin(keys.toSeq: _*))
+            assert(n === doomed.size.toLong,
+              s"CoW delete count diverged after $op (run $run)")
             model --= doomed
             journal ++= doomed.map(("delete", _))
           case Materialize =>
