@@ -299,11 +299,16 @@ object Dedup {
     val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val bits = (0 until widthBits).map(j =>
       when(col(s"b$j") >= 0, lit("1")).otherwise(lit("0")))
-    val fp = agg.select(col("doc_id"), concat(bits: _*).as("simhash"))
-      // conv parses ≤64 binary digits into the long's raw bits (top
-      // bit set → negative value, same bit pattern — XOR/bit_count
-      // only ever see bits)
-      .withColumn("h", conv(col("simhash"), 2, 10).cast("long"))
+    // pack the long directly from the sign columns — string conv would
+    // produce an UNSIGNED decimal that ANSI cast rejects once the top
+    // bit is set (width 64); shiftleft(1L, 63) wraps to the sign bit's
+    // two's-complement pattern, which is all XOR/bit_count ever see
+    val packed = (0 until widthBits).map(j =>
+      when(col(s"b$j") >= 0,
+        shiftleft(lit(1L), widthBits - 1 - j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val fp = agg.select(col("doc_id"), concat(bits: _*).as("simhash"),
+      packed.as("h"))
     val w1 = (widthBits + 2) / 3
     val w2 = (widthBits - w1 + 1) / 2
     val w3 = widthBits - w1 - w2

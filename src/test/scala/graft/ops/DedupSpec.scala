@@ -111,6 +111,17 @@ class DedupSpec extends AnyFunSuite {
     assert(c32 > 100L, s"fixture too sparse to show occupancy ($c32)")
     assert(c64 * 10 < c32,
       s"64-bit bands must collapse candidate volume: $c64 vs $c32")
+    // and the FULL 64-bit pair path executes (hamming consumes the
+    // packed fingerprint — counting candidates alone would let column
+    // pruning skip the packing, which is how an ANSI cast bug hid)
+    assert(Dedup.simhashNearDupPairs(docs, 64).count() === 0L)
+    // exact duplicates survive any width: hamming 0
+    val dup = Seq((9001L, "alpha beta gamma delta"),
+      (9002L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    assert(Dedup.simhashNearDupPairs(docs.unionByName(dup), 64)
+      .filter(org.apache.spark.sql.functions.col("id1") === 9001L &&
+        org.apache.spark.sql.functions.col("id2") === 9002L)
+      .count() === 1L)
   }
 
   test("simhash of identical docs is identical") {
