@@ -44,13 +44,46 @@ object RunOne {
             }
         })
     }
+    // shuffle/input economy per run — the "minimize shuffles" claim as
+    // a measurement: bytes scanned vs bytes exchanged vs rows through
+    // the widest stage (SCALE.md's shuffle-economy table comes from
+    // this listener)
+    val io = new java.util.concurrent.atomic.AtomicLongArray(4)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            io.addAndGet(0, m.inputMetrics.bytesRead)
+            io.addAndGet(1, m.shuffleReadMetrics.totalBytesRead)
+            io.addAndGet(2, m.shuffleWriteMetrics.bytesWritten)
+            io.addAndGet(3, m.shuffleReadMetrics.recordsRead)
+          }
+        }
+      })
+    def drainIo(): (Long, Long, Long, Long) = {
+      val r = (io.get(0), io.get(1), io.get(2), io.get(3))
+      (0 until 4).foreach(io.set(_, 0L))
+      r
+    }
     spark.range(1000000L).selectExpr("sum(id)").collect() // warm JVM
     val fn = SparkEntry.queries(name)
     if (doExplain) fn(spark, sfDir).explain("formatted")
     for (i <- 1 to 2) {
+      drainIo()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
-      println(f"[runone] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      val dt = (System.nanoTime() - t0) / 1e9
+      // listener events drain asynchronously — settle before reading
+      // (listenerBus.waitUntilEmpty is private[spark]; a dev harness
+      // can afford the fixed settle)
+      Thread.sleep(300)
+      val (in, sr, sw, srRows) = drainIo()
+      def mb(b: Long): String = f"${b / 1048576.0}%.1f"
+      println(f"[runone] $name run$i: $dt%.2fs rows=$n " +
+        s"input=${mb(in)}MB shufRead=${mb(sr)}MB " +
+        s"shufWrite=${mb(sw)}MB shufRows=$srRows")
     }
     spark.stop()
   }
