@@ -57,8 +57,14 @@ object BloomExpressions {
   def bloomPrune(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
-    val bloom = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-    big.filter(mightContainLong(big(bigKey), bloom))
+    // a zero-row build side has no filter to build (stat.bloomFilter
+    // NPEs on the null merge buffer); unpruned is always correct —
+    // the caller's real join still decides
+    if (small.isEmpty) big
+    else {
+      val bloom = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+      big.filter(mightContainLong(big(bigKey), bloom))
+    }
   }
 
   def mightContainLong(c: Column, bloom: BloomFilter): Column =

@@ -449,8 +449,11 @@ object Dedup {
     var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
     var prevSum = Long.MaxValue
-    var sum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id"))
+    // coalesce: SUM of zero labels is NULL (empty corpus), not 0
+    def labelSum(): Long = labels.agg(coalesce(
+      org.apache.spark.sql.functions.sum("cluster_id"), lit(0L)))
       .head().getLong(0)
+    var sum = labelSum()
     var rounds = 0
     while (sum < prevSum && rounds < 50) {
       // labels double as edges: doc -> cluster and cluster -> doc
@@ -467,8 +470,7 @@ object Dedup {
             .as("cluster_id"))
         .localCheckpoint(true)
       prevSum = sum
-      sum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id"))
-        .head().getLong(0)
+      sum = labelSum()
       rounds += 1
     }
     labels

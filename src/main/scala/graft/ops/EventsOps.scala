@@ -502,6 +502,12 @@ object EventsOps {
     val bounds = e.agg(
       min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
       .head()
+    // empty input: no dates to spine over — the gap-filled series of
+    // nothing is nothing (sequence(NULL, NULL) would throw instead)
+    if (bounds.isNullAt(0))
+      return e.sparkSession.range(0).select(
+        lit("").as("event_type"), lit("").as("day"),
+        lit(0L).as("n_obs"), lit(null).cast("double").as("filled_max"))
     val spine = e.select(col("event_type")).distinct()
       .crossJoin(org.apache.spark.sql.functions.broadcast(
         e.sparkSession.range(1).select(explode(sequence(

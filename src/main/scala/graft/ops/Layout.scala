@@ -82,6 +82,8 @@ object Layout {
     val (a, b) = cols
     val r = df.agg(fmin(col(a).cast("long")), fmax(col(a).cast("long")),
       fmin(col(b).cast("long")), fmax(col(b).cast("long"))).head()
+    // empty input: no bounds, no curve — the layout of nothing is df
+    if (r.isNullAt(0)) return df
     def norm(c: Column, mn: Long, mx: Long): Column =
       if (mx <= mn) lit(0L)
       else ((c - lit(mn)).cast("double") / lit((mx - mn).toDouble) *

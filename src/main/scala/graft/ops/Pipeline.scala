@@ -59,7 +59,11 @@ object Pipeline {
     process() // pass 3: v2 only
     docs.unpersist()
 
-    MiniLake(s, silverPath).snapshot()
+    // an all-empty bronze history yields no silver writes at all
+    // (empty-range no-op, C-semantics) — read empty, not crash
+    val silver = MiniLake(s, silverPath)
+    (if (silver.exists) silver.snapshot()
+     else MiniLake(s, bronzePath).snapshot().limit(0))
       .select("doc_id", "text", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }
@@ -100,7 +104,9 @@ object Pipeline {
     process() // pass 2: bucket-scoped delete merge (v1 only)
     docs.unpersist()
 
-    MiniLake(s, silverPath).snapshot()
+    val silver = MiniLake(s, silverPath)
+    (if (silver.exists) silver.snapshot()
+     else MiniLake(s, bronzePath).snapshot().limit(0))
       .select("doc_id", "text", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }

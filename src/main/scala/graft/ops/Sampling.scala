@@ -265,7 +265,15 @@ object Sampling {
     val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val prev = s.conf.get(inferKey, "true")
     s.conf.set(inferKey, "false")
-    val back = try s.read.parquet(out) finally s.conf.set(inferKey, prev)
+    // explicit schema: partition values resolve from the paths, and an
+    // EMPTY export (no part files to infer from) reads as zero rows
+    // instead of failing inference
+    val sch = documents(s, dir).schema
+      .add(org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.StringType))
+    val back =
+      try s.read.schema(sch).parquet(out)
+      finally s.conf.set(inferKey, prev)
     back
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
@@ -337,6 +345,11 @@ object Sampling {
       round(col("o_totalprice") * 100).cast("long").as("cents"))
     val bounds = o.agg(min("o_orderkey"), max("o_orderkey"),
       sum("cents")).head()
+    // empty input: a PPS sample of nothing is nothing (the bounds row
+    // is all-NULL, not absent)
+    if (bounds.isNullAt(0))
+      return o.limit(0).select(col("o_orderpriority"),
+        lit(0L).as("n_selected"), lit(0.0).as("selected_value"))
     val (minK, maxK) = (bounds.getLong(0), bounds.getLong(1))
     val total = bounds.getLong(2)
     val stride = math.max(1L, total / 100L)

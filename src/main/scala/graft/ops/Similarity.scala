@@ -323,12 +323,17 @@ object Similarity {
       .orderBy(col("h"), col("vec_id")).limit(sampleN)
       .select("v").collect()
       .map(_.getSeq[Double](0).toArray)
-    lloydFit(sample, IvfCells, IvfIters)
+    if (sample.isEmpty) Array.empty else lloydFit(sample, IvfCells, IvfIters)
   }
 
   /** IVF ANN top-5 (see [[q55AnnIvf]] for the gated witness form). */
   private[graft] def ivfTop5(s: SparkSession, dir: String): DataFrame = {
     val cents = fitQuantizer(s, dir)
+    // empty corpus: no quantizer, no candidates, no neighbors
+    if (cents.isEmpty)
+      return vecsDouble(s, dir).limit(0).select(
+        col("vec_id").as("qid"), col("vec_id"),
+        lit(0.0).as("sim"), lit(0L).as("rn"))
     val bc = s.sparkContext.broadcast(cents)
     // argmin over ≤IvfCells centroids per row: genuine imperative
     // per-row compute over driver-fit state — the documented UDF

@@ -258,6 +258,10 @@ object Vectors {
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy(col("h"), col("vec_id")).limit(PqSampleFactor * PqCodes)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
+    // empty corpus: nothing to fit, nothing to code
+    if (sample.isEmpty)
+      return vecs.limit(0).select(col("vec_id"),
+        lit(true).as("pq_beats_baseline"))
     val dim = sample.head.length
     require(dim % PqSubspaces == 0,
       s"dim $dim not divisible into $PqSubspaces subspaces")

@@ -166,6 +166,11 @@ object LakeIngestStream {
     try query.processAllAvailable() finally query.stop()
 
     val t = MiniLake(s, lakePath)
+    // empty source: zero staged files, zero micro-batches, no table —
+    // the report over nothing is nothing
+    if (!t.exists)
+      return s.range(0).select(lit("").as("day"), lit(0L).as("n"),
+        lit(0.0).as("total_value"))
     t.compactFiles() // one file per day replaces the per-batch layout
     // single-writer lifecycle (the stream has stopped): zero retention
     // is the explicit opt-in for immediate reclamation
@@ -225,7 +230,12 @@ object LakeIngestStream {
     val query = stream.writeStream.foreachBatch(sink).start()
     try query.processAllAvailable() finally query.stop()
 
-    MiniLake(s, lakePath).snapshot()
+    val latestT = MiniLake(s, lakePath)
+    if (!latestT.exists)
+      return s.range(0).select(lit(0L).as("user_id"),
+        lit(0L).as("event_id"), lit("").as("event_type"),
+        lit(0.0).as("value"))
+    latestT.snapshot()
       .select("user_id", "event_id", "event_type", "value")
       .orderBy("user_id")
   }
@@ -282,7 +292,11 @@ object LakeIngestStream {
     val query = stream.writeStream.foreachBatch(sink).start()
     try query.processAllAvailable() finally query.stop()
 
-    MiniLake(s, goldPath).snapshot()
+    val gold = MiniLake(s, goldPath)
+    if (!gold.exists)
+      return s.range(0).select(lit("").as("event_type"),
+        lit(0L).as("n"), lit(0L).as("total_cents"))
+    gold.snapshot()
       .groupBy("event_type")
       .agg(sum("d_n").as("n"), sum("d_cents").as("total_cents"))
       .orderBy("event_type")

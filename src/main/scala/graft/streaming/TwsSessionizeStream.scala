@@ -81,7 +81,10 @@ object TwsSessionizeStream {
       .select(col("user_id"),
         unix_millis(col("ts").cast("timestamp")).as("ms"),
         col("value"), col("event_id"))
-    val maxMs = batch.agg(max("ms")).head().getLong(0)
+    // empty input handled the same way as SessionizeStream: clock the
+    // sentinels off 0 and let the stream materialize an empty sink
+    val maxRow = batch.agg(max("ms")).head()
+    val maxMs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val sentinels = batch.select(col("user_id")).distinct()
       .select(col("user_id"), lit(maxMs + 2 * GapMs).as("ms"),
         lit(0.0).as("value"), lit(SentinelId).as("event_id"))
