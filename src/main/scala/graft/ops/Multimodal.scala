@@ -45,6 +45,9 @@ object Multimodal {
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     documents(s, dir)
+      // a missing payload has nothing to decode/resize/sample — the
+      // media pipeline skips it (typed MediaRow carries non-null bytes)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         encode(col("text"), "UTF-8").as("payload"),
         lit("text/plain").as("mime"),

@@ -201,7 +201,10 @@ object Profiling {
     */
   def q136CmsWitness(s: SparkSession, dir: String): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val ev = events(s, dir)
+    // NULL keys never enter the sketch (countMinSketch skips them),
+    // so the exact side must exclude them too — otherwise the witness
+    // compares a null group against an estimate that can't exist
+    val ev = events(s, dir).filter(col("event_type").isNotNull)
     val eps = 0.001
     val sketch = ev.stat.countMinSketch(col("event_type"),
       eps = eps, confidence = 0.99, seed = 42)

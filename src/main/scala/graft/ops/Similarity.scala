@@ -35,6 +35,9 @@ object Similarity {
 
   private def vecsDouble(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir)
+      // null embeddings are excluded from every vector op (they have
+      // no geometry; builtin sims would just propagate the null)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
 

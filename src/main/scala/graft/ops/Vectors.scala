@@ -158,6 +158,10 @@ object Vectors {
   def q85CentroidAggregator(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ds = embeddings(s, dir)
+      // the typed path cannot represent a null group key or buffer a
+      // null vector; builtin aggregates (the q60 twin) skip the same
+      // rows natively, so the parity holds
+      .filter(col("label").isNotNull && col("embedding").isNotNull)
       .select(col("label").cast("int"),
         col("embedding").cast("array<double>"))
       .as[(Int, Seq[Double])]
@@ -253,6 +257,7 @@ object Vectors {
     */
   def q121PqQuantize(s: SparkSession, dir: String): DataFrame = {
     val vecs = embeddings(s, dir)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val sample = vecs
       .withColumn("h", xxhash64(col("vec_id")))

@@ -84,7 +84,8 @@ object SessionizeStream {
     val batch = graft.Tables.events(s, dir)
       .select(col("user_id"),
         unix_millis(col("ts").cast("timestamp")).as("ms"),
-        col("value"), col("event_id"))
+        coalesce(col("value"), lit(0.0)).as("value"),
+        coalesce(col("event_id"), lit(Long.MinValue)).as("event_id")) // never the sentinel
     // empty input: no sessions to close, but the stream still runs so
     // the sink table materializes (schema'd, zero rows)
     val maxRow = batch.agg(max("ms")).head()

@@ -80,7 +80,8 @@ object TwsSessionizeStream {
     val batch = graft.Tables.events(s, dir)
       .select(col("user_id"),
         unix_millis(col("ts").cast("timestamp")).as("ms"),
-        col("value"), col("event_id"))
+        coalesce(col("value"), lit(0.0)).as("value"),
+        coalesce(col("event_id"), lit(Long.MinValue)).as("event_id")) // never the sentinel
     // empty input handled the same way as SessionizeStream: clock the
     // sentinels off 0 and let the stream materialize an empty sink
     val maxRow = batch.agg(max("ms")).head()
