@@ -109,7 +109,9 @@ object Sampling {
     * coordination. One narrow scan + one aggregate for the report.
     */
   def q89TrainingMix(s: SparkSession, dir: String): DataFrame = {
-    val srcNum = substring(col("source"), 4, 10).cast("int")
+    // try_cast: an unrecognized source name (no numeric suffix) falls
+    // into the lowest-weight tier instead of failing the ANSI cast
+    val srcNum = expr("try_cast(substring(source, 4, 10) AS int)")
     // threshold on the first two md5 hex chars; hex digits are all
     // < 'zz', so 'zz' means keep-all
     val threshold = when(srcNum < 5, "zz")
@@ -130,7 +132,7 @@ object Sampling {
   val q89Oracle: String =
     """WITH d AS (
       |  SELECT source, doc_id,
-      |    CAST(substr(source, 4) AS INT) AS sn,
+      |    TRY_CAST(substr(source, 4) AS INT) AS sn,
       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx
       |  FROM documents)
       |SELECT source,
@@ -180,9 +182,12 @@ object Sampling {
     val scored = documents(s, dir)
       .withColumn("ws", graft.functions.Text.tokens(col("text")))
       .select(col("doc_id"),
+        // greatest(·,1): a zero-word doc (whitespace-only text) scores
+        // 0 instead of dividing by zero; identical otherwise
         round(size(filter(col("ws"),
           w => stop.map(w === lit(_)).reduce(_ || _)))
-          .cast("double") / size(col("ws")), 4).as("score"))
+          .cast("double") / greatest(size(col("ws")), lit(1)), 4)
+          .as("score"))
     // boundaries stay a (broadcast) 1-row frame rather than a driver
     // collect: the whole query is ONE action and the shape mirrors
     // the oracle's CROSS JOIN
@@ -223,7 +228,7 @@ object Sampling {
       |  SELECT doc_id,
       |    round(CAST(length(list_filter(ws,
       |      x -> x IN ('the','a','of','and','is','in','to'))) AS DOUBLE)
-      |      / length(ws), 4) AS score
+      |      / greatest(length(ws), 1), 4) AS score
       |  FROM w),
       |b AS (SELECT
       |  round(quantile_cont(score, 0.8), 6) AS b1,

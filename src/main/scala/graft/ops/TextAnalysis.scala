@@ -575,7 +575,13 @@ object TextAnalysis {
     val words = documents(s, dir)
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-    val pairs = words.filter(length(col("w")) >= 2)
+    // word-length cap (the SentencePiece/BPE-trainer convention):
+    // `substring` seeks from the string head, so pair extraction is
+    // O(len²) per word — a megabyte junk "word" (binary blob, base64
+    // run) would stall the stage for zero vocabulary value. Real
+    // trainers drop such candidates; 256 chars is far beyond any
+    // natural-language word.
+    val pairs = words.filter(length(col("w")).between(2, 256))
       .select(col("freq"), explode(expr(
         "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
         .as("pair"))
@@ -593,7 +599,7 @@ object TextAnalysis {
       |wf AS (SELECT w, count(*) AS freq FROM words GROUP BY w),
       |pairs AS (SELECT unnest([substr(w, i, 2)
       |    for i in generate_series(1, length(w) - 1)]) AS pair, freq
-      |  FROM wf WHERE length(w) >= 2),
+      |  FROM wf WHERE length(w) BETWEEN 2 AND 256),
       |counts AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n
       |  FROM pairs GROUP BY pair),
       |top AS (SELECT * FROM counts ORDER BY n DESC, pair LIMIT 10)
