@@ -41,14 +41,14 @@ os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
 
 
-def scale_sql(table, shifts, n_src_rows=None):
+def scale_sql(table, shifts):
     """Union COPIES key-shifted copies of a table. shifts maps column
     -> per-copy offset expression factor (column + i*offset)."""
+    desc = con.sql(
+        f"describe select * from '{SRC}/{table}.parquet'").fetchall()
     parts = []
     for i in range(COPIES):
         cols = []
-        desc = con.sql(
-            f"describe select * from '{SRC}/{table}.parquet'").fetchall()
         for (name, *_rest) in desc:
             if name in shifts:
                 cols.append(f"{name} + {i} * {shifts[name]} AS {name}")
@@ -82,8 +82,8 @@ for i in range(COPIES):
     for r in docs:
         row = dict(r)
         row["doc_id"] = r["doc_id"] + i * 1_000_000
-        if i > 0:
-            words = (r["text"] or "").split(" ")
+        if i > 0 and r["text"] is not None:  # null text stays null
+            words = r["text"].split(" ")
             # rewrite every 6th word (phase varies by doc) so
             # cross-copy shingle overlap drops below dedup thresholds
             phase = (r["doc_id"] + i) % 6

@@ -15,8 +15,10 @@ SF1=${SF1:-/tmp/graft_sf1}
 [ -d "$SF1" ] || python3 "$(dirname "$0")/make_sf1.py" "$SF1"
 for q in $QUERIES; do
   for sf in "$SF01" "$SF1"; do
+    # `|| true`: a crashed/missing run must print FAIL and keep the
+    # sweep going, not errexit the whole script
     t=$(SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g sbt -batch \
-      "runMain graft.RunOne $q $sf" 2>&1 | grep -oP 'run2: \K[0-9.]+')
+      "runMain graft.RunOne $q $sf" 2>&1 | grep -oP 'run2: \K[0-9.]+' || true)
     echo "SCALE $q $sf ${t:-FAIL}"
   done
 done

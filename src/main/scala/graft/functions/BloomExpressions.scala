@@ -98,7 +98,10 @@ object BloomExpressions {
   def boundedBloomFilter(df: DataFrame, key: String, expectedItems: Long,
       maxBytes: Long, fpp: Double = 0.01,
       maxFpp: Double = 0.25): Option[BloomFilter] = {
-    val n = expectedItems.max(1L)
+    // zero keys: nothing to build (stat.bloomFilter NPEs on the null
+    // merge buffer of an empty aggregation) — None = run unpruned
+    if (expectedItems <= 0) return None
+    val n = expectedItems
     val capBits = maxBytes * 8
     if (optimalBits(n, fpp) <= capBits)
       Some(df.stat.bloomFilter(key, n, fpp))

@@ -151,13 +151,15 @@ object BloomIndex {
         "numShards" -> Integer.valueOf(numShards)).asJava))
     // best-effort GC of shards a previous, wider build left behind; a
     // racing reader holding the old manifest just keeps those files
-    val stale = Files.list(indexDir(tablePath)).iterator().asScala
-      .filter { p =>
+    val listing = Files.list(indexDir(tablePath))
+    val stale =
+      try listing.iterator().asScala.filter { p =>
         val n = p.getFileName.toString
         n.startsWith(s"bloom_$colName.shard") && n.endsWith(".json") &&
           n.stripPrefix(s"bloom_$colName.shard").stripSuffix(".json")
             .toIntOption.exists(_ >= numShards)
       }.toList
+      finally listing.close()
     stale.foreach(p => Files.deleteIfExists(p))
   }
 
@@ -208,6 +210,11 @@ object BloomIndex {
     val p = manifestPath(tablePath, colName)
     val n =
       if (!Files.isRegularFile(p)) 0
+      // a pre-shard sidecar stored the WHOLE files→filter map at this
+      // path (~100 KB/file); parsing it just to find no numShards key
+      // would be the exact driver-side load sharding removed. The real
+      // manifest is <100 bytes — anything big is legacy: keep-all.
+      else if (Files.size(p) > (1L << 16)) 0
       else {
         val m = mapper.readValue(Files.readAllBytes(p),
           classOf[java.util.Map[String, Object]])

@@ -259,9 +259,10 @@ object Features {
     //  - larger: shuffle join, with a byte-capped Bloom prune (16 MB ≈
     //    1.3×10⁷ keys at 1% fp) killing non-closing wedges before the
     //    exchange; past the cap the filter degrades (cap-sized, fpp ≤
-    //    25%) and past ~10⁸ edges it is skipped — the closing equi
-    //    join is exact without it, so scale costs the optimization,
-    //    never the answer or the driver.
+    //    25%) and past ~4.7×10⁷ edges (where the capped fpp crosses
+    //    25%) it is skipped — the closing equi join is exact without
+    //    it, so scale costs the optimization, never the answer or the
+    //    driver.
     val nEdges = oriented.count()
     // conf-tunable so specs can force the shuffle+Bloom path on small
     // graphs; 2M packed longs ≈ 16 MB broadcast, a comfortable default

@@ -33,10 +33,15 @@ class NullInputSpec extends AnyFunSuite {
       .foreach { f =>
         val name = java.nio.file.Paths.get(f).getFileName.toString
         val t = spark.read.parquet(f)
-        val masked = t.columns.foldLeft(t) { (d, c) =>
-          if (keyCols(c)) d
-          else d.withColumn(c,
-            when(rand(42) < 0.3, lit(null)).otherwise(col(c)))
+        // per-column seeds: identical seeds would null every column on
+        // the SAME rows, never producing the partially-null rows
+        // (null value + live type, null embedding + live label) that
+        // are the actual dirty-feed shape
+        val masked = t.columns.zipWithIndex.foldLeft(t) {
+          case (d, (c, i)) =>
+            if (keyCols(c)) d
+            else d.withColumn(c,
+              when(rand(42 + i) < 0.3, lit(null)).otherwise(col(c)))
         }
         masked.coalesce(1).write.parquet(s"$dir/tmp_$name")
         val part = Files.list(java.nio.file.Paths.get(s"$dir/tmp_$name"))
