@@ -864,7 +864,155 @@ object Dedup {
       |WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
       |ORDER BY new_id, dup_of""".stripMargin
 
+  // ---- SemDeDup: cluster-then-prune semantic dedup ---------------------
+
+  /** SemDeDup ([EXT]; Abbas et al., "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication", arXiv:2303.09540):
+    * embedding-space dedup that never computes a corpus×corpus matrix —
+    * vectors are first CLUSTERED, pairwise cosine runs only WITHIN a
+    * cluster, and each duplicate group keeps the member FARTHEST from
+    * its cluster centroid (the paper's low-centroid-similarity rule:
+    * retain the least-prototypical example, maximizing diversity).
+    * Distinct from [[graft.ops.Similarity.q44EmbeddingNearDup]] (exact
+    * global pair list) and [[q141ClusterCanonical]] (lexical clusters,
+    * richest-doc keeper): this is the end-to-end corpus keep/prune
+    * DECISION on embedding geometry.
+    *
+    * The quantizer here is sign-random-projection (Charikar, STOC 2002)
+    * over [[SemDedupBits]] fixed ±1 hyperplanes — deterministic and
+    * exactly SQL-expressible, which is what lets the WHOLE pipeline
+    * (cells → centroids → dup graph → components → survivors) gate
+    * hash-exact against the oracle instead of by ε-witness; the
+    * paper's k-means quantizer is [[Similarity.q55AnnIvf]]'s sample-fit
+    * machinery and slots in unchanged (cells are opaque ids downstream).
+    *
+    * Scale design (the paper's own web-scale story): cluster count is
+    * the knob — 2^bits grows with the corpus so per-cell population
+    * stays ~constant and total in-cell pairwise work stays linear; the
+    * only corpus-sized shuffle is keyed on cell, centroids are a
+    * 2^bits-row broadcast, and the component loop runs on the dup
+    * graph (duplicate-density-sized, not corpus-sized). Numeric
+    * determinism: per-dimension centroid sums quantize to
+    * DECIMAL(28,9) BEFORE summing (addition order independent in both
+    * engines — the SCALE.md decimal rule); every cosine rounds to
+    * 6 dp; ties break on vec_id.
+    */
+  val SemDedupBits = 3
+  val SemDedupTau = 0.42
+  private val SemDedupDims = 64
+
+  /** ±1 hyperplane weights, shared verbatim with the SQL oracle. */
+  private def semWeights: IndexedSeq[IndexedSeq[Double]] =
+    (0 until SemDedupBits).map(j =>
+      (0 until SemDedupDims).map(i => Similarity.planeSign(j, i)))
+
+  def q180SemDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions.{cosine_similarity, dot_product}
+    val w = semWeights
+    val vecs = embeddings(s, dir)
+      // null embeddings have no geometry — excluded, as in q44/q45
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def proj(j: Int): Column = round(dot_product(col("v"),
+      array(w(j).map(lit): _*)), 6)
+    // cell assignment is row-local codegen (dot against literal
+    // hyperplanes); the frame feeds four consumers (centroid sums,
+    // both pair sides, scoring) — cut the plan once
+    val cells = vecs.withColumn("cell",
+      (0 until SemDedupBits).map(j =>
+        when(proj(j) >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _))
+      .localCheckpoint()
+    // per-cell component sums as exact decimals: 64 map-side-combinable
+    // aggregates, no explode — the exchange carries 2^bits × 64 decimals
+    val aggs = (0 until SemDedupDims).map(i =>
+      sum(round(element_at(col("v"), i + 1), 9).cast("decimal(28,9)"))
+        .as(s"s$i"))
+    val cent = cells.groupBy("cell").agg(aggs.head, aggs.tail: _*)
+      .select(col("cell"),
+        array((0 until SemDedupDims).map(i =>
+          col(s"s$i").cast("double")): _*).as("sv"))
+    // cos(v, centroid) computed against the exact decimal SUM vector:
+    // Σu is parallel to the mean (centroid = Σu/n, n > 0), so
+    // cos(v, Σu) IS cos(v, centroid) and no decimal division is ever
+    // needed
+    val norm = sqrt(dot_product(col("v"), col("v")))
+    val snorm = sqrt(dot_product(col("sv"), col("sv")))
+    val scored = cells.join(broadcast(cent), "cell")
+      .withColumn("cos_centroid",
+        round(when(norm > 0 && snorm > 0,
+          dot_product(col("v"), col("sv")) / (norm * snorm))
+          .otherwise(lit(0.0)), 6))
+      .select(col("vec_id"), col("cell"), col("cos_centroid"))
+    val pairs = cells.as("a")
+      .join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(cosine_similarity(col("a.v"), col("b.v")), 6)
+        >= SemDedupTau)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+    val labels = connectedComponents(
+      cells.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    // duplicate groups are duplication-depth-sized — the window never
+    // sees an unbounded partition
+    val byCentrality = Window.partitionBy("cluster_id")
+      .orderBy(col("cos_centroid"), col("vec_id"))
+    scored.join(labels, "vec_id")
+      .withColumn("kept", row_number().over(byCentrality) === 1)
+      .select(col("vec_id"), col("cell"), col("cluster_id"),
+        col("cos_centroid"), col("kept"))
+      .orderBy("vec_id")
+  }
+
+  val q180Oracle: String = {
+    val w = semWeights
+    def lst(xs: Seq[Double]): String =
+      xs.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val cellExpr = (0 until SemDedupBits).map(j =>
+      s"(CASE WHEN round(list_inner_product(v, ${lst(w(j))}), 6) >= 0" +
+        s" THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val sumCols = (0 until SemDedupDims).map(i =>
+      s"sum(CAST(round(v[${i + 1}], 9) AS DECIMAL(28,9))) AS s$i")
+      .mkString(", ")
+    val svExpr = (0 until SemDedupDims).map(i => s"CAST(s$i AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    s"""WITH RECURSIVE e AS (
+      | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      | FROM embeddings WHERE embedding IS NOT NULL),
+      |cells AS (SELECT vec_id, v, CAST($cellExpr AS BIGINT) AS cell FROM e),
+      |sums AS (SELECT cell, $sumCols FROM cells GROUP BY cell),
+      |cent AS (SELECT cell, $svExpr AS sv FROM sums),
+      |scored AS (SELECT c.vec_id, c.cell,
+      |  round(CASE WHEN sqrt(list_inner_product(c.v, c.v)) > 0
+      |         AND sqrt(list_inner_product(t.sv, t.sv)) > 0
+      |    THEN list_inner_product(c.v, t.sv)
+      |         / (sqrt(list_inner_product(c.v, c.v))
+      |            * sqrt(list_inner_product(t.sv, t.sv)))
+      |    ELSE 0.0 END, 6) AS cos_centroid
+      | FROM cells c JOIN cent t ON c.cell = t.cell),
+      |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+      |      FROM cells a JOIN cells b
+      |        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |      WHERE round(list_cosine_similarity(a.v, b.v), 6)
+      |        >= $SemDedupTau),
+      |ed AS (SELECT id1 AS src, id2 AS dst FROM p
+      |       UNION ALL SELECT id2, id1 FROM p),
+      |reach(root, node) AS (
+      |  SELECT vec_id, vec_id FROM cells
+      |  UNION
+      |  SELECT r.root, ed.dst FROM reach r JOIN ed ON r.node = ed.src),
+      |labels AS (SELECT root AS vec_id, min(node) AS cluster_id
+      |           FROM reach GROUP BY root),
+      |ranked AS (SELECT s.vec_id, s.cell, l.cluster_id, s.cos_centroid,
+      |  row_number() OVER (PARTITION BY l.cluster_id
+      |      ORDER BY s.cos_centroid, s.vec_id) AS rn
+      | FROM scored s JOIN labels l ON s.vec_id = l.vec_id)
+      |SELECT vec_id, cell, cluster_id, cos_centroid, (rn = 1) AS kept
+      |FROM ranked ORDER BY vec_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_semdedup" -> (q180SemDedup _),
     "q153_incremental_lsh" -> (q153IncrementalLsh _),
     "q147_er_blocking" -> (q147ErBlocking _),
     "q119_leakage_split" -> (q119LeakageSplit _),
@@ -881,6 +1029,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "q180_semdedup" -> q180Oracle,
     "q153_incremental_lsh" -> q153Oracle,
     "q119_leakage_split" -> q119Oracle,
     "q147_er_blocking" -> q147Oracle,

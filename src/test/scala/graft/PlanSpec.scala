@@ -48,6 +48,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q180: semdedup pairs join on cell keys and centroids broadcast — " +
+      "never a nested loop") {
+    val plan = planOf(graft.ops.Dedup.q180SemDedup(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the 2^bits-row centroid table must broadcast, not shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q75: band join executes as an equi join on bucket, never a nested loop") {
     val plan = planOf(graft.ops.EventsOps.q75BandJoin(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
