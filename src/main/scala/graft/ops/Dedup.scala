@@ -902,27 +902,44 @@ object Dedup {
   private val SemDedupDims = 64
 
   /** ±1 hyperplane weights, shared verbatim with the SQL oracle. */
-  private def semWeights: IndexedSeq[IndexedSeq[Double]] =
-    (0 until SemDedupBits).map(j =>
+  private def semWeights(bits: Int): IndexedSeq[IndexedSeq[Double]] =
+    (0 until bits).map(j =>
       (0 until SemDedupDims).map(i => Similarity.planeSign(j, i)))
 
-  def q180SemDedup(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorExpressions.{cosine_similarity, dot_product}
-    val w = semWeights
+  /** Corpus with its quantizer cell per vector, plan cut once (the
+    * frame feeds centroid sums, both pair sides, and scoring). `bits`
+    * is THE scale knob: 2^bits cells, per-cell population n/2^bits,
+    * in-cell candidate volume Σ C(|cell|,2) ≈ n²/2^(bits+1) — grow
+    * bits with log₂ n and total pairwise work stays linear, which is
+    * the measured counterpart of q67's simhash band width rule.
+    */
+  private[graft] def semCells(s: SparkSession, dir: String,
+      bits: Int): DataFrame = {
+    import graft.functions.VectorExpressions.dot_product
+    val w = semWeights(bits)
     val vecs = embeddings(s, dir)
       // null embeddings have no geometry — excluded, as in q44/q45
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     def proj(j: Int): Column = round(dot_product(col("v"),
       array(w(j).map(lit): _*)), 6)
-    // cell assignment is row-local codegen (dot against literal
-    // hyperplanes); the frame feeds four consumers (centroid sums,
-    // both pair sides, scoring) — cut the plan once
-    val cells = vecs.withColumn("cell",
-      (0 until SemDedupBits).map(j =>
+    vecs.withColumn("cell",
+      (0 until bits).map(j =>
         when(proj(j) >= 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _))
       .localCheckpoint()
+  }
+
+  def q180SemDedup(s: SparkSession, dir: String): DataFrame =
+    semDedupDecide(s, dir, SemDedupBits)
+
+  /** The keep/prune decision at a given quantizer granularity; q180
+    * gates the bits=3 point, SemDedupSpec exercises the knob.
+    */
+  private[graft] def semDedupDecide(s: SparkSession, dir: String,
+      bits: Int): DataFrame = {
+    import graft.functions.VectorExpressions.{cosine_similarity, dot_product}
+    val cells = semCells(s, dir, bits)
     // per-cell component sums as exact decimals: 64 map-side-combinable
     // aggregates, no explode — the exchange carries 2^bits × 64 decimals
     val aggs = (0 until SemDedupDims).map(i =>
@@ -944,15 +961,45 @@ object Dedup {
           dot_product(col("v"), col("sv")) / (norm * snorm))
           .otherwise(lit(0.0)), 6))
       .select(col("vec_id"), col("cell"), col("cos_centroid"))
-    val pairs = cells.as("a")
-      .join(cells.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .filter(round(cosine_similarity(col("a.v"), col("b.v")), 6)
+    // In-cell pairwise, sub-blocked q44-style: the cell key alone has
+    // only 2^bits distinct values, so once per-cell population exceeds
+    // task size the join would run on ≤2^bits tasks with quadratic
+    // per-task work (measured: 73× wall for 10× data at bits=3).
+    // Splitting each cell into ~512-vector blocks and enumerating the
+    // block-pair grid caps per-task work regardless of how far behind
+    // the corpus the quantizer granularity lags; at gate SF the grid
+    // is a single (0,0) pair and the plan degenerates to the plain
+    // cell join. The pair list persists because the component loop
+    // consumes it twice per round — unpersisted, every round re-ran
+    // the cosine join (measured: 786 s at sf1; persisted + blocked:
+    // the join runs once, in parallel).
+    val n = cells.count() // checkpointed frame — metadata-cheap
+    val blocks = math.max(1,
+      math.ceil(n.toDouble / (1L << bits) / 512.0).toInt)
+    val gridRows = for (i <- 0 until blocks; j <- i until blocks)
+      yield (i, j)
+    val grid = broadcast(s.createDataFrame(gridRows).toDF("p1", "p2"))
+    val blocked = cells.withColumn("blk",
+      pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int"))
+    val aSide = blocked.join(grid, col("blk") === col("p1"))
+      .select(col("cell"), col("p1"), col("p2"),
+        col("vec_id").as("ida"), col("v").as("va"))
+    val bSide = blocked.join(grid, col("blk") === col("p2"))
+      .select(col("cell"), col("p1"), col("p2"),
+        col("vec_id").as("idb"), col("v").as("vb"))
+    val pairs = aSide.join(bSide, Seq("cell", "p1", "p2"))
+      // a cross-block pair meets in exactly one grid cell (block id is
+      // a function of vec_id); diagonal cells order by id
+      .filter(col("p1") =!= col("p2") || col("ida") < col("idb"))
+      .filter(round(cosine_similarity(col("va"), col("vb")), 6)
         >= SemDedupTau)
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val labels = connectedComponents(
       cells.select(col("vec_id").as("doc_id")), pairs)
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    pairs.unpersist()
     // duplicate groups are duplication-depth-sized — the window never
     // sees an unbounded partition
     val byCentrality = Window.partitionBy("cluster_id")
@@ -965,7 +1012,7 @@ object Dedup {
   }
 
   val q180Oracle: String = {
-    val w = semWeights
+    val w = semWeights(SemDedupBits)
     def lst(xs: Seq[Double]): String =
       xs.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
     val cellExpr = (0 until SemDedupBits).map(j =>

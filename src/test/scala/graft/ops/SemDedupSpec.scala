@@ -81,6 +81,32 @@ class SemDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("quantizer bits is the scale knob: more cells collapse the " +
+      "in-cell candidate volume, and the keeper invariant holds at " +
+      "any granularity") {
+    import org.apache.spark.sql.functions._
+    def candVolume(bits: Int): Long =
+      Dedup.semCells(spark, sf, bits)
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) DIV 2"))).head().getLong(0)
+    val v3 = candVolume(3)
+    val v6 = candVolume(6)
+    assert(v6 * 2 < v3,
+      s"bits 3→6 must at least halve candidates, got $v3 → $v6")
+    // the decision machinery is granularity-independent: one keeper
+    // per cluster, least-prototypical member wins, at bits=6 too
+    val out6 = Dedup.semDedupDecide(spark, sf, 6).collect().map { r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Double]("cos_centroid"), r.getAs[Boolean]("kept"))
+    }
+    assert(out6.length === 500)
+    out6.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.count(_._4) === 1, s"cluster $cid keeper count")
+      val expected = members.minBy(m => (m._3, m._1))
+      assert(members.filter(_._4).head._1 === expected._1)
+    }
+  }
+
   test("the decision is deterministic across independent runs") {
     val again = Dedup.q180SemDedup(spark, sf).collect().map { r =>
       (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
