@@ -6,7 +6,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only: per-stage timing of q180 semdedup at a given SF dir. */
+/** Dev-only: per-stage timing of q180 semdedup at a given SF dir.
+  * Every pipeline constant and the pair-list plan come from
+  * [[graft.ops.Dedup]] (SemDedupBits, semBlocks, semPairList) so a
+  * retune of the production path can't leave this profiler measuring
+  * a stale configuration.
+  */
 object ProfileSem {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -17,43 +22,19 @@ object ProfileSem {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def countDeps(rdd: org.apache.spark.rdd.RDD[_]): Int = {
-      var n = 0
-      val seen = scala.collection.mutable.Set.empty[Int]
-      def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
-        if (seen.add(r.id)) { n += 1; r.dependencies.foreach(d => walk(d.rdd)) }
-      walk(rdd); n
-    }
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
       println(f"PROF $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    import graft.functions.VectorExpressions.cosine_similarity
-    val bits = 3
+    val bits = graft.ops.Dedup.SemDedupBits
     val cells = time("cells")(graft.ops.Dedup.semCells(spark, sfDir, bits))
     val n = time("count")(cells.count())
     println(s"PROF n=$n")
-    val blocks = math.max(1,
-      math.ceil(n.toDouble / (1L << bits) / 512.0).toInt)
+    val blocks = time("semBlocks")(graft.ops.Dedup.semBlocks(cells))
     println(s"PROF blocks=$blocks")
-    val gridRows = for (i <- 0 until blocks; j <- i until blocks)
-      yield (i, j)
-    val grid = broadcast(spark.createDataFrame(gridRows).toDF("p1", "p2"))
-    val blocked = cells.withColumn("blk",
-      pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int"))
-    val aSide = blocked.join(grid, col("blk") === col("p1"))
-      .select(col("cell"), col("p1"), col("p2"),
-        col("vec_id").as("ida"), col("v").as("va"))
-    val bSide = blocked.join(grid, col("blk") === col("p2"))
-      .select(col("cell"), col("p1"), col("p2"),
-        col("vec_id").as("idb"), col("v").as("vb"))
-    val pairs = aSide.join(bSide, Seq("cell", "p1", "p2"))
-      .filter(col("p1") =!= col("p2") || col("ida") < col("idb"))
-      .filter(round(cosine_similarity(col("va"), col("vb")), 6) >= 0.42)
-      .select(least(col("ida"), col("idb")).as("id1"),
-        greatest(col("ida"), col("idb")).as("id2"))
+    val pairs = graft.ops.Dedup.semPairList(spark, cells, blocks)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val np = time("pairs materialize")(pairs.count())
     println(s"PROF pairs=$np")

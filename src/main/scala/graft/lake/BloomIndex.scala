@@ -226,6 +226,21 @@ object BloomIndex {
     new Handle(tablePath, colName, n)
   }
 
+  /** Write ONE shard file without touching the manifest — the crash
+    * spec's injection point for a rebuild that died mid-shard-writes
+    * (torn shard content under the old manifest) or mid-stale-GC
+    * (an orphan shard ≥ the new manifest's count).
+    */
+  private[lake] def writeLocalShard(tablePath: String, colName: String,
+      k: Int, blooms: Map[String, BloomFilter]): Unit = {
+    val enc = blooms.map { case (f, b) =>
+      val out = new java.io.ByteArrayOutputStream()
+      b.writeTo(out)
+      f -> java.util.Base64.getEncoder.encodeToString(out.toByteArray)
+    }
+    atomicWrite(shardPath(tablePath, colName, k), shardJson(enc))
+  }
+
   /** Driver-side index write for synthetic fixtures (spec-sized
     * tables where spinning a Spark job per case would dominate the
     * suite). Same shard layout and manifest as [[build]].

@@ -883,8 +883,10 @@ object Dedup {
     * exactly SQL-expressible, which is what lets the WHOLE pipeline
     * (cells → centroids → dup graph → components → survivors) gate
     * hash-exact against the oracle instead of by ε-witness; the
-    * paper's k-means quantizer is [[Similarity.q55AnnIvf]]'s sample-fit
-    * machinery and slots in unchanged (cells are opaque ids downstream).
+    * paper's k-means quantizer is implemented too ([[semCellsKmeans]],
+    * q55's sample-fit machinery feeding the same [[semDedupFrom]]
+    * decision — cells are opaque ids downstream) and gates by
+    * SemDedupSpec's invariant witness, since Lloyd's isn't SQL-exact.
     *
     * Scale design (the paper's own web-scale story): cluster count is
     * the knob — 2^bits grows with the corpus so per-cell population
@@ -899,6 +901,9 @@ object Dedup {
     */
   val SemDedupBits = 3
   val SemDedupTau = 0.42
+  /** Target vectors per pairwise block — per-task candidate work is
+    * ≤ SemDedupBlockSize², whatever the corpus or skew does. */
+  private[graft] val SemDedupBlockSize = 512
   private val SemDedupDims = 64
 
   /** ±1 hyperplane weights, shared verbatim with the SQL oracle. */
@@ -930,6 +935,89 @@ object Dedup {
       .localCheckpoint()
   }
 
+  /** K-means variant of the quantizer — the paper's own choice
+    * (arXiv:2303.09540 §3 clusters with k-means; the fixed-hyperplane
+    * gate exists because it is SQL-exact). Cells are Lloyd-fit on a
+    * bounded hash-ordered sample — exactly the q55 IVF sample-fit
+    * protocol ([[Similarity.lloydFit]], ≤256·k collected rows, the
+    * metadata-sized-driver-state class) — and every vector assigns to
+    * its nearest centroid (the documented UDF exception: per-row
+    * argmin over a driver-fit matrix). The fit is iterative floating
+    * point, so this path gates by spec-level witness (SemDedupSpec's
+    * invariant battery over [[semDedupFrom]]) rather than the DuckDB
+    * hash; everything downstream of the cell column is byte-identical
+    * to the q180 path.
+    */
+  private[graft] def semCellsKmeans(s: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val vecs = embeddings(s, dir)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val sample = vecs.withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h"), col("vec_id")).limit(256 * k)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    if (sample.isEmpty)
+      return vecs.withColumn("cell", lit(0L)).localCheckpoint()
+    val bc = s.sparkContext.broadcast(Similarity.lloydFit(sample, k, 10))
+    val assign = udf((v: Seq[Double]) => {
+      val a = v.toArray; val cs = bc.value
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        val d = Similarity.dist2(a, cs(c))
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      best.toLong
+    })
+    vecs.withColumn("cell", assign(col("v"))).localCheckpoint()
+  }
+
+  /** Block count for the in-cell pairwise grid, sized from the MAX
+    * per-cell population (one 2^bits-row groupBy-count over the
+    * checkpointed cells frame — metadata-cheap), not the average: with
+    * average-based sizing a skewed hot cell still received
+    * ~avg-per-block vectors per block and its tasks grew
+    * quadratically with the skew factor. Sizing from the hot cell
+    * bounds EVERY task at ~SemDedupBlockSize² candidate pairs no
+    * matter how the corpus distributes over cells; cold cells just
+    * contribute near-empty grid tasks, which cost scheduling, not
+    * compute.
+    */
+  private[graft] def semBlocks(cells: DataFrame): Int = {
+    val maxCell = cells.groupBy("cell").count()
+      .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
+    math.max(1, math.ceil(maxCell.toDouble / SemDedupBlockSize).toInt)
+  }
+
+  /** The τ-thresholded in-cell candidate pair list (unpersisted plan):
+    * each cell splits into `blocks` hash-blocks of its vectors, the
+    * broadcast (p1 ≤ p2) grid enumerates block pairs, and a cross-block
+    * pair meets in exactly one grid cell because the block id is a
+    * function of vec_id; diagonal cells order by id. Shared by
+    * [[semDedupDecide]] and the dev profiler so the two can't drift.
+    */
+  private[graft] def semPairList(s: SparkSession, cells: DataFrame,
+      blocks: Int): DataFrame = {
+    import graft.functions.VectorExpressions.cosine_similarity
+    val gridRows = for (i <- 0 until blocks; j <- i until blocks)
+      yield (i, j)
+    val grid = broadcast(s.createDataFrame(gridRows).toDF("p1", "p2"))
+    val blocked = cells.withColumn("blk",
+      pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int"))
+    val aSide = blocked.join(grid, col("blk") === col("p1"))
+      .select(col("cell"), col("p1"), col("p2"),
+        col("vec_id").as("ida"), col("v").as("va"))
+    val bSide = blocked.join(grid, col("blk") === col("p2"))
+      .select(col("cell"), col("p1"), col("p2"),
+        col("vec_id").as("idb"), col("v").as("vb"))
+    aSide.join(bSide, Seq("cell", "p1", "p2"))
+      .filter(col("p1") =!= col("p2") || col("ida") < col("idb"))
+      .filter(round(cosine_similarity(col("va"), col("vb")), 6)
+        >= SemDedupTau)
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"))
+  }
+
   def q180SemDedup(s: SparkSession, dir: String): DataFrame =
     semDedupDecide(s, dir, SemDedupBits)
 
@@ -937,9 +1025,18 @@ object Dedup {
     * gates the bits=3 point, SemDedupSpec exercises the knob.
     */
   private[graft] def semDedupDecide(s: SparkSession, dir: String,
-      bits: Int): DataFrame = {
-    import graft.functions.VectorExpressions.{cosine_similarity, dot_product}
-    val cells = semCells(s, dir, bits)
+      bits: Int): DataFrame =
+    semDedupFrom(s, semCells(s, dir, bits))
+
+  /** The decision over an ARBITRARY quantization: `cells` must carry
+    * (vec_id, v, cell) — cell ids are opaque downstream, which is what
+    * lets the paper's k-means quantizer ([[semCellsKmeans]], q55's
+    * sample-fit machinery) slot in for the fixed-hyperplane one with
+    * no change to centroids, pairing, components, or the keeper rule.
+    */
+  private[graft] def semDedupFrom(s: SparkSession,
+      cells: DataFrame): DataFrame = {
+    import graft.functions.VectorExpressions.dot_product
     // per-cell component sums as exact decimals: 64 map-side-combinable
     // aggregates, no explode — the exchange carries 2^bits × 64 decimals
     val aggs = (0 until SemDedupDims).map(i =>
@@ -965,36 +1062,14 @@ object Dedup {
     // only 2^bits distinct values, so once per-cell population exceeds
     // task size the join would run on ≤2^bits tasks with quadratic
     // per-task work (measured: 73× wall for 10× data at bits=3).
-    // Splitting each cell into ~512-vector blocks and enumerating the
-    // block-pair grid caps per-task work regardless of how far behind
-    // the corpus the quantizer granularity lags; at gate SF the grid
-    // is a single (0,0) pair and the plan degenerates to the plain
-    // cell join. The pair list persists because the component loop
-    // consumes it twice per round — unpersisted, every round re-ran
-    // the cosine join (measured: 786 s at sf1; persisted + blocked:
-    // the join runs once, in parallel).
-    val n = cells.count() // checkpointed frame — metadata-cheap
-    val blocks = math.max(1,
-      math.ceil(n.toDouble / (1L << bits) / 512.0).toInt)
-    val gridRows = for (i <- 0 until blocks; j <- i until blocks)
-      yield (i, j)
-    val grid = broadcast(s.createDataFrame(gridRows).toDF("p1", "p2"))
-    val blocked = cells.withColumn("blk",
-      pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int"))
-    val aSide = blocked.join(grid, col("blk") === col("p1"))
-      .select(col("cell"), col("p1"), col("p2"),
-        col("vec_id").as("ida"), col("v").as("va"))
-    val bSide = blocked.join(grid, col("blk") === col("p2"))
-      .select(col("cell"), col("p1"), col("p2"),
-        col("vec_id").as("idb"), col("v").as("vb"))
-    val pairs = aSide.join(bSide, Seq("cell", "p1", "p2"))
-      // a cross-block pair meets in exactly one grid cell (block id is
-      // a function of vec_id); diagonal cells order by id
-      .filter(col("p1") =!= col("p2") || col("ida") < col("idb"))
-      .filter(round(cosine_similarity(col("va"), col("vb")), 6)
-        >= SemDedupTau)
-      .select(least(col("ida"), col("idb")).as("id1"),
-        greatest(col("ida"), col("idb")).as("id2"))
+    // Splitting each cell into blocks of ~SemDedupBlockSize vectors
+    // and enumerating the block-pair grid caps per-task work; at gate
+    // SF the grid is a single (0,0) pair and the plan degenerates to
+    // the plain cell join. The pair list persists because the
+    // component loop consumes it twice per round — unpersisted, every
+    // round re-ran the cosine join (measured: 786 s at sf1; persisted
+    // + blocked: the join runs once, in parallel).
+    val pairs = semPairList(s, cells, semBlocks(cells))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val labels = connectedComponents(
       cells.select(col("vec_id").as("doc_id")), pairs)

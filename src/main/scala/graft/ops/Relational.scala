@@ -921,6 +921,163 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  // ---- Correlated-subquery decorrelation gates (q181-q183) -----------
+  //
+  // These three queries are deliberately written as SQL text with
+  // correlated subqueries — NOT as hand-composed DataFrame joins — so
+  // they force Catalyst's decorrelation machinery
+  // (RewritePredicateSubquery / RewriteCorrelatedScalarSubquery /
+  // PullupCorrelatedPredicates) through the hash gate. At 100 TB a
+  // per-row subquery re-execution is a nonstarter; the only acceptable
+  // physical shape is the decorrelated one — semi/anti/left-outer
+  // joins keyed on the correlation columns, each a single shuffle (or
+  // broadcast) instead of N subquery scans. PlanSpec asserts exactly
+  // that: no subquery nodes survive into the executed plan and the
+  // rewrite produced the expected join types.
+  //
+  // Cross-engine determinism: every threshold compares against sums /
+  // averages of INTEGER-VALUED doubles (l_quantity is 1..50), which
+  // are exact in IEEE double for any summation order in both engines,
+  // so `<`/`>` boundaries cannot flip between Spark and DuckDB.
+
+  /** Registers the base tables as session temp views with a
+    * query-scoped prefix, so concurrently-defined SQL gates can't
+    * clobber each other's names and a later call with a different
+    * `dir` re-points the views before the plan is built.
+    */
+  private def sqlViews(s: SparkSession, dir: String, prefix: String,
+      names: String*): Unit =
+    names.foreach(n => graft.Tables.table(s, dir, n)
+      .createOrReplaceTempView(s"${prefix}_$n"))
+
+  /** Suppliers-who-kept-orders-waiting (TPC-H Q21 shape; adapted to
+    * this schema: `l_returnflag = 'R'` stands in for the missing
+    * `l_receiptdate > l_commitdate` "late" predicate): for finished
+    * orders with lines from MORE THAN ONE supplier, find the supplier
+    * whose line was returned while NO other supplier's line on the
+    * same order was — a multi EXISTS + NOT EXISTS on the same fact
+    * table, each correlated on `l_orderkey` with an additional
+    * NON-equality correlated predicate (`l2.l_suppkey <> l1.l_suppkey`).
+    * Catalyst must rewrite the EXISTS to a left-semi and the NOT
+    * EXISTS to a left-anti join, carrying the non-equi predicate into
+    * the join condition; both joins key on l_orderkey, so the fact
+    * table shuffles once per subquery on its natural key and the
+    * per-group semantics cost no window or per-row rescan.
+    */
+  def q181WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    sqlViews(s, dir, "q181", "supplier", "lineitem", "orders", "nation")
+    s.sql(
+      """SELECT n_name, s_name, count(*) AS numwait
+        |FROM q181_supplier
+        |JOIN q181_lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN q181_orders ON o_orderkey = l1.l_orderkey
+        |JOIN q181_nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM q181_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM q181_lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY n_name, s_name
+        |ORDER BY numwait DESC, n_name, s_name""".stripMargin)
+  }
+
+  val q181Oracle: String =
+    """SELECT n_name, s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY n_name, s_name
+      |ORDER BY numwait DESC, n_name, s_name""".stripMargin
+
+  /** Small-quantity-order revenue (TPC-H Q17 shape, per-brand): lines
+    * whose quantity is below 20% of the per-part average quantity — a
+    * SCALAR correlated subquery (`avg` over the same fact table,
+    * correlated on `l_partkey`) in the WHERE clause. Decorrelated
+    * shape: ONE extra aggregate of lineitem grouped by l_partkey,
+    * joined back on the part key — O(n) + one shuffle, vs O(n·parts)
+    * for naive per-row evaluation. The 0.2·avg threshold is exact
+    * cross-engine: quantities are integer-valued, so sum and count
+    * (hence avg) are order-independent IEEE doubles, and 0.2·avg is
+    * the same one multiplication in both engines.
+    */
+  def q182SmallQuantityRevenue(s: SparkSession, dir: String): DataFrame = {
+    sqlViews(s, dir, "q182", "lineitem", "part")
+    s.sql(
+      """SELECT p_brand,
+        | round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        | count(*) AS n_small
+        |FROM q182_lineitem
+        |JOIN q182_part ON p_partkey = l_partkey
+        |WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM q182_lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+  }
+
+  val q182Oracle: String =
+    """SELECT p_brand,
+      | round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+      | count(*) AS n_small
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+      |                    FROM lineitem l2
+      |                    WHERE l2.l_partkey = p_partkey)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** Dominant-supplier detection (TPC-H Q20 shape; partsupp doesn't
+    * exist in this schema, so "availability" becomes shipped volume):
+    * suppliers that shipped MORE THAN 20% of some part's total
+    * quantity (the sole-supplier bar is empty at every test SF; 20%
+    * is dominance against the ~1/suppliers expected share and is
+    * non-empty at sf0.001/0.01/0.1 alike) — an IN subquery whose body contains a correlated
+    * SCALAR subquery in the HAVING clause (correlated on the grouping
+    * column `l_partkey`). Two nested decorrelations: the inner scalar
+    * becomes a per-part total joined to the (part, supplier) aggregate
+    * on l_partkey; the outer IN becomes a left-semi join on s_suppkey.
+    * 0.2·sum compares identically cross-engine: the sums are exact
+    * integer-valued doubles, and both engines evaluate the same
+    * literal·double product.
+    */
+  def q183DominantSuppliers(s: SparkSession, dir: String): DataFrame = {
+    sqlViews(s, dir, "q183", "supplier", "lineitem")
+    s.sql(
+      """SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+        |FROM q183_supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l1.l_suppkey FROM q183_lineitem l1
+        |  GROUP BY l1.l_partkey, l1.l_suppkey
+        |  HAVING sum(l1.l_quantity) > (SELECT 0.2 * sum(l2.l_quantity)
+        |                               FROM q183_lineitem l2
+        |                               WHERE l2.l_partkey = l1.l_partkey))
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  val q183Oracle: String =
+    """SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l1.l_suppkey FROM lineitem l1
+      |  GROUP BY l1.l_partkey, l1.l_suppkey
+      |  HAVING sum(l1.l_quantity) > (SELECT 0.2 * sum(l2.l_quantity)
+      |                               FROM lineitem l2
+      |                               WHERE l2.l_partkey = l1.l_partkey))
+      |ORDER BY s_suppkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q174_argmin_join" -> (q174ArgminJoin _),
     "q148_skyline" -> (q148Skyline _),
@@ -951,7 +1108,10 @@ object Relational {
     "q70_nation_coverage" -> (q70NationCoverage _),
     "q79_grouping_sets" -> (q79GroupingSets _),
     "q86_topk_operator" -> (q86TopKOperator _),
-    "q87_bloom_pruned_join" -> (q87BloomPrunedJoin _)
+    "q87_bloom_pruned_join" -> (q87BloomPrunedJoin _),
+    "q181_waiting_suppliers" -> (q181WaitingSuppliers _),
+    "q182_small_qty_revenue" -> (q182SmallQuantityRevenue _),
+    "q183_dominant_suppliers" -> (q183DominantSuppliers _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -984,6 +1144,9 @@ object Relational {
     "q70_nation_coverage" -> q70Oracle,
     "q79_grouping_sets" -> q79Oracle,
     "q86_topk_operator" -> q8Oracle,
-    "q87_bloom_pruned_join" -> q87Oracle
+    "q87_bloom_pruned_join" -> q87Oracle,
+    "q181_waiting_suppliers" -> q181Oracle,
+    "q182_small_qty_revenue" -> q182Oracle,
+    "q183_dominant_suppliers" -> q183Oracle
   )
 }

@@ -276,7 +276,7 @@ object Similarity {
   val IvfSampleFactor = 256
   val IvfIters = 10
 
-  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+  private[graft] def dist2(a: Array[Double], b: Array[Double]): Double = {
     var d = 0.0; var i = 0
     while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
     d

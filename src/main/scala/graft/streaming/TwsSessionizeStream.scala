@@ -71,12 +71,97 @@ object TwsSessionizeStream {
     }
   }
 
+  /** The TWS pipeline over a parquet file-stream directory — shared by
+    * the one-shot gate ([[sessions]]) and the restart spec
+    * ([[runPass]]) so recovery is proven on the production plan, not a
+    * test replica.
+    */
+  private def pipeline(s: SparkSession, watchDir: String)
+      : org.apache.spark.sql.Dataset[Session] = {
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ms", LongType),
+      StructField("value", DoubleType), StructField("event_id", LongType)))
+    s.readStream.schema(schema).parquet(watchDir).as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** transformWithState requires the RocksDB state store; scope the
+    * provider switch (and a small shuffle width) to the enclosed run —
+    * HDFS-backed remains the default for the other streams.
+    */
+  private def withRocksDb[T](s: SparkSession)(f: => T): T = {
+    val prevProvider =
+      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(prevShuffle.toInt, 4).toString)
+    try f finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevProvider match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  /** One restartable pass: start the TWS query over `watchDir` against
+    * `ckpt`, drain everything currently available, and stop — the
+    * recovery spec's kill point. Sink is foreachBatch parquet-append
+    * (the memory sink refuses checkpoint recovery); a resumed pass
+    * must pick up both the source offsets AND the open-session
+    * ValueState from RocksDB for the union of pass outputs to match
+    * the single-run sessionizer.
+    */
+  private[streaming] def runPass(s: SparkSession, watchDir: String,
+      ckpt: String, outDir: String): Unit = withRocksDb(s) {
+    val q = pipeline(s, watchDir).writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[Session], _: Long) =>
+          df.toDF().write.mode("append").parquet(outDir): Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Drive the TWS query over the bounded events table; output shape
     * matches [[SessionizeStream.sessions]] exactly.
     */
   def sessions(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+    val watchDir = graft.Scratch.dir("graft_tws")
+    stageInput(s, dir, watchDir.toString + "/in", _ => lit(true))
 
+    val sessionized = pipeline(s, watchDir.toString + "/in")
+    val name = "graft_tws_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    withRocksDb(s) {
+      val q = sessionized.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        val result = s.table(name)
+          .withColumn("session_value",
+            col("session_value").cast("decimal(18,2)").cast("double"))
+          .orderBy("user_id", "session_seq")
+        result.cache().count()
+        result
+      } finally q.stop()
+    }
+  }
+
+  /** Stage the bounded events table (+ per-user end-of-stream
+    * sentinels) as the file-stream input, keeping only rows the
+    * predicate admits — the restart spec stages two disjoint
+    * time-split chunks into the same directory across its passes.
+    */
+  private[streaming] def stageInput(s: SparkSession, dir: String,
+      inDir: String, admit: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit = {
     val batch = graft.Tables.events(s, dir)
       .select(col("user_id"),
         unix_millis(col("ts").cast("timestamp")).as("ms"),
@@ -89,51 +174,9 @@ object TwsSessionizeStream {
     val sentinels = batch.select(col("user_id")).distinct()
       .select(col("user_id"), lit(maxMs + 2 * GapMs).as("ms"),
         lit(0.0).as("value"), lit(SentinelId).as("event_id"))
-    val watchDir = graft.Scratch.dir("graft_tws")
-    batch.unionByName(sentinels).coalesce(2)
-      .write.parquet(watchDir.toString + "/in")
-
-    val schema = StructType(Seq(
-      StructField("user_id", LongType), StructField("ms", LongType),
-      StructField("value", DoubleType), StructField("event_id", LongType)))
-    val events = s.readStream.schema(schema)
-      .parquet(watchDir.toString + "/in").as[Event]
-
-    val sessionized = events
-      .groupByKey(_.user_id)
-      .transformWithState(new SessionProcessor,
-        TimeMode.None(), OutputMode.Append())
-
-    // transformWithState requires the RocksDB state store; scope the
-    // provider switch to this query (HDFS-backed remains the default
-    // for the other streams)
-    val prevProvider =
-      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    s.conf.set("spark.sql.shuffle.partitions",
-      math.min(prevShuffle.toInt, 4).toString)
-    val name = "graft_tws_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = sessionized.writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    try {
-      q.processAllAvailable()
-      val result = s.table(name)
-        .withColumn("session_value",
-          col("session_value").cast("decimal(18,2)").cast("double"))
-        .orderBy("user_id", "session_seq")
-      result.cache().count()
-      result
-    } finally {
-      q.stop()
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      prevProvider match {
-        case Some(p) =>
-          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None =>
-          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
-    }
+    batch.unionByName(sentinels)
+      .filter(admit(col("ms")))
+      .coalesce(2)
+      .write.mode("append").parquet(inDir)
   }
 }

@@ -53,8 +53,44 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(graft.ops.Dedup.q180SemDedup(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
-    // the 2^bits-row centroid table must broadcast, not shuffle
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    // The CENTROID join specifically must broadcast: it is the only
+    // join keyed on [cell] alone (the block-grid joins key on blk/p1/p2
+    // and the pair join on cell+p1+p2), so a BroadcastHashJoin with
+    // both key lists exactly [cell#N] proves the 2^bits-row centroid
+    // table broadcast — a generic "some BroadcastHashJoin exists"
+    // would be satisfied by the grid join even if centroids regressed
+    // to a shuffle.
+    val centJoin = """BroadcastHashJoin \[cell#\d+L?\], \[cell#\d+L?\], Inner""".r
+    assert(centJoin.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("SortMergeJoin [cell#"), plan)
+  }
+
+  test("q181/q182/q183: correlated subqueries decorrelate to joins — " +
+      "no subquery execution survives in the physical plan") {
+    // q181 (Q21 shape): EXISTS → LeftSemi, NOT EXISTS → LeftAnti, both
+    // carrying the non-equality correlated predicate as join condition
+    val p181 = planOf(Relational.q181WaitingSuppliers(spark, sf))
+    assert(!p181.toLowerCase.contains("subquery"), p181)
+    assert(p181.contains("LeftSemi"), p181)
+    assert(p181.contains("LeftAnti"), p181)
+    assert(p181.contains("NOT (l_suppkey"), p181) // non-equi pred in the join
+    assert(!p181.contains("CartesianProduct"), p181)
+
+    // q182 (Q17 shape): the correlated scalar avg becomes ONE grouped
+    // aggregate of lineitem joined back on l_partkey — the `<`
+    // threshold rides the join condition, and no per-row subquery node
+    // remains
+    val p182 = planOf(Relational.q182SmallQuantityRevenue(spark, sf))
+    assert(!p182.toLowerCase.contains("subquery"), p182)
+    assert(p182.contains("avg(l_quantity)"), p182)
+    assert("""FileScan parquet""".r.findAllIn(p182).size <= 3, p182)
+
+    // q183 (Q20 shape): outer IN → LeftSemi on s_suppkey; inner
+    // correlated scalar in HAVING → per-part sum joined on l_partkey
+    val p183 = planOf(Relational.q183DominantSuppliers(spark, sf))
+    assert(!p183.toLowerCase.contains("subquery"), p183)
+    assert(p183.contains("LeftSemi"), p183)
+    assert(p183.contains("sum(l_quantity)"), p183)
   }
 
   test("q75: band join executes as an equi join on bucket, never a nested loop") {

@@ -38,6 +38,12 @@ class MiniLakeModelSpec extends AnyFunSuite {
   private case object Clone extends Op
   private case object Vacuum extends Op
   private case object Compact extends Op
+  // crash injections — the on-disk debris a writer leaves when it dies
+  // between its attempt-dir writes and the atomic log publish; the
+  // model is NOT updated, so any leak of the poison rows (or any
+  // application of the stranded DV) fails the snapshot/journal asserts
+  private case object CrashTorn extends Op
+  private case object CrashDv extends Op
 
   private val kvGen: Gen[(Long, String)] = for {
     k <- Gen.choose(0L, 20L)
@@ -58,7 +64,9 @@ class MiniLakeModelSpec extends AnyFunSuite {
     1 -> Gen.const(Materialize),
     1 -> Gen.const(Clone),
     1 -> Gen.const(Vacuum),
-    1 -> Gen.const(Compact))
+    1 -> Gen.const(Compact),
+    2 -> Gen.const(CrashTorn),
+    2 -> Gen.const(CrashDv))
 
   private def df(rows: Map[Long, String]) =
     rows.toSeq.toDF("key", "value")
@@ -155,6 +163,9 @@ class MiniLakeModelSpec extends AnyFunSuite {
       // references once the source rewrote them (see the race test)
       var clones = List.empty[(MiniLake, Map[Long, String], String)]
       val cloneDirs = scala.collection.mutable.ArrayBuffer[String]()
+      // attempt dirs stranded by injected crashes: must never influence
+      // a read, and must be reclaimed by the final zero-retention vacuum
+      val debris = scala.collection.mutable.ArrayBuffer[String]()
 
       ops.zipWithIndex.foreach { case (op, i) =>
         op match {
@@ -245,6 +256,29 @@ class MiniLakeModelSpec extends AnyFunSuite {
             // zero-retention vacuum may delete files a clone still
             // references (exactly Delta's hazard) — stop asserting them
             clones = Nil
+          case CrashTorn =>
+            // writer died after writing its data+changes attempt dirs
+            // for the NEXT version, before the log publish
+            val v = t.latestVersion + 1
+            val dDir = s"$dir/data/v=$v/w-crash$i"
+            val cDir = s"$dir/changes/v=$v/w-crash$i"
+            toDf(Map((100L + i) -> "poison")).coalesce(1).write.parquet(dDir)
+            toDf(Map((100L + i) -> "poison"))
+              .withColumn(MiniLake.ChangeType,
+                org.apache.spark.sql.functions.lit("insert"))
+              .coalesce(1).write.parquet(cDir)
+            debris += dDir += cDir
+          case CrashDv =>
+            // writer died between the DV sidecar write and the log
+            // entry; the sidecar targets physical rows of a LIVE file
+            t.liveFiles(t.latestVersion).headOption.foreach { f =>
+              val v = t.latestVersion + 1
+              val dvDir = s"$dir/dv/v=$v/w-crash$i"
+              Seq((f, 0L), (f, 1L))
+                .toDF(MiniLake.DvFileCol, MiniLake.DvPosCol)
+                .coalesce(1).write.parquet(dvDir)
+              debris += dvDir
+            }
           case Compact =>
             if (partitioned && model.nonEmpty && i % 2 == 0) {
               // partition-scoped OPTIMIZE of one modeled partition;
@@ -269,6 +303,24 @@ class MiniLakeModelSpec extends AnyFunSuite {
       assert(changes.sorted.toSeq === journal.sorted.toSeq,
         s"change feed diverged (run $run)")
       finalCheck(t, model)
+      // crash debris: invisible throughout (asserted per-op above),
+      // and reclaimed once a zero-retention vacuum runs
+      if (debris.nonEmpty) {
+        t.vacuum(retainMillis = 0L)
+        val leftover = debris.filter { d =>
+          val p = java.nio.file.Paths.get(d)
+          java.nio.file.Files.isDirectory(p) && {
+            val st = java.nio.file.Files.walk(p)
+            try st.anyMatch(q => q.toString.endsWith(".parquet"))
+            finally st.close()
+          }
+        }
+        assert(leftover.isEmpty,
+          s"crash debris survived vacuum (run $run): $leftover")
+        val snap = t.snapshot().select("key", "value")
+          .as[(Long, String)].collect().toMap
+        assert(snap === model, s"post-debris-vacuum snapshot (run $run)")
+      }
       cloneDirs.foreach(MiniLake.deleteRecursively)
       MiniLake.deleteRecursively(dir)
     }

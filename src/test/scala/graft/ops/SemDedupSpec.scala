@@ -107,6 +107,61 @@ class SemDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("k-means quantizer slots in: the paper's clusterer through the " +
+      "same decision pipeline upholds every invariant (witness gate — " +
+      "Lloyd's isn't SQL-exact)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorExpressions.cosine_similarity
+    val k = 8
+    val cells = Dedup.semCellsKmeans(spark, sf, k)
+    // the quantizer actually partitions: multiple cells, ids in [0, k)
+    val cellIds = cells.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(cellIds.length > 1 && cellIds.forall(c => c >= 0 && c < k))
+    val out = Dedup.semDedupFrom(spark, cells).collect().map { r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        r.getAs[Long]("cluster_id"), r.getAs[Double]("cos_centroid"),
+        r.getAs[Boolean]("kept"))
+    }
+    // same invariant battery the hyperplane gate passes:
+    assert(out.map(_._1).distinct.length === out.length)
+    assert(out.length === 500)
+    assert(out.count(!_._5) > 0, "k-means corpus must exercise the prune")
+    out.groupBy(_._3).foreach { case (cid, members) =>
+      assert(members.count(_._5) === 1, s"cluster $cid keeper count")
+      val expected = members.minBy(m => (m._4, m._1))
+      assert(members.filter(_._5).head._1 === expected._1)
+      assert(members.map(_._2).distinct.length === 1,
+        s"cluster $cid crosses k-means cells")
+    }
+    // τ-grounding: clusters are the connected components of the
+    // in-cell cosine-≥τ graph, recomputed independently by brute force
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cellOf = out.map(r => r._1 -> r._2).toMap
+    val pairs = vecs.as("a").join(vecs.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim",
+        round(cosine_similarity(col("a.v"), col("b.v")), 6))
+      .filter(col("sim") >= Dedup.SemDedupTau)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => cellOf(a) == cellOf(b) }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    out.foreach { case (id, _, cid, _, _) =>
+      assert(cid === find(id), s"vec $id component under k-means cells")
+    }
+  }
+
   test("the decision is deterministic across independent runs") {
     val again = Dedup.q180SemDedup(spark, sf).collect().map { r =>
       (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),

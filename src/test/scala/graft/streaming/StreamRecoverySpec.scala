@@ -144,6 +144,70 @@ class StreamRecoverySpec extends AnyFunSuite {
     graft.lake.MiniLake.deleteRecursively(base)
   }
 
+  test("restart from checkpoint recovers transformWithState RocksDB state " +
+      "(q161 TWS sessionizer killed and resumed mid-stream)") {
+    // Split the q161 input at a time cutoff: pass 1 sessionizes the
+    // early half and is STOPPED with sessions still open in the
+    // RocksDB ValueState; pass 2 is a NEW query over the SAME
+    // checkpoint that sees only the late half (+ sentinels). The union
+    // of the two passes' outputs can match the single-run sessionizer
+    // ONLY if pass 2 recovered both the source offsets and every
+    // open-session accumulator.
+    val sf = "/root/testdata/sf0.001"
+    val base = Files.createTempDirectory("graft_recover_tws").toString
+    val watch = s"$base/in"; Files.createDirectories(Paths.get(watch))
+    val ckpt = s"$base/ckpt"
+    val out = s"$base/out"; Files.createDirectories(Paths.get(out))
+
+    // Kill point = the median over times t1 where the SAME user has a
+    // next event t2 with 0 < t2−t1 ≤ gap: splitting at such a t1 cuts
+    // that user's session mid-flight, so pass 1 provably stops with
+    // open accumulators (a plain median event time can land in a
+    // global inactivity gap and test nothing). Sentinels clock past
+    // maxMs and land in pass 2 by construction.
+    val gap = SessionizeStream.GapMs
+    val cutoff = graft.Tables.events(spark, sf)
+      .select(col("user_id"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"))
+      .withColumn("nxt", lead("ms", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ms")))
+      .filter(col("nxt") > col("ms") && col("nxt") - col("ms") <= gap)
+      .agg(expr("cast(approx_percentile(ms, 0.5) as long)"))
+      .head().getLong(0)
+
+    TwsSessionizeStream.stageInput(spark, sf, watch, m => m <= cutoff)
+    TwsSessionizeStream.runPass(spark, watch, ckpt, out)
+    val afterPass1 = spark.read.parquet(out).count()
+
+    TwsSessionizeStream.stageInput(spark, sf, watch, m => m > cutoff)
+    TwsSessionizeStream.runPass(spark, watch, ckpt, out) // new query, same ckpt
+
+    val recovered = spark.read.parquet(out)
+      .withColumn("session_value",
+        col("session_value").cast("decimal(18,2)").cast("double"))
+      .select("user_id", "session_seq", "n_events", "start_ms", "end_ms",
+        "session_value")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sorted.toSeq
+
+    val single = TwsSessionizeStream.sessions(spark, sf)
+      .select("user_id", "session_seq", "n_events", "start_ms", "end_ms",
+        "session_value")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sorted.toSeq
+
+    assert(recovered === single,
+      "killed-and-resumed TWS run must equal the single-run sessionizer")
+    // the restart genuinely exercised state recovery: pass 1 emitted
+    // only part of the output, and at least one final session SPANS
+    // the kill point — such a session exists only if its open
+    // accumulator survived in RocksDB across the restart
+    assert(afterPass1 < single.size.toLong,
+      "pass 1 must stop with sessions still open")
+    assert(single.exists(r => r._4 <= cutoff && r._5 > cutoff),
+      "no session spans the kill point — the split doesn't test recovery")
+    graft.lake.MiniLake.deleteRecursively(base)
+  }
+
   test("restart from checkpoint recovers aggregation state") {
     val base = Files.createTempDirectory("graft_recover_agg").toString
     val watch = s"$base/in"; Files.createDirectories(Paths.get(watch))
