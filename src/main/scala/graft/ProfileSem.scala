@@ -28,7 +28,8 @@ object ProfileSem {
       println(f"PROF $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    val bits = graft.ops.Dedup.SemDedupBits
+    val bits =
+      if (args.length > 1) args(1).toInt else graft.ops.Dedup.SemDedupBits
     val cells = time("cells")(graft.ops.Dedup.semCells(spark, sfDir, bits))
     val n = time("count")(cells.count())
     println(s"PROF n=$n")
@@ -45,9 +46,17 @@ object ProfileSem {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-    var labels = time("round0 init checkpoint")(
-      nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
-        .localCheckpoint(true))
+    // mirror connectedComponentsLoop's checkpointReset: RDD-level
+    // checkpoint + rebuild, so stats can't compound across rounds
+    def ckptReset(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      rdd.count()
+      spark.createDataFrame(rdd, df.schema)
+    }
+    var labels = time("round0 init checkpoint")(ckptReset(
+      nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))))
     var prevSum = Long.MaxValue
     def labelSum(): Long = labels.agg(coalesce(
       org.apache.spark.sql.functions.sum("cluster_id"), lit(0L))).head().getLong(0)
@@ -78,13 +87,12 @@ object ProfileSem {
         }
         spark.sparkContext.addSparkListener(lst)
       }
-      labels = time(s"round$rounds join+checkpoint")(
+      labels = time(s"round$rounds join+checkpoint")(ckptReset(
         labels.join(nbrMin, col("doc_id") === col("src"), "left")
           .select(col("doc_id"),
             least(col("cluster_id"),
               coalesce(col("nbr_min"), col("cluster_id")))
-              .as("cluster_id"))
-          .localCheckpoint(true))
+              .as("cluster_id"))))
       prevSum = curSum
       curSum = time(s"round$rounds labelSum")(labelSum())
       println(s"PROF round$rounds " +

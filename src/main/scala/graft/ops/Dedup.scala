@@ -441,13 +441,32 @@ object Dedup {
     finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  /** Materialize a loop-carried frame AND reset its statistics.
+    * `Dataset.localCheckpoint` truncates lineage but COPIES the child
+    * plan's size estimate into the resulting LogicalRDD — so a
+    * join+union loop compounds the estimate ~2× per round and the
+    * BigInt `sizeInBytes` doubles until Catalyst's planning arithmetic
+    * is the bottleneck, not the data (measured at sf1: round 22 of
+    * the τ-graph took 89 s to PLAN on a million-digit estimate while
+    * its tasks ran in 0.05 s; the full semdedup wall was 375 s, ~150 s
+    * of it this). Checkpointing the underlying RDD and rebuilding the
+    * frame gives the same truncation with fresh default stats — every
+    * round plans in constant time at any round count.
+    */
+  private def checkpointReset(df: DataFrame): DataFrame = {
+    val rdd = df.rdd
+    rdd.localCheckpoint()
+    rdd.count() // materialize eagerly: later rounds build on blocks, not lineage
+    df.sparkSession.createDataFrame(rdd, df.schema)
+  }
+
   private def connectedComponentsLoop(nodes: DataFrame,
       pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
 
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint(true)
+    var labels = checkpointReset(
+      nodes.select(col("doc_id"), col("doc_id").as("cluster_id")))
     var prevSum = Long.MaxValue
     // coalesce: SUM of zero labels is NULL (empty corpus), not 0
     def labelSum(): Long = labels.agg(coalesce(
@@ -464,11 +483,11 @@ object Dedup {
           col("doc_id").as("dst")))
       val nbrMin = hops.join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
-      labels = labels.join(nbrMin, col("doc_id") === col("src"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint(true)
+      labels = checkpointReset(
+        labels.join(nbrMin, col("doc_id") === col("src"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+              .as("cluster_id")))
       prevSum = sum
       sum = labelSum()
       rounds += 1
@@ -904,7 +923,29 @@ object Dedup {
   /** Target vectors per pairwise block — per-task candidate work is
     * ≤ SemDedupBlockSize², whatever the corpus or skew does. */
   private[graft] val SemDedupBlockSize = 512
+  /** Hyperplane budget for the adaptive gate (q184): 2^12 cells cover
+    * ~2.5 M vectors at the target occupancy; beyond that the k-means
+    * quantizer path ([[semCellsKmeans]]) is the production choice. */
+  private[graft] val SemDedupMaxBits = 12
+  /** Target per-cell population the sizing rule holds ~constant —
+    * calibrated so the gate SFs land exactly at SemDedupBits (q184
+    * reproduces q180 bit-for-bit at sf≤0.1, then grows). */
+  private[graft] val SemDedupCellTarget = 625L
   private val SemDedupDims = 64
+
+  /** The sizing rule, integer-exact (mirrored in [[q184Oracle]]'s CASE
+    * chain): smallest bits with cellTarget·2^bits ≥ n, floored at the
+    * fixed gate's granularity and capped by the hyperplane budget.
+    * Growing bits with log₂ n keeps per-cell population ~constant, so
+    * total in-cell pairwise work stays LINEAR in the corpus — this is
+    * the measured difference between q184 and fixed-bits q180 in
+    * SCALE.md's sf1 table.
+    */
+  private[graft] def semBitsFor(n: Long): Int = {
+    var b = SemDedupBits
+    while (b < SemDedupMaxBits && (SemDedupCellTarget << b) < n) b += 1
+    b
+  }
 
   /** ±1 hyperplane weights, shared verbatim with the SQL oracle. */
   private def semWeights(bits: Int): IndexedSeq[IndexedSeq[Double]] =
@@ -1021,6 +1062,22 @@ object Dedup {
   def q180SemDedup(s: SparkSession, dir: String): DataFrame =
     semDedupDecide(s, dir, SemDedupBits)
 
+  /** Adaptive-granularity SemDeDup — the scale knob applied IN-BAND:
+    * bits come from the corpus count via [[semBitsFor]], so the same
+    * query stays linear-work from thousands to millions of vectors
+    * with no operator retune, and because the rule is integer-exact
+    * SQL, the whole adaptive pipeline still gates HASH-exact against
+    * DuckDB (q184) — the knob itself is under the oracle, not just
+    * asserted in prose. At the gate SFs the rule lands on
+    * [[SemDedupBits]], making q184 ≡ q180 there; SCALE.md's sf1 row
+    * measures where they diverge (fixed bits goes quadratic in
+    * candidates, adaptive stays ~linear).
+    */
+  def q184SemDedupAuto(s: SparkSession, dir: String): DataFrame = {
+    val n = embeddings(s, dir).filter(col("embedding").isNotNull).count()
+    semDedupFrom(s, semCells(s, dir, semBitsFor(n)))
+  }
+
   /** The keep/prune decision at a given quantizer granularity; q180
     * gates the bits=3 point, SemDedupSpec exercises the knob.
     */
@@ -1086,13 +1143,17 @@ object Dedup {
       .orderBy("vec_id")
   }
 
-  val q180Oracle: String = {
-    val w = semWeights(SemDedupBits)
-    def lst(xs: Seq[Double]): String =
-      xs.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-    val cellExpr = (0 until SemDedupBits).map(j =>
-      s"(CASE WHEN round(list_inner_product(v, ${lst(w(j))}), 6) >= 0" +
-        s" THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+  private def semPlaneList(j: Int): String =
+    semWeights(SemDedupMaxBits)(j)
+      .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+
+  /** The full SemDeDup oracle with a pluggable cell-assignment clause:
+    * everything downstream of `cells` (decimal centroid sums, the τ
+    * pair graph, the recursive-CTE components, the keeper ranking) is
+    * quantizer-independent, so the fixed-bits (q180) and
+    * adaptive-bits (q184) gates share it verbatim.
+    */
+  private def semOracleSql(cellsCte: String): String = {
     val sumCols = (0 until SemDedupDims).map(i =>
       s"sum(CAST(round(v[${i + 1}], 9) AS DECIMAL(28,9))) AS s$i")
       .mkString(", ")
@@ -1101,7 +1162,7 @@ object Dedup {
     s"""WITH RECURSIVE e AS (
       | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       | FROM embeddings WHERE embedding IS NOT NULL),
-      |cells AS (SELECT vec_id, v, CAST($cellExpr AS BIGINT) AS cell FROM e),
+      |$cellsCte,
       |sums AS (SELECT cell, $sumCols FROM cells GROUP BY cell),
       |cent AS (SELECT cell, $svExpr AS sv FROM sums),
       |scored AS (SELECT c.vec_id, c.cell,
@@ -1133,8 +1194,35 @@ object Dedup {
       |FROM ranked ORDER BY vec_id""".stripMargin
   }
 
+  val q180Oracle: String = {
+    val cellExpr = (0 until SemDedupBits).map(j =>
+      s"(CASE WHEN round(list_inner_product(v, ${semPlaneList(j)}), 6) >= 0" +
+        s" THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    semOracleSql(
+      s"cells AS (SELECT vec_id, v, CAST($cellExpr AS BIGINT) AS cell FROM e)")
+  }
+
+  val q184Oracle: String = {
+    // smallest bits in [SemDedupBits, SemDedupMaxBits] with
+    // cellTarget·2^bits ≥ n — integer comparisons only, so the rule
+    // evaluates identically in both engines (a log2/ceil formulation
+    // risks an off-by-one at exact powers of two from libm rounding)
+    val cases = (SemDedupBits until SemDedupMaxBits).map(b =>
+      s"WHEN n <= ${SemDedupCellTarget << b} THEN $b").mkString(" ")
+    val cellExpr = (0 until SemDedupMaxBits).map(j =>
+      s"(CASE WHEN $j < bits AND" +
+        s" round(list_inner_product(v, ${semPlaneList(j)}), 6) >= 0" +
+        s" THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    semOracleSql(
+      s"""nn AS (SELECT count(*) AS n FROM e),
+        |bb AS (SELECT (CASE $cases ELSE $SemDedupMaxBits END) AS bits FROM nn),
+        |cells AS (SELECT vec_id, v, CAST($cellExpr AS BIGINT) AS cell
+        |          FROM e, bb)""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q180_semdedup" -> (q180SemDedup _),
+    "q184_semdedup_auto" -> (q184SemDedupAuto _),
     "q153_incremental_lsh" -> (q153IncrementalLsh _),
     "q147_er_blocking" -> (q147ErBlocking _),
     "q119_leakage_split" -> (q119LeakageSplit _),
@@ -1152,6 +1240,7 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "q180_semdedup" -> q180Oracle,
+    "q184_semdedup_auto" -> q184Oracle,
     "q153_incremental_lsh" -> q153Oracle,
     "q119_leakage_split" -> q119Oracle,
     "q147_er_blocking" -> q147Oracle,
