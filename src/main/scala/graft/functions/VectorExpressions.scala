@@ -32,7 +32,14 @@ object VectorExpressions {
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      // Mismatched dimensionality is "no similarity evidence", never a
+      // prefix-cosine: a truncated 3-dim vector's prefix-cosine against
+      // 64-dim neighbors is near-arbitrary and promiscuously HIGH,
+      // which in the τ-thresholded dedup pipelines made one malformed
+      // vector a bridge that merged unrelated clean clusters
+      // (AdversarialVectorSpec pins this).
+      if (x.numElements() != y.numElements()) return 0.0
+      val n = x.numElements()
       var dot = 0.0
       var nx = 0.0
       var ny = 0.0
@@ -45,7 +52,15 @@ object VectorExpressions {
         ny += yi * yi
         i += 1
       }
-      dot / (math.sqrt(nx) * math.sqrt(ny))
+      val c = dot / (math.sqrt(nx) * math.sqrt(ny))
+      // Degenerate inputs (zero norm, NaN/Inf elements, overflowing
+      // magnitudes) must read as "no similarity evidence" (0.0), never
+      // NaN: Spark SQL orders NaN ABOVE every value and NaN >= τ is
+      // TRUE, so a single corrupt vector would otherwise pass every
+      // τ-threshold and, in the dedup pipelines, merge its whole cell
+      // into one bogus cluster. At 100 TB a few corrupt embeddings are
+      // a certainty; conservative no-match is the only safe reading.
+      if (java.lang.Double.isFinite(c)) c else 0.0
     }
 
     override protected def doGenCode(ctx: CodegenContext,
@@ -59,14 +74,19 @@ object VectorExpressions {
         val xi = ctx.freshName("xi")
         val yi = ctx.freshName("yi")
         s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.value} = 0.0;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  if (!java.lang.Double.isFinite(${ev.value})) { ${ev.value} = 0.0; }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
          """.stripMargin
       })
 

@@ -453,11 +453,17 @@ object Dedup {
     * frame gives the same truncation with fresh default stats — every
     * round plans in constant time at any round count.
     */
-  private def checkpointReset(df: DataFrame): DataFrame = {
+  private def checkpointReset(df: DataFrame): (DataFrame, Long) = {
     val rdd = df.rdd
     rdd.localCheckpoint()
-    rdd.count() // materialize eagerly: later rounds build on blocks, not lineage
-    df.sparkSession.createDataFrame(rdd, df.schema)
+    // ONE action per round: the foreach both materializes the
+    // checkpoint (later rounds build on blocks, not lineage) and folds
+    // the convergence statistic, replacing a separate sum job.
+    // Accumulator updates inside an ACTION are applied exactly once
+    // per task, so retries can't skew the sum.
+    val acc = df.sparkSession.sparkContext.longAccumulator
+    rdd.foreach(r => acc.add(r.getLong(1)))
+    (df.sparkSession.createDataFrame(rdd, df.schema), acc.value)
   }
 
   private def connectedComponentsLoop(nodes: DataFrame,
@@ -465,14 +471,9 @@ object Dedup {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
 
-    var labels = checkpointReset(
+    var (labels, sum) = checkpointReset(
       nodes.select(col("doc_id"), col("doc_id").as("cluster_id")))
     var prevSum = Long.MaxValue
-    // coalesce: SUM of zero labels is NULL (empty corpus), not 0
-    def labelSum(): Long = labels.agg(coalesce(
-      org.apache.spark.sql.functions.sum("cluster_id"), lit(0L)))
-      .head().getLong(0)
-    var sum = labelSum()
     var rounds = 0
     while (sum < prevSum && rounds < 50) {
       // labels double as edges: doc -> cluster and cluster -> doc
@@ -483,13 +484,19 @@ object Dedup {
           col("doc_id").as("dst")))
       val nbrMin = hops.join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
-      labels = checkpointReset(
+      // (an explicit label(label(x)) path-halving join was tried here
+      // and REVERTED: the fold-in of label edges above already gives
+      // pointer-doubling behavior, and the extra self-join per round
+      // cost more than the rounds it saved at every measured scale —
+      // q180 sf1 10.6 -> 12.4 s with it)
+      val next = checkpointReset(
         labels.join(nbrMin, col("doc_id") === col("src"), "left")
           .select(col("doc_id"),
             least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
               .as("cluster_id")))
+      labels = next._1
       prevSum = sum
-      sum = labelSum()
+      sum = next._2
       rounds += 1
     }
     labels
@@ -1095,10 +1102,19 @@ object Dedup {
       cells: DataFrame): DataFrame = {
     import graft.functions.VectorExpressions.dot_product
     // per-cell component sums as exact decimals: 64 map-side-combinable
-    // aggregates, no explode — the exchange carries 2^bits × 64 decimals
-    val aggs = (0 until SemDedupDims).map(i =>
-      sum(round(element_at(col("v"), i + 1), 9).cast("decimal(28,9)"))
-        .as(s"s$i"))
+    // aggregates, no explode — the exchange carries 2^bits × 64 decimals.
+    // Components that are non-finite or beyond DECIMAL(28,9)'s integral
+    // range contribute NULL (sum skips them): under ANSI they'd be a
+    // hard cast error, and semantically a corrupt component carries no
+    // centroid evidence. Never binds on the gate corpora (small finite
+    // floats); mirrored in the oracle CTE.
+    val aggs = (0 until SemDedupDims).map { i =>
+      // try_element_at: a truncated vector yields NULL beyond its
+      // length (ANSI element_at throws)
+      val e = round(try_element_at(col("v"), lit(i + 1)), 9)
+      sum(when(!isnan(e) && abs(e) <= lit(1e18), e).otherwise(lit(null))
+        .cast("decimal(28,9)")).as(s"s$i")
+    }
     val cent = cells.groupBy("cell").agg(aggs.head, aggs.tail: _*)
       .select(col("cell"),
         array((0 until SemDedupDims).map(i =>
@@ -1109,11 +1125,16 @@ object Dedup {
     // needed
     val norm = sqrt(dot_product(col("v"), col("v")))
     val snorm = sqrt(dot_product(col("sv"), col("sv")))
+    // nanvl: a vector with NaN/Inf elements has NaN norm, and Spark
+    // orders NaN > 0 as TRUE — the when() alone would let NaN through
+    // into the centrality ranking (where NaN sorts LAST, silently
+    // exempting corrupt vectors from ever being the keeper). 0.0 =
+    // "no prototypicality evidence", consistent with cosine_similarity
     val scored = cells.join(broadcast(cent), "cell")
       .withColumn("cos_centroid",
-        round(when(norm > 0 && snorm > 0,
+        nanvl(round(when(norm > 0 && snorm > 0,
           dot_product(col("v"), col("sv")) / (norm * snorm))
-          .otherwise(lit(0.0)), 6))
+          .otherwise(lit(0.0)), 6), lit(0.0)))
       .select(col("vec_id"), col("cell"), col("cos_centroid"))
     // In-cell pairwise, sub-blocked q44-style: the cell key alone has
     // only 2^bits distinct values, so once per-cell population exceeds
@@ -1155,7 +1176,9 @@ object Dedup {
     */
   private def semOracleSql(cellsCte: String): String = {
     val sumCols = (0 until SemDedupDims).map(i =>
-      s"sum(CAST(round(v[${i + 1}], 9) AS DECIMAL(28,9))) AS s$i")
+      s"sum(CASE WHEN isnan(round(v[${i + 1}], 9))" +
+        s" OR abs(round(v[${i + 1}], 9)) > 1e18 THEN NULL" +
+        s" ELSE CAST(round(v[${i + 1}], 9) AS DECIMAL(28,9)) END) AS s$i")
       .mkString(", ")
     val svExpr = (0 until SemDedupDims).map(i => s"CAST(s$i AS DOUBLE)")
       .mkString("[", ", ", "]")

@@ -342,8 +342,15 @@ object Features {
       .select("i", "j", "g")
     embeddings(s, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "e")))
+      // non-finite or astronomically-scaled components would turn the
+      // micro-unit quantization into an ANSI long-cast error; they
+      // contribute NULL (skipped by the sum) instead — never binds on
+      // the gate corpora (all-finite small floats), mirrored in the
+      // oracle
+      .withColumn("ed", col("e").cast("double"))
       .withColumn("eq",
-        round(col("e").cast("double") * 1e6).cast("long"))
+        when(!isnan(col("ed")) && abs(col("ed")) <= lit(9e12),
+          round(col("ed") * 1e6).cast("long")).otherwise(lit(null)))
       .join(broadcast(g), "i")
       .groupBy("vec_id", "j")
       .agg(sum(col("eq") * col("g")).as("p"))
@@ -358,7 +365,10 @@ object Features {
       | FROM (SELECT i, j, substr(md5((i - 1) || '|' || j), 1, 1) AS h
       |   FROM d, k) t),
       |e AS (SELECT vec_id, i - 1 AS i0,
-      |  CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS eq
+      |  CASE WHEN isnan(CAST(embedding[i] AS DOUBLE))
+      |        OR abs(CAST(embedding[i] AS DOUBLE)) > 9e12 THEN NULL
+      |   ELSE CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+      |   END AS eq
       | FROM embeddings, d)
       |SELECT vec_id, j, CAST(sum(eq * g) AS BIGINT) AS p
       |FROM e JOIN g USING (i0)

@@ -277,8 +277,11 @@ object Similarity {
   val IvfIters = 10
 
   private[graft] def dist2(a: Array[Double], b: Array[Double]): Double = {
+    // min-length: a malformed (truncated) vector in a dirty feed must
+    // cost a distance, never an ArrayIndexOutOfBounds on the executor
+    val n = math.min(a.length, b.length)
     var d = 0.0; var i = 0
-    while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+    while (i < n) { val x = a(i) - b(i); d += x * x; i += 1 }
     d
   }
 
@@ -305,7 +308,11 @@ object Similarity {
         }
         counts(best) += 1
         var i = 0
-        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        // min-length: truncated sample vectors contribute the dims
+        // they have (clean corpora are uniform-width; this only fires
+        // on dirty feeds)
+        val m = math.min(dim, v.length)
+        while (i < m) { sums(best)(i) += v(i); i += 1 }
       }
       cents = cents.indices.map { c =>
         if (counts(c) == 0L) cents(c)

@@ -67,6 +67,15 @@ object Vectors {
     embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
+      // quantizable = every component finite AND a nonzero scale:
+      // NaN/Inf components make `round(x/scale)` an ANSI cast error,
+      // and a zero vector divides 0/0. Dropping unquantizable rows is
+      // the int8 contract (they carry no magnitude to code); the gate
+      // corpora have none, so the filter never binds there (mirrored
+      // in the oracle for textual parity)
+      .filter(col("v").isNull ||
+        (forall(col("v"), x => !isnan(x) && abs(x) <= lit(1e9)) &&
+          array_max(transform(col("v"), x => abs(x))) > 0))
       .withColumn("scale",
         array_max(transform(col("v"), x => abs(x))) / lit(127.0))
       .withColumn("codes",
@@ -88,7 +97,11 @@ object Vectors {
   val q77Oracle: String =
     """WITH v AS (SELECT vec_id, label,
       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings),
+      |  FROM embeddings
+      |  WHERE embedding IS NULL OR (
+      |    list_bool_and(list_transform(embedding,
+      |      x -> isfinite(CAST(x AS DOUBLE)) AND abs(CAST(x AS DOUBLE)) <= 1e9))
+      |    AND list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0)),
       |sc AS (SELECT *,
       |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM v),
       |qc AS (SELECT *,
@@ -267,7 +280,9 @@ object Vectors {
     if (sample.isEmpty)
       return vecs.limit(0).select(col("vec_id"),
         lit(true).as("pq_beats_baseline"))
-    val dim = sample.head.length
+    // max over the sample, not head: a truncated vector that happens
+    // to hash first must not dictate the codebook width
+    val dim = sample.map(_.length).max
     require(dim % PqSubspaces == 0,
       s"dim $dim not divisible into $PqSubspaces subspaces")
     val dsub = dim / PqSubspaces
@@ -277,7 +292,12 @@ object Vectors {
           sample.map(_.slice(m * dsub, (m + 1) * dsub)), PqCodes, PqIters)
     }
     val mean: Array[Double] = Array.tabulate(dim) { i =>
-      var t = 0.0; sample.foreach(v => t += v(i)); t / sample.length
+      // truncated vectors contribute 0 beyond their length (pad-with-
+      // zero mean) — clean corpora are uniform-width, dirty feeds must
+      // not index out of bounds
+      var t = 0.0
+      sample.foreach(v => if (i < v.length) t += v(i))
+      t / sample.length
     }
     val bc = s.sparkContext.broadcast((books, mean))
     val witness = udf((vv: Seq[Double]) => {
