@@ -464,7 +464,130 @@ object Profiling {
       |FROM exp LEFT JOIN cells ON exp.digit = cells.digit, tot
       |ORDER BY exp.digit""".stripMargin
 
+  /** Vector-corpus health report ([EXT]): the pre-flight sweep a
+    * 100 TB embedding drop gets before any similarity/dedup pipeline
+    * trusts it — per-corpus counts of every defect class the
+    * adversarial battery injects (null vectors, NaN/Inf components,
+    * zero vectors, heterogeneous dimensionality) plus norm statistics
+    * over the healthy subset. This is the OBSERVABILITY side of the
+    * corrupt-embedding contract: the operators read degenerate inputs
+    * as "no similarity evidence" (see VectorExpressions), and this
+    * query tells the operator how much of the corpus that policy is
+    * touching.
+    *
+    * Scale shape: ONE scan; per-row flags fold into a single
+    * aggregation (no shuffle beyond the 1-row final combine); norms
+    * quantize to DECIMAL(28,9) before summing so the average is
+    * order-independent cross-engine. The report unpivots driver-side
+    * from the one wide row.
+    */
+  def q185VectorHealth(s: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val isInf = (x: org.apache.spark.sql.Column) =>
+      !isnan(x) && abs(x) > lit(1.7e308)
+    val hasNan = exists(v, x => isnan(x))
+    val hasInf = exists(v, x => isInf(x))
+    val isZero = array_max(transform(v, x => abs(x))) === 0.0
+    val healthy = v.isNotNull && !hasNan && !hasInf
+    val norm = sqrt(graft.functions.VectorExpressions.dot_product(v, v))
+    // norms past 1e18 are their own defect class (n_norm_huge): finite
+    // but unusable at any embedding scale, and past DECIMAL(28,9)'s
+    // integral range — float inputs can push a 64-dim norm to ~2.7e39
+    val wide = embeddings(s, dir).select(
+      v.as("v"),
+      v.isNull.as("is_null"),
+      coalesce(hasNan, lit(false)).as("has_nan"),
+      coalesce(hasInf, lit(false)).as("has_inf"),
+      coalesce(isZero, lit(false)).as("is_zero"),
+      (healthy && norm > lit(1e18)).as("norm_huge"),
+      when(v.isNotNull, size(v)).as("dim"),
+      when(healthy && norm <= lit(1e18),
+        round(norm, 9).cast("decimal(28,9)")).as("norm_q"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("is_null"), 1L).otherwise(0L)).as("n_null"),
+        sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan"),
+        sum(when(col("has_inf"), 1L).otherwise(0L)).as("n_inf"),
+        sum(when(col("is_zero"), 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("norm_huge"), 1L).otherwise(0L)).as("n_huge"),
+        countDistinct(col("dim")).as("n_dims"),
+        min(col("dim")).as("dim_min"),
+        max(col("dim")).as("dim_max"),
+        count(col("norm_q")).as("n_healthy"),
+        min(col("norm_q")).cast("double").as("norm_min"),
+        max(col("norm_q")).cast("double").as("norm_max"),
+        sum(col("norm_q")).cast("double").as("norm_sum"))
+    wide.select(expr(
+      """stack(12,
+        | 'n_total', cast(n_total as double),
+        | 'n_null_embedding', cast(n_null as double),
+        | 'n_with_nan', cast(n_nan as double),
+        | 'n_with_inf', cast(n_inf as double),
+        | 'n_zero_vector', cast(n_zero as double),
+        | 'n_norm_huge', cast(n_huge as double),
+        | 'n_distinct_dims', cast(n_dims as double),
+        | 'dim_min', cast(dim_min as double),
+        | 'dim_max', cast(dim_max as double),
+        | 'norm_min', norm_min,
+        | 'norm_max', norm_max,
+        | 'norm_avg', case when n_healthy > 0
+        |   then round(norm_sum / n_healthy, 6) else null end
+        |) as (metric, value)""".stripMargin))
+      .orderBy("metric")
+  }
+
+  val q185Oracle: String =
+    """WITH e AS (SELECT
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      | FROM embeddings),
+      |f AS (SELECT v,
+      |  v IS NULL AS is_null,
+      |  coalesce(list_bool_or(list_transform(v, x -> isnan(x))), FALSE)
+      |    AS has_nan,
+      |  coalesce(list_bool_or(list_transform(v,
+      |    x -> NOT isnan(x) AND abs(x) > 1.7e308)), FALSE) AS has_inf,
+      |  coalesce(list_max(list_transform(v, x -> abs(x))) = 0, FALSE)
+      |    AS is_zero,
+      |  CASE WHEN v IS NOT NULL THEN len(v) END AS dim
+      | FROM e),
+      |g AS (SELECT *,
+      |  NOT is_null AND NOT has_nan AND NOT has_inf
+      |    AND sqrt(list_inner_product(v, v)) > 1e18 AS norm_huge,
+      |  CASE WHEN NOT is_null AND NOT has_nan AND NOT has_inf
+      |    AND sqrt(list_inner_product(v, v)) <= 1e18
+      |   THEN CAST(round(sqrt(list_inner_product(v, v)), 9)
+      |     AS DECIMAL(28,9)) END AS norm_q
+      | FROM f),
+      |w AS (SELECT count(*) AS n_total,
+      |  sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS n_null,
+      |  sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS n_nan,
+      |  sum(CASE WHEN has_inf THEN 1 ELSE 0 END) AS n_inf,
+      |  sum(CASE WHEN is_zero THEN 1 ELSE 0 END) AS n_zero,
+      |  sum(CASE WHEN norm_huge THEN 1 ELSE 0 END) AS n_huge,
+      |  count(DISTINCT dim) AS n_dims,
+      |  min(dim) AS dim_min, max(dim) AS dim_max,
+      |  count(norm_q) AS n_healthy,
+      |  CAST(min(norm_q) AS DOUBLE) AS norm_min,
+      |  CAST(max(norm_q) AS DOUBLE) AS norm_max,
+      |  CAST(sum(norm_q) AS DOUBLE) AS norm_sum FROM g)
+      |SELECT metric, value FROM (
+      | SELECT 'n_total' AS metric, CAST(n_total AS DOUBLE) AS value FROM w
+      | UNION ALL SELECT 'n_null_embedding', CAST(n_null AS DOUBLE) FROM w
+      | UNION ALL SELECT 'n_with_nan', CAST(n_nan AS DOUBLE) FROM w
+      | UNION ALL SELECT 'n_with_inf', CAST(n_inf AS DOUBLE) FROM w
+      | UNION ALL SELECT 'n_zero_vector', CAST(n_zero AS DOUBLE) FROM w
+      | UNION ALL SELECT 'n_norm_huge', CAST(n_huge AS DOUBLE) FROM w
+      | UNION ALL SELECT 'n_distinct_dims', CAST(n_dims AS DOUBLE) FROM w
+      | UNION ALL SELECT 'dim_min', CAST(dim_min AS DOUBLE) FROM w
+      | UNION ALL SELECT 'dim_max', CAST(dim_max AS DOUBLE) FROM w
+      | UNION ALL SELECT 'norm_min', norm_min FROM w
+      | UNION ALL SELECT 'norm_max', norm_max FROM w
+      | UNION ALL SELECT 'norm_avg', CASE WHEN n_healthy > 0
+      |    THEN round(norm_sum / n_healthy, 6) END FROM w)
+      |ORDER BY metric""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_vector_health" -> (q185VectorHealth _),
     "q178_benford_audit" -> (q178BenfordAudit _),
     "q149_corr_matrix" -> (q149CorrMatrix _),
     "q136_cms_witness" -> (q136CmsWitness _),
@@ -484,6 +607,7 @@ object Profiling {
     "q140_zscore_anomalies" -> q140Oracle,
     "q83_column_profile" -> q83Oracle,
     "q106_stats_profile" -> q106Oracle,
+    "q185_vector_health" -> q185Oracle,
     "q111_expectations" -> q111Oracle,
     "q129_value_histogram" -> q129Oracle
   )

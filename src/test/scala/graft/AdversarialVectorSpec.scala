@@ -68,7 +68,7 @@ class AdversarialVectorSpec extends AnyFunSuite {
     "q44_embedding_near_dup", "q45_cosine_topk", "q46_ann_lsh",
     "q55_ann_ivf", "q60_label_centroids", "q77_quantize_int8",
     "q121_pq_quantize", "q155_jl_projection", "q169_maxsim",
-    "q180_semdedup", "q184_semdedup_auto")
+    "q180_semdedup", "q184_semdedup_auto", "q185_vector_health")
 
   test("every vector query is total and deterministic on the poisoned corpus") {
     val failures = vectorQueries.flatMap { name =>
@@ -87,6 +87,19 @@ class AdversarialVectorSpec extends AnyFunSuite {
       }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("q185 health report counts every injected defect class exactly") {
+    val m = SparkEntry.queries("q185_vector_health")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("value")).toMap
+    assert(m("n_total") === (500 + poison.size).toDouble)
+    assert(m("n_null_embedding") === 0.0)
+    assert(m("n_with_nan") === 2.0) // all-NaN + one-NaN
+    assert(m("n_with_inf") === 2.0) // +Inf + -Inf elements
+    assert(m("n_zero_vector") === 1.0)
+    assert(m("n_norm_huge") === 1.0) // the 1e30-magnitude vector
+    assert(m("n_distinct_dims") === 2.0) // 64 and the truncated 3
+    assert(m("dim_min") === 3.0 && m("dim_max") === 64.0)
   }
 
   test("exact top-k never reports a non-finite similarity") {
