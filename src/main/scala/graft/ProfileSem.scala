@@ -46,15 +46,13 @@ object ProfileSem {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-    // mirror connectedComponentsLoop's checkpointReset: RDD-level
-    // checkpoint + rebuild, so stats can't compound across rounds
+    // the PRODUCTION checkpoint-reset (one fused materialize+sum job,
+    // fresh stats) — shared, not copied, so a change to the loop's
+    // round mechanics can't leave this profiler measuring stale
+    // behavior
     def ckptReset(df: org.apache.spark.sql.DataFrame)
-        : org.apache.spark.sql.DataFrame = {
-      val rdd = df.rdd
-      rdd.localCheckpoint()
-      rdd.count()
-      spark.createDataFrame(rdd, df.schema)
-    }
+        : org.apache.spark.sql.DataFrame =
+      graft.ops.Dedup.checkpointReset(df)._1
     var labels = time("round0 init checkpoint")(ckptReset(
       nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))))
     var prevSum = Long.MaxValue

@@ -22,7 +22,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 object VectorExpressions {
 
   /** cosine(a, b) = <a,b> / (|a|·|b|) computed in one pass; null if
-    * either input is null; NaN propagates like plain double math.
+    * either input is null. Degenerate inputs read as 0.0 — "no
+    * similarity evidence" — NOT IEEE NaN: zero norms, NaN/Inf
+    * elements, overflowing magnitudes, and MISMATCHED dimensionality
+    * all clamp to 0.0, because Spark SQL orders NaN above every double
+    * (`NaN >= τ` is TRUE) and a prefix-cosine over unequal lengths is
+    * promiscuously high — either one lets a single corrupt vector pass
+    * every τ-threshold and merge unrelated clusters
+    * (AdversarialVectorSpec pins the contract).
     */
   case class CosineSimilarity(left: Expression, right: Expression)
       extends BinaryExpression {

@@ -453,7 +453,7 @@ object Dedup {
     * frame gives the same truncation with fresh default stats — every
     * round plans in constant time at any round count.
     */
-  private def checkpointReset(df: DataFrame): (DataFrame, Long) = {
+  private[graft] def checkpointReset(df: DataFrame): (DataFrame, Long) = {
     val rdd = df.rdd
     rdd.localCheckpoint()
     // ONE action per round: the foreach both materializes the
@@ -1001,14 +1001,12 @@ object Dedup {
     val vecs = embeddings(s, dir)
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val sample = vecs.withColumn("h", xxhash64(col("vec_id")))
-      .orderBy(col("h"), col("vec_id")).limit(256 * k)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val sample = Similarity.hashSample(vecs, 256 * k)
     if (sample.isEmpty)
       return vecs.withColumn("cell", lit(0L)).localCheckpoint()
     val bc = s.sparkContext.broadcast(Similarity.lloydFit(sample, k, 10))
-    val assign = udf((v: Seq[Double]) => {
-      val a = v.toArray; val cs = bc.value
+    val assign = udf((v: Seq[java.lang.Double]) => {
+      val a = Similarity.unbox(v); val cs = bc.value
       var best = 0; var bd = Double.MaxValue; var c = 0
       while (c < cs.length) {
         val d = Similarity.dist2(a, cs(c))
@@ -1020,21 +1018,32 @@ object Dedup {
     vecs.withColumn("cell", assign(col("v"))).localCheckpoint()
   }
 
+  /** Ceiling on the block-pair grid: at 1024 blocks the broadcast grid
+    * is ~524k rows and each vector replicates ≤1024-fold — past that
+    * the grid itself becomes the scale problem. A corpus whose hottest
+    * cell exceeds blockSize·cap vectors is under-quantized, and the
+    * remedy is GRANULARITY (more bits / k-means cells — what q184's
+    * sizing rule automates), not a wider grid; the capped grid
+    * degrades to larger-but-bounded tasks instead of an OOM.
+    */
+  private[graft] val SemDedupMaxBlocks = 1024
+
   /** Block count for the in-cell pairwise grid, sized from the MAX
     * per-cell population (one 2^bits-row groupBy-count over the
     * checkpointed cells frame — metadata-cheap), not the average: with
     * average-based sizing a skewed hot cell still received
-    * ~avg-per-block vectors per block and its tasks grew
-    * quadratically with the skew factor. Sizing from the hot cell
-    * bounds EVERY task at ~SemDedupBlockSize² candidate pairs no
-    * matter how the corpus distributes over cells; cold cells just
-    * contribute near-empty grid tasks, which cost scheduling, not
-    * compute.
+    * ~avg-per-block vectors per block and its tasks grew quadratically
+    * with the skew factor. Up to [[SemDedupMaxBlocks]], every task is
+    * bounded at ~SemDedupBlockSize² candidate pairs however the corpus
+    * distributes; cold cells contribute near-empty grid tasks
+    * (scheduling, not compute).
     */
   private[graft] def semBlocks(cells: DataFrame): Int = {
     val maxCell = cells.groupBy("cell").count()
       .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
-    math.max(1, math.ceil(maxCell.toDouble / SemDedupBlockSize).toInt)
+    math.min(SemDedupMaxBlocks.toLong,
+      math.max(1L, (maxCell + SemDedupBlockSize - 1) / SemDedupBlockSize))
+      .toInt
   }
 
   /** The τ-thresholded in-cell candidate pair list (unpersisted plan):
@@ -1129,7 +1138,11 @@ object Dedup {
     // orders NaN > 0 as TRUE — the when() alone would let NaN through
     // into the centrality ranking (where NaN sorts LAST, silently
     // exempting corrupt vectors from ever being the keeper). 0.0 =
-    // "no prototypicality evidence", consistent with cosine_similarity
+    // "no prototypicality evidence", consistent with cosine_similarity.
+    // Spark-side only (unlike the decimal-sum guard above, which the
+    // oracle mirrors): the SQL gate runs exclusively on the clean gate
+    // corpora where nanvl never fires, and dirty corpora are asserted
+    // by AdversarialVectorSpec's driver-side referee, not by DuckDB
     val scored = cells.join(broadcast(cent), "cell")
       .withColumn("cos_centroid",
         nanvl(round(when(norm > 0 && snorm > 0,

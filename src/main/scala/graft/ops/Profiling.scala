@@ -487,8 +487,14 @@ object Profiling {
       !isnan(x) && abs(x) > lit(1.7e308)
     val hasNan = exists(v, x => isnan(x))
     val hasInf = exists(v, x => isInf(x))
+    // null COMPONENTS are their own class: isnan(NULL) is false in
+    // both engines, and Spark's primitive array readers surface a null
+    // slot as 0.0 — a vector carrying them must count as defective,
+    // not slip into the norm statistics as if the slot were zero
+    val hasNullComp = exists(v, x => x.isNull)
     val isZero = array_max(transform(v, x => abs(x))) === 0.0
-    val healthy = v.isNotNull && !hasNan && !hasInf
+    val healthy = v.isNotNull && !hasNan && !hasInf &&
+      coalesce(!hasNullComp, lit(false))
     val norm = sqrt(graft.functions.VectorExpressions.dot_product(v, v))
     // norms past 1e18 are their own defect class (n_norm_huge): finite
     // but unusable at any embedding scale, and past DECIMAL(28,9)'s
@@ -498,6 +504,7 @@ object Profiling {
       v.isNull.as("is_null"),
       coalesce(hasNan, lit(false)).as("has_nan"),
       coalesce(hasInf, lit(false)).as("has_inf"),
+      coalesce(hasNullComp, lit(false)).as("has_null_comp"),
       coalesce(isZero, lit(false)).as("is_zero"),
       (healthy && norm > lit(1e18)).as("norm_huge"),
       when(v.isNotNull, size(v)).as("dim"),
@@ -508,6 +515,7 @@ object Profiling {
         sum(when(col("is_null"), 1L).otherwise(0L)).as("n_null"),
         sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan"),
         sum(when(col("has_inf"), 1L).otherwise(0L)).as("n_inf"),
+        sum(when(col("has_null_comp"), 1L).otherwise(0L)).as("n_null_comp"),
         sum(when(col("is_zero"), 1L).otherwise(0L)).as("n_zero"),
         sum(when(col("norm_huge"), 1L).otherwise(0L)).as("n_huge"),
         countDistinct(col("dim")).as("n_dims"),
@@ -518,11 +526,12 @@ object Profiling {
         max(col("norm_q")).cast("double").as("norm_max"),
         sum(col("norm_q")).cast("double").as("norm_sum"))
     wide.select(expr(
-      """stack(12,
+      """stack(13,
         | 'n_total', cast(n_total as double),
         | 'n_null_embedding', cast(n_null as double),
         | 'n_with_nan', cast(n_nan as double),
         | 'n_with_inf', cast(n_inf as double),
+        | 'n_with_null_component', cast(n_null_comp as double),
         | 'n_zero_vector', cast(n_zero as double),
         | 'n_norm_huge', cast(n_huge as double),
         | 'n_distinct_dims', cast(n_dims as double),
@@ -546,14 +555,17 @@ object Profiling {
       |    AS has_nan,
       |  coalesce(list_bool_or(list_transform(v,
       |    x -> NOT isnan(x) AND abs(x) > 1.7e308)), FALSE) AS has_inf,
+      |  coalesce(list_bool_or(list_transform(v, x -> x IS NULL)), FALSE)
+      |    AS has_null_comp,
       |  coalesce(list_max(list_transform(v, x -> abs(x))) = 0, FALSE)
       |    AS is_zero,
       |  CASE WHEN v IS NOT NULL THEN len(v) END AS dim
       | FROM e),
       |g AS (SELECT *,
-      |  NOT is_null AND NOT has_nan AND NOT has_inf
+      |  NOT is_null AND NOT has_nan AND NOT has_inf AND NOT has_null_comp
       |    AND sqrt(list_inner_product(v, v)) > 1e18 AS norm_huge,
       |  CASE WHEN NOT is_null AND NOT has_nan AND NOT has_inf
+      |    AND NOT has_null_comp
       |    AND sqrt(list_inner_product(v, v)) <= 1e18
       |   THEN CAST(round(sqrt(list_inner_product(v, v)), 9)
       |     AS DECIMAL(28,9)) END AS norm_q
@@ -562,6 +574,7 @@ object Profiling {
       |  sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS n_null,
       |  sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS n_nan,
       |  sum(CASE WHEN has_inf THEN 1 ELSE 0 END) AS n_inf,
+      |  sum(CASE WHEN has_null_comp THEN 1 ELSE 0 END) AS n_null_comp,
       |  sum(CASE WHEN is_zero THEN 1 ELSE 0 END) AS n_zero,
       |  sum(CASE WHEN norm_huge THEN 1 ELSE 0 END) AS n_huge,
       |  count(DISTINCT dim) AS n_dims,
@@ -575,6 +588,7 @@ object Profiling {
       | UNION ALL SELECT 'n_null_embedding', CAST(n_null AS DOUBLE) FROM w
       | UNION ALL SELECT 'n_with_nan', CAST(n_nan AS DOUBLE) FROM w
       | UNION ALL SELECT 'n_with_inf', CAST(n_inf AS DOUBLE) FROM w
+      | UNION ALL SELECT 'n_with_null_component', CAST(n_null_comp AS DOUBLE) FROM w
       | UNION ALL SELECT 'n_zero_vector', CAST(n_zero AS DOUBLE) FROM w
       | UNION ALL SELECT 'n_norm_huge', CAST(n_huge AS DOUBLE) FROM w
       | UNION ALL SELECT 'n_distinct_dims', CAST(n_dims AS DOUBLE) FROM w

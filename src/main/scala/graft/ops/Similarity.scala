@@ -160,7 +160,8 @@ object Similarity {
     * bits against that table's hyperplanes.
     */
   private[ops] def withBuckets(df: DataFrame): DataFrame = {
-    val buckets = udf((v: Seq[Double]) => {
+    val buckets = udf((vv: Seq[java.lang.Double]) => {
+      val v = unbox(vv)
       (0 until NumTables).map { t =>
         var b = 0
         var j = 0
@@ -276,6 +277,21 @@ object Similarity {
   val IvfSampleFactor = 256
   val IvfIters = 10
 
+  /** UDF-boundary unboxing: `Seq[Double]` deserialization asserts
+    * non-null elements (NOT_NULL_ASSERT_VIOLATION on a dirty feed), so
+    * every vector UDF takes boxed doubles and reads a null slot as
+    * 0.0 — the same value the codegen'd expressions' primitive
+    * `ArrayData.getDouble` readers surface for a null bit.
+    */
+  private[graft] def unbox(v: Seq[java.lang.Double]): Array[Double] = {
+    val a = new Array[Double](v.length)
+    var i = 0
+    while (i < a.length) {
+      val x = v(i); a(i) = if (x == null) 0.0 else x.doubleValue; i += 1
+    }
+    a
+  }
+
   private[graft] def dist2(a: Array[Double], b: Array[Double]): Double = {
     // min-length: a malformed (truncated) vector in a dirty feed must
     // cost a distance, never an ArrayIndexOutOfBounds on the executor
@@ -294,9 +310,12 @@ object Similarity {
   private[graft] def lloydFit(sample: Array[Array[Double]], k: Int,
       iters: Int): Array[Array[Double]] = {
     require(sample.nonEmpty, "empty training sample")
-    var cents = sample.take(k).map(_.clone)
+    // width = the WIDEST sample vector, never the first: a truncated
+    // vector that hashes to the front must not collapse every centroid
+    // (and hence every cell assignment) to its dimensionality
+    val dim = sample.map(_.length).max
+    var cents = sample.take(k).map(v => java.util.Arrays.copyOf(v, dim))
     for (_ <- 0 until iters) {
-      val dim = cents(0).length
       val sums = Array.fill(cents.length)(new Array[Double](dim))
       val counts = new Array[Long](cents.length)
       sample.foreach { v =>
@@ -322,17 +341,25 @@ object Similarity {
     cents
   }
 
-  /** Collect the bounded hash-ordered training sample and fit the
-    * quantizer. The collect is ≤ 256·k rows by construction — the same
-    * metadata-sized-driver-state class as the watermark lookups.
+  /** The one sample-collect protocol every driver-fit quantizer uses
+    * (IVF, PQ, semdedup k-means): deterministic hash order over
+    * `vec_id`, bounded at `n` rows — the metadata-sized-driver-state
+    * class as the watermark lookups. Input frame must carry
+    * (vec_id, v: array<double>). Shared so a bounds/ordering fix (or
+    * dirty-feed hardening) can never land in one sampler and silently
+    * miss another.
     */
-  private def fitQuantizer(s: SparkSession, dir: String): Array[Array[Double]] = {
-    val sampleN = IvfSampleFactor * IvfCells
-    val sample = vecsDouble(s, dir)
-      .withColumn("h", xxhash64(col("vec_id")))
-      .orderBy(col("h"), col("vec_id")).limit(sampleN)
+  private[graft] def hashSample(vecs: DataFrame, n: Int): Array[Array[Double]] =
+    vecs.withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h"), col("vec_id")).limit(n)
       .select("v").collect()
       .map(_.getSeq[Double](0).toArray)
+
+  /** Collect the bounded hash-ordered training sample and fit the
+    * quantizer. The collect is ≤ 256·k rows by construction.
+    */
+  private def fitQuantizer(s: SparkSession, dir: String): Array[Array[Double]] = {
+    val sample = hashSample(vecsDouble(s, dir), IvfSampleFactor * IvfCells)
     if (sample.isEmpty) Array.empty else lloydFit(sample, IvfCells, IvfIters)
   }
 
@@ -349,8 +376,8 @@ object Similarity {
     // per-row compute over driver-fit state — the documented UDF
     // exception (a Catalyst expression would need the centroid matrix
     // as a 1024-literal tree)
-    val assignCell = udf((v: Seq[Double]) => {
-      val a = v.toArray; val cs = bc.value
+    val assignCell = udf((v: Seq[java.lang.Double]) => {
+      val a = unbox(v); val cs = bc.value
       var best = 0; var bd = Double.MaxValue; var c = 0
       while (c < cs.length) {
         val d = dist2(a, cs(c))
@@ -359,8 +386,8 @@ object Similarity {
       }
       best
     })
-    val probeCells = udf((v: Seq[Double]) => {
-      val a = v.toArray; val cs = bc.value
+    val probeCells = udf((v: Seq[java.lang.Double]) => {
+      val a = unbox(v); val cs = bc.value
       cs.indices.map(c => (dist2(a, cs(c)), c))
         .sortBy(identity).take(NProbe).map(_._2)
     })

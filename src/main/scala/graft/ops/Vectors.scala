@@ -272,19 +272,18 @@ object Vectors {
     val vecs = embeddings(s, dir)
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val sample = vecs
-      .withColumn("h", xxhash64(col("vec_id")))
-      .orderBy(col("h"), col("vec_id")).limit(PqSampleFactor * PqCodes)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val sample = Similarity.hashSample(vecs, PqSampleFactor * PqCodes)
     // empty corpus: nothing to fit, nothing to code
     if (sample.isEmpty)
       return vecs.limit(0).select(col("vec_id"),
         lit(true).as("pq_beats_baseline"))
-    // max over the sample, not head: a truncated vector that happens
-    // to hash first must not dictate the codebook width
-    val dim = sample.map(_.length).max
-    require(dim % PqSubspaces == 0,
-      s"dim $dim not divisible into $PqSubspaces subspaces")
+    // width = widest sample vector, ROUNDED UP to a subspace multiple:
+    // a truncated vector that hashes first must not dictate the
+    // codebook width, and an over-long/odd-width corrupt vector must
+    // not crash the build (require would) — short slices pad with
+    // zeros, extra dims land in the last subspace
+    val dim = ((sample.map(_.length).max + PqSubspaces - 1)
+      / PqSubspaces) * PqSubspaces
     val dsub = dim / PqSubspaces
     val books: Array[Array[Array[Double]]] = Array.tabulate(PqSubspaces) {
       m =>
@@ -300,8 +299,8 @@ object Vectors {
       t / sample.length
     }
     val bc = s.sparkContext.broadcast((books, mean))
-    val witness = udf((vv: Seq[Double]) => {
-      val v = vv.toArray
+    val witness = udf((vv: Seq[java.lang.Double]) => {
+      val v = Similarity.unbox(vv)
       val (bks, mn) = bc.value
       var ePq = 0.0; var eMean = 0.0
       var m = 0

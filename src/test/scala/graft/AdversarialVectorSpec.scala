@@ -56,7 +56,16 @@ class AdversarialVectorSpec extends AnyFunSuite {
       .withColumn("embedding", col("embedding").cast("array<float>"))
       .withColumn("label", lit(null).cast("int"))
       .select(clean.columns.map(col).toSeq: _*)
-    clean.unionByName(bad).coalesce(1)
+    // + one 64-dim vector with a NULL component (Seq[Float] can't hold
+    // one, so build it in SQL); engine readers surface a null slot as
+    // 0.0 — its own defect class in q185
+    val badNull = Seq(9008L).toDF("vec_id")
+      .withColumn("embedding", expr(
+        "transform(sequence(1, 64), i -> CASE WHEN i = 2" +
+          " THEN cast(null as float) ELSE cast(0.1 as float) END)"))
+      .withColumn("label", lit(null).cast("int"))
+      .select(clean.columns.map(col).toSeq: _*)
+    clean.unionByName(bad).unionByName(badNull).coalesce(1)
       .write.parquet(s"$d/tmp_emb")
     val part = Files.list(Paths.get(s"$d/tmp_emb")).toArray.map(_.toString)
       .filter(_.endsWith(".parquet")).head
@@ -92,10 +101,11 @@ class AdversarialVectorSpec extends AnyFunSuite {
   test("q185 health report counts every injected defect class exactly") {
     val m = SparkEntry.queries("q185_vector_health")(spark, dir)
       .collect().map(r => r.getString(0) -> r.getAs[Double]("value")).toMap
-    assert(m("n_total") === (500 + poison.size).toDouble)
+    assert(m("n_total") === (500 + poison.size + 1).toDouble)
     assert(m("n_null_embedding") === 0.0)
     assert(m("n_with_nan") === 2.0) // all-NaN + one-NaN
     assert(m("n_with_inf") === 2.0) // +Inf + -Inf elements
+    assert(m("n_with_null_component") === 1.0)
     assert(m("n_zero_vector") === 1.0)
     assert(m("n_norm_huge") === 1.0) // the 1e30-magnitude vector
     assert(m("n_distinct_dims") === 2.0) // 64 and the truncated 3
@@ -114,11 +124,16 @@ class AdversarialVectorSpec extends AnyFunSuite {
     // exists iff the cosine is FINITE and >= τ after the operator's
     // 6-dp round. This is computed without Spark expressions, so the
     // operator can't be judge in its own case.
+    // null slots read as 0.0 — exactly what the engine's primitive
+    // array readers surface to the cosine expression
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
-      .as[(Long, Seq[Double])].collect().toMap
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[java.lang.Double](1)
+          .map(d => if (d == null) 0.0 else d.doubleValue).toSeq
+      }.toMap
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       // referee mirrors the contract: mismatched dimensionality is NOT
       // comparable (prefix-cosines are arbitrary); NaN for no-edge
@@ -133,7 +148,7 @@ class AdversarialVectorSpec extends AnyFunSuite {
       (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
         r.getAs[Long]("cluster_id"), r.getAs[Boolean]("kept"))
     }
-    assert(out.length === 500 + poison.size)
+    assert(out.length === 500 + poison.size + 1) // + the null-component row
     val cellOf = out.map(r => r._1 -> r._2).toMap
     val ids = out.map(_._1).sorted
     val parent = scala.collection.mutable.Map.empty[Long, Long]
