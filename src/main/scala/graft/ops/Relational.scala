@@ -1078,6 +1078,63 @@ object Relational {
       |                               WHERE l2.l_partkey = l1.l_partkey))
       |ORDER BY s_suppkey""".stripMargin
 
+  /** Rich-but-dormant customers (TPC-H Q22 shape): customers whose
+    * balance beats the positive-balance average AND who never placed a
+    * big-ticket order (>400k — every customer has SOME order in this
+    * data, so Q22's literal "no orders at all" would gate on an empty,
+    * hence hash-vacuous, result; the predicate inside the NOT EXISTS
+    * keeps the result non-empty at sf0.001/0.01/0.1 alike without
+    * changing the rewrite Catalyst must perform), rolled up by market
+    * segment. Completes the decorrelation family next to q181-q183
+    * with the two shapes they lack: an UNCORRELATED scalar subquery
+    * (the global average — must execute exactly ONCE and enter the
+    * plan as a literal-like scalar, never per-row) and a NOT EXISTS
+    * against a DIFFERENT table (orders), which Catalyst must turn into
+    * one left-anti join on c_custkey. At 100 TB the anti join is a
+    * single shuffle of customer against orders' filtered custkey
+    * projection, and the threshold subquery is a metadata-sized
+    * broadcast — the naive reading (re-scan customer per row, probe
+    * orders per row) never appears.
+    *
+    * Cross-engine determinism: balances are quantized to integer
+    * cents BEFORE averaging (the q174 pattern), so sum and count are
+    * exact in IEEE double regardless of summation order; both engines
+    * then evaluate the identical sum/count division, and `cents >
+    * threshold` promotes a <2^53 integer exactly. A raw
+    * avg(c_acctbal) over doubles would be summation-order-dependent
+    * and could flip a boundary row between engines.
+    */
+  def q186DormantCustomers(s: SparkSession, dir: String): DataFrame = {
+    sqlViews(s, dir, "q186", "customer", "orders")
+    s.sql(
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM q186_customer)
+        |SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(bal_c) AS DOUBLE) / 100.0 AS totacctbal
+        |FROM c
+        |WHERE bal_c > (SELECT avg(bal_c) FROM c WHERE bal_c > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM q186_orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 400000)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val q186Oracle: String =
+    """WITH c AS (SELECT c_custkey, c_mktsegment,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      |  FROM customer)
+      |SELECT c_mktsegment, count(*) AS numcust,
+      |  CAST(sum(bal_c) AS DOUBLE) / 100.0 AS totacctbal
+      |FROM c
+      |WHERE bal_c > (SELECT avg(bal_c) FROM c WHERE bal_c > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_totalprice > 400000)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q174_argmin_join" -> (q174ArgminJoin _),
     "q148_skyline" -> (q148Skyline _),
@@ -1111,7 +1168,8 @@ object Relational {
     "q87_bloom_pruned_join" -> (q87BloomPrunedJoin _),
     "q181_waiting_suppliers" -> (q181WaitingSuppliers _),
     "q182_small_qty_revenue" -> (q182SmallQuantityRevenue _),
-    "q183_dominant_suppliers" -> (q183DominantSuppliers _)
+    "q183_dominant_suppliers" -> (q183DominantSuppliers _),
+    "q186_dormant_customers" -> (q186DormantCustomers _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1147,6 +1205,7 @@ object Relational {
     "q87_bloom_pruned_join" -> q87Oracle,
     "q181_waiting_suppliers" -> q181Oracle,
     "q182_small_qty_revenue" -> q182Oracle,
-    "q183_dominant_suppliers" -> q183Oracle
+    "q183_dominant_suppliers" -> q183Oracle,
+    "q186_dormant_customers" -> q186Oracle
   )
 }

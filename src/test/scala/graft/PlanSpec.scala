@@ -93,6 +93,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p183.contains("sum(l_quantity)"), p183)
   }
 
+  test("q186: uncorrelated scalar threshold executes once; NOT EXISTS " +
+      "decorrelates to a left-anti join") {
+    val plan = planOf(Relational.q186DormantCustomers(spark, sf))
+    // The global-average threshold is the one subquery ALLOWED to
+    // survive physically — as a scalar-subquery node that runs exactly
+    // once and feeds the filter as a constant. What must NOT appear is
+    // a per-row shape: no nested-loop join carrying the threshold, and
+    // the correlated NOT EXISTS must be fully rewritten (left-anti on
+    // c_custkey), leaving the scalar as the only subquery reference.
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // exactly one distinct Subquery id (the threshold, physically a
+    // once-executed init-time subquery; its second textual appearance
+    // is the same id reused inside the scan's pushed DataFilter) —
+    // not one per row, not one per reference
+    val ids = """Subquery subquery#\d+""".r.findAllIn(plan).toSet
+    assert(ids.size === 1, plan)
+  }
+
   test("q75: band join executes as an equi join on bucket, never a nested loop") {
     val plan = planOf(graft.ops.EventsOps.q75BandJoin(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
