@@ -301,6 +301,24 @@ object Similarity {
     d
   }
 
+  /** Index of the nearest centroid by [[dist2]], ties to the lowest
+    * index. A MEMBER method (not a local def) on purpose: executor
+    * lambdas reach it through the static module reference instead of
+    * capturing the enclosing scope — a local def would lift into the
+    * (non-serializable) module instance and break task serialization
+    * the moment Catalyst pushes the calling UDF into a scan filter.
+    */
+  private[graft] def nearest(v: Array[Double],
+      cs: Array[Array[Double]]): Int = {
+    var best = 0; var bd = Double.MaxValue; var c = 0
+    while (c < cs.length) {
+      val d = dist2(v, cs(c))
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Deterministic sequential Lloyd's: init = first k sample vectors
     * (the sample is hash-ordered, so these are pseudo-random), ties
     * break to the lowest cell id, empty cells keep their previous
@@ -411,6 +429,152 @@ object Similarity {
   def q55AnnIvf(s: SparkSession, dir: String): DataFrame =
     epsWitness(q45CosineTopK(s, dir), ivfTop5(s, dir))
 
+  // ---- IVF-ADC with exact re-rank (the billion-scale composition) ----
+
+  /** How many ADC-ranked candidates per query survive into the exact
+    * re-rank. The knob trades re-rank cost (R full vectors fetched per
+    * query) against how much ADC coding error can demote a true
+    * neighbor past the cut. On this corpus the ADC ordering is noisy —
+    * near-uniform vectors put the whole candidate set within a few
+    * code-widths of each other — so R must be deep enough to swallow
+    * that noise. Measured (ProfileAdc) max witness delta by R at
+    * sf0.001/0.01/0.1: R=64 → .065/.089/.101 (sf0.1 BREACHES Eps);
+    * R=128 → .065/.066/.099; R=256 → .065/.066/.070 — identical to
+    * plain IVF's floor (.066/.070), i.e. at R=256 the ADC stage loses
+    * nothing and the residual error is all coarse-cell routing. Keep
+    * R=256: per query it bounds the exact-distance work and the full-
+    * vector fetch regardless of corpus size, which is the property
+    * that matters at 100 TB (R/|cell| shrinks as the corpus grows;
+    * the witness floor is set by the IVF recall, not the ADC).
+    */
+  val PqRerankCandidates = 256
+
+  /** IVF-ADC top-5 (Jégou, Douze, Schmid, TPAMI 2011 — the FAISS
+    * IVFADC layout, expressed relationally): the coarse quantizer of
+    * [[ivfTop5]] routes vectors to cells; each vector's RESIDUAL from
+    * its cell centroid is product-quantized to `PqSubspaces` 4-bit
+    * codes; a query probes `NProbe` cells, precomputes one
+    * (subspace × codeword) distance table per probed cell, and scores
+    * every candidate in the cell with `PqSubspaces` table lookups —
+    * never touching the candidate's floats. The ADC top
+    * [[PqRerankCandidates]] then re-rank by EXACT cosine over the full
+    * vectors.
+    *
+    * This is the composition that actually runs at 100 TB: the hot
+    * corpus scan reads (vec_id, cell, 8-byte code) — a 64× smaller
+    * column than the float vectors, with O(M) table lookups per
+    * candidate instead of O(d) multiplies — and the full vectors are
+    * fetched for only R rows per query, a bounded semi-join against
+    * the corpus. Quantizer and codebooks are the shared sample-fit
+    * machinery ([[hashSample]]/[[lloydFit]]); the ADC tables are
+    * (|Q|·NProbe·M·PqCodes) doubles — metadata-sized — built on the
+    * driver from the SAME bounded query set the exact baseline
+    * restricts to, and broadcast.
+    */
+  private[graft] def ivfPqTop5(s: SparkSession, dir: String,
+      rerank: Int = PqRerankCandidates): DataFrame = {
+    val M = Vectors.PqSubspaces
+    val codes = Vectors.PqCodes
+    val vecs = vecsDouble(s, dir)
+    val cents = fitQuantizer(s, dir)
+    if (cents.isEmpty)
+      return vecs.limit(0).select(
+        col("vec_id").as("qid"), col("vec_id"),
+        lit(0.0).as("sim"), lit(0L).as("rn"))
+    // PQ codebooks fit on residuals (v − centroid(cell)) — the IVFADC
+    // refinement: residuals concentrate near 0 regardless of which
+    // cell a vector lives in, so one shared codebook set serves all
+    // cells. Same bounded sample as the coarse quantizer.
+    val sample = hashSample(vecs, IvfSampleFactor * IvfCells)
+    val dim = ((sample.map(_.length).max + M - 1) / M) * M
+    val dsub = dim / M
+    val residuals = sample.map { v =>
+      val c = cents(nearest(v, cents))
+      Array.tabulate(dim)(i => (if (i < v.length) v(i) else 0.0) -
+        (if (i < c.length) c(i) else 0.0))
+    }
+    val books: Array[Array[Array[Double]]] = Array.tabulate(M)(m =>
+      lloydFit(residuals.map(_.slice(m * dsub, (m + 1) * dsub)),
+        codes, Vectors.PqIters))
+    val bcIdx = s.sparkContext.broadcast((cents, books))
+    // one pass over the corpus side builds the compressed index row:
+    // (cell, M 4-bit codes) — this is the column the ADC scan reads
+    val encode = udf((vv: Seq[java.lang.Double]) => {
+      val v = unbox(vv)
+      val (cs, bks) = bcIdx.value
+      val cell = nearest(v, cs)
+      val cent = cs(cell)
+      val code = Array.tabulate(M) { m =>
+        val r = new Array[Double](dsub)
+        var i = 0
+        while (i < dsub) {
+          val gi = m * dsub + i
+          r(i) = (if (gi < v.length) v(gi) else 0.0) -
+            (if (gi < cent.length) cent(gi) else 0.0)
+          i += 1
+        }
+        nearest(r, bks(m))
+      }
+      (cell, code.toSeq)
+    })
+    // the query set is bounded by construction (vec_id < 50) — the
+    // same metadata-sized-driver-state class as the sample fits; ADC
+    // tables: |Q| × NProbe × M × codes doubles
+    val qRows = vecs.filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val adcTables: Map[(Long, Int), Array[Array[Double]]] = (for {
+      (qid, qv) <- qRows
+      cell <- cents.indices.map(c => (dist2(qv, cents(c)), c))
+        .sortBy(identity).take(NProbe).map(_._2)
+    } yield {
+      val cent = cents(cell)
+      val rq = Array.tabulate(dim)(i => (if (i < qv.length) qv(i) else 0.0) -
+        (if (i < cent.length) cent(i) else 0.0))
+      (qid, cell) -> Array.tabulate(M)(m =>
+        Array.tabulate(codes)(c =>
+          dist2(rq.slice(m * dsub, (m + 1) * dsub), books(m)(c))))
+    }).toMap
+    val bcTables = s.sparkContext.broadcast(adcTables)
+    val adcDist = udf((qid: Long, cell: Int, code: Seq[Int]) => {
+      val t = bcTables.value((qid, cell))
+      var d = 0.0; var m = 0
+      while (m < t.length) { d += t(m)(code(m)); m += 1 }
+      d
+    })
+    import s.implicits._
+    val probes = adcTables.keys.toSeq.sorted.toDF("qid", "cell")
+    val index = vecs.filter(col("vec_id") >= 50)
+      .withColumn("enc", encode(col("v")))
+      // the ADC scan's projection: ids, routing key, codes — no floats
+      .select(col("vec_id"), col("enc._1").as("cell"),
+        col("enc._2").as("code"))
+    val scored = index.join(broadcast(probes), "cell")
+      .withColumn("adc", adcDist(col("qid"), col("cell"), col("code")))
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("adc"), col("vec_id"))
+    val finalists = scored.withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= rerank)
+      .select(col("qid"), col("vec_id"))
+    // exact re-rank: full vectors fetched for R rows per query only
+    val queries = s.createDataFrame(qRows.toSeq.map { case (q, v) =>
+      (q, v.toSeq) }).toDF("qid", "qv")
+    val sims = finalists
+      .join(vecs.select(col("vec_id"), col("v")), "vec_id")
+      .join(broadcast(queries), "qid")
+      .withColumn("sim", round(cosine_similarity(col("qv"), col("v")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Gated IVF-ADC: the ε-approximation witness of [[ivfPqTop5]]. */
+  def q187AnnIvfPq(s: SparkSession, dir: String): DataFrame =
+    epsWitness(q45CosineTopK(s, dir), ivfPqTop5(s, dir))
+
   /** Late-interaction (MaxSim) scoring — the ColBERT retrieval scorer:
     * a query is a SET of vectors, a document a SET of vectors (here:
     * each label's corpus vectors stand in for one multi-vector
@@ -461,7 +625,8 @@ object Similarity {
     "q45_cosine_topk" -> (q45CosineTopK _),
     "q46_ann_lsh" -> (q46AnnLsh _),
     "q55_ann_ivf" -> (q55AnnIvf _),
-    "q169_maxsim" -> (q169Maxsim _)
+    "q169_maxsim" -> (q169Maxsim _),
+    "q187_ann_ivf_pq" -> (q187AnnIvfPq _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -469,6 +634,7 @@ object Similarity {
     "q45_cosine_topk" -> q45Oracle,
     "q46_ann_lsh" -> witnessOracle,
     "q55_ann_ivf" -> witnessOracle,
-    "q169_maxsim" -> q169Oracle
+    "q169_maxsim" -> q169Oracle,
+    "q187_ann_ivf_pq" -> witnessOracle
   )
 }

@@ -294,6 +294,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q187: ADC probes and the re-rank query set broadcast; the corpus " +
+      "index never sort-merge-joins") {
+    val plan = planOf(graft.ops.Similarity.ivfPqTop5(spark, sf))
+    // cell routing: the (qid, cell) probe table joins the coded corpus
+    // as a broadcast hash join — the corpus side stays put
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // nothing in the ADC pipeline may degenerate to a shuffle join or
+    // a cross product; the only allowed exchanges are the broadcasts
+    // and the bounded per-qid window repartitions
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q170: the dictionary encode is a broadcast join; rows never shuffle") {
     val plan = planOf(graft.ops.Features.q170StringIndexer(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan)

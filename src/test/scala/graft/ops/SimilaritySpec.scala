@@ -41,12 +41,28 @@ class SimilaritySpec extends AnyFunSuite {
   test("ANN witness rows are all-true at gate scale") {
     // the oracle states TRUE for every query point; the spec runs the
     // same witness the driver gates on
-    Seq(Similarity.q46AnnLsh _, Similarity.q55AnnIvf _).foreach { q =>
+    Seq(Similarity.q46AnnLsh _, Similarity.q55AnnIvf _,
+      Similarity.q187AnnIvfPq _).foreach { q =>
       val rows = q(spark, sf).collect()
       assert(rows.length === 50)
       assert(rows.forall(_.getAs[Boolean]("found_5")), "found_5")
       assert(rows.forall(_.getAs[Boolean]("approx_ok")), "approx_ok")
     }
+  }
+
+  test("IVF-ADC with exhaustive re-rank equals plain IVF exactly") {
+    // both paths probe the same cells (same fitQuantizer); with R at
+    // least the corpus size the ADC ordering can't drop anyone, so the
+    // exact re-rank must reproduce ivfTop5 row for row — this pins the
+    // candidate routing and the re-rank arithmetic independently of
+    // the PQ coding quality
+    val ivf = Similarity.ivfTop5(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rn"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSet
+    val adc = Similarity.ivfPqTop5(spark, sf, rerank = 1000000).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rn"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSet
+    assert(adc === ivf)
   }
 
   test("lloydFit is deterministic, pure, and bounded by its sample") {
