@@ -112,12 +112,100 @@ object Privacy {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Minimum equivalence-class size: classes smaller than this leak
+    * (Sweeney's k-anonymity, k=3). Chosen against the testdata so the
+    * gate exercises BOTH branches at the driver SFs: sf0.01 has 765
+    * violating / 136 surviving level-1 classes, sf0.1 has 4 / 1371.
+    */
+  val AnonymityK = 3
+
+  /** k-anonymity / l-diversity audit with one generalization step —
+    * the privacy-engineering report a health-data release (the
+    * reference's domain) runs before publishing a quasi-identified
+    * extract. Quasi-identifiers: (nation, market segment, account-
+    * balance band); sensitive attribute: the priority of the
+    * customer's earliest order (their most identifying transactional
+    * fact). Level-1 classes smaller than [[AnonymityK]] get the band
+    * suppressed (one rung up the generalization ladder) and re-audit
+    * at (nation, segment); the report carries k and l for every
+    * surviving class plus the residual `meets_k` verdict.
+    *
+    * Scale shape: two aggregation passes and one semi-join against the
+    * violating-class list. Class count is bounded by QI cardinality —
+    * independent of row count — so the violator list BROADCASTS at any
+    * corpus size; per-customer sensitive extraction is a map-side-
+    * combinable min over a fixed-width sortable encoding (date + key +
+    * priority), no window, no driver loop.
+    */
+  def q188KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    // earliest-order priority per customer: min over a lexicographic
+    // encoding whose 23-char prefix (date, zero-padded orderkey) is a
+    // total order — deterministic without a window, identical ASCII
+    // collation in both engines
+    val sens = customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("int").as("band"))
+      .join(orders(s, dir).groupBy("o_custkey")
+        .agg(substring(min(concat(
+          date_format(col("o_orderdate"), "yyyy-MM-dd"),
+          lpad(col("o_orderkey").cast("string"), 12, "0"), lit("|"),
+          col("o_orderpriority"))), 24, 1000).as("sens")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("band"),
+        coalesce(col("sens"), lit("NONE")).as("sens"))
+    val l1 = sens.groupBy("c_nationkey", "c_mktsegment", "band")
+      .agg(count(lit(1)).as("k"), countDistinct(col("sens")).as("l"))
+    // the violating-class list is ≤ |QI domain| rows however large the
+    // corpus — broadcast is structurally safe, not a small-data fluke
+    val viol = broadcast(l1.filter(col("k") < AnonymityK)
+      .select("c_nationkey", "c_mktsegment", "band"))
+    val l2 = sens.join(viol, Seq("c_nationkey", "c_mktsegment", "band"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("k"), countDistinct(col("sens")).as("l"))
+    l1.filter(col("k") >= AnonymityK)
+      .select(lit(1).as("level"), col("c_nationkey"), col("c_mktsegment"),
+        col("band"), col("k"), col("l"),
+        (col("k") >= AnonymityK).as("meets_k"))
+      .unionByName(l2.select(lit(2).as("level"), col("c_nationkey"),
+        col("c_mktsegment"), lit(null).cast("int").as("band"), col("k"),
+        col("l"), (col("k") >= AnonymityK).as("meets_k")))
+      .orderBy("level", "c_nationkey", "c_mktsegment", "band")
+  }
+
+  val q188Oracle: String =
+    """WITH sens AS (
+      |  SELECT c.c_nationkey, c.c_mktsegment,
+      |    CAST(floor(c.c_acctbal/1000) AS INT) AS band,
+      |    coalesce(o.sens, 'NONE') AS sens
+      |  FROM customer c LEFT JOIN (
+      |    SELECT o_custkey, substr(min(concat(
+      |        strftime(o_orderdate, '%Y-%m-%d'),
+      |        lpad(CAST(o_orderkey AS VARCHAR), 12, '0'), '|',
+      |        o_orderpriority)), 24, 1000) AS sens
+      |    FROM orders GROUP BY o_custkey) o ON c.c_custkey = o.o_custkey),
+      |l1 AS (SELECT c_nationkey, c_mktsegment, band, count(*) AS k,
+      |    count(DISTINCT sens) AS l FROM sens GROUP BY 1, 2, 3),
+      |viol AS (SELECT c_nationkey, c_mktsegment, band FROM l1 WHERE k < 3),
+      |l2 AS (SELECT s.c_nationkey, s.c_mktsegment, count(*) AS k,
+      |    count(DISTINCT s.sens) AS l
+      |  FROM sens s JOIN viol v USING (c_nationkey, c_mktsegment, band)
+      |  GROUP BY 1, 2)
+      |SELECT CAST(1 AS INT) AS level, c_nationkey, c_mktsegment, band,
+      |  k, l, k >= 3 AS meets_k
+      |FROM l1 WHERE k >= 3
+      |UNION ALL
+      |SELECT CAST(2 AS INT), c_nationkey, c_mktsegment,
+      |  CAST(NULL AS INT), k, l, k >= 3
+      |FROM l2
+      |ORDER BY level, c_nationkey, c_mktsegment, band""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_hash_ids" -> (q20HashIds _),
     "q21_round_hour" -> (q21RoundHour _),
     "q22_round_month" -> (q22RoundMonth _),
     "q23_redact_text" -> (q23RedactText _),
-    "q24_extract_entities" -> (q24ExtractEntities _)
+    "q24_extract_entities" -> (q24ExtractEntities _),
+    "q188_k_anonymity" -> (q188KAnonymity _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -125,6 +213,7 @@ object Privacy {
     "q21_round_hour" -> q21Oracle,
     "q22_round_month" -> q22Oracle,
     "q23_redact_text" -> q23Oracle,
-    "q24_extract_entities" -> q24Oracle
+    "q24_extract_entities" -> q24Oracle,
+    "q188_k_anonymity" -> q188Oracle
   )
 }
