@@ -1256,11 +1256,83 @@ object Dedup {
         |          FROM e, bb)""".stripMargin)
   }
 
+  /** Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter,
+    * JASA 1969; Winkler's m/u formulation) across two sources —
+    * suppliers linked to customers. Each candidate pair gets a
+    * comparison vector over three fields (key-suffix congruence,
+    * balance band, balance-cents parity); field i contributes
+    * log2(m_i/u_i) on agreement, log2((1-m_i)/(1-u_i)) on
+    * disagreement; the summed weight classifies against the
+    * (λ_lower=0, λ_upper=6) decision bands. The m/u values are fixed
+    * constants here (production would EM-estimate them); weights are
+    * therefore 6-dp literals on BOTH engine sides — no libm in the
+    * score, so the gate is hash-exact.
+    *
+    * Scale: candidate generation is an equi join on (nation,
+    * key-suffix) — TWO-field blocking that includes the highest-weight
+    * field. That loses nothing: with these m/u, a key-suffix
+    * disagreement (-4.307429) outweighs both other agreements
+    * (+2.959358 +0.847997 = +3.807), so every pair scoring above
+    * λ_lower agrees on the suffix and survives the tighter blocking;
+    * pairs the block never generates are exactly the auto-rejects.
+    * Per-block pair counts are corpus/(25·100) — skew-free keys.
+    */
+  def q191FellegiSunter(s: SparkSession, dir: String): DataFrame = {
+    val sup = graft.Tables.supplier(s, dir).select(
+      col("s_suppkey"), col("s_nationkey").as("nation"),
+      pmod(col("s_suppkey"), lit(100L)).as("kmod"),
+      floor(col("s_acctbal") / 1000).cast("long").as("band_s"),
+      pmod(abs(round(col("s_acctbal") * 100, 0)).cast("long"), lit(2L))
+        .as("par_s"))
+    val cust = graft.Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_nationkey").as("nation"),
+      pmod(col("c_custkey"), lit(100L)).as("kmod"),
+      floor(col("c_acctbal") / 1000).cast("long").as("band_c"),
+      pmod(abs(round(col("c_acctbal") * 100, 0)).cast("long"), lit(2L))
+        .as("par_c"))
+    val w = sup.join(cust, Seq("nation", "kmod"))
+      .withColumn("score", round(
+        lit(6.569856) +
+          when(col("band_s") === col("band_c"), lit(2.959358))
+            .otherwise(lit(-1.600904)) +
+          when(col("par_s") === col("par_c"), lit(0.847997))
+            .otherwise(lit(-2.321928)), 6))
+      .filter(col("score") > 0)
+    w.select(col("nation"), col("s_suppkey"), col("c_custkey"),
+        col("score"),
+        when(col("score") >= 6, lit("match")).otherwise(lit("possible"))
+          .as("decision"))
+      .orderBy("nation", "s_suppkey", "c_custkey")
+  }
+
+  val q191Oracle: String =
+    """WITH sup AS (SELECT s_suppkey, s_nationkey AS nation,
+      |    s_suppkey % 100 AS kmod,
+      |    CAST(floor(s_acctbal/1000) AS BIGINT) AS band_s,
+      |    abs(CAST(round(s_acctbal*100) AS BIGINT)) % 2 AS par_s
+      |  FROM supplier),
+      |cust AS (SELECT c_custkey, c_nationkey AS nation,
+      |    c_custkey % 100 AS kmod,
+      |    CAST(floor(c_acctbal/1000) AS BIGINT) AS band_c,
+      |    abs(CAST(round(c_acctbal*100) AS BIGINT)) % 2 AS par_c
+      |  FROM customer),
+      |scored AS (SELECT nation, s_suppkey, c_custkey,
+      |    round(6.569856
+      |      + CASE WHEN band_s = band_c THEN 2.959358 ELSE -1.600904 END
+      |      + CASE WHEN par_s = par_c THEN 0.847997 ELSE -2.321928 END,
+      |      6) AS score
+      |  FROM sup JOIN cust USING (nation, kmod))
+      |SELECT nation, s_suppkey, c_custkey, CAST(score AS DOUBLE) AS score,
+      |  CASE WHEN score >= 6 THEN 'match' ELSE 'possible' END AS decision
+      |FROM scored WHERE score > 0
+      |ORDER BY nation, s_suppkey, c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q180_semdedup" -> (q180SemDedup _),
     "q184_semdedup_auto" -> (q184SemDedupAuto _),
     "q153_incremental_lsh" -> (q153IncrementalLsh _),
     "q147_er_blocking" -> (q147ErBlocking _),
+    "q191_fellegi_sunter" -> (q191FellegiSunter _),
     "q119_leakage_split" -> (q119LeakageSplit _),
     "q130_setsim_join" -> (q130SetSimJoin _),
     "q141_cluster_canonical" -> (q141ClusterCanonical _),
@@ -1280,6 +1352,7 @@ object Dedup {
     "q153_incremental_lsh" -> q153Oracle,
     "q119_leakage_split" -> q119Oracle,
     "q147_er_blocking" -> q147Oracle,
+    "q191_fellegi_sunter" -> q191Oracle,
     "q130_setsim_join" -> q130Oracle,
     "q141_cluster_canonical" -> q141Oracle,
     "q40_exact_dedup" -> q40Oracle,

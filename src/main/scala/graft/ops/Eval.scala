@@ -201,14 +201,86 @@ object Eval {
       |FROM bv, pooled
       |ORDER BY variant""".stripMargin
 
+  /** Expected calibration error (Naeini et al. AAAI 2015; Guo et al.
+    * ICML 2017 formulation): scores bin into 10 equal-width buckets;
+    * per bin, confidence = mean predicted probability and accuracy =
+    * positive rate; ECE = Σ_b (n_b/N)·|acc_b − conf_b|. Scores/labels
+    * are the q165 derivation rescaled to a probability, so the eval
+    * family (discrimination = AUC, calibration = ECE) reads one
+    * consistent synthetic model.
+    *
+    * Output: the 10 per-bin reliability rows (the reliability-diagram
+    * table) plus a NULL-bin summary row carrying the scalar ECE.
+    *
+    * Scale shape: one groupBy over a 10-value key with map-side
+    * combine — confidences sum as exact integer numerators (the
+    * q165/q140 fixed-point rule) and the bin→ECE reduction runs over
+    * 10 rows; nothing here is corpus-sized after the first combine.
+    */
+  def q190Calibration(s: SparkSession, dir: String): DataFrame = {
+    // p̂ = (hash + 3000·label) / 12973 ∈ (0,1): integer numerator so
+    // every mean is a rational with a fixed denominator
+    val denom = 12973.0
+    val scored = events(s, dir).select(
+      (pmod(col("event_id") * lit(2654435761L), lit(9973L)) +
+        when(col("event_type") === "purchase", lit(3000L))
+          .otherwise(lit(0L))).as("num"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+    val bins = scored
+      .groupBy(floor(col("num") * 10 / lit(12973L)).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"), sum("num").as("sum_num"),
+        sum("pos").as("sum_pos"))
+      .select(col("bin"), col("n"),
+        round(col("sum_num") / (lit(denom) * col("n")), 6).as("conf"),
+        round(col("sum_pos") / col("n").cast("double"), 6).as("acc"))
+      .withColumn("gap", round(abs(col("acc") - col("conf")), 6))
+    // decimal-exact weighted sum over ≤10 bin rows → addition order
+    // can't move the 6-dp result
+    val ece = bins.agg(
+      (sum(col("gap").cast("decimal(18,6)") * col("n")).cast("double") /
+        sum(col("n"))).as("raw"),
+      sum(col("n")).as("ntot"))
+      .select(lit(null).cast("int").as("bin"), col("ntot").as("n"),
+        lit(null).cast("double").as("conf"),
+        lit(null).cast("double").as("acc"),
+        round(col("raw"), 6).as("gap"))
+    bins.unionByName(ece).orderBy(col("bin").asc_nulls_last)
+  }
+
+  val q190Oracle: String =
+    """WITH scored AS (SELECT
+      |  (event_id * 2654435761) % 9973 +
+      |    CASE WHEN event_type = 'purchase' THEN 3000 ELSE 0 END AS num,
+      |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      | FROM events),
+      |bins AS (SELECT CAST(floor(num * 10 / 12973) AS INT) AS bin,
+      |   count(*) AS n,
+      |   round(sum(num) / (12973.0 * count(*)), 6) AS conf,
+      |   round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS acc
+      | FROM scored GROUP BY 1),
+      |withgap AS (SELECT bin, n, conf, acc,
+      |   round(abs(acc - conf), 6) AS gap FROM bins),
+      |ece AS (SELECT CAST(NULL AS INT) AS bin,
+      |   CAST(sum(n) AS BIGINT) AS n,
+      |   CAST(NULL AS DOUBLE) AS conf, CAST(NULL AS DOUBLE) AS acc,
+      |   round(CAST(sum(CAST(gap AS DECIMAL(18,6)) * n) AS DOUBLE)
+      |     / sum(n), 6) AS gap
+      | FROM withgap)
+      |SELECT bin, n, conf, acc, gap FROM withgap
+      |UNION ALL
+      |SELECT bin, n, conf, acc, gap FROM ece
+      |ORDER BY bin ASC NULLS LAST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q165_auc" -> (q165Auc _),
+    "q190_calibration" -> (q190Calibration _),
     "q166_sketch_merge" -> (q166SketchMerge _),
     "q179_cuped" -> (q179Cuped _)
   )
 
   def oracles: Map[String, String] = Map(
     "q165_auc" -> q165Oracle,
+    "q190_calibration" -> q190Oracle,
     "q166_sketch_merge" -> q166Oracle,
     "q179_cuped" -> q179Oracle
   )

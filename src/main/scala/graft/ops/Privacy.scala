@@ -199,13 +199,66 @@ object Privacy {
       |FROM l2
       |ORDER BY level, c_nationkey, c_mktsegment, band""".stripMargin
 
+  /** DP release budget for [[q189DpCounts]] (Laplace mechanism,
+    * Dwork et al. TCC 2006: count queries have sensitivity 1, so
+    * noise ~ Laplace(1/ε) makes the release ε-DP).
+    */
+  val DpEpsilon = 1.0
+
+  /** ε-differentially-private group counts — the release mechanism a
+    * data custodian applies before publishing per-cohort tallies from
+    * a sensitive corpus. True per-nation customer counts get Laplace
+    * (1/ε) noise via inverse-CDF sampling; the uniform draw comes from
+    * a SEEDED integer LCG over the group key (exact int64 arithmetic,
+    * identical in any engine), which keeps the mechanism's output
+    * deterministic and therefore hash-gateable — a production release
+    * would swap the LCG for a CSPRNG, changing one expression.
+    *
+    * Scale shape: one map-side-combinable count per group plus a
+    * handful of per-GROUP scalar expressions — noise cost is O(groups),
+    * zero extra shuffles, no driver state.
+    */
+  def q189DpCounts(s: SparkSession, dir: String): DataFrame = {
+    // u in (0,1), never exactly 0.5: (lcg + 0.5) / 2^31 with integer
+    // lcg — so the inverse CDF below never hits ln(0)
+    val lcg = pmod(col("c_nationkey").cast("long") * 1103515245L + 12345L,
+      lit(2147483648L))
+    val u = (lcg + lit(0.5)) / lit(2147483648.0)
+    // Laplace(b = 1/ε) inverse CDF at u; 6-dp rounding absorbs the
+    // sub-ulp libm spread of ln across engines
+    val noise = round(
+      (-lit(1.0) / DpEpsilon) * signum(u - 0.5) *
+        log(lit(1.0) - lit(2.0) * abs(u - 0.5)), 6)
+    customer(s, dir).groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_true"))
+      .select(col("c_nationkey"),
+        round(col("n_true") + noise, 6).as("n_noisy"),
+        lit(DpEpsilon).as("epsilon"))
+      .orderBy("c_nationkey")
+  }
+
+  val q189Oracle: String =
+    """WITH g AS (SELECT c_nationkey, count(*) AS n_true
+      |  FROM customer GROUP BY c_nationkey),
+      |u AS (SELECT c_nationkey, n_true,
+      |  ((CAST(c_nationkey AS BIGINT) * 1103515245 + 12345)
+      |     % 2147483648 + 0.5) / 2147483648.0 AS u
+      |  FROM g)
+      |SELECT c_nationkey,
+      |  round(n_true + round(-1.0 * sign(u - 0.5)
+      |    * ln(1.0 - 2.0 * abs(u - 0.5)), 6), 6) AS n_noisy,
+      |  1.0 AS epsilon
+      |FROM u
+      |ORDER BY c_nationkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_hash_ids" -> (q20HashIds _),
     "q21_round_hour" -> (q21RoundHour _),
     "q22_round_month" -> (q22RoundMonth _),
     "q23_redact_text" -> (q23RedactText _),
     "q24_extract_entities" -> (q24ExtractEntities _),
-    "q188_k_anonymity" -> (q188KAnonymity _)
+    "q188_k_anonymity" -> (q188KAnonymity _),
+    "q189_dp_counts" -> (q189DpCounts _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -214,6 +267,7 @@ object Privacy {
     "q22_round_month" -> q22Oracle,
     "q23_redact_text" -> q23Oracle,
     "q24_extract_entities" -> q24Oracle,
-    "q188_k_anonymity" -> q188Oracle
+    "q188_k_anonymity" -> q188Oracle,
+    "q189_dp_counts" -> q189Oracle
   )
 }
