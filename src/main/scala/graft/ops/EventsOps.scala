@@ -685,8 +685,109 @@ object EventsOps {
       |GROUP BY 1
       |ORDER BY channel""".stripMargin
 
+  /** Kaplan-Meier survival curve (product-limit estimator, Kaplan &
+    * Meier JASA 1958) — time from signup to first purchase with
+    * right-censoring at the end of observation; THE time-to-event
+    * analysis of clinical follow-up studies (the reference's health
+    * domain). Output is the classic life table: per duration day, the
+    * risk set, events, censorings, and S(t) = Π_{i≤t}(1 − d_i/n_i).
+    *
+    * Determinism: durations are integer micros (DIV — exact in both
+    * engines); the cumulative product runs as exp∘Σln over the life
+    * table's ≤observation-window rows in day order, 6-dp rounded; a
+    * day that empties the risk set (haz = 0) pins S to exactly 0.0 in
+    * both engines rather than relying on ln(0) semantics (Spark's log
+    * yields NULL there, DuckDB's -inf).
+    *
+    * Scale: two user-keyed aggregations (map-side combinable) + one
+    * broadcast scalar (censor horizon, cohort size); the life table
+    * itself is bounded by the observation window in DAYS — the
+    * unpartitioned windows run over that bounded frame, never over
+    * raw events.
+    */
+  def q192KaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("event_type"),
+      // ts arrives TIMESTAMP_NTZ; the session TZ is pinned UTC, so the
+      // ltz cast is a deterministic identity on the stored instant
+      unix_micros(col("ts").cast("timestamp")).as("us"))
+    val t0 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("us").as("t0"))
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .join(t0, "user_id").filter(col("us") >= col("t0"))
+      .groupBy("user_id").agg(min("us").as("tp"))
+    val horizon = broadcast(ev.agg(max("us").as("tmax")))
+    val perUser = t0.join(firstP, Seq("user_id"), "left")
+      .crossJoin(horizon)
+      .select(
+        when(col("tp").isNotNull,
+          expr("(tp - t0) DIV 86400000000"))
+          .otherwise(expr("(tmax - t0) DIV 86400000000")).as("day"),
+        col("tp").isNotNull.as("is_event"))
+    val cohort = broadcast(t0.agg(count(lit(1)).as("n_total")))
+    val lt = perUser.groupBy("day")
+      .agg(sum(when(col("is_event"), 1L).otherwise(0L)).as("n_event"),
+        sum(when(col("is_event"), 0L).otherwise(1L)).as("n_censored"))
+      .crossJoin(cohort)
+    // bounded frame: one row per duration DAY in the observation
+    // window (≤ ~30), so the unpartitioned cumulative windows are
+    // metadata-sized by construction
+    val before = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lt.withColumn("n_risk", col("n_total") -
+        coalesce(sum(col("n_event") + col("n_censored")).over(before),
+          lit(0L)))
+      .withColumn("haz",
+        lit(1.0) - col("n_event").cast("double") / col("n_risk"))
+      .select(col("day"), col("n_risk"), col("n_event"), col("n_censored"),
+        when(min("haz").over(upto) === 0.0, lit(0.0))
+          .otherwise(round(exp(
+            sum(log(when(col("haz") > 0, col("haz")))).over(upto)), 6))
+          .as("surv"))
+      .orderBy("day")
+  }
+
+  val q192Oracle: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |t0 AS (SELECT user_id, min(us) AS t0 FROM ev
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |fp AS (SELECT e.user_id, min(e.us) AS tp
+      |  FROM ev e JOIN t0 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.us >= t0.t0 GROUP BY 1),
+      |hz AS (SELECT max(us) AS tmax FROM ev),
+      |pu AS (SELECT
+      |    CASE WHEN fp.tp IS NOT NULL THEN (fp.tp - t0.t0) // 86400000000
+      |         ELSE (hz.tmax - t0.t0) // 86400000000 END AS day,
+      |    fp.tp IS NOT NULL AS is_event
+      |  FROM t0 LEFT JOIN fp USING (user_id) CROSS JOIN hz),
+      |tot AS (SELECT count(*) AS n_total FROM t0),
+      |lt AS (SELECT day,
+      |    sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS n_event,
+      |    sum(CASE WHEN is_event THEN 0 ELSE 1 END) AS n_censored
+      |  FROM pu GROUP BY 1),
+      |risk AS (SELECT day, n_event, n_censored,
+      |    n_total - coalesce(sum(n_event + n_censored) OVER
+      |      (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+      |       AND 1 PRECEDING), 0) AS n_risk
+      |  FROM lt CROSS JOIN tot),
+      |haz AS (SELECT day, n_risk, n_event, n_censored,
+      |    1.0 - CAST(n_event AS DOUBLE) / n_risk AS haz FROM risk)
+      |SELECT day, CAST(n_risk AS BIGINT) AS n_risk,
+      |  CAST(n_event AS BIGINT) AS n_event,
+      |  CAST(n_censored AS BIGINT) AS n_censored,
+      |  CASE WHEN min(haz) OVER w = 0 THEN 0.0
+      |       ELSE round(exp(sum(ln(CASE WHEN haz > 0 THEN haz END))
+      |         OVER w), 6) END AS surv
+      |FROM haz
+      |WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+      |  AND CURRENT ROW)
+      |ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_retention_cohorts" -> (q143RetentionCohorts _),
+    "q192_kaplan_meier" -> (q192KaplanMeier _),
     "q144_last_touch" -> (q144LastTouch _),
     "q114_gap_fill" -> (q114GapFill _),
     "q117_rolling_active" -> (q117RollingActive _),
@@ -705,6 +806,7 @@ object EventsOps {
 
   def oracles: Map[String, String] = Map(
     "q143_retention_cohorts" -> q143Oracle,
+    "q192_kaplan_meier" -> q192Oracle,
     "q144_last_touch" -> q144Oracle,
     "q114_gap_fill" -> q114Oracle,
     "q117_rolling_active" -> q117Oracle,
