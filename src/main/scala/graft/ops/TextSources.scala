@@ -82,13 +82,32 @@ object TextSources {
 
   val q158Oracle: String = fidelityOracle
 
+  /** ORC roundtrip: the other columnar warehouse format — a corpus
+    * interchanged with Hive/Trino estates arrives as ORC. Unlike the
+    * text formats the schema travels in the file footer, so the read
+    * back needs no declared schema and the gate additionally proves
+    * the footer-carried types survive (a LongType that came back as
+    * IntegerType would hash-mismatch the report). Same vectorized
+    * reader / predicate-pushdown machinery as parquet at scale.
+    */
+  def q193OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("graft_orc").toString + "/docs"
+    documents(s, dir).select(col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars")).write.mode("overwrite").orc(out)
+    fidelityReport(s.read.orc(out))
+  }
+
+  val q193Oracle: String = fidelityOracle
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_jsonl_roundtrip" -> (q157JsonlRoundtrip _),
-    "q158_csv_roundtrip" -> (q158CsvRoundtrip _)
+    "q158_csv_roundtrip" -> (q158CsvRoundtrip _),
+    "q193_orc_roundtrip" -> (q193OrcRoundtrip _)
   )
 
   def oracles: Map[String, String] = Map(
     "q157_jsonl_roundtrip" -> q157Oracle,
-    "q158_csv_roundtrip" -> q158Oracle
+    "q158_csv_roundtrip" -> q158Oracle,
+    "q193_orc_roundtrip" -> q193Oracle
   )
 }
