@@ -271,8 +271,77 @@ object Eval {
       |SELECT bin, n, conf, acc, gap FROM ece
       |ORDER BY bin ASC NULLS LAST""".stripMargin
 
+  /** Decile lift & cumulative-gains table — the third member of the
+    * eval family (q165 discrimination, q190 calibration, this one
+    * targeting efficiency: "how much better than random is the top
+    * 10/20/…% of the ranking?"). Deciles are VALUE-TIED: each distinct
+    * score maps to the decile of its cumulative position in the
+    * score-domain histogram, so rows with equal scores land together
+    * and no corpus-wide row-number sort ever runs — the window
+    * operates on the bounded score domain (≤13k cells), the q165
+    * pattern. All ratios are exact integer products divided once and
+    * rounded, no libm.
+    */
+  def q194LiftGains(s: SparkSession, dir: String): DataFrame = {
+    val scored = events(s, dir).select(
+      (pmod(col("event_id") * lit(2654435761L), lit(9973L)) +
+        when(col("event_type") === "purchase", lit(3000L))
+          .otherwise(lit(0L))).as("num"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+    val cells = scored.groupBy("num")
+      .agg(count(lit(1)).as("cnt"), sum("pos").as("p"))
+    val tot = broadcast(cells.agg(sum("cnt").as("nn"), sum("p").as("pp")))
+    // bounded frame: the score domain, not the corpus
+    val before = Window.orderBy(col("num").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val deciles = cells.crossJoin(tot)
+      .withColumn("cumb", coalesce(sum("cnt").over(before), lit(0L)))
+      .withColumn("decile", expr("(10 * cumb) DIV nn"))
+      .groupBy("decile")
+      .agg(sum("cnt").as("n"), sum("p").as("n_pos"),
+        max("nn").as("nn"), max("pp").as("pp"))
+    val cum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles
+      .withColumn("cum_pos", sum("n_pos").over(cum))
+      .select(col("decile").cast("int").as("decile"), col("n"),
+        col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("resp_rate"),
+        round((col("n_pos") * col("nn")).cast("double") /
+          (col("n") * col("pp")), 6).as("lift"),
+        round(col("cum_pos").cast("double") / col("pp"), 6).as("cum_gain"))
+      .orderBy("decile")
+  }
+
+  val q194Oracle: String =
+    """WITH scored AS (SELECT
+      |  (event_id * 2654435761) % 9973 +
+      |    CASE WHEN event_type = 'purchase' THEN 3000 ELSE 0 END AS num,
+      |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      | FROM events),
+      |cells AS (SELECT num, count(*) AS cnt, sum(pos) AS p
+      | FROM scored GROUP BY num),
+      |tot AS (SELECT sum(cnt) AS nn, sum(p) AS pp FROM cells),
+      |dec AS (SELECT (10 * coalesce(sum(cnt) OVER (ORDER BY num DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) // nn
+      |    AS decile, cnt, p, nn, pp
+      | FROM cells CROSS JOIN tot),
+      |byd AS (SELECT decile, sum(cnt) AS n, sum(p) AS n_pos,
+      |   max(nn) AS nn, max(pp) AS pp
+      | FROM dec GROUP BY decile)
+      |SELECT CAST(decile AS INT) AS decile, CAST(n AS BIGINT) AS n,
+      | CAST(n_pos AS BIGINT) AS n_pos,
+      | round(CAST(n_pos AS DOUBLE) / n, 6) AS resp_rate,
+      | round(CAST(n_pos * nn AS DOUBLE) / (n * pp), 6) AS lift,
+      | round(CAST(sum(n_pos) OVER (ORDER BY decile
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |   / pp, 6) AS cum_gain
+      |FROM byd
+      |ORDER BY decile""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q165_auc" -> (q165Auc _),
+    "q194_lift_gains" -> (q194LiftGains _),
     "q190_calibration" -> (q190Calibration _),
     "q166_sketch_merge" -> (q166SketchMerge _),
     "q179_cuped" -> (q179Cuped _)
@@ -281,6 +350,7 @@ object Eval {
   def oracles: Map[String, String] = Map(
     "q165_auc" -> q165Oracle,
     "q190_calibration" -> q190Oracle,
+    "q194_lift_gains" -> q194Oracle,
     "q166_sketch_merge" -> q166Oracle,
     "q179_cuped" -> q179Oracle
   )

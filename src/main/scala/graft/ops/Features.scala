@@ -626,8 +626,87 @@ object Features {
       |SELECT idx, value, n, n AS n_encoded
       |FROM dict ORDER BY idx""".stripMargin
 
+  /** Smoothing pseudo-count for [[q195TargetEncoding]]: the encoding
+    * shrinks toward the out-of-fold global mean with the weight of
+    * α virtual rows (Micci-Barreca, SIGKDD Explorations 2001).
+    */
+  val TargetEncAlpha = 10L
+
+  /** Out-of-fold target encoding — the leakage-SAFE form of the most
+    * leakage-prone feature transform in tabular ML. Encoding a
+    * category by the mean target computed over rows INCLUDING the row
+    * being encoded leaks the label; the standard fix is K-fold
+    * exclusion: rows in fold f see the category mean computed from
+    * every OTHER fold, smoothed toward the (also fold-excluded)
+    * global mean with [[TargetEncAlpha]] pseudo-counts. Here: orders
+    * are training rows, category = the customer's nation, target =
+    * order total, fold = o_orderkey % 5.
+    *
+    * Determinism: target sums stay integer CENTS until the final
+    * divisions (identical IEEE op tree on both engines, one 6-dp
+    * round). Leakage-safety is algebraic, not a second pass:
+    * out-of-fold sums are (category total − category-fold total),
+    * so the whole transform is ONE (category, fold) aggregation —
+    * |categories|·K rows — plus broadcast-sized rollups of it; the
+    * corpus is scanned once however many folds there are.
+    */
+  def q195TargetEncoding(s: SparkSession, dir: String): DataFrame = {
+    val rows = orders(s, dir)
+      .join(customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nation"),
+        pmod(col("o_orderkey"), lit(5L)).as("fold"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val nf = rows.groupBy("nation", "fold")
+      .agg(count(lit(1)).as("n_nf"), sum("cents").as("s_nf"))
+    // rollups of the (nation, fold) grid — ≤ |nations|·5 rows each,
+    // broadcast back onto the grid rather than rescanning orders
+    val byNation = nf.groupBy("nation")
+      .agg(sum("n_nf").as("n_n"), sum("s_nf").as("s_n"))
+    val byFold = nf.groupBy("fold")
+      .agg(sum("n_nf").as("n_f"), sum("s_nf").as("s_f"))
+    val global = nf.agg(sum("n_nf").as("n_g"), sum("s_nf").as("s_g"))
+    val a = lit(TargetEncAlpha)
+    nf.join(broadcast(byNation), "nation")
+      .join(broadcast(byFold), "fold")
+      .crossJoin(broadcast(global))
+      .select(col("nation"), col("fold"),
+        col("n_nf").as("n_in"),
+        (col("n_n") - col("n_nf")).as("n_out"),
+        round((
+          ((col("s_n") - col("s_nf")).cast("double") / 100.0) +
+            a.cast("double") *
+              ((col("s_g") - col("s_f")).cast("double") /
+                (lit(100.0) * (col("n_g") - col("n_f")))))
+          / (col("n_n") - col("n_nf") + a).cast("double"), 6).as("enc"))
+      .orderBy("nation", "fold")
+  }
+
+  val q195Oracle: String =
+    """WITH rows_ AS (SELECT c.c_nationkey AS nation,
+      |    o.o_orderkey % 5 AS fold,
+      |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |nf AS (SELECT nation, fold, count(*) AS n_nf, sum(cents) AS s_nf
+      |  FROM rows_ GROUP BY 1, 2),
+      |byn AS (SELECT nation, sum(n_nf) AS n_n, sum(s_nf) AS s_n
+      |  FROM nf GROUP BY 1),
+      |byf AS (SELECT fold, sum(n_nf) AS n_f, sum(s_nf) AS s_f
+      |  FROM nf GROUP BY 1),
+      |g AS (SELECT sum(n_nf) AS n_g, sum(s_nf) AS s_g FROM nf)
+      |SELECT nf.nation, nf.fold, CAST(nf.n_nf AS BIGINT) AS n_in,
+      |  CAST(byn.n_n - nf.n_nf AS BIGINT) AS n_out,
+      |  round((
+      |    (CAST(byn.s_n - nf.s_nf AS DOUBLE) / 100.0) +
+      |      10.0 * (CAST(g.s_g - byf.s_f AS DOUBLE) /
+      |        (100.0 * (g.n_g - byf.n_f))))
+      |    / CAST(byn.n_n - nf.n_nf + 10 AS DOUBLE), 6) AS enc
+      |FROM nf JOIN byn USING (nation) JOIN byf USING (fold) CROSS JOIN g
+      |ORDER BY nation, fold""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_string_indexer" -> (q170StringIndexer _),
+    "q195_target_encoding" -> (q195TargetEncoding _),
     "q162_pit_join" -> (q162PitJoin _),
     "q159_ewma" -> (q159Ewma _),
     "q160_interval_join" -> (q160IntervalJoin _),
@@ -641,6 +720,7 @@ object Features {
 
   def oracles: Map[String, String] = Map(
     "q170_string_indexer" -> q170Oracle,
+    "q195_target_encoding" -> q195Oracle,
     "q162_pit_join" -> q162Oracle,
     "q159_ewma" -> q159Oracle,
     "q160_interval_join" -> q160Oracle,
