@@ -339,8 +339,94 @@ object Eval {
       |FROM byd
       |ORDER BY decile""".stripMargin
 
+  /** Propensity-score subclassification ATT (Rosenbaum & Rubin,
+    * Biometrika 1983; cell-based propensity = the nonparametric
+    * estimate) — the OTHER causal-adjustment shape next to q179's
+    * CUPED: treated = customers who ever placed a 1-URGENT order,
+    * outcome = lifetime spend, strata = nation. Each stratum's
+    * propensity is its empirical treatment rate; ATT is the
+    * treated-weighted mean of within-stratum outcome differences over
+    * the COMMON-SUPPORT strata (both arms present). No greedy 1:1
+    * matching — subclassification is the estimator that actually
+    * distributes: two aggregations and a ≤|strata|-row reduction,
+    * no per-row sequential dependence anywhere.
+    *
+    * Determinism: outcomes stay integer cents; per-stratum diffs round
+    * to 6 dp then combine decimal-exactly (the q190 pattern), so the
+    * treated-weighted sum is order-independent.
+    */
+  def q196PropensityAtt(s: SparkSession, dir: String): DataFrame = {
+    val spend = orders(s, dir).groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .as("cents"))
+    val urgent = orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("u_custkey")).distinct()
+    val base = customer(s, dir)
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .join(urgent, col("c_custkey") === col("u_custkey"), "left")
+      .select(col("c_nationkey").as("nation"),
+        coalesce(col("cents"), lit(0L)).as("cents"),
+        when(col("u_custkey").isNotNull, 1L).otherwise(0L).as("t"))
+    val cells = base.groupBy("nation").agg(
+      sum("t").as("n_t"), sum(lit(1L) - col("t")).as("n_c"),
+      sum(when(col("t") === 1, col("cents")).otherwise(0L)).as("s_t"),
+      sum(when(col("t") === 0, col("cents")).otherwise(0L)).as("s_c"))
+    val support = cells.filter(col("n_t") > 0 && col("n_c") > 0)
+      .select(col("nation"), col("n_t"), col("n_c"),
+        round(col("n_t").cast("double") / (col("n_t") + col("n_c")), 6)
+          .as("p_score"),
+        round(col("s_t").cast("double") / (lit(100.0) * col("n_t")) -
+          col("s_c").cast("double") / (lit(100.0) * col("n_c")), 6)
+          .as("diff"))
+    val att = support.agg(
+      sum("n_t").as("n_t"), sum("n_c").as("n_c"),
+      (sum(col("diff").cast("decimal(18,6)") * col("n_t")).cast("double")
+        / sum("n_t")).as("raw"))
+      .select(lit(null).cast("int").as("nation"), col("n_t"), col("n_c"),
+        lit(null).cast("double").as("p_score"),
+        round(col("raw"), 6).as("diff"))
+    support.select(col("nation").cast("int").as("nation"), col("n_t"),
+        col("n_c"), col("p_score"), col("diff"))
+      .unionByName(att)
+      .orderBy(col("nation").asc_nulls_last)
+  }
+
+  val q196Oracle: String =
+    """WITH spend AS (SELECT o_custkey,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders GROUP BY 1),
+      |urgent AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'),
+      |base AS (SELECT c.c_nationkey AS nation,
+      |    coalesce(s.cents, 0) AS cents,
+      |    CASE WHEN u.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS t
+      |  FROM customer c
+      |  LEFT JOIN spend s ON c.c_custkey = s.o_custkey
+      |  LEFT JOIN urgent u ON c.c_custkey = u.o_custkey),
+      |cells AS (SELECT nation, sum(t) AS n_t, sum(1 - t) AS n_c,
+      |    sum(CASE WHEN t = 1 THEN cents ELSE 0 END) AS s_t,
+      |    sum(CASE WHEN t = 0 THEN cents ELSE 0 END) AS s_c
+      |  FROM base GROUP BY 1),
+      |support AS (SELECT nation, n_t, n_c,
+      |    round(CAST(n_t AS DOUBLE) / (n_t + n_c), 6) AS p_score,
+      |    round(CAST(s_t AS DOUBLE) / (100.0 * n_t) -
+      |          CAST(s_c AS DOUBLE) / (100.0 * n_c), 6) AS diff
+      |  FROM cells WHERE n_t > 0 AND n_c > 0)
+      |SELECT CAST(nation AS INT) AS nation, CAST(n_t AS BIGINT) AS n_t,
+      |  CAST(n_c AS BIGINT) AS n_c, p_score, diff
+      |FROM support
+      |UNION ALL
+      |SELECT CAST(NULL AS INT), CAST(sum(n_t) AS BIGINT),
+      |  CAST(sum(n_c) AS BIGINT), CAST(NULL AS DOUBLE),
+      |  round(CAST(sum(CAST(diff AS DECIMAL(18,6)) * n_t) AS DOUBLE)
+      |    / sum(n_t), 6)
+      |FROM support
+      |ORDER BY nation ASC NULLS LAST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q165_auc" -> (q165Auc _),
+    "q196_propensity_att" -> (q196PropensityAtt _),
     "q194_lift_gains" -> (q194LiftGains _),
     "q190_calibration" -> (q190Calibration _),
     "q166_sketch_merge" -> (q166SketchMerge _),
@@ -351,6 +437,7 @@ object Eval {
     "q165_auc" -> q165Oracle,
     "q190_calibration" -> q190Oracle,
     "q194_lift_gains" -> q194Oracle,
+    "q196_propensity_att" -> q196Oracle,
     "q166_sketch_merge" -> q166Oracle,
     "q179_cuped" -> q179Oracle
   )
