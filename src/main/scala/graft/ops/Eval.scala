@@ -424,8 +424,93 @@ object Eval {
       |FROM support
       |ORDER BY nation ASC NULLS LAST""".stripMargin
 
+  /** Split-conformal prediction coverage (Vovk's conformal framework;
+    * Lei et al. JASA 2018 split form) — the distribution-free
+    * guarantee check: calibrate a nonconformity quantile on held-out
+    * data, then verify the promised ≥1−α marginal coverage on a
+    * disjoint test split. Fourth axis of the eval family (AUC / ECE /
+    * lift / coverage), same synthetic model. Binary nonconformity is
+    * s = 1−p̂ for the true class, kept as an INTEGER in [0, 12973]
+    * (p̂'s numerator), so the calibration quantile is an exact order
+    * statistic read off the bounded score-domain histogram — no
+    * corpus sort, no floating point anywhere until two final rounded
+    * ratios. Splits are by event-id parity (disjoint, deterministic).
+    *
+    * Scale: two map-side-combinable histograms over the ≤2·12973-value
+    * nonconformity domain + a broadcast scalar q̂; the test pass is
+    * one aggregation with integer compares.
+    */
+  def q197ConformalCoverage(s: SparkSession, dir: String): DataFrame = {
+    val alphaNum = 9 // 1-α = 9/10, kept rational
+    val scored = events(s, dir).select(col("event_id"),
+      (pmod(col("event_id") * lit(2654435761L), lit(9973L)) +
+        when(col("event_type") === "purchase", lit(3000L))
+          .otherwise(lit(0L))).as("num"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+    // integer nonconformity of the TRUE label: 12973 - num if y=1
+    // (confident positives score low), num if y=0
+    val withS = scored.withColumn("s",
+      when(col("pos") === 1, lit(12973L) - col("num"))
+        .otherwise(col("num")))
+    val cal = withS.filter(pmod(col("event_id"), lit(2L)) === 0)
+    val test = withS.filter(pmod(col("event_id"), lit(2L)) === 1)
+    // exact ⌈(n+1)(1−α)⌉-th order statistic from the bounded
+    // histogram: smallest s whose cumulative count reaches the rank
+    val hist = cal.groupBy("s").agg(count(lit(1)).as("cnt"))
+    val nCal = broadcast(cal.agg(count(lit(1)).as("n_cal")))
+    val cum = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qhat = broadcast(hist.crossJoin(nCal)
+      .withColumn("cumc", sum("cnt").over(cum))
+      .filter(col("cumc") >=
+        expr(s"($alphaNum * (n_cal + 1) + 9) DIV 10"))
+      .agg(min("s").as("qhat"), max("n_cal").as("n_cal")))
+    test.crossJoin(qhat)
+      .agg(count(lit(1)).as("n_test"), max("n_cal").as("n_cal"),
+        max("qhat").as("qhat"),
+        sum(when(col("s") <= col("qhat"), 1L).otherwise(0L))
+          .as("covered"),
+        sum(when(col("num") <= col("qhat"), 1L).otherwise(0L) +
+          when(lit(12973L) - col("num") <= col("qhat"), 1L)
+            .otherwise(0L)).as("set_sizes"))
+      .select(col("n_cal"), col("n_test"), col("qhat"),
+        round(col("covered").cast("double") / col("n_test"), 6)
+          .as("coverage"),
+        round(col("set_sizes").cast("double") / col("n_test"), 6)
+          .as("avg_set_size"))
+  }
+
+  val q197Oracle: String =
+    """WITH scored AS (SELECT event_id,
+      |  (event_id * 2654435761) % 9973 +
+      |    CASE WHEN event_type = 'purchase' THEN 3000 ELSE 0 END AS num,
+      |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      | FROM events),
+      |ws AS (SELECT event_id, num,
+      |  CASE WHEN pos = 1 THEN 12973 - num ELSE num END AS s
+      | FROM scored),
+      |cal AS (SELECT s FROM ws WHERE event_id % 2 = 0),
+      |tst AS (SELECT num, s FROM ws WHERE event_id % 2 = 1),
+      |n AS (SELECT count(*) AS n_cal FROM cal),
+      |hist AS (SELECT s, count(*) AS cnt FROM cal GROUP BY s),
+      |q AS (SELECT min(s) AS qhat FROM (
+      |  SELECT s, sum(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+      |    PRECEDING AND CURRENT ROW) AS cumc FROM hist) h CROSS JOIN n
+      |  WHERE cumc >= (9 * (n_cal + 1) + 9) // 10)
+      |SELECT CAST(n.n_cal AS BIGINT) AS n_cal,
+      |  CAST(count(*) AS BIGINT) AS n_test,
+      |  CAST(q.qhat AS BIGINT) AS qhat,
+      |  round(CAST(sum(CASE WHEN t.s <= q.qhat THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) AS coverage,
+      |  round(CAST(sum((CASE WHEN t.num <= q.qhat THEN 1 ELSE 0 END) +
+      |    (CASE WHEN 12973 - t.num <= q.qhat THEN 1 ELSE 0 END))
+      |    AS DOUBLE) / count(*), 6) AS avg_set_size
+      |FROM tst t CROSS JOIN q CROSS JOIN n
+      |GROUP BY n.n_cal, q.qhat""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q165_auc" -> (q165Auc _),
+    "q197_conformal_coverage" -> (q197ConformalCoverage _),
     "q196_propensity_att" -> (q196PropensityAtt _),
     "q194_lift_gains" -> (q194LiftGains _),
     "q190_calibration" -> (q190Calibration _),
@@ -438,6 +523,7 @@ object Eval {
     "q190_calibration" -> q190Oracle,
     "q194_lift_gains" -> q194Oracle,
     "q196_propensity_att" -> q196Oracle,
+    "q197_conformal_coverage" -> q197Oracle,
     "q166_sketch_merge" -> q166Oracle,
     "q179_cuped" -> q179Oracle
   )
