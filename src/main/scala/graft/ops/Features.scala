@@ -704,8 +704,131 @@ object Features {
       |FROM nf JOIN byn USING (nation) JOIN byf USING (fold) CROSS JOIN g
       |ORDER BY nation, fold""".stripMargin
 
+  /** Oracle unroll depth for [[q198Coreness]]: iterated h-index
+    * reaches the coreness fixpoint in 10/19/38 rounds at
+    * sf0.001/0.01/0.1 (measured), so 44 covers every gate SF with
+    * margin — extra rounds past the fixpoint are identity (the
+    * h-index operator is idempotent there) and only cost oracle time.
+    * The SPARK loop does NOT share this bound: it iterates to the
+    * actual fixpoint under its own generous breaker
+    * ([[CorenessLoopBreaker]]) so a larger corpus, whose convergence
+    * can exceed the unroll depth, still gets the true decomposition.
+    */
+  val CorenessOracleRounds = 44
+
+  /** Runaway guard for the [[q198Coreness]] fixpoint loop — far above
+    * any plausible convergence (rounds grow ~logarithmically past the
+    * measured 10→38 for 134× edges), never the semantic bound.
+    */
+  val CorenessLoopBreaker = 500
+
+  /** Full k-core (coreness) decomposition of the part co-purchase
+    * graph via iterated neighborhood h-index (Lü et al., Nature Sci.
+    * Rep. 2016: h⁰ = degree, hᵗ⁺¹(v) = H(hᵗ of v's neighbors)
+    * converges to coreness exactly — spot-validated against per-k
+    * peeling). This yields coreness for EVERY node in one bounded
+    * iteration, where threshold peeling answers only a single k — and
+    * on this near-regular graph any fixed k collapses to an empty
+    * core, so peeling has no stable gate.
+    *
+    * Scale shape: each round is one edge-list join against the
+    * N-row h frame plus a per-node window whose partitions are DEGREE-
+    * sized (never corpus-sized) — the aggregateMessages shape. The
+    * frame is localCheckpoint-ed per round (the CC-loop discipline) so
+    * lineage stays flat, and the convergence count rides the same
+    * materialization. Round count grows slowly with graph size
+    * (measured 10 → 38 for 134× edges); it is the scale knob to watch,
+    * not per-round cost.
+    *
+    * Output: the coreness histogram — non-vacuous at every SF, and a
+    * one-row-per-value summary however large the corpus.
+    */
+  def q198Coreness(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") &&
+        col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    // hash-partition the edge list by the window/groupBy key ONCE:
+    // every round's window and aggregation then run on the standing
+    // partitioning with ZERO per-round shuffles — the h frame travels
+    // by broadcast instead (one row per node; the q146 rank-vector
+    // pattern — on a graph too large for that, swap the broadcast for
+    // a join co-partitioned on nb, paying one exchange of h per round,
+    // never of sym). persist(), NOT localCheckpoint: the loop constant
+    // needs its repartition node visible in the plan so
+    // EnsureRequirements can elide the window exchange — checkpointing
+    // would erase outputPartitioning and re-shuffle all of sym every
+    // round (measured: one 2.4 M-row exchange per round reappears).
+    // Lineage only grows on h, which stays checkpointed.
+    val sym = edges.select(col("u").as("node"), col("v").as("nb"))
+      .union(edges.select(col("v").as("node"), col("u").as("nb")))
+      .repartition(8, col("node"))
+      .persist()
+    var h = sym.groupBy("node").agg(count(lit(1)).as("h"))
+      .localCheckpoint()
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < CorenessLoopBreaker) {
+      val nv = sym.join(
+        broadcast(h.select(col("node").as("nb"), col("h"))), "nb")
+      val w = Window.partitionBy("node").orderBy(col("h").desc)
+      // h-index: with neighbor values sorted desc, max rank rn whose
+      // value still ≥ rn. Ties need no break — the h-index is
+      // invariant under any ordering of equal values.
+      val h2 = nv.withColumn("rn", row_number().over(w))
+        .groupBy("node")
+        .agg(coalesce(max(when(col("h") >= col("rn"), col("rn"))), lit(0))
+          .cast("long").as("hn"))
+      val joined = h2.join(broadcast(h), "node").localCheckpoint()
+      changed = joined.filter(col("hn") =!= col("h")).count()
+      // no second checkpoint: h is a single narrow select over the
+      // just-checkpointed frame, so its lineage is already flat
+      h = joined.select(col("node"), col("hn").as("h"))
+      rounds += 1
+    }
+    sym.unpersist(false)
+    h.groupBy("h").agg(count(lit(1)).as("n_nodes"))
+      .select(col("h").as("coreness"), col("n_nodes"))
+      .orderBy("coreness")
+  }
+
+  val q198Oracle: String = {
+    // AS MATERIALIZED is load-bearing: DuckDB inlines single-reference
+    // CTEs, and a 44-deep inlined join/window chain sends its
+    // optimizer superlinear (measured >20 min; materialized: 1.4 s)
+    val rounds = (1 to CorenessOracleRounds).map { i =>
+      s"""h$i AS MATERIALIZED (
+         |  SELECT node,
+         |    CAST(coalesce(max(CASE WHEN nh >= rn THEN rn END), 0)
+         |      AS BIGINT) AS h
+         |  FROM (SELECT s.node, p.h AS nh,
+         |          row_number() OVER (PARTITION BY s.node
+         |            ORDER BY p.h DESC) AS rn
+         |        FROM sym s JOIN h${i - 1} p ON s.nb = p.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem),
+       |ed AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |sym AS MATERIALIZED (SELECT u AS node, v AS nb FROM ed
+       |  UNION ALL SELECT v, u FROM ed),
+       |h0 AS MATERIALIZED (SELECT node, count(*) AS h
+       |  FROM sym GROUP BY node),
+       |$rounds
+       |SELECT h AS coreness, count(*) AS n_nodes
+       |FROM h$CorenessOracleRounds
+       |GROUP BY h
+       |ORDER BY coreness""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_string_indexer" -> (q170StringIndexer _),
+    "q198_coreness" -> (q198Coreness _),
     "q195_target_encoding" -> (q195TargetEncoding _),
     "q162_pit_join" -> (q162PitJoin _),
     "q159_ewma" -> (q159Ewma _),
@@ -721,6 +844,7 @@ object Features {
   def oracles: Map[String, String] = Map(
     "q170_string_indexer" -> q170Oracle,
     "q195_target_encoding" -> q195Oracle,
+    "q198_coreness" -> q198Oracle,
     "q162_pit_join" -> q162Oracle,
     "q159_ewma" -> q159Oracle,
     "q160_interval_join" -> q160Oracle,
