@@ -752,6 +752,15 @@ object Features {
         col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
       .distinct()
+    corenessHistogram(s, edges)
+  }
+
+  /** Coreness histogram of an arbitrary undirected edge list (u, v) —
+    * the loop behind [[q198Coreness]], factored so FeatureSpec can
+    * pin the fixpoint against hand-computed cores on synthetic graphs.
+    */
+  private[graft] def corenessHistogram(s: SparkSession,
+      edges: DataFrame): DataFrame = {
     // hash-partition the edge list by the window/groupBy key ONCE:
     // every round's window and aggregation then run on the standing
     // partitioning with ZERO per-round shuffles — the h frame travels

@@ -99,6 +99,21 @@ class FeatureSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.triangles.broadcastEdges")
   }
 
+  test("q198: coreness fixpoint matches hand-computed cores on a " +
+      "clique + pendant path") {
+    import spark.implicits._
+    // K5 clique (nodes 1-5, coreness 4) with a pendant path 5-6-7-8
+    // (coreness 1): the path peels first, the clique survives intact —
+    // the two-regime shape threshold peeling cannot report in one pass
+    val clique = for (i <- 1 to 5; j <- (i + 1) to 5) yield (i.toLong, j.toLong)
+    val path = Seq((5L, 6L), (6L, 7L), (7L, 8L))
+    val edges = (clique ++ path).toDF("u", "v")
+    val hist = Features.corenessHistogram(spark, edges).collect()
+      .map(r => (r.getAs[Long]("coreness"), r.getAs[Long]("n_nodes")))
+      .toMap
+    assert(hist === Map(1L -> 3L, 4L -> 5L), hist)
+  }
+
   test("q155: projection is linear and deterministic across runs") {
     val a = Features.q155JlProjection(spark, sf).collect()
     val b = Features.q155JlProjection(spark, sf).collect()
