@@ -10,7 +10,7 @@ QUERIES=${QUERIES:-"q154_triangles q130_setsim_join q57_dedup_clusters \
 q41_ngram_jaccard q141_cluster_canonical q67_simhash_near_dup \
 q44_embedding_near_dup q146_pagerank_trade q149_corr_matrix \
 q84_partitioned_ingest q180_semdedup q184_semdedup_auto \
-q187_ann_ivf_pq q191_fellegi_sunter"}
+q187_ann_ivf_pq q191_fellegi_sunter q198_coreness"}
 SF01=${SF01:-/root/testdata/sf0.1}
 SF1=${SF1:-/tmp/graft_sf1}
 [ -d "$SF1" ] || python3 "$(dirname "$0")/make_sf1.py" "$SF1"

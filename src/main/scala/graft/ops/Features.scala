@@ -773,9 +773,14 @@ object Features {
     // would erase outputPartitioning and re-shuffle all of sym every
     // round (measured: one 2.4 M-row exchange per round reappears).
     // Lineage only grows on h, which stays checkpointed.
+    // partition count follows the input scan's parallelism (floor 8):
+    // a fixed small count would serialize the per-round windows on a
+    // large corpus, a fixed large one would drown the ≤40 rounds in
+    // empty-task scheduling at gate scale
+    val parts = math.max(8, edges.rdd.getNumPartitions)
     val sym = edges.select(col("u").as("node"), col("v").as("nb"))
       .union(edges.select(col("v").as("node"), col("u").as("nb")))
-      .repartition(8, col("node"))
+      .repartition(parts, col("node"))
       .persist()
     var h = sym.groupBy("node").agg(count(lit(1)).as("h"))
       .localCheckpoint()
