@@ -471,21 +471,30 @@ object Similarity {
     * driver from the SAME bounded query set the exact baseline
     * restricts to, and broadcast.
     */
-  private[graft] def ivfPqTop5(s: SparkSession, dir: String,
-      rerank: Int = PqRerankCandidates): DataFrame = {
+  /** A fitted IVF-PQ model: coarse centroids + per-subspace residual
+    * codebooks. Factored so the SAME frozen model can encode a base
+    * build, encode a later increment (q199's day-2 path), and build
+    * query-side ADC tables — the FAISS separation of train / add /
+    * search.
+    */
+  private[graft] final case class PqIndexModel(
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      dim: Int, dsub: Int)
+
+  /** Train phase: coarse quantizer + PQ codebooks fit on residuals
+    * (v − centroid(cell)) — the IVFADC refinement: residuals
+    * concentrate near 0 regardless of which cell a vector lives in,
+    * so one shared codebook set serves all cells. Same bounded
+    * hash-ordered sample as the coarse quantizer. None on an empty
+    * corpus.
+    */
+  private[graft] def fitIvfPq(s: SparkSession, dir: String)
+      : Option[PqIndexModel] = {
     val M = Vectors.PqSubspaces
-    val codes = Vectors.PqCodes
-    val vecs = vecsDouble(s, dir)
     val cents = fitQuantizer(s, dir)
-    if (cents.isEmpty)
-      return vecs.limit(0).select(
-        col("vec_id").as("qid"), col("vec_id"),
-        lit(0.0).as("sim"), lit(0L).as("rn"))
-    // PQ codebooks fit on residuals (v − centroid(cell)) — the IVFADC
-    // refinement: residuals concentrate near 0 regardless of which
-    // cell a vector lives in, so one shared codebook set serves all
-    // cells. Same bounded sample as the coarse quantizer.
-    val sample = hashSample(vecs, IvfSampleFactor * IvfCells)
+    if (cents.isEmpty) return None
+    val sample = hashSample(vecsDouble(s, dir), IvfSampleFactor * IvfCells)
     val dim = ((sample.map(_.length).max + M - 1) / M) * M
     val dsub = dim / M
     val residuals = sample.map { v =>
@@ -495,10 +504,20 @@ object Similarity {
     }
     val books: Array[Array[Array[Double]]] = Array.tabulate(M)(m =>
       lloydFit(residuals.map(_.slice(m * dsub, (m + 1) * dsub)),
-        codes, Vectors.PqIters))
-    val bcIdx = s.sparkContext.broadcast((cents, books))
-    // one pass over the corpus side builds the compressed index row:
-    // (cell, M 4-bit codes) — this is the column the ADC scan reads
+        Vectors.PqCodes, Vectors.PqIters))
+    Some(PqIndexModel(cents, books, dim, dsub))
+  }
+
+  /** Add phase: one pass over `vecs` builds the compressed index rows
+    * (vec_id, cell, M 4-bit codes) — the column the ADC scan reads.
+    * The model is broadcast; encoding is stateless, so a later batch
+    * encoded with the SAME model appends consistently.
+    */
+  private[graft] def encodeIvfPq(s: SparkSession, vecs: DataFrame,
+      model: PqIndexModel): DataFrame = {
+    val bcIdx = s.sparkContext.broadcast((model.cents, model.books))
+    val dsub = model.dsub
+    val M = Vectors.PqSubspaces
     val encode = udf((vv: Seq[java.lang.Double]) => {
       val v = unbox(vv)
       val (cs, bks) = bcIdx.value
@@ -517,23 +536,38 @@ object Similarity {
       }
       (cell, code.toSeq)
     })
-    // the query set is bounded by construction (vec_id < 50) — the
-    // same metadata-sized-driver-state class as the sample fits; ADC
-    // tables: |Q| × NProbe × M × codes doubles
+    vecs.withColumn("enc", encode(col("v")))
+      .select(col("vec_id"), col("enc._1").as("cell"),
+        col("enc._2").as("code"))
+  }
+
+  /** Search phase: ADC-score an encoded index against the bounded
+    * query set (vec_id < 50), exact-re-rank the top `rerank`. The ADC
+    * tables are (|Q|·NProbe·M·PqCodes) doubles — metadata-sized —
+    * built on the driver from the same bounded query set the exact
+    * baseline restricts to, and broadcast; full vectors are fetched
+    * for only R rows per query from `dir`'s embeddings.
+    */
+  private[graft] def adcServe(s: SparkSession, dir: String,
+      model: PqIndexModel, index: DataFrame, rerank: Int): DataFrame = {
+    val M = Vectors.PqSubspaces
+    val vecs = vecsDouble(s, dir)
     val qRows = vecs.filter(col("vec_id") < 50)
       .select(col("vec_id"), col("v")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
     val adcTables: Map[(Long, Int), Array[Array[Double]]] = (for {
       (qid, qv) <- qRows
-      cell <- cents.indices.map(c => (dist2(qv, cents(c)), c))
+      cell <- model.cents.indices.map(c => (dist2(qv, model.cents(c)), c))
         .sortBy(identity).take(NProbe).map(_._2)
     } yield {
-      val cent = cents(cell)
-      val rq = Array.tabulate(dim)(i => (if (i < qv.length) qv(i) else 0.0) -
-        (if (i < cent.length) cent(i) else 0.0))
+      val cent = model.cents(cell)
+      val rq = Array.tabulate(model.dim)(i =>
+        (if (i < qv.length) qv(i) else 0.0) -
+          (if (i < cent.length) cent(i) else 0.0))
       (qid, cell) -> Array.tabulate(M)(m =>
-        Array.tabulate(codes)(c =>
-          dist2(rq.slice(m * dsub, (m + 1) * dsub), books(m)(c))))
+        Array.tabulate(Vectors.PqCodes)(c =>
+          dist2(rq.slice(m * model.dsub, (m + 1) * model.dsub),
+            model.books(m)(c))))
     }).toMap
     val bcTables = s.sparkContext.broadcast(adcTables)
     val adcDist = udf((qid: Long, cell: Int, code: Seq[Int]) => {
@@ -544,11 +578,6 @@ object Similarity {
     })
     import s.implicits._
     val probes = adcTables.keys.toSeq.sorted.toDF("qid", "cell")
-    val index = vecs.filter(col("vec_id") >= 50)
-      .withColumn("enc", encode(col("v")))
-      // the ADC scan's projection: ids, routing key, codes — no floats
-      .select(col("vec_id"), col("enc._1").as("cell"),
-        col("enc._2").as("code"))
     val scored = index.join(broadcast(probes), "cell")
       .withColumn("adc", adcDist(col("qid"), col("cell"), col("code")))
     val wAdc = Window.partitionBy(col("qid"))
@@ -571,9 +600,63 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  private def emptyTopK(s: SparkSession, dir: String): DataFrame =
+    vecsDouble(s, dir).limit(0).select(
+      col("vec_id").as("qid"), col("vec_id"),
+      lit(0.0).as("sim"), lit(0L).as("rn"))
+
+  private[graft] def ivfPqTop5(s: SparkSession, dir: String,
+      rerank: Int = PqRerankCandidates): DataFrame =
+    fitIvfPq(s, dir) match {
+      case None => emptyTopK(s, dir)
+      case Some(model) =>
+        val index = encodeIvfPq(s,
+          vecsDouble(s, dir).filter(col("vec_id") >= 50), model)
+        adcServe(s, dir, model, index, rerank)
+    }
+
   /** Gated IVF-ADC: the ε-approximation witness of [[ivfPqTop5]]. */
   def q187AnnIvfPq(s: SparkSession, dir: String): DataFrame =
     epsWitness(q45CosineTopK(s, dir), ivfPqTop5(s, dir))
+
+  /** PERSISTED ANN index, served from the lake — the production
+    * lifecycle q187 computes in one breath, split into the FAISS
+    * train / add / search phases with the index durable between them:
+    *
+    *  1. build: fit the IVF-PQ model, encode the base corpus
+    *     (vec_id % 10 != 0), and CREATE a MiniLake codes table —
+    *     (vec_id, cell, code), the 64×-compressed scan column;
+    *  2. increment: encode the day-2 batch (vec_id % 10 == 0) with
+    *     the SAME frozen model and APPEND — no refit, no rewrite of
+    *     the base files (the q153 incremental-dedup discipline
+    *     applied to a vector index);
+    *  3. serve: ADC-score the lake SNAPSHOT (base + increment) and
+    *     exact-re-rank, exactly [[adcServe]].
+    *
+    * Every phase is deterministic, so the served result must pass the
+    * same ε-witness as q187 — which also proves the codes survived
+    * the parquet/commit-log roundtrip bit-exactly and that the
+    * increment joined the same candidate universe. At 100 TB this is
+    * the shape that matters: the model is fit once, the encode is an
+    * append-only streaming job, and query serving reads only the
+    * compressed snapshot.
+    */
+  def q199AnnIndexLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val served = fitIvfPq(s, dir) match {
+      case None => emptyTopK(s, dir)
+      case Some(model) =>
+        val corpus = vecsDouble(s, dir).filter(col("vec_id") >= 50)
+        val lakePath = graft.Scratch.dir("graft_ann_index").toString
+        val lake = graft.lake.MiniLake(s, lakePath)
+        lake.create(encodeIvfPq(s,
+          corpus.filter(col("vec_id") % 10 =!= 0), model))
+        lake.append(encodeIvfPq(s,
+          corpus.filter(col("vec_id") % 10 === 0), model))
+        adcServe(s, dir, model, lake.snapshot()
+          .select("vec_id", "cell", "code"), PqRerankCandidates)
+    }
+    epsWitness(q45CosineTopK(s, dir), served)
+  }
 
   /** Late-interaction (MaxSim) scoring — the ColBERT retrieval scorer:
     * a query is a SET of vectors, a document a SET of vectors (here:
@@ -626,7 +709,8 @@ object Similarity {
     "q46_ann_lsh" -> (q46AnnLsh _),
     "q55_ann_ivf" -> (q55AnnIvf _),
     "q169_maxsim" -> (q169Maxsim _),
-    "q187_ann_ivf_pq" -> (q187AnnIvfPq _)
+    "q187_ann_ivf_pq" -> (q187AnnIvfPq _),
+    "q199_ann_index_lifecycle" -> (q199AnnIndexLifecycle _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -635,6 +719,7 @@ object Similarity {
     "q46_ann_lsh" -> witnessOracle,
     "q55_ann_ivf" -> witnessOracle,
     "q169_maxsim" -> q169Oracle,
-    "q187_ann_ivf_pq" -> witnessOracle
+    "q187_ann_ivf_pq" -> witnessOracle,
+    "q199_ann_index_lifecycle" -> witnessOracle
   )
 }
