@@ -56,6 +56,11 @@ final class MiniLake(spark: SparkSession, val path: String,
     partitionColsAtCreate: Seq[String] = Seq.empty) {
   import MiniLake._
 
+  // capture the session AQE default at construction — before any
+  // commit can be mid-toggle — so withCommitPlanning restores a value
+  // read outside every toggle window
+  MiniLake.aqeSessionDefault(spark)
+
   private val root = Paths.get(path)
   private val logDir = root.resolve("_log")
 
@@ -557,7 +562,13 @@ final class MiniLake(spark: SparkSession, val path: String,
     if (spark.conf.getOption("graft.lake.commitAqe").contains("true")) f
     else {
       val key = "spark.sql.adaptive.enabled"
-      val prev = spark.conf.get(key, "true")
+      // restore to a ONCE-captured session default, not the value read
+      // at entry: two overlapping commits (an abandoned streaming
+      // micro-batch thread racing the next writer) would otherwise
+      // read each other's transient "false" as the previous value and
+      // leak AQE off for the rest of the session — observed as
+      // order-dependent plan-shape flakes in unrelated suites.
+      val prev = MiniLake.aqeSessionDefault(spark)
       spark.conf.set(key, "false")
       try f finally spark.conf.set(key, prev)
     }
@@ -1232,6 +1243,16 @@ final class MiniLake(spark: SparkSession, val path: String,
 object MiniLake {
   /** Sizing target for writes whose row count is known up front. */
   private[lake] val RowsPerFile: Long = 1L << 20
+
+  /** The session's AQE setting as first observed OUTSIDE any commit —
+    * the restore target for `withCommitPlanning`. Keyed per session so
+    * multi-session processes (tests) don't cross-restore.
+    */
+  private val aqeDefaults =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  private[lake] def aqeSessionDefault(spark: SparkSession): String =
+    aqeDefaults.computeIfAbsent(spark,
+      s => s.conf.get("spark.sql.adaptive.enabled", "true"))
 
   /** String stats above this length are dropped rather than truncated
     * (a truncated max is not an upper bound; Delta rounds the last

@@ -33,7 +33,7 @@ import graft.functions.VectorExpressions.cosine_similarity
   */
 object Similarity {
 
-  private def vecsDouble(s: SparkSession, dir: String): DataFrame =
+  private[graft] def vecsDouble(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir)
       // null embeddings are excluded from every vector op (they have
       // no geometry; builtin sims would just propagate the null)
@@ -225,7 +225,7 @@ object Similarity {
     * oracle can state their expected values — this is what turns an
     * approximate query into a hash-checkable gate row.
     */
-  private def epsWitness(exact: DataFrame, ann: DataFrame): DataFrame = {
+  private[graft] def epsWitness(exact: DataFrame, ann: DataFrame): DataFrame = {
     val e = exact.groupBy("qid").agg(min("sim").as("e5"))
     val a = ann.groupBy("qid")
       .agg(min("sim").as("a5"), count(lit(1)).as("an"))
@@ -600,7 +600,7 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
-  private def emptyTopK(s: SparkSession, dir: String): DataFrame =
+  private[graft] def emptyTopK(s: SparkSession, dir: String): DataFrame =
     vecsDouble(s, dir).limit(0).select(
       col("vec_id").as("qid"), col("vec_id"),
       lit(0.0).as("sim"), lit(0L).as("rn"))

@@ -309,4 +309,65 @@ object LakeIngestStream {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** STREAMING maintenance of the persisted ANN index — the missing
+    * hop between q58 (stream→lake) and q199 (batch index lifecycle):
+    * new embedding files land in a watch dir, each micro-batch encodes
+    * with the FROZEN IVF-PQ model and appends to the codes table
+    * through [[MiniLake.appendIfAbsent]], so a replayed batch (sink
+    * crash after data write, before bookkeeping) cannot double-insert
+    * an index row — exactly-once at the index level. Serving then
+    * reads the lake snapshot, and the q187 ε-witness must still pass:
+    * the stream-built index answers queries as well as the
+    * batch-built one.
+    *
+    * At 100 TB this IS the deployment shape: the model trains once,
+    * the encoder runs as a continuous micro-batch job over the
+    * embedding firehose, and the 64×-compressed codes table is the
+    * only thing queries scan.
+    */
+  def q200AnnStreamIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    val served = Similarity.fitIvfPq(s, dir) match {
+      case None => Similarity.emptyTopK(s, dir)
+      case Some(model) =>
+        val corpus = Similarity.vecsDouble(s, dir)
+          .filter(col("vec_id") >= 50)
+        val lakePath =
+          graft.Scratch.dir("graft_ann_stream").toString + "/codes"
+        MiniLake(s, lakePath).create(Similarity.encodeIvfPq(s,
+          corpus.filter(col("vec_id") % 10 =!= 0), model))
+        // the day-2 firehose: increment vectors staged as TWO parquet
+        // files so maxFilesPerTrigger=1 forces two distinct
+        // micro-batch commits through the idempotent sink
+        val inc = corpus.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id"), col("v"))
+        val watch = graft.Scratch.dir("graft_ann_stream_src").toString
+        inc.repartition(2, col("vec_id"))
+          .write.mode("overwrite").parquet(watch)
+        val stream = s.readStream.schema(inc.schema)
+          .option("maxFilesPerTrigger", "1").parquet(watch)
+        val sink: (Dataset[Row], Long) => Unit = (batch, batchId) => {
+          MiniLake(s, lakePath).appendIfAbsent(
+            Similarity.encodeIvfPq(s, batch, model), "q200_ann", batchId)
+          ()
+        }
+        val query = stream.writeStream.foreachBatch(sink)
+          .option("checkpointLocation",
+            graft.Scratch.dir("graft_ann_stream_ckpt").toString)
+          .start()
+        try query.processAllAvailable() finally query.stop()
+        Similarity.adcServe(s, dir, model,
+          MiniLake(s, lakePath).snapshot()
+            .select("vec_id", "cell", "code"),
+          Similarity.PqRerankCandidates)
+    }
+    Similarity.epsWitness(Similarity.q45CosineTopK(s, dir), served)
+  }
+
+  /** Same witness contract as q46/q55/q187/q199. */
+  val q200Oracle: String =
+    """SELECT vec_id AS qid, TRUE AS found_5, TRUE AS approx_ok
+      |FROM embeddings WHERE vec_id < 50
+      |ORDER BY qid""".stripMargin
 }
