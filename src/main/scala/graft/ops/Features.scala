@@ -785,23 +785,29 @@ object Features {
     var h = sym.groupBy("node").agg(count(lit(1)).as("h"))
       .localCheckpoint()
     var rounds = 0
-    var changed = 1L
-    while (changed > 0 && rounds < CorenessLoopBreaker) {
+    // Convergence by TOTAL: the h-index operator is pointwise
+    // monotone non-increasing (h¹ = H(neighbor degrees) ≤ degree = h⁰,
+    // and f ≤ g pointwise ⇒ H_f ≤ H_g, so induction carries it), so
+    // Σh stalls exactly at the fixpoint. That replaces the per-round
+    // old-vs-new join + second broadcast with one 1-row aggregate
+    // over the just-checkpointed frame.
+    var prevSum = Long.MinValue
+    var changed = true
+    while (changed && rounds < CorenessLoopBreaker) {
       val nv = sym.join(
         broadcast(h.select(col("node").as("nb"), col("h"))), "nb")
       val w = Window.partitionBy("node").orderBy(col("h").desc)
       // h-index: with neighbor values sorted desc, max rank rn whose
       // value still ≥ rn. Ties need no break — the h-index is
       // invariant under any ordering of equal values.
-      val h2 = nv.withColumn("rn", row_number().over(w))
+      h = nv.withColumn("rn", row_number().over(w))
         .groupBy("node")
         .agg(coalesce(max(when(col("h") >= col("rn"), col("rn"))), lit(0))
-          .cast("long").as("hn"))
-      val joined = h2.join(broadcast(h), "node").localCheckpoint()
-      changed = joined.filter(col("hn") =!= col("h")).count()
-      // no second checkpoint: h is a single narrow select over the
-      // just-checkpointed frame, so its lineage is already flat
-      h = joined.select(col("node"), col("hn").as("h"))
+          .cast("long").as("h"))
+        .localCheckpoint()
+      val s2 = h.agg(coalesce(sum("h"), lit(0L))).head().getLong(0)
+      changed = s2 != prevSum
+      prevSum = s2
       rounds += 1
     }
     sym.unpersist(false)
