@@ -785,8 +785,104 @@ object EventsOps {
       |  AND CURRENT ROW)
       |ORDER BY day""".stripMargin
 
+  /** Walk-forward forecast backtest — the evaluation harness q6's
+    * forecast is missing: at each cutoff day, two models forecast the
+    * next 7 days of event volume from data STRICTLY at-or-before the
+    * cutoff (seasonal-naive = the count 7 days earlier; moving-average
+    * = mean of the trailing 7 days), and the report scores each
+    * (cutoff, model) by MAE over the horizon. No leakage by
+    * construction: every feature the models read is ≤ cutoff.
+    *
+    * Exactness: counts are integers; the moving-average forecast is a
+    * rational with denominator 7, so errors are |7·actual − Σ|/7 —
+    * integer numerators until one final division, rounded at 6 dp.
+    * No libm anywhere.
+    *
+    * Scale shape: ONE map-side-combinable aggregation reduces the
+    * corpus to a day-level frame (bounded by the observation window at
+    * any corpus size); the cutoff grid, model joins, and scoring all
+    * run on that bounded frame.
+    */
+  def q201BacktestForecast(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("d0", min("day").over(
+        Window.orderBy("day").rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .select(datediff(col("day"), col("d0")).cast("long").as("di"),
+        col("n"))
+      .localCheckpoint()
+    val cutoffs = Seq(14L, 21L)
+    val grid = s.createDataFrame(
+      for (c <- cutoffs; h <- 1L to 7L) yield (c, c + h))
+      .toDF("cutoff", "di")
+    // actuals for each horizon day; seasonal-naive reads di-7, the
+    // moving average sums (di-7 .. di-1 ∩ ≤ cutoff) — both windows
+    // end at-or-before the cutoff for every horizon day by h ≤ 7
+    val actual = grid.join(daily, "di")
+      .select(col("cutoff"), col("di"), col("n").as("actual"))
+    val naive = daily.select((col("di") + 7).as("di"),
+      col("n").as("fc_naive"))
+    val trail = daily.select(col("di").as("src"), col("n"))
+    val ma = actual.select(col("cutoff"), col("di"))
+      .join(trail,
+        col("src") >= col("di") - 7 && col("src") < col("di") &&
+          col("src") <= col("cutoff"))
+      .groupBy("cutoff", "di")
+      .agg(sum("n").as("ma_sum"), count(lit(1)).as("ma_n"))
+    val scored = actual
+      .join(naive, Seq("di"), "left")
+      .join(ma, Seq("cutoff", "di"), "left")
+      .select(col("cutoff"), col("di"), col("actual"),
+        coalesce(col("fc_naive"), lit(0L)).as("fc_naive"),
+        coalesce(col("ma_sum"), lit(0L)).as("ma_sum"),
+        coalesce(col("ma_n"), lit(1L)).as("ma_n"))
+    scored.groupBy("cutoff")
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(abs(col("actual") - col("fc_naive"))).cast("double") /
+          count(lit(1)), 6).as("mae_seasonal_naive"),
+        round(sum(abs(col("actual") * col("ma_n") - col("ma_sum"))
+          .cast("double") / col("ma_n")).cast("double") /
+          count(lit(1)), 6).as("mae_moving_avg"))
+      .orderBy("cutoff")
+  }
+
+  val q201Oracle: String =
+    """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    count(*) AS n FROM events GROUP BY 1),
+      |idx AS (SELECT datediff('day', (SELECT min(day) FROM daily), day)
+      |    AS di, n FROM daily),
+      |grid AS (SELECT c.cutoff, c.cutoff + h.h AS di
+      |  FROM (VALUES (14), (21)) c(cutoff)
+      |  CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) h(h)),
+      |actual AS (SELECT g.cutoff, g.di, i.n AS actual
+      |  FROM grid g JOIN idx i ON g.di = i.di),
+      |naive AS (SELECT di + 7 AS di, n AS fc_naive FROM idx),
+      |ma AS (SELECT a.cutoff, a.di, sum(t.n) AS ma_sum,
+      |    count(*) AS ma_n
+      |  FROM actual a JOIN idx t
+      |    ON t.di >= a.di - 7 AND t.di < a.di AND t.di <= a.cutoff
+      |  GROUP BY 1, 2),
+      |scored AS (SELECT a.cutoff, a.di, a.actual,
+      |    coalesce(nv.fc_naive, 0) AS fc_naive,
+      |    coalesce(ma.ma_sum, 0) AS ma_sum,
+      |    coalesce(ma.ma_n, 1) AS ma_n
+      |  FROM actual a
+      |  LEFT JOIN naive nv ON a.di = nv.di
+      |  LEFT JOIN ma ON a.cutoff = ma.cutoff AND a.di = ma.di)
+      |SELECT cutoff, CAST(count(*) AS BIGINT) AS n_days,
+      |  round(CAST(sum(abs(actual - fc_naive)) AS DOUBLE) / count(*), 6)
+      |    AS mae_seasonal_naive,
+      |  round(CAST(sum(CAST(abs(actual * ma_n - ma_sum) AS DOUBLE)
+      |    / ma_n) AS DOUBLE) / count(*), 6) AS mae_moving_avg
+      |FROM scored
+      |GROUP BY cutoff
+      |ORDER BY cutoff""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_retention_cohorts" -> (q143RetentionCohorts _),
+    "q201_backtest_forecast" -> (q201BacktestForecast _),
     "q192_kaplan_meier" -> (q192KaplanMeier _),
     "q144_last_touch" -> (q144LastTouch _),
     "q114_gap_fill" -> (q114GapFill _),
@@ -807,6 +903,7 @@ object EventsOps {
   def oracles: Map[String, String] = Map(
     "q143_retention_cohorts" -> q143Oracle,
     "q192_kaplan_meier" -> q192Oracle,
+    "q201_backtest_forecast" -> q201Oracle,
     "q144_last_touch" -> q144Oracle,
     "q114_gap_fill" -> q114Oracle,
     "q117_rolling_active" -> q117Oracle,
