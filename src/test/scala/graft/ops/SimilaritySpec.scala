@@ -65,6 +65,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(adc === ivf)
   }
 
+  test("q199: the lake roundtrip preserves the coded index bit-exactly") {
+    import org.apache.spark.sql.functions._
+    val model = Similarity.fitIvfPq(spark, sf).get
+    val corpus = Similarity.vecsDouble(spark, sf)
+      .filter(col("vec_id") >= 50)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Seq[Int]]("code").toList)).toSet
+    val direct = rows(Similarity.encodeIvfPq(spark, corpus, model))
+    val lakePath = graft.Scratch.dir("graft_ann_spec").toString
+    val lake = graft.lake.MiniLake(spark, lakePath)
+    lake.create(Similarity.encodeIvfPq(spark,
+      corpus.filter(col("vec_id") % 10 =!= 0), model))
+    lake.append(Similarity.encodeIvfPq(spark,
+      corpus.filter(col("vec_id") % 10 === 0), model))
+    val persisted = rows(lake.snapshot().select("vec_id", "cell", "code"))
+    assert(persisted === direct)
+  }
+
   test("lloydFit is deterministic, pure, and bounded by its sample") {
     val sample = Array.tabulate(40)(i =>
       Array.tabulate(8)(j => math.sin(i * 8 + j).abs))
