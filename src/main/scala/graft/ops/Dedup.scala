@@ -1327,7 +1327,132 @@ object Dedup {
       |FROM scored WHERE score > 0
       |ORDER BY nation, s_suppkey, c_custkey""".stripMargin
 
+  /** Window width (tokens) for [[q202SubstringDedup]]. 8 tokens ≈ the
+    * 50-BPE-token spans of Lee et al. scaled to this corpus's short
+    * documents; reuses [[DecontamN]]'s width so the span grammar is
+    * the one already exercised by q94/q119.
+    */
+  val DupSpanW = 8
+
+  /** Exact-substring dedup TRANSFORM — Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" (ACL 2022, arXiv
+    * 2107.06499): document-level dedup (q40–q44) drops whole documents,
+    * but boilerplate and quoted passages recur across otherwise-unique
+    * documents; the Lee et al. remedy EXCISES the duplicated substrings
+    * and keeps the rest. Here: a span is a positional 8-token window;
+    * it is duplicated when ≥2 distinct documents contain it; per
+    * document, duplicated window starts merge into maximal excision
+    * intervals (overlapping or touching windows — gap ≤ 8 — coalesce;
+    * a gap ≥ 9 starts a new island, leaving the clean tokens between
+    * islands in the corpus). Output per document: token count, excised
+    * token count, island count, and md5 of the RETAINED token stream —
+    * the transform witness q105's audit metric doesn't give. Complement
+    * of q105 (per-doc distinct-shingle duplication *fraction*): q105
+    * measures, q202 produces the deduplicated corpus.
+    *
+    * Non-vacuity note: the driver corpus duplicates documents nearly
+    * whole, so every gate SF exercises single-island merge (overlap
+    * coalescing, full excision, partial head/tail trim) but never the
+    * ≥2-island split; DedupSpec pins the split + inter-island retention
+    * on synthetic two-passage documents against hand-computed islands.
+    *
+    * Scale shape (the distributed alternative to a suffix array): every
+    * exchange carries (doc_id, 8-byte xxhash64) or (doc_id, start) —
+    * never window text; the cross-doc test is one hash-keyed aggregate
+    * over per-doc DISTINCT spans; island merge is a per-doc window
+    * (state bounded by one document's windows); the rebuild is
+    * row-local HOFs over (tokens, islands) — O(n_tokens · n_islands)
+    * inside the row, no token-level shuffle. The window stream is
+    * re-scanned rather than cached: at 100 TB a token-stream-sized
+    * cache is the bottleneck, two parquet scans are not.
+    */
+  def q202SubstringDedup(s: SparkSession, dir: String): DataFrame =
+    substringDedup(documents(s, dir))
+
+  /** Core of [[q202SubstringDedup]] over any (doc_id, text) frame —
+    * factored so DedupSpec can pin the multi-island split branch on
+    * synthetic two-passage documents (the driver corpus only ever
+    * produces single-island excisions; see the non-vacuity note).
+    */
+  private[graft] def substringDedup(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"),
+      graft.functions.Text.tokens(col("text")).as("ws"))
+    val sp = docs.select(col("doc_id"),
+        posexplode(graft.functions.ShingleExpressions.word_ngrams(
+          col("text"), DupSpanW)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+        xxhash64(col("col")).as("h"))
+    val dup = sp.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_docs_h"))
+      .filter(col("n_docs_h") >= 2)
+      .select("h")
+    val ds = sp.join(dup, Seq("h"), "left_semi").select("doc_id", "i")
+    val pw = Window.partitionBy("doc_id").orderBy("i")
+    val isl = ds
+      .withColumn("nf",
+        when(col("i") - lag("i", 1).over(pw) < DupSpanW + 1, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("g", sum("nf").over(pw))
+      .groupBy("doc_id", "g")
+      .agg(min("i").as("s0"), (max("i") + (DupSpanW - 1)).as("e0"))
+    val peri = isl
+      .join(w.select(col("doc_id"), size(col("ws")).cast("long").as("nt")),
+        Seq("doc_id"))
+      .withColumn("e", least(col("e0"), col("nt")))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s0").as("s"), col("e").as("e")))
+          .as("isl"),
+        count(lit(1)).as("n_islands"),
+        sum(col("e") - col("s0") + 1).as("n_cut"))
+    w.join(peri, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        md5(when(col("isl").isNull, concat_ws(" ", col("ws")))
+          .otherwise(concat_ws(" ", filter(col("ws"),
+            (x: Column, k: Column) => !exists(col("isl"),
+              t => k + 1 >= t("s") && k + 1 <= t("e"))))))
+          .as("retained_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q202Oracle: String = {
+    val n = DupSpanW
+    s"""WITH w AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+      |sp AS (SELECT doc_id, u.i,
+      |    array_to_string(ws[u.i:u.i+${n - 1}], ' ') AS s
+      |  FROM w, LATERAL unnest(generate_series(1,
+      |    CASE WHEN length(ws) >= $n THEN length(ws)-${n - 1}
+      |         ELSE 1 END)) AS u(i)),
+      |dup AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM sp)
+      |        GROUP BY s HAVING count(*) >= 2),
+      |ds AS (SELECT doc_id, i FROM sp WHERE s IN (SELECT s FROM dup)),
+      |isl0 AS (SELECT doc_id, i, CASE WHEN lag(i) OVER pw IS NULL
+      |      OR i - lag(i) OVER pw >= ${n + 1} THEN 1 ELSE 0 END AS nf
+      |  FROM ds WINDOW pw AS (PARTITION BY doc_id ORDER BY i)),
+      |isl1 AS (SELECT doc_id, i, sum(nf) OVER
+      |    (PARTITION BY doc_id ORDER BY i) AS g FROM isl0),
+      |isl AS (SELECT doc_id, min(i) AS s, max(i)+${n - 1} AS e0
+      |  FROM isl1 GROUP BY doc_id, g),
+      |peri AS (SELECT i.doc_id AS doc_id,
+      |    list({'s': i.s, 'e': least(i.e0, length(w.ws))}) AS isl_list,
+      |    count(*) AS n_islands,
+      |    sum(least(i.e0, length(w.ws)) - i.s + 1) AS n_cut
+      |  FROM isl i JOIN w ON i.doc_id = w.doc_id GROUP BY 1)
+      |SELECT w.doc_id AS doc_id, CAST(length(w.ws) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(p.n_cut, 0) AS BIGINT) AS n_cut,
+      |  CAST(coalesce(p.n_islands, 0) AS BIGINT) AS n_islands,
+      |  md5(coalesce(array_to_string(CASE WHEN p.doc_id IS NULL THEN w.ws
+      |    ELSE list_filter(w.ws, (x, k) ->
+      |      len(list_filter(p.isl_list, t -> k BETWEEN t.s AND t.e)) = 0)
+      |    END, ' '), '')) AS retained_md5
+      |FROM w LEFT JOIN peri p ON w.doc_id = p.doc_id
+      |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_substring_dedup" -> (q202SubstringDedup _),
     "q180_semdedup" -> (q180SemDedup _),
     "q184_semdedup_auto" -> (q184SemDedupAuto _),
     "q153_incremental_lsh" -> (q153IncrementalLsh _),
@@ -1347,6 +1472,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "q202_substring_dedup" -> q202Oracle,
     "q180_semdedup" -> q180Oracle,
     "q184_semdedup_auto" -> q184Oracle,
     "q153_incremental_lsh" -> q153Oracle,

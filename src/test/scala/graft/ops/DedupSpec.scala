@@ -132,4 +132,48 @@ class DedupSpec extends AnyFunSuite {
     assert(fp.values.forall(_.length == 16))
     assert(fp.values.forall(_.forall(c => c == '0' || c == '1')))
   }
+
+  // The driver corpus duplicates documents nearly whole, so the q202
+  // gate only ever exercises single-island excision; this pins the
+  // ≥2-island split, inter-island retention, full excision, and the
+  // no-dup passthrough against hand-computed islands.
+  test("substring dedup splits islands across a unique gap and retains it") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val p1 = (1 to 8).map(i => s"a$i").mkString(" ")   // shared with doc 2
+    val p2 = (1 to 8).map(i => s"b$i").mkString(" ")   // shared with doc 3
+    val docs = Seq(
+      1L -> s"$p1 f1 f2 f3 $p2", // two islands, 3-token gap retained
+      2L -> p1,                  // fully excised
+      3L -> s"$p2 z1",           // head island, 1-token tail retained
+      4L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9" // unique: untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_cut"),
+          r.getAs[Long]("n_islands"), r.getAs[String]("retained_md5"))))
+      .toMap
+    assert(got(1L) === ((19L, 16L, 2L, md5hex("f1 f2 f3"))))
+    assert(got(2L) === ((8L, 8L, 1L, md5hex(""))))
+    assert(got(3L) === ((9L, 8L, 1L, md5hex("z1"))))
+    assert(got(4L) ===
+      ((9L, 0L, 0L, md5hex("u1 u2 u3 u4 u5 u6 u7 u8 u9"))))
+  }
+
+  // Touching windows (gap exactly = window width) must coalesce into
+  // ONE island — a 16-token shared run is nine overlapping duplicated
+  // windows, not nine islands.
+  test("substring dedup merges overlapping and touching windows") {
+    val run = (1 to 16).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      10L -> s"$run tail1 tail2",
+      11L -> run
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_cut"), r.getAs[Long]("n_islands")))).toMap
+    assert(got(10L) === ((16L, 1L)))
+    assert(got(11L) === ((16L, 1L)))
+  }
 }
