@@ -508,7 +508,183 @@ object Eval {
       |FROM tst t CROSS JOIN q CROSS JOIN n
       |GROUP BY n.n_cal, q.qhat""".stripMargin
 
+  /** Closed-form OLS fit — per market segment, regress order total on
+    * the customer's account balance (y = a + b·x), with slope,
+    * intercept, and R² all derived from the normal equations over ONE
+    * map-side-combinable moment aggregate (n, Σx, Σy, Σxy, Σx², Σy²).
+    * Training a linear model this way is a single scan + a
+    * segment-cardinality reduce at any corpus size — the distributed
+    * replacement for "collect and call lstsq", and the estimator
+    * family q149 (correlation) and q179 (CUPED θ) already bracket.
+    *
+    * Exactness (the q149 recipe): inputs quantized to integer cents,
+    * cross-products summed in decimal128 (cents² sums overflow int64
+    * past ~sf0.3), every output one identical IEEE tree over the
+    * double-cast moments, rounded once at 6 dp. Intercept comes from
+    * the moment form (Σy·Σx² − Σx·Σxy)/(n·Σx² − (Σx)²) rather than
+    * through the rounded slope, so no error chains.
+    */
+  def q203OlsSegment(s: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(20,0)")
+    val joined = orders(s, dir).join(customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        round(col("c_acctbal") * 100).cast("long").as("x"),
+        round(col("o_totalprice") * 100).cast("long").as("y"))
+    val m = joined.groupBy("segment").agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val nD = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double"); val sxx = col("sxx").cast("double")
+    val syy = col("syy").cast("double")
+    val covn = nD * sxy - sx * sy
+    val varx = nD * sxx - sx * sx
+    val vary = nD * syy - sy * sy
+    m.select(col("segment"), col("n"),
+        round(covn / varx, 6).as("slope"),
+        round((sy * sxx - sx * sxy) / varx, 6).as("intercept"),
+        round(covn * covn / (varx * vary), 6).as("r2"))
+      .orderBy("segment")
+  }
+
+  val q203Oracle: String = {
+    val moments =
+      """SELECT c_mktsegment AS segment, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        |  FROM (SELECT c_mktsegment,
+        |      CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+        |      CAST(round(o_totalprice * 100) AS BIGINT) AS y
+        |    FROM orders JOIN customer ON o_custkey = c_custkey)
+        |  GROUP BY 1""".stripMargin
+    s"""WITH m AS ($moments)
+      |SELECT segment, CAST(n AS BIGINT) AS n,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+      |  round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS intercept,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+      |FROM m
+      |ORDER BY segment""".stripMargin
+  }
+
+  /** Decision-stump training — exact CART split search (Breiman et al.
+    * 1984, ch.2) for the best single (feature, threshold) predicting
+    * is-fulfilled from order month and a price band. The split domain
+    * is the distinct (feature, value) HISTOGRAM — one map-side-
+    * combinable pass reduces the corpus to ≤62 candidate rows, prefix
+    * sums over that bounded frame price every left/right partition,
+    * and the winner is an argmin — the "train a tree level in one
+    * scan" primitive under every distributed GBDT (XGBoost/LightGBM
+    * histogram mode does exactly this per node).
+    *
+    * Exactness: counts are integers; weighted Gini of a binary split
+    * is (2·pL·(nL−pL))/(n·nL) + (2·pR·(nR−pR))/(n·nR) — every factor
+    * an exact integer-in-double (< 2^53 through sf1), each division
+    * correctly rounded, the two-term sum a fixed-order identical IEEE
+    * tree in both engines, so the UNROUNDED doubles agree bitwise and
+    * the argmin (struct-min tie-broken by feature, threshold) is
+    * deterministic cross-engine. Rounding only in the projection.
+    */
+  def q204DecisionStump(s: SparkSession, dir: String): DataFrame = {
+    val base = orders(s, dir).select(
+      month(col("o_orderdate")).cast("long").as("mth"),
+      floor(col("o_totalprice") / 10000).cast("long").as("priceb"),
+      when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("pos"))
+    val stacked = base.select(lit("month").as("feature"),
+        col("mth").as("v"), col("pos"))
+      .unionByName(base.select(lit("price_10k").as("feature"),
+        col("priceb").as("v"), col("pos")))
+    val hist = stacked.groupBy("feature", "v")
+      .agg(count(lit(1)).as("cnt"), sum("pos").as("p"))
+    val pf = Window.partitionBy("feature").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("feature")
+    val cand = hist
+      .withColumn("nl", sum("cnt").over(pf))
+      .withColumn("pl", sum("p").over(pf))
+      .withColumn("n", sum("cnt").over(tot))
+      .withColumn("ptot", sum("p").over(tot))
+      .filter(col("nl") < col("n")) // a full-left "split" is no split
+      .select(col("feature"), col("v").as("threshold"),
+        col("nl").as("n_left"), col("pl").as("pos_left"),
+        (col("n") - col("nl")).as("n_right"),
+        (col("ptot") - col("pl")).as("pos_right"),
+        ((lit(2.0) * col("pl") * (col("nl") - col("pl")) /
+          (col("n") * col("nl"))) +
+         (lit(2.0) * (col("ptot") - col("pl")) *
+          ((col("n") - col("nl")) - (col("ptot") - col("pl"))) /
+          (col("n") * (col("n") - col("nl"))))).as("g"))
+    cand
+      .withColumn("best", min(struct(col("g"), col("feature"),
+        col("threshold"))).over(Window.partitionBy()))
+      .select(col("feature"), col("threshold"), col("n_left"),
+        col("pos_left"), col("n_right"), col("pos_right"),
+        round(col("g"), 6).as("gini"),
+        (col("g") === col("best.g") &&
+          col("feature") === col("best.feature") &&
+          col("threshold") === col("best.threshold")).as("is_best"))
+      .orderBy("feature", "threshold")
+  }
+
+  val q204Oracle: String =
+    """WITH base AS (SELECT CAST(month(o_orderdate) AS BIGINT) AS mth,
+      |    CAST(floor(o_totalprice / 10000) AS BIGINT) AS priceb,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+      |  FROM orders),
+      |stacked AS (
+      |  SELECT 'month' AS feature, mth AS v, pos FROM base
+      |  UNION ALL
+      |  SELECT 'price_10k' AS feature, priceb AS v, pos FROM base),
+      |hist AS (SELECT feature, v, count(*) AS cnt, sum(pos) AS p
+      |  FROM stacked GROUP BY 1, 2),
+      |cand0 AS (SELECT feature, v,
+      |    sum(cnt) OVER (PARTITION BY feature ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+      |    sum(p) OVER (PARTITION BY feature ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl,
+      |    sum(cnt) OVER (PARTITION BY feature) AS n,
+      |    sum(p) OVER (PARTITION BY feature) AS ptot
+      |  FROM hist),
+      |cand AS (SELECT feature, v AS threshold, nl AS n_left,
+      |    pl AS pos_left, n - nl AS n_right, ptot - pl AS pos_right,
+      |    (2.0 * pl * (nl - pl) / (n * nl)) +
+      |    (2.0 * (ptot - pl) * ((n - nl) - (ptot - pl)) /
+      |      (n * (n - nl))) AS g
+      |  FROM cand0 WHERE nl < n),
+      |best AS (SELECT g, feature, threshold FROM cand
+      |  ORDER BY g, feature, threshold LIMIT 1)
+      |SELECT c.feature, c.threshold,
+      |  CAST(c.n_left AS BIGINT) AS n_left,
+      |  CAST(c.pos_left AS BIGINT) AS pos_left,
+      |  CAST(c.n_right AS BIGINT) AS n_right,
+      |  CAST(c.pos_right AS BIGINT) AS pos_right,
+      |  round(c.g, 6) AS gini,
+      |  (c.g = b.g AND c.feature = b.feature
+      |    AND c.threshold = b.threshold) AS is_best
+      |FROM cand c CROSS JOIN best b
+      |ORDER BY c.feature, c.threshold""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_decision_stump" -> (q204DecisionStump _),
+    "q203_ols_segment" -> (q203OlsSegment _),
     "q165_auc" -> (q165Auc _),
     "q197_conformal_coverage" -> (q197ConformalCoverage _),
     "q196_propensity_att" -> (q196PropensityAtt _),
@@ -519,6 +695,8 @@ object Eval {
   )
 
   def oracles: Map[String, String] = Map(
+    "q204_decision_stump" -> q204Oracle,
+    "q203_ols_segment" -> q203Oracle,
     "q165_auc" -> q165Oracle,
     "q190_calibration" -> q190Oracle,
     "q194_lift_gains" -> q194Oracle,
