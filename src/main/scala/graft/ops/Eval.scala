@@ -682,7 +682,81 @@ object Eval {
       |FROM cand c CROSS JOIN best b
       |ORDER BY c.feature, c.threshold""".stripMargin
 
+  /** Isotonic calibration — the pool-adjacent-violators fit (Barlow et
+    * al. 1972; the sklearn `IsotonicRegression` calibrator) over the
+    * q165/q190 synthetic model, computed distributively via the minmax
+    * closed form iso(i) = max_{j≤i} min_{k≥i} mean(y on [j,k]) (Best &
+    * Chakravarti 1990, eq. 1.2) instead of the inherently sequential
+    * PAV sweep. The corpus collapses to a ≤51-bucket reliability
+    * histogram in one map-side-combinable pass; the closed form runs
+    * as bounded self-joins over that frame (≤51³ rows of metadata), so
+    * nothing sequential or corpus-sized exists at any scale — this is
+    * how you calibrate on 100 TB of scores without collecting them.
+    *
+    * Exactness: interval means are int/int single divisions
+    * (correctly rounded, identical both engines); min/max over those
+    * doubles is order-free; rounding only in the projection. Output =
+    * reliability table (n, positives, raw rate) + the isotonic fit,
+    * whose monotonicity the gate hash witnesses.
+    */
+  def q205IsotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = events(s, dir).select(
+      ((pmod(col("event_id") * lit(2654435761L), lit(9973L)) +
+        when(col("event_type") === "purchase", lit(3000L))
+          .otherwise(lit(0L))).cast("long")).as("score"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+    val hist = scored.groupBy(expr("score div 256").as("b"))
+      .agg(count(lit(1)).as("n"), sum("pos").as("p"))
+    val ow = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pr = hist
+      .withColumn("cn", sum("n").over(ow))
+      .withColumn("cp", sum("p").over(ow))
+      .localCheckpoint() // 51 rows; its three self-join consumers
+    val pairs = pr.select(col("b").as("jb"), col("cn").as("jcn"),
+        col("cp").as("jcp"), col("n").as("jn"), col("p").as("jp"))
+      .join(pr.select(col("b").as("kb"), col("cn").as("kcn"),
+        col("cp").as("kcp")), col("jb") <= col("kb"))
+      .select(col("jb"), col("kb"),
+        ((col("kcp") - (col("jcp") - col("jp"))).cast("double") /
+          (col("kcn") - (col("jcn") - col("jn")))).as("avg"))
+    val mn = pr.select(col("b").as("ib"))
+      .join(pairs, col("jb") <= col("ib") && col("kb") >= col("ib"))
+      .groupBy(col("ib"), col("jb"))
+      .agg(min("avg").as("m"))
+    val iso = mn.groupBy(col("ib").as("b")).agg(max("m").as("iso"))
+    hist.join(iso, Seq("b"))
+      .select(col("b"), col("n"), col("p"),
+        round(col("p").cast("double") / col("n"), 6).as("rate"),
+        round(col("iso"), 6).as("iso"))
+      .orderBy("b")
+  }
+
+  val q205Oracle: String =
+    """WITH scored AS (SELECT (event_id * 2654435761) % 9973 +
+      |    CASE WHEN event_type = 'purchase' THEN 3000 ELSE 0 END AS score,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      |  FROM events),
+      |hist AS (SELECT score // 256 AS b, count(*) AS n, sum(pos) AS p
+      |  FROM scored GROUP BY 1),
+      |pr AS (SELECT b, n, p,
+      |    sum(n) OVER (ORDER BY b) AS cn, sum(p) OVER (ORDER BY b) AS cp
+      |  FROM hist),
+      |pairs AS (SELECT j.b AS jb, k.b AS kb,
+      |    CAST(k.cp - (j.cp - j.p) AS DOUBLE)
+      |      / (k.cn - (j.cn - j.n)) AS avg
+      |  FROM pr j JOIN pr k ON j.b <= k.b),
+      |mn AS (SELECT i.b AS b, p2.jb, min(p2.avg) AS m
+      |  FROM pr i JOIN pairs p2 ON p2.jb <= i.b AND p2.kb >= i.b
+      |  GROUP BY 1, 2),
+      |iso AS (SELECT b, max(m) AS iso FROM mn GROUP BY b)
+      |SELECT h.b, CAST(h.n AS BIGINT) AS n, CAST(h.p AS BIGINT) AS p,
+      |  round(CAST(h.p AS DOUBLE)/h.n, 6) AS rate,
+      |  round(i.iso, 6) AS iso
+      |FROM hist h JOIN iso i ON h.b = i.b ORDER BY h.b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_isotonic_calibration" -> (q205IsotonicCalibration _),
     "q204_decision_stump" -> (q204DecisionStump _),
     "q203_ols_segment" -> (q203OlsSegment _),
     "q165_auc" -> (q165Auc _),
@@ -695,6 +769,7 @@ object Eval {
   )
 
   def oracles: Map[String, String] = Map(
+    "q205_isotonic_calibration" -> q205Oracle,
     "q204_decision_stump" -> q204Oracle,
     "q203_ols_segment" -> q203Oracle,
     "q165_auc" -> q165Oracle,
