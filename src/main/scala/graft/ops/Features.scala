@@ -846,7 +846,199 @@ object Features {
        |ORDER BY coreness""".stripMargin
   }
 
+  /** Minimum distinct orders a part pair must share to be a
+    * co-purchase edge ([[q206LabelPropagation]]/[[q207BfsHops]]).
+    * The unthresholded graph is hub-dominated (diameter 2 — every BFS
+    * and LPA collapses immediately); requiring repeat co-occurrence
+    * keeps only affinity edges, giving hop profiles 0–4 + unreachable
+    * and non-trivial communities at the gate SFs. The same
+    * signal-vs-hub filter an item-similarity graph applies in
+    * production, and the df-cap idea of q41 from the other direction.
+    */
+  val CoEdgeMinOrders = 2
+
+  /** LPA/BFS round count: fixed (not run-to-convergence) so the gate
+    * is a bounded, order-unrollable computation on BOTH engines —
+    * synchronous LPA has no convergence guarantee anyway (bipartite
+    * oscillation), so fixed-round is the honest semantics.
+    */
+  val GraphRounds = 4
+
+  /** Sparsified co-purchase graph: undirected edges between parts
+    * bought together in ≥ [[CoEdgeMinOrders]] distinct orders.
+    * The pair join is bounded per order (q154's containment: pairs
+    * never cross orders) and the threshold is a map-side-combinable
+    * count on the pair key.
+    */
+  private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") &&
+        col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= CoEdgeMinOrders)
+      .select("u", "v")
+  }
+
+  /** Both directions of [[coPurchaseEdges]], hash-partitioned ONCE by
+    * the per-round join key and persisted — the q198 pattern: each
+    * LPA/BFS round then joins the (node-sized) state frame against a
+    * standing edge partitioning instead of re-exchanging the edges.
+    */
+  private[graft] def bidirPartitioned(s: SparkSession,
+      e: DataFrame): DataFrame = {
+    val parts = math.max(s.sparkContext.defaultParallelism, 8)
+    e.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(parts, col("src"))
+      .persist()
+  }
+
+  /** Community detection via synchronous label propagation (Raghavan
+    * et al. 2007, Phys. Rev. E 76): labels seed as node ids; each
+    * round every node adopts the most frequent label among its
+    * neighbors, ties to the smallest label — an integer argmin, so
+    * the full trajectory is deterministic and cross-engine exact
+    * (asynchronous LPA's update-order dependence is exactly what a
+    * distributed engine cannot promise; synchronous fixed-round is
+    * the form that shards). [[GraphRounds]] rounds, then (node,
+    * community) for every node of the sparsified graph.
+    *
+    * Scale: per round, labels travel along edges once — the groupBy
+    * (dst, label) partially aggregates map-side so the wire carries
+    * distinct (node, neighbor-label) pairs, not raw edge traffic; the
+    * argmax is a second aggregate on the SAME key prefix. Edges hold
+    * their partitioning across all rounds (persist, not checkpoint —
+    * the q198 lesson: checkpointing erases outputPartitioning).
+    */
+  def q206LabelPropagation(s: SparkSession, dir: String): DataFrame =
+    labelPropagation(s, coPurchaseEdges(s, dir), GraphRounds)
+
+  /** The LPA loop over an arbitrary undirected (u, v) edge list —
+    * factored so GraphSpec can pin community structure on hand graphs.
+    */
+  private[graft] def labelPropagation(s: SparkSession, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    val bidir = bidirPartitioned(s, edges)
+    try {
+      var labels = bidir.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+      for (_ <- 1 to rounds) {
+        labels = bidir.join(labels, col("src") === col("node"))
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("dst"))
+          .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+            .as("m"))
+          .select(col("dst").as("node"), col("m.l").as("label"))
+      }
+      labels.select(col("node"), col("label").as("community"))
+        .orderBy("node")
+        .localCheckpoint() // materialize before unpersisting the edges
+    } finally bidir.unpersist()
+  }
+
+  val q206Oracle: String = {
+    def round(prev: String): String =
+      s"""(SELECT node, label FROM (
+        |  SELECT e.dst AS node, l.label, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY e.dst
+        |      ORDER BY count(*) DESC, l.label ASC) AS rn
+        |  FROM $prev l JOIN bidir e ON l.node = e.src
+        |  GROUP BY e.dst, l.label) WHERE rn = 1)""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |    FROM lineitem),
+      |edges AS (SELECT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= $CoEdgeMinOrders),
+      |bidir AS (SELECT u AS src, v AS dst FROM edges
+      |  UNION ALL SELECT v, u FROM edges),
+      |r0 AS (SELECT DISTINCT src AS node, src AS label FROM bidir),
+      |r1 AS ${round("r0")},
+      |r2 AS ${round("r1")},
+      |r3 AS ${round("r2")},
+      |r4 AS ${round("r3")}
+      |SELECT node, label AS community FROM r4 ORDER BY node""".stripMargin
+  }
+
+  /** Multi-source BFS hop distances — seeds are parts with
+    * pk ≡ 0 (mod 97) (a "products under recall" set), frontier
+    * expansion for [[GraphRounds]] hops over the sparsified
+    * co-purchase graph, report = per-distance histogram with
+    * min/max node witnesses and a −1 bucket for parts unreachable
+    * within the horizon (non-empty at the gate SFs — the threshold
+    * disconnects the hub mesh).
+    *
+    * Scale: the classic distributed BFS — per round only the FRONTIER
+    * (nodes first reached last round) joins the standing edge
+    * partitioning, so total traffic is Σ frontier-degree ≤ one edge
+    * pass across all rounds, not rounds × edges; state is one
+    * node-sized (node, dist) frame min-merged per round.
+    */
+  def q207BfsHops(s: SparkSession, dir: String): DataFrame =
+    bfsHistogram(s, coPurchaseEdges(s, dir),
+      n => pmod(n, lit(97L)) === 0, GraphRounds)
+
+  /** The frontier-BFS loop over an arbitrary undirected (u, v) edge
+    * list — factored so GraphSpec can pin hop counts on hand graphs.
+    */
+  private[graft] def bfsHistogram(s: SparkSession, edges: DataFrame,
+      seed: Column => Column, rounds: Int): DataFrame = {
+    val bidir = bidirPartitioned(s, edges)
+    try {
+      val nodes = bidir.select(col("src").as("node")).distinct()
+      var dist = nodes.filter(seed(col("node")))
+        .withColumn("dist", lit(0L))
+      for (r <- 1 to rounds) {
+        val next = dist.filter(col("dist") === (r - 1))
+          .join(bidir, col("node") === col("src"))
+          .select(col("dst").as("node"), lit(r.toLong).as("dist"))
+        dist = dist.unionByName(next)
+          .groupBy("node").agg(min("dist").as("dist"))
+      }
+      val out = nodes.join(dist, Seq("node"), "left")
+        .select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
+        .groupBy("dist")
+        .agg(count(lit(1)).as("n"), min("node").as("min_node"),
+          max("node").as("max_node"))
+        .orderBy("dist")
+        .localCheckpoint()
+      out
+    } finally bidir.unpersist()
+  }
+
+  val q207Oracle: String = {
+    def relax(prev: String): String =
+      s"""(SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM $prev UNION ALL
+        |  SELECT b.dst, p.dist + 1 FROM $prev p
+        |    JOIN bidir b ON p.node = b.src) GROUP BY 1)""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |    FROM lineitem),
+      |edges AS (SELECT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= $CoEdgeMinOrders),
+      |bidir AS (SELECT u AS src, v AS dst FROM edges
+      |  UNION ALL SELECT v, u FROM edges),
+      |nodes AS (SELECT DISTINCT src AS node FROM bidir),
+      |d0 AS (SELECT node, 0 AS dist FROM nodes WHERE node % 97 = 0),
+      |d1 AS ${relax("d0")},
+      |d2 AS ${relax("d1")},
+      |d3 AS ${relax("d2")},
+      |d4 AS ${relax("d3")}
+      |SELECT CAST(coalesce(d.dist, -1) AS BIGINT) AS dist,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  min(n2.node) AS min_node, max(n2.node) AS max_node
+      |FROM nodes n2 LEFT JOIN d4 d ON n2.node = d.node
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_label_propagation" -> (q206LabelPropagation _),
+    "q207_bfs_hops" -> (q207BfsHops _),
     "q170_string_indexer" -> (q170StringIndexer _),
     "q198_coreness" -> (q198Coreness _),
     "q195_target_encoding" -> (q195TargetEncoding _),
@@ -862,6 +1054,8 @@ object Features {
   )
 
   def oracles: Map[String, String] = Map(
+    "q206_label_propagation" -> q206Oracle,
+    "q207_bfs_hops" -> q207Oracle,
     "q170_string_indexer" -> q170Oracle,
     "q195_target_encoding" -> q195Oracle,
     "q198_coreness" -> q198Oracle,
