@@ -148,7 +148,10 @@ final class MiniLake(spark: SparkSession, val path: String,
         .getOrElse(Seq.empty),
       dvRemoves = Option(m.get("dvRemoves"))
         .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
-        .getOrElse(Seq.empty))
+        .getOrElse(Seq.empty),
+      constraints = Option(m.get("constraints"))
+        .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap)
+        .getOrElse(Map.empty))
   }
 
   /** File-level min/max stats for INT64 and UTF8-string columns, read
@@ -279,7 +282,10 @@ final class MiniLake(spark: SparkSession, val path: String,
     val withDvs =
       if (e.dvRemoves.isEmpty) withDvAdds
       else withDvAdds + ("dvRemoves" -> e.dvRemoves.asJava)
-    val bytes = mapper.writeValueAsBytes(withDvs.asJava)
+    val withConstraints =
+      if (e.constraints.isEmpty) withDvs
+      else withDvs + ("constraints" -> e.constraints.asJava)
+    val bytes = mapper.writeValueAsBytes(withConstraints.asJava)
     val tmp = logDir.resolve(s".${e.version}.json.tmp")
     Files.write(tmp, bytes)
     try Files.createLink(logDir.resolve(s"${e.version}.json"), tmp)
@@ -599,9 +605,81 @@ final class MiniLake(spark: SparkSession, val path: String,
   private def filesFor(rows: Long): Int =
     math.max(1L, math.min(256L, rows / RowsPerFile + 1)).toInt
 
+  /** Active CHECK constraints (name → SQL predicate), folded from the
+    * log: add/drop are metadata-only commits, so the active set at any
+    * version is a driver-side fold over metadata-sized entries — the
+    * Delta `delta.constraints.*` table-property mechanism re-expressed
+    * as explicit commit modes (readable in DESCRIBE HISTORY).
+    */
+  def checkConstraints: Map[String, String] =
+    if (!exists) Map.empty
+    else listVersions.sorted.map(readEntry)
+      .foldLeft(Map.empty[String, String]) { (acc, e) =>
+        e.mode match {
+          case "addConstraint"  => acc ++ e.constraints
+          case "dropConstraint" => acc -- e.constraints.keySet
+          case _                => acc
+        }
+      }
+
+  /** ALTER TABLE ADD CONSTRAINT ... CHECK (Delta semantics): rejects
+    * unless EVERY existing row satisfies the predicate (one snapshot
+    * scan — the unavoidable cost Delta pays too), then publishes a
+    * metadata-only commit. SQL-standard CHECK: a row violates only
+    * when the predicate evaluates to FALSE; NULL passes.
+    */
+  def addCheckConstraint(name: String, predicate: String): Unit = {
+    require(exists, s"table $path does not exist")
+    require(!checkConstraints.contains(name),
+      s"CHECK constraint '$name' already exists on $path")
+    require(
+      snapshot().filter(expr(predicate) <=> lit(false)).isEmpty,
+      s"cannot add CHECK constraint '$name' ($predicate): " +
+        s"existing rows of $path violate it")
+    writeEntry(CommitEntry(nextVersion, "addConstraint",
+      System.currentTimeMillis(), schema.json, Seq.empty, Seq.empty,
+      hasChanges = false, bucketSpec = bucketSpec,
+      constraints = Map(name -> predicate)))
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT: metadata-only commit. */
+  def dropCheckConstraint(name: String): Unit = {
+    require(checkConstraints.contains(name),
+      s"no CHECK constraint '$name' on $path")
+    writeEntry(CommitEntry(nextVersion, "dropConstraint",
+      System.currentTimeMillis(), schema.json, Seq.empty, Seq.empty,
+      hasChanges = false, bucketSpec = bucketSpec,
+      constraints = Map(name -> "")))
+  }
+
+  /** Write-path CHECK enforcement, applied where every data-carrying
+    * commit funnels ([[writeData]]): one combined-predicate probe scan
+    * of the incoming batch when constraints exist (zero extra work
+    * otherwise), per-constraint attribution only on the failure path.
+    * A violating batch throws BEFORE any log entry is written — under
+    * log-is-the-table, the aborted attempt's files are invisible
+    * debris for vacuum, never state.
+    */
+  private def requireCheckConstraints(df: DataFrame): Unit = {
+    val cs = checkConstraints
+    if (cs.nonEmpty) {
+      val anyBad = cs.values.map(p => expr(p) <=> lit(false))
+        .reduce(_ or _)
+      if (!df.filter(anyBad).isEmpty) {
+        val names = cs.collect {
+          case (n, p) if !df.filter(expr(p) <=> lit(false)).isEmpty => n
+        }
+        throw new IllegalArgumentException(
+          s"CHECK constraint violation writing to $path: " +
+            names.mkString(", "))
+      }
+    }
+  }
+
   private def writeData(df: DataFrame, v: Long,
       rowHint: Option[Long] = None,
       dirOverride: Option[Path] = None): Seq[String] = {
+    requireCheckConstraints(df)
     val dir = dirOverride.getOrElse(attemptDir("data", v))
     bucketSpec match {
       case Some(spec) =>
@@ -1321,7 +1399,8 @@ object MiniLake {
       changeFiles: Seq[String] = Seq.empty,
       statsStr: Map[String, Map[String, (String, String)]] = Map.empty,
       dvAdds: Seq[String] = Seq.empty,
-      dvRemoves: Seq[String] = Seq.empty)
+      dvRemoves: Seq[String] = Seq.empty,
+      constraints: Map[String, String] = Map.empty)
 
   def apply(spark: SparkSession, path: String): MiniLake =
     new MiniLake(spark, path)

@@ -655,7 +655,65 @@ object Pipeline {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** CHECK-constraint lifecycle gate — the write-time data-quality
+    * contract (Delta `ALTER TABLE ... ADD CONSTRAINT ... CHECK`):
+    * a constraint added over clean data admits conforming appends and
+    * REJECTS a violating batch atomically (no log entry — the failed
+    * batch is invisible, not partial); adding a constraint existing
+    * rows violate is refused; dropping the constraint re-admits the
+    * batch; re-adding it is then refused because the violating rows
+    * are in. Output = one audit row over the final snapshot plus the
+    * rejection tallies, all reproducible from `orders` arithmetic.
+    * SQL-standard NULL-passes semantics and enforcement across every
+    * write mode are MiniLakeSpec's side of the contract.
+    */
+  def q208CheckConstraints(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_constraints").toString
+    val t = MiniLake.compact(s, s"$base/orders")
+    val o = orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    def rejected(f: => Unit): Long =
+      try { f; 0L } catch { case _: IllegalArgumentException => 1L }
+    t.create(o.filter(col("o_orderkey") % 3 === 0))                // v0
+    t.addCheckConstraint("price_positive", "o_totalprice > 0")     // v1
+    t.append(o.filter(col("o_orderkey") % 3 === 1))                // v2
+    val badBatch = o.filter(col("o_orderkey") % 3 === 2)
+      .withColumn("o_totalprice", -col("o_totalprice"))
+    val rejAppend = rejected(t.append(badBatch))
+    val rejAddDirty = rejected(
+      t.addCheckConstraint("status_f", "o_orderstatus = 'F'"))
+    t.dropCheckConstraint("price_positive")                        // v3
+    t.append(badBatch)                                             // v4
+    val rejReAdd = rejected(
+      t.addCheckConstraint("price_positive", "o_totalprice > 0"))
+    val active = t.checkConstraints.size.toLong
+    t.snapshot().agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_totalprice") < 0, 1L).otherwise(0L))
+        .as("n_neg_price"),
+      sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("revenue_cents"))
+      .select(col("n_rows"), col("n_neg_price"), col("revenue_cents"),
+        lit(rejAppend).as("n_rejected_appends"),
+        lit(rejAddDirty + rejReAdd).as("n_rejected_constraints"),
+        lit(active).as("n_active_constraints"))
+  }
+
+  val q208Oracle: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN o_orderkey % 3 = 2 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_neg_price,
+      |  CAST(sum(CASE WHEN o_orderkey % 3 = 2
+      |      THEN -CAST(round(o_totalprice * 100) AS BIGINT)
+      |      ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+      |    AS BIGINT) AS revenue_cents,
+      |  CAST(1 AS BIGINT) AS n_rejected_appends,
+      |  CAST(2 AS BIGINT) AS n_rejected_constraints,
+      |  CAST(0 AS BIGINT) AS n_active_constraints
+      |FROM orders""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_check_constraints" -> (q208CheckConstraints _),
     "q145_schema_evolution" -> (q145SchemaEvolution _),
     "q125_forget_user" -> (q125ForgetUser _),
     "q138_version_diff" -> (q138VersionDiff _),
@@ -675,6 +733,7 @@ object Pipeline {
   )
 
   def oracles: Map[String, String] = Map(
+    "q208_check_constraints" -> q208Oracle,
     "q145_schema_evolution" -> q145Oracle,
     "q125_forget_user" -> q125Oracle,
     "q138_version_diff" -> q138Oracle,

@@ -441,6 +441,53 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
       === Set(2L, 9L))
   }
 
+  test("CHECK constraints: null passes, all write modes enforce, log survives reopen") {
+    import org.apache.spark.sql.functions._
+    def nkv(rows: (Long, java.lang.Long)*) =
+      rows.toDF("key", "n")
+    val t = MiniLake(spark, dir)
+    t.create(nkv(1L -> 5L, 2L -> null)) // NULL must be admissible below
+    t.addCheckConstraint("n_pos", "n > 0")
+    // SQL-standard CHECK: NULL predicate passes — both at add time
+    // (above: row 2 has n NULL) and at write time
+    t.append(nkv(3L -> null))
+    // every data-carrying write mode enforces
+    intercept[IllegalArgumentException] { t.append(nkv(4L -> -1L)) }
+    intercept[IllegalArgumentException] { t.appendConcurrent(nkv(4L -> -1L)) }
+    intercept[IllegalArgumentException] {
+      t.appendIfAbsent(nkv(4L -> -1L), "app", 1L)
+    }
+    intercept[IllegalArgumentException] {
+      t.update(col("key") === 1L, Map("n" -> lit(-7L)))
+    }
+    intercept[IllegalArgumentException] {
+      t.mergeUpdate(nkv(9L -> -2L), Seq("key"))
+    }
+    // rejected attempts must not have committed anything
+    assert(t.snapshot().filter(col("n") < 0).isEmpty)
+    assert(t.snapshot().count() === 3L)
+    // duplicate add and unknown drop are refused
+    intercept[IllegalArgumentException] {
+      t.addCheckConstraint("n_pos", "n > 0")
+    }
+    intercept[IllegalArgumentException] { t.dropCheckConstraint("nope") }
+    // the active set folds from the log: a fresh handle sees it
+    val reopened = MiniLake(spark, dir)
+    assert(reopened.checkConstraints === Map("n_pos" -> "n > 0"))
+    intercept[IllegalArgumentException] { reopened.append(nkv(5L -> 0L)) }
+    // lifecycle commits are visible in DESCRIBE HISTORY
+    val modes = t.history.select("operation")
+      .as[String].collect().toSeq
+    assert(modes.contains("addConstraint"))
+    // drop re-admits and the violating write then blocks a re-add
+    t.dropCheckConstraint("n_pos")
+    t.append(nkv(6L -> -3L))
+    intercept[IllegalArgumentException] {
+      t.addCheckConstraint("n_pos", "n > 0")
+    }
+    assert(MiniLake(spark, dir).checkConstraints === Map.empty)
+  }
+
   test("restoreTo preserves duplicate-row multiplicity (multiset)") {
     val t = MiniLake(spark, dir)
     t.create(kv(1L -> "a", 1L -> "a", 2L -> "b")) // v0: key 1 twice
