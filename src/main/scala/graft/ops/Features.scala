@@ -793,22 +793,48 @@ object Features {
     // over the just-checkpointed frame.
     var prevSum = Long.MinValue
     var changed = true
-    while (changed && rounds < CorenessLoopBreaker) {
+    // one h-index iteration as a PLAN (not an action): with neighbor
+    // values sorted desc, h = max rank rn whose value still ≥ rn.
+    // Ties need no break — the h-index is invariant under any
+    // ordering of equal values.
+    def step(prev: DataFrame): DataFrame = {
       val nv = sym.join(
-        broadcast(h.select(col("node").as("nb"), col("h"))), "nb")
+        broadcast(prev.select(col("node").as("nb"), col("h"))), "nb")
+      // collapse neighbor values to a (node, value)-histogram BEFORE
+      // the sort: the groupBy shares the standing node partitioning
+      // (no exchange) and combines map-side, so the per-round window
+      // sorts node×distinct-h rows (≤ nodes × max-coreness) instead
+      // of the full edge list — the same answer by the classic
+      // identity h = max over value classes of min(value, cum-count),
+      // where cum-count(v) = #neighbors with value ≥ v. (Equivalence:
+      // ranks ≤ cum(v) all carry value ≥ v, so rank min(v, cum(v))
+      // satisfies value ≥ rank; no rank beyond every class's bound
+      // can.) Cut the q198 sf0.1 edge-frame sort out of all ~40
+      // rounds.
+      val hist = nv.groupBy("node", "h").agg(count(lit(1)).as("c"))
       val w = Window.partitionBy("node").orderBy(col("h").desc)
-      // h-index: with neighbor values sorted desc, max rank rn whose
-      // value still ≥ rn. Ties need no break — the h-index is
-      // invariant under any ordering of equal values.
-      h = nv.withColumn("rn", row_number().over(w))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("cum", sum("c").over(w))
         .groupBy("node")
-        .agg(coalesce(max(when(col("h") >= col("rn"), col("rn"))), lit(0))
+        .agg(coalesce(max(least(col("h"), col("cum"))), lit(0))
           .cast("long").as("h"))
-        .localCheckpoint()
+    }
+    while (changed && rounds < CorenessLoopBreaker) {
+      // TWO iterations per materialization: the per-round cost at
+      // gate scale is job scheduling + the checkpoint of the
+      // node-sized h frame, not the edge pass (measured: stride-2
+      // cut q198 sf0.1 wall ~25-30%), so fusing a second window over
+      // the first step's broadcast into the same job halves the
+      // action count. Overshooting the fixpoint by one fused step is
+      // harmless — the fixpoint is stable under further iteration.
+      h = step(step(h)).localCheckpoint()
       val s2 = h.agg(coalesce(sum("h"), lit(0L))).head().getLong(0)
+      // stride-2 stall still detects the TRUE fixpoint: h is
+      // pointwise monotone non-increasing, so Σh(t+2) = Σh(t) forces
+      // h(t+2) = h(t) pointwise, which sandwiches h(t+1) = h(t).
       changed = s2 != prevSum
       prevSum = s2
-      rounds += 1
+      rounds += 2
     }
     sym.unpersist(false)
     h.groupBy("h").agg(count(lit(1)).as("n_nodes"))
