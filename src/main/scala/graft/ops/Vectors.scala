@@ -392,7 +392,145 @@ object Vectors {
       |  AS DECIMAL(18,4)) AS DOUBLE) AS tvd
       |FROM p GROUP BY dim ORDER BY dim""".stripMargin
 
+  /** Clusters for [[q209KmeansLloyd]] and its fixed round count. */
+  val KmeansK = 4
+  val KmeansRounds = 3
+
+  /** Distributed k-means (Lloyd 1982) — [[KmeansRounds]] full batch
+    * iterations over the embedding corpus with [[KmeansK]] centroids,
+    * seeded deterministically from the K smallest vec_ids. The MLlib
+    * execution shape: centroids are K×dim driver state (256 longs —
+    * the ONLY thing collected), broadcast into each round's assignment
+    * as literal arrays, so one round = one codegen'd corpus scan (the
+    * per-vector argmin is an `array_min` over K inline struct
+    * distances — no shuffle, no per-vector key exchange) plus one
+    * (K·dim)-row aggregate for the update. Nothing vector-count-sized
+    * ever shuffles or lands on the driver at any corpus size.
+    *
+    * Exactness: components quantize to integer micro-units (float×1e6
+    * is exact in double — 24-bit mantissa × 2^20 < 2^53 — and both
+    * engines round half away from zero); distances are int64 sums of
+    * squared diffs (≤ 64·(8e6)² ≈ 4e15); centroid means round
+    * half-away-from-zero via pure int64 arithmetic on the driver,
+    * which matches the oracle's round(sum/count) BECAUSE an exact
+    * rational tie k+½ at these magnitudes is itself exactly
+    * representable in double (and non-ties sit ≥ 1/(2n) from the
+    * boundary). Ties in the argmin break on centroid id both sides.
+    *
+    * Output: per final cluster — size, exact integer inertia, and the
+    * centroid's L1 norm (the compact centroid witness).
+    */
+  def q209KmeansLloyd(s: SparkSession, dir: String): DataFrame = {
+    // clusterable = present, the contract dimensionality, and every
+    // component finite (the q77 rule: NaN/Inf would ANSI-error the
+    // quantizing cast; a short/null-padded vector has no distance to
+    // every centroid). The gate corpora have no such rows, so the
+    // filter never binds there; AdversarialVectorSpec drives it.
+    val emb = embeddings(s, dir)
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === 64 &&
+        forall(col("embedding"), x =>
+          x.isNotNull && !isnan(x.cast("double")) && abs(x) <= lit(1e9)))
+      .select(col("vec_id"),
+        // the lambda is TOTAL even though the guard already dropped
+        // corrupt rows: InferFiltersFromGenerate clones this
+        // expression into an isnotnull/size pre-filter for the
+        // posexplode downstream, where it can evaluate BEFORE the
+        // guard conjunct — an ANSI-throwing cast here would crash on
+        // rows the query never keeps. On guarded rows the branch is
+        // always taken, so values are unchanged.
+        transform(col("embedding"),
+          x => when(!isnan(x.cast("double")) && abs(x) <= lit(1e9),
+            round(x.cast("double") * 1e6).cast("long"))
+            .otherwise(lit(0L))).as("e"))
+    // seeds: the K smallest vec_ids, in id order → cid 1..K
+    var cents: Seq[(Int, Seq[Long])] = emb.orderBy("vec_id").limit(KmeansK)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Long](1).toSeq) }.toSeq
+    if (cents.isEmpty) {
+      // empty/fully-corrupt corpus: nothing to cluster — the empty
+      // report, not a crash (EmptyInputSpec's totality contract)
+      import s.implicits._
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("cid", "n_members", "inertia", "centroid_l1")
+    }
+    def assigned(): DataFrame = {
+      val cand = array(cents.map { case (cid, c) =>
+        struct(
+          aggregate(
+            zip_with(col("e"), typedLit(c), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("dist"),
+          lit(cid).as("cid"))
+      }: _*)
+      emb.select(col("vec_id"), col("e"), array_min(cand).as("best"))
+        .select(col("vec_id"), col("e"),
+          col("best.cid").as("cid"), col("best.dist").as("dist"))
+    }
+    def roundHalfAway(sx: Long, n: Long): Long =
+      if (sx >= 0) (2 * sx + n) / (2 * n) else -((-2 * sx + n) / (2 * n))
+    for (_ <- 1 to KmeansRounds - 1) {
+      val sums = assigned()
+        .select(col("cid"), posexplode(col("e")).as(Seq("i", "x")))
+        .groupBy("cid", "i")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect() // K·dim rows — the k-means driver state, bounded
+      cents = sums.groupBy(_.getAs[Int]("cid")).toSeq.map { case (cid, rs) =>
+        (cid, rs.sortBy(_.getAs[Int]("i")).toSeq
+          .map(r => roundHalfAway(r.getAs[Long]("sx"), r.getAs[Long]("n"))))
+      }.sortBy(_._1)
+    }
+    val l1 = cents.map { case (cid, c) => cid -> c.map(math.abs).sum }.toMap
+    assigned().groupBy("cid")
+      .agg(count(lit(1)).as("n_members"), sum("dist").as("inertia"))
+      .withColumn("centroid_l1",
+        element_at(typedLit(l1), col("cid")))
+      .select(col("cid").cast("long").as("cid"), col("n_members"),
+        col("inertia"), col("centroid_l1"))
+      .orderBy("cid")
+  }
+
+  val q209Oracle: String = {
+    def assign(prevC: String, name: String): String =
+      s"""$name AS (SELECT vec_id, e, cid, dist FROM (
+        |  SELECT m.vec_id, m.e, c.cid,
+        |    list_sum([ (m.e[i]-c.c[i])*(m.e[i]-c.c[i])
+        |      for i in generate_series(1,64) ]) AS dist,
+        |    row_number() OVER (PARTITION BY m.vec_id ORDER BY
+        |      list_sum([ (m.e[i]-c.c[i])*(m.e[i]-c.c[i])
+        |        for i in generate_series(1,64) ]), c.cid) AS rn
+        |  FROM emb m CROSS JOIN $prevC c) WHERE rn = 1)""".stripMargin
+    def update(prevA: String, name: String): String =
+      s"""$name AS (SELECT cid, array_agg(cm ORDER BY i) AS c FROM (
+        |  SELECT cid, u.i,
+        |    CAST(round(CAST(sum(a.e[u.i]) AS DOUBLE)/count(*)) AS BIGINT)
+        |      AS cm
+        |  FROM $prevA a, LATERAL unnest(generate_series(1, 64)) AS u(i)
+        |  GROUP BY cid, u.i) GROUP BY cid)""".stripMargin
+    s"""WITH emb AS (SELECT vec_id,
+      |    [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)
+      |     for x in embedding] AS e
+      |  FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+      |    AND len(list_filter(embedding, x -> x IS NULL
+      |      OR isnan(CAST(x AS DOUBLE)) OR abs(x) > 1e9)) = 0),
+      |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, e AS c
+      |  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT $KmeansK)),
+      |${assign("c0", "a1")},
+      |${update("a1", "c1")},
+      |${assign("c1", "a2")},
+      |${update("a2", "c2")},
+      |${assign("c2", "a3")}
+      |SELECT CAST(a.cid AS BIGINT) AS cid,
+      |  CAST(count(*) AS BIGINT) AS n_members,
+      |  CAST(sum(a.dist) AS BIGINT) AS inertia,
+      |  CAST(any_value(list_sum([abs(cc.c[i])
+      |    for i in generate_series(1,64)])) AS BIGINT) AS centroid_l1
+      |FROM a3 a JOIN c2 cc ON a.cid = cc.cid
+      |GROUP BY a.cid ORDER BY cid""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_kmeans_lloyd" -> (q209KmeansLloyd _),
     "q134_drift_tvd" -> (q134DriftTvd _),
     "q60_label_centroids" -> (q60LabelCentroids _),
     "q77_quantize_int8" -> (q77Quantize _),
@@ -402,6 +540,7 @@ object Vectors {
   )
 
   def oracles: Map[String, String] = Map(
+    "q209_kmeans_lloyd" -> q209Oracle,
     "q134_drift_tvd" -> q134Oracle,
     "q60_label_centroids" -> q60Oracle,
     "q77_quantize_int8" -> q77Oracle,
