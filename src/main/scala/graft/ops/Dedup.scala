@@ -1451,7 +1451,105 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** Sorted-neighborhood window size (records) and verify threshold. */
+  val SnWindow = 5
+  val SnMaxDist = 4
+
+  /** One sorted-neighborhood pass: global rank of the catalog under
+    * `key`, then candidate pairs = records within [[SnWindow]] ranks,
+    * verified by edit distance. The global rank is the q73 two-phase
+    * shape — value-range shards (first key char), driver-side shard
+    * offsets (≤ alphabet-sized collect), per-shard row_number — so no
+    * catalog-sized frame ever crosses one partition; the rank-band
+    * probe is an EXPLODE of the ≤4 rank offsets into an equi join,
+    * keeping the candidate stage hash-partitioned rather than a
+    * range nested loop.
+    */
+  private def snPass(s: SparkSession, names: DataFrame, key: Column,
+      label: String): DataFrame = {
+    val keyed = names.select(col("name"), key.as("k"))
+      .withColumn("shard", substring(col("k"), 1, 1))
+    val counts = keyed.groupBy("shard").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = counts.map { case (sh, c) => val o = acc; acc += c; (sh, o) }
+    val offDf = s.createDataFrame(offs.toSeq).toDF("shard", "base")
+    val w = Window.partitionBy("shard").orderBy("k", "name")
+    val ranked = keyed
+      .withColumn("intra", row_number().over(w).cast("long"))
+      .join(broadcast(offDf), Seq("shard"))
+      .select(col("name"), (col("base") + col("intra")).as("rk"))
+    val probes = ranked.select(col("name").as("name1"), col("rk"))
+      .withColumn("d", explode(sequence(lit(1L), lit(SnWindow - 1L))))
+      .select(col("name1"), (col("rk") + col("d")).as("rk"))
+    probes.join(ranked.select(col("name").as("name2"), col("rk")),
+        Seq("rk"))
+      .withColumn("dist",
+        levenshtein(col("name1"), col("name2")).cast("long"))
+      .filter(col("dist") <= SnMaxDist)
+      .select(col("name1"), col("name2"), col("dist"),
+        lit(label).as("pass"))
+  }
+
+  /** Multi-pass sorted-neighborhood entity resolution (Hernández &
+    * Stolfo, SIGMOD 1995) — the third blocking discipline next to
+    * token blocking (q147) and LSH (q42/q153): sort the catalog by a
+    * key, slide a [[SnWindow]]-record window, verify inside it; a
+    * second pass under an independent key (the reversed name) catches
+    * pairs the first ordering separates. Candidates are O(w·n) per
+    * pass BY CONSTRUCTION — no block can blow up, the property
+    * neither token blocking (hot tokens) nor LSH (hot buckets) gives
+    * for free — at the price of missing pairs no pass's ordering
+    * adjacencies cover; the fwd+rev union is the standard mitigation
+    * (measured here: the two passes find entirely disjoint pair
+    * sets). Output: verified pairs with pass-coverage counts.
+    * DedupSpec pins the both-passes branch on synthetic names (the
+    * part catalog never triggers it).
+    */
+  def q211SortedNeighborhood(s: SparkSession, dir: String): DataFrame =
+    sortedNeighborhood(
+      part(s, dir).select(col("p_name").as("name")).distinct())
+
+  /** Two-pass (forward + reversed-key) sorted neighborhood over a
+    * one-column `name` catalog; null names are dropped (a null key
+    * has no place in any ordering).
+    */
+  def sortedNeighborhood(names: DataFrame): DataFrame = {
+    val s = names.sparkSession
+    val clean = names.filter(col("name").isNotNull)
+    val both = snPass(s, clean, col("name"), "fwd")
+      .unionByName(snPass(s, clean, reverse(col("name")), "rev"))
+    both.groupBy(
+        least(col("name1"), col("name2")).as("n1"),
+        greatest(col("name1"), col("name2")).as("n2"))
+      .agg(min("dist").as("dist"),
+        countDistinct(col("pass")).as("n_passes"))
+      .orderBy("n1", "n2")
+  }
+
+  val q211Oracle: String = {
+    def onePass(keyExpr: String, label: String): String =
+      s"""SELECT a.name AS name1, b.name AS name2,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        |  '$label' AS pass
+        |FROM (SELECT name, row_number() OVER (ORDER BY $keyExpr, name)
+        |        AS rk FROM names) a
+        |JOIN (SELECT name, row_number() OVER (ORDER BY $keyExpr, name)
+        |        AS rk FROM names) b
+        |  ON b.rk BETWEEN a.rk + 1 AND a.rk + ${SnWindow - 1}
+        |WHERE levenshtein(a.name, b.name) <= $SnMaxDist""".stripMargin
+    s"""WITH names AS (SELECT DISTINCT p_name AS name FROM part
+      |  WHERE p_name IS NOT NULL),
+      |p1 AS (${onePass("name", "fwd")}),
+      |p2 AS (${onePass("reverse(name)", "rev")}),
+      |allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+      |SELECT least(name1, name2) AS n1, greatest(name1, name2) AS n2,
+      |  min(dist) AS dist, count(DISTINCT pass) AS n_passes
+      |FROM allp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_sorted_neighborhood" -> (q211SortedNeighborhood _),
     "q202_substring_dedup" -> (q202SubstringDedup _),
     "q180_semdedup" -> (q180SemDedup _),
     "q184_semdedup_auto" -> (q184SemDedupAuto _),
@@ -1472,6 +1570,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "q211_sorted_neighborhood" -> q211Oracle,
     "q202_substring_dedup" -> q202Oracle,
     "q180_semdedup" -> q180Oracle,
     "q184_semdedup_auto" -> q184Oracle,

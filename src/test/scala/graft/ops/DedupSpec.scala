@@ -161,6 +161,32 @@ class DedupSpec extends AnyFunSuite {
       ((9L, 0L, 0L, md5hex("u1 u2 u3 u4 u5 u6 u7 u8 u9"))))
   }
 
+  // x01..x10 differ only in two digit chars (all pairwise distances
+  // <= 2), so every in-window pair verifies and the pass structure is
+  // exactly the rank geometry: fwd ranks follow the names; rev keys
+  // "10x".."01x" put x10 FIRST. (x01,x02) is adjacent in both orders
+  // -> n_passes=2; (x01,x10) is 9 apart fwd but adjacent rev ->
+  // n_passes=1; (x01,x06) is 5 apart in BOTH orders -> missed even at
+  // distance 2, the documented blind spot of the method.
+  test("sorted neighborhood: both-pass, one-pass, and missed pairs") {
+    val names = (1 to 10).map(i => f"x$i%02d").toDF("name")
+    val got = Dedup.sortedNeighborhood(names).collect()
+      .map(r => (r.getAs[String]("n1"), r.getAs[String]("n2")) ->
+        ((r.getAs[Long]("dist"), r.getAs[Long]("n_passes")))).toMap
+    assert(got(("x01", "x02")) === ((1L, 2L)))
+    assert(got(("x01", "x10")) === ((2L, 1L)))
+    assert(!got.contains(("x01", "x06")))
+    // symmetric canonicalisation: no (greater, lesser) keys at all
+    assert(got.keys.forall { case (a, b) => a < b })
+  }
+
+  test("sorted neighborhood drops null names instead of crashing") {
+    val names = Seq(Some("x01"), None, Some("x02")).toDF("name")
+    val got = Dedup.sortedNeighborhood(names).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("x01", "x02")))
+  }
+
   // Touching windows (gap exactly = window width) must coalesce into
   // ONE island — a 16-token shared run is nine overlapping duplicated
   // windows, not nine islands.
