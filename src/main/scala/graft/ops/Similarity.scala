@@ -703,9 +703,130 @@ object Similarity {
       |FROM best GROUP BY label
       |ORDER BY maxsim_score DESC, label""".stripMargin
 
+  /** nDCG rank-discount table 1/log₂(i+1), i = 1..10, pre-rounded to
+    * 6 dp and embedded as DECIMAL LITERALS in both engines — the only
+    * transcendental in the metric, removed from runtime entirely (the
+    * libm-parity device from q191). `NdcgCum(k)` is the prefix sum:
+    * the ideal DCG of k relevant documents.
+    */
+  val NdcgK = 10
+  val NdcgDisc: Seq[String] = Seq("1.000000", "0.630930", "0.500000",
+    "0.430677", "0.386853", "0.356207", "0.333333", "0.315465",
+    "0.301030", "0.289065")
+  val NdcgCum: Seq[String] = Seq("0.000000", "1.000000", "1.630930",
+    "2.130930", "2.561607", "2.948460", "3.304667", "3.638000",
+    "3.953465", "4.254495", "4.543560")
+
+  /** Binary-relevance nDCG@10 of the brute-force cosine retriever,
+    * scored against the embedding labels (candidate relevant ⇔ label
+    * equals the query's) — the retrieval-quality metric that closes
+    * the ANN loop: q45/q46/q55/q187 build retrievers, this grades one.
+    *
+    * Exactness: gains are integers, discounts are the shared
+    * [[NdcgDisc]] decimal literals, so DCG is an order-independent
+    * DECIMAL sum; IDCG is one [[NdcgCum]] lookup at min(n_rel, 10)
+    * (binary relevance ⇒ ideal ranking = any n_rel relevant docs
+    * first); the single ndcg division happens once, on identical
+    * doubles, rounded to 6 dp.
+    *
+    * Scale: the query set is bounded (vec_id < 10) and broadcast; the
+    * rank cut runs through the [[graft.plans.TopKPerGroup]] physical
+    * operator — partial per-partition heaps prune the per-query
+    * stream to ≤ 10 rows BEFORE the exchange, so the shuffle carries
+    * O(partitions · queries · 10) rows however large the corpus is
+    * (the window alternative sorts the full Q×N sim stream). n_rel
+    * comes from the same scan as a map-side-combinable aggregate.
+    * sf0.001 exercises the n_rel < 10 arm of the IDCG cap, sf0.01+
+    * the saturated arm.
+    */
+  def q213NdcgAtK(s: SparkSession, dir: String): DataFrame =
+    ndcgFrom(s, vecsDouble(s, dir))
+
+  /** [[q213NdcgAtK]] over an explicit `(vec_id, label, v)` frame —
+    * factored so NdcgSpec can pin the n_rel < 10 IDCG arm and the
+    * idcg = 0 guard on synthetic corpora (the parquet gate corpora
+    * saturate the cap: every label has ≥ 10 relevant candidates at
+    * every SF).
+    */
+  private[graft] def ndcgFrom(s: SparkSession, vecs: DataFrame): DataFrame = {
+    val queries = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"))
+    val cands = vecs.filter(col("vec_id") >= 10)
+    val sims = cands.join(queries.hint("broadcast"))
+      .withColumn("sim", round(cosine_similarity(col("qv"), col("v")), 6))
+      .withColumn("rel",
+        when(col("label") === col("qlabel"), 1L).otherwise(0L))
+      .select(col("qid"), col("vec_id"), col("sim"), col("rel"))
+    val nrel = sims.groupBy("qid").agg(sum("rel").as("n_rel"))
+    val top = graft.plans.TopKPerGroup.topK(sims, Seq("qid"),
+      Seq(("sim", false), ("vec_id", true)), NdcgK)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val disc = broadcast(s.createDataFrame(
+        NdcgDisc.zipWithIndex.map { case (d, i) => (i + 1L, d) })
+      .toDF("rn", "d_str")
+      .select(col("rn"), col("d_str").cast("decimal(9,6)").as("d")))
+    val cum = broadcast(s.createDataFrame(
+        NdcgCum.zipWithIndex.map { case (c, k) => (k.toLong, c) })
+      .toDF("k_ideal", "c_str")
+      .select(col("k_ideal"), col("c_str").cast("decimal(12,6)").as("idcg")))
+    val dcg = top.withColumn("rn", row_number().over(w).cast("long"))
+      .join(disc, "rn")
+      .groupBy("qid")
+      .agg(sum(when(col("rel") === 1L, col("d"))
+        .otherwise(lit("0.000000").cast("decimal(9,6)"))).as("dcg"))
+    dcg.join(nrel, "qid")
+      .withColumn("k_ideal", least(col("n_rel"), lit(NdcgK.toLong)))
+      .join(broadcast(cum), "k_ideal")
+      .select(col("qid"), col("n_rel"),
+        col("dcg").cast("double").as("dcg"),
+        col("idcg").cast("double").as("idcg"),
+        when(col("idcg") > 0, round(col("dcg").cast("double") /
+            col("idcg").cast("double"), 6))
+          .otherwise(lit(0.0)).as("ndcg"))
+      .orderBy("qid")
+  }
+
+  val q213Oracle: String = {
+    val discRows = NdcgDisc.zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, CAST($d AS DECIMAL(9,6)))" }
+      .mkString(", ")
+    val cumRows = NdcgCum.zipWithIndex
+      .map { case (c, k) => s"($k, CAST($c AS DECIMAL(12,6)))" }
+      .mkString(", ")
+    s"""WITH disc(rn, d) AS (VALUES $discRows),
+      |cum(k_ideal, idcg) AS (VALUES $cumRows),
+      |e AS (SELECT vec_id, label,
+      |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      | FROM embeddings WHERE embedding IS NOT NULL),
+      |sims AS (SELECT q.vec_id AS qid, c.vec_id,
+      |   round(list_cosine_similarity(q.v, c.v), 6) AS sim,
+      |   CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel
+      | FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10),
+      |nrel AS (SELECT qid, CAST(sum(rel) AS BIGINT) AS n_rel
+      | FROM sims GROUP BY qid),
+      |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+      |     ORDER BY sim DESC, vec_id) AS BIGINT) AS rn FROM sims),
+      |dcg AS (SELECT qid,
+      |   sum(CASE WHEN rel = 1 THEN d
+      |            ELSE CAST(0.000000 AS DECIMAL(9,6)) END) AS dcg
+      | FROM ranked JOIN disc USING (rn) WHERE rn <= $NdcgK
+      | GROUP BY qid)
+      |SELECT qid, n_rel, CAST(dcg AS DOUBLE) AS dcg,
+      |  CAST(idcg AS DOUBLE) AS idcg,
+      |  CASE WHEN idcg > 0
+      |       THEN round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+      |       ELSE 0.0 END AS ndcg
+      |FROM dcg JOIN nrel USING (qid)
+      |JOIN cum ON least(n_rel, $NdcgK) = k_ideal
+      |ORDER BY qid""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_embedding_near_dup" -> (q44EmbeddingNearDup _),
     "q45_cosine_topk" -> (q45CosineTopK _),
+    "q213_ndcg_at_k" -> (q213NdcgAtK _),
     "q46_ann_lsh" -> (q46AnnLsh _),
     "q55_ann_ivf" -> (q55AnnIvf _),
     "q169_maxsim" -> (q169Maxsim _),
@@ -716,6 +837,7 @@ object Similarity {
   def oracles: Map[String, String] = Map(
     "q44_embedding_near_dup" -> q44Oracle,
     "q45_cosine_topk" -> q45Oracle,
+    "q213_ndcg_at_k" -> q213Oracle,
     "q46_ann_lsh" -> witnessOracle,
     "q55_ann_ivf" -> witnessOracle,
     "q169_maxsim" -> q169Oracle,

@@ -475,6 +475,24 @@ object TextAnalysis {
     * expression tree so IEEE evaluation order matches.
     */
   def q142Bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val top = bm25Scored(s, dir)
+      .filter(col("score_dec") > 0)
+      .orderBy(col("score_dec").desc, col("doc_id"))
+      .limit(10)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_dec").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"),
+        col("score_dec").cast("double").as("score"))
+      .orderBy("rank")
+  }
+
+  /** The BM25-scored corpus `(doc_id, score_dec)` for the fixed query
+    * term set — factored out so the plain top-k gate (q142) and the
+    * RRF hybrid-fusion gate (q212) rank the SAME scores and cannot
+    * drift.
+    */
+  private[graft] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     val qterms = Seq("spark", "join", "scan")
     val docs = documents(s, dir)
       .withColumn("ws", tokens(col("text")))
@@ -500,22 +518,17 @@ object TextAnalysis {
               (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))),
           6).cast("decimal(18,6)"))
     }
-    val top = scored
+    scored
       .withColumn("score_dec",
         qterms.map(t => col(s"sc_$t")).reduce(_ + _))
-      .filter(col("score_dec") > 0)
-      .orderBy(col("score_dec").desc, col("doc_id"))
-      .limit(10)
-    top.withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("score_dec").desc, col("doc_id"))).cast("long"))
-      .select(col("rank"), col("doc_id"),
-        col("score_dec").cast("double").as("score"))
-      .orderBy("rank")
+      .select(col("doc_id"), col("score_dec"))
   }
 
-  val q142Oracle: String =
-    s"""WITH w AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+  /** CTE chain ending in `scored(doc_id, score_dec)` — the oracle
+    * counterpart of [[bm25Scored]], shared by q142 and q212.
+    */
+  private val bm25ScoredCtes: String =
+    s"""w AS (SELECT doc_id, $tokensSql AS ws FROM documents),
       |d AS (SELECT doc_id, ws, CAST(length(ws) AS BIGINT) AS dl FROM w),
       |tf AS (SELECT doc_id, dl,
       |  CAST(coalesce(length(list_filter(ws, x -> x = 'spark')), 0)
@@ -549,13 +562,107 @@ object TextAnalysis {
       |      * (1.0 - 0.75 + 0.75 * dl
       |        / (CAST(sum_dl AS DOUBLE) / n_docs)))), 6)
       |    AS DECIMAL(18,6)) AS score_dec
-      | FROM tf CROSS JOIN stats),
+      | FROM tf CROSS JOIN stats)""".stripMargin
+
+  val q142Oracle: String =
+    s"""WITH $bm25ScoredCtes,
       |top AS (SELECT * FROM scored WHERE score_dec > 0
       |  ORDER BY score_dec DESC, doc_id LIMIT 10)
       |SELECT CAST(row_number() OVER (ORDER BY score_dec DESC, doc_id)
       |    AS BIGINT) AS rank,
       |  doc_id, CAST(score_dec AS DOUBLE) AS score
       |FROM top
+      |ORDER BY rank""".stripMargin
+
+  /** RRF constant (k=60, the value from the original paper and every
+    * production default) and per-retriever list depth.
+    */
+  val RrfK = 60
+  val RrfDepth = 20
+
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    * Büttcher, SIGIR 2009): fuse the BM25 lexical ranking (q142's
+    * scorer, shared via [[bm25Scored]]) with a dense cosine ranking
+    * (query = vector 0's embedding, candidates = every document's
+    * vector, same native cosine expression as q45) by
+    * rrf = Σ_lists 1/(k + rank), k=60 — the standard two-tower +
+    * keyword production search stack. Ranks beyond [[RrfDepth]]
+    * contribute nothing (the full-outer join leaves them null).
+    *
+    * Scale: each list is a bounded global top-k (TakeOrdered — never a
+    * single-partition sort of the corpus); the fusion join and final
+    * cut run on ≤ 2·[[RrfDepth]] rows of driver-side-negligible width.
+    * Determinism: ranks are integers, 1.0/(60+rank) is one IEEE
+    * division and one addition stated identically in both engines,
+    * rounded to 6 dp.
+    */
+  def q212RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val sw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_dec").desc, col("doc_id"))
+    val sparse = bm25Scored(s, dir)
+      .filter(col("score_dec") > 0)
+      .orderBy(col("score_dec").desc, col("doc_id")).limit(RrfDepth)
+      .withColumn("srk", row_number().over(sw).cast("long"))
+      .select(col("doc_id"), col("srk"))
+    import graft.functions.VectorExpressions.cosine_similarity
+    val vecs = Similarity.vecsDouble(s, dir)
+    val qv = vecs.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    // dense candidates are the documents' vectors (vec_id = doc_id);
+    // the join keeps the retrieval corpus = the text corpus even if
+    // the vector table carries extra ids
+    val cands = vecs.filter(col("vec_id") =!= 0)
+      .join(documents(s, dir).select(col("doc_id")),
+        col("vec_id") === col("doc_id"))
+    val dw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sim").desc, col("doc_id"))
+    val dense = cands.crossJoin(broadcast(qv))
+      .withColumn("sim", round(cosine_similarity(col("qv"), col("v")), 6))
+      .orderBy(col("sim").desc, col("doc_id")).limit(RrfDepth)
+      .withColumn("drk", row_number().over(dw).cast("long"))
+      .select(col("doc_id"), col("drk"))
+    val fw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf").desc, col("doc_id"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("srk")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(RrfK) + col("drk")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      .withColumn("rank", row_number().over(fw).cast("long"))
+      .select(col("rank"), col("doc_id"),
+        col("srk").as("sparse_rank"), col("drk").as("dense_rank"),
+        col("rrf"))
+      .orderBy("rank")
+  }
+
+  val q212Oracle: String =
+    s"""WITH $bm25ScoredCtes,
+      |sparse AS (SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY score_dec DESC, doc_id)
+      |    AS BIGINT) AS srk
+      | FROM (SELECT * FROM scored WHERE score_dec > 0
+      |       ORDER BY score_dec DESC, doc_id LIMIT $RrfDepth)),
+      |e AS (SELECT vec_id,
+      |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      | FROM embeddings WHERE embedding IS NOT NULL),
+      |dsims AS (SELECT c.vec_id AS doc_id,
+      |   round(list_cosine_similarity(q.v, c.v), 6) AS sim
+      | FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> 0
+      | JOIN documents d ON c.vec_id = d.doc_id),
+      |dense AS (SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+      |    AS BIGINT) AS drk
+      | FROM (SELECT * FROM dsims ORDER BY sim DESC, doc_id
+      |       LIMIT $RrfDepth)),
+      |fused AS (SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+      |  s.srk AS srk, d.drk AS drk,
+      |  round(coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + s.srk), 0.0)
+      |    + coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + d.drk), 0.0), 6)
+      |    AS rrf
+      | FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id)
+      |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+      |    AS BIGINT) AS rank,
+      |  doc_id, srk AS sparse_rank, drk AS dense_rank, rrf
+      |FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 10)
       |ORDER BY rank""".stripMargin
 
   /** One BPE training iteration — the pair-count step tokenizer
@@ -661,6 +768,7 @@ object TextAnalysis {
     "q172_bpe_merge" -> (q172BpeMerge _),
     "q173_pair_lift" -> (q173PairLift _),
     "q142_bm25_topk" -> (q142Bm25TopK _),
+    "q212_rrf_fusion" -> (q212RrfFusion _),
     "q135_frequent_pairs" -> (q135FrequentPairs _),
     "q124_vocab_coverage" -> (q124VocabCoverage _),
     "q30_token_stats" -> (q30TokenStats _),
@@ -677,6 +785,7 @@ object TextAnalysis {
     "q172_bpe_merge" -> q172Oracle,
     "q173_pair_lift" -> q173Oracle,
     "q142_bm25_topk" -> q142Oracle,
+    "q212_rrf_fusion" -> q212Oracle,
     "q135_frequent_pairs" -> q135Oracle,
     "q124_vocab_coverage" -> q124Oracle,
     "q30_token_stats" -> q30Oracle,

@@ -78,7 +78,8 @@ class AdversarialVectorSpec extends AnyFunSuite {
     "q55_ann_ivf", "q60_label_centroids", "q77_quantize_int8",
     "q121_pq_quantize", "q155_jl_projection", "q169_maxsim",
     "q180_semdedup", "q184_semdedup_auto", "q185_vector_health",
-    "q187_ann_ivf_pq", "q199_ann_index_lifecycle", "q209_kmeans_lloyd")
+    "q187_ann_ivf_pq", "q199_ann_index_lifecycle", "q209_kmeans_lloyd",
+    "q213_ndcg_at_k")
 
   test("every vector query is total and deterministic on the poisoned corpus") {
     val failures = vectorQueries.flatMap { name =>

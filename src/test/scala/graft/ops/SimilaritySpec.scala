@@ -107,4 +107,30 @@ class SimilaritySpec extends AnyFunSuite {
       })
     }
   }
+
+  // The parquet corpora saturate the IDCG cap (every label has >= 10
+  // relevant candidates at every SF), so the n_rel < 10 arm and the
+  // idcg = 0 guard are pinned here: 12 candidates (1, 0.1*i) rank in
+  // vec_id order against query (1, 0); query 0's label matches ranks
+  // 1 and 3 plus rank 12 (counted in n_rel, outside the @10 cut);
+  // query 1's label matches nothing.
+  test("ndcg: under-full IDCG arm, beyond-cut relevance, zero-rel guard") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows =
+      Seq((0L, 1, 0.0), (1L, 99, 0.0)) ++      // queries (v unused as cand)
+      (0 to 11).map { i =>
+        val label = if (i == 0 || i == 2 || i == 11) 1 else 2
+        (10L + i, label, 0.1 * i)
+      }
+    val vecs = rows.toDF("vec_id", "label", "y")
+      .select(col("vec_id"), col("label"),
+        array(lit(1.0), col("y")).as("v"))
+    val got = Similarity.ndcgFrom(spark, vecs).collect()
+      .map(r => r.getAs[Long]("qid") ->
+        ((r.getAs[Long]("n_rel"), r.getAs[Double]("dcg"),
+          r.getAs[Double]("idcg"), r.getAs[Double]("ndcg")))).toMap
+    assert(got(0L) === ((3L, 1.5, 2.13093, 0.703918)))
+    assert(got(1L) === ((0L, 0.0, 0.0, 0.0)))
+  }
 }
