@@ -1062,7 +1062,97 @@ object Features {
       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Adamic–Adar link prediction over the co-purchase graph (Adamic &
+    * Adar, "Friends and neighbors on the Web", Social Networks 2003):
+    * for part pairs NOT yet co-purchased, score the likelihood of a
+    * future co-purchase as Σ_z 1/ln(deg z) over common neighbors z —
+    * hub neighbors count less — and report the top 20 candidate
+    * links. The graph is temporally scoped to H1-1995 co-purchases
+    * (link prediction is inherently "from a window, predict the
+    * next"), which also bounds the wedge volume to a constant
+    * fraction of the corpus at every SF.
+    *
+    * Exactness: per-neighbor weights 1/ln(deg) are rounded to 6 dp
+    * and quantized to DECIMAL before the per-pair sum (the q142
+    * device; ln's argument is an integer degree, and any z serving as
+    * a common neighbor has deg ≥ 2, so ln ≥ ln 2 > 0). Integer
+    * common-neighbor counts tie-break through the score ordering.
+    *
+    * Scale: the wedge fan-out is Σ C(deg_z, 2) — the inherent cost of
+    * enumerating common-neighbor pairs — generated per-z by an
+    * equi-self-join of the adjacency list (hash-partitioned on z,
+    * never a cross join); the scoring join keys on z and the final
+    * top-20 is a distributed TakeOrdered. The edge list is
+    * checkpointed once and reused by the wedge sides and the
+    * anti-join probe (the q154 pattern). Production hub-capping
+    * (dropping z above a degree ceiling) is the standard lever if a
+    * domain's Σ C(deg,2) outgrows the cluster; this window's max
+    * degree is ~47, far below any such ceiling.
+    */
+  def q218LinkPrediction(s: SparkSession, dir: String): DataFrame = {
+    def ts(x: String) = lit(x).cast("timestamp")
+    val inWindow = orders(s, dir)
+      .filter(col("o_orderdate") >= ts("1995-01-01") &&
+        col("o_orderdate") < ts("1995-07-01"))
+      .select(col("o_orderkey"))
+    val li = lineitem(s, dir)
+      .join(inWindow, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") &&
+        col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+      .localCheckpoint()
+    val nbrs = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .union(edges.select(col("v").as("node"), col("u").as("nbr")))
+    val wz = nbrs.groupBy("node").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+      .select(col("node"),
+        round(lit(1.0) / log(col("deg").cast("double")), 6)
+          .cast("decimal(12,6)").as("w"))
+    val pairs = nbrs.as("a")
+      .join(nbrs.as("b"), col("a.node") === col("b.node") &&
+        col("a.nbr") < col("b.nbr"))
+      .select(col("a.node").as("node"),
+        col("a.nbr").as("u"), col("b.nbr").as("v"))
+    pairs.join(wz, "node")
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("common_nbrs"), sum("w").as("aas"))
+      .join(edges, Seq("u", "v"), "left_anti")
+      .orderBy(col("aas").desc, col("u"), col("v")).limit(20)
+      .select(col("u"), col("v"), col("common_nbrs"),
+        col("aas").cast("double").as("adamic_adar"))
+      .orderBy(col("adamic_adar").desc, col("u"), col("v"))
+  }
+
+  val q218Oracle: String =
+    """WITH li AS (SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+      | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      | WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |   AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00'),
+      |edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+      | FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |nbrs AS (SELECT u AS node, v AS nbr FROM edges
+      | UNION ALL SELECT v AS node, u AS nbr FROM edges),
+      |wz AS (SELECT node,
+      |  CAST(round(CAST(1.0 AS DOUBLE) / ln(CAST(deg AS DOUBLE)), 6)
+      |    AS DECIMAL(12,6)) AS w
+      | FROM (SELECT node, count(*) AS deg FROM nbrs GROUP BY node)
+      | WHERE deg >= 2),
+      |pairs AS (SELECT a.node AS node, a.nbr AS u, b.nbr AS v
+      | FROM nbrs a JOIN nbrs b ON a.node = b.node AND a.nbr < b.nbr),
+      |aa AS (SELECT u, v, count(*) AS common_nbrs, sum(w) AS aas
+      | FROM pairs JOIN wz USING (node) GROUP BY u, v),
+      |cand AS (SELECT aa.* FROM aa
+      | ANTI JOIN edges e ON aa.u = e.u AND aa.v = e.v)
+      |SELECT u, v, CAST(common_nbrs AS BIGINT) AS common_nbrs,
+      |  CAST(aas AS DOUBLE) AS adamic_adar
+      |FROM cand ORDER BY aas DESC, u, v LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_link_prediction" -> (q218LinkPrediction _),
     "q206_label_propagation" -> (q206LabelPropagation _),
     "q207_bfs_hops" -> (q207BfsHops _),
     "q170_string_indexer" -> (q170StringIndexer _),
@@ -1089,6 +1179,7 @@ object Features {
     "q159_ewma" -> q159Oracle,
     "q160_interval_join" -> q160Oracle,
     "q154_triangles" -> q154Oracle,
+    "q218_link_prediction" -> q218Oracle,
     "q155_jl_projection" -> q155Oracle,
     "q156_robust_scale" -> q156Oracle,
     "q150_equidepth_bins" -> q150Oracle,

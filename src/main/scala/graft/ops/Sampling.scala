@@ -403,7 +403,288 @@ object Sampling {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** DSIR-style importance resampling (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS 2023):
+    * rank the raw corpus by how much more likely each document is
+    * under the TARGET distribution (here: the `lang = 'en'` slice)
+    * than under the raw distribution, both modeled as hashed-unigram
+    * bag models — the standard cheap recipe for "find me more data
+    * that looks like my curated set" at pretraining scale.
+    *
+    * log-importance = Σ_tokens [ln((c_tgt[b]+1)/(c_raw[b]+1))
+    * + ln((R+B)/(T+B))] over the token's hash bucket b (add-1
+    * smoothing over B=256 buckets; the constant folds into each
+    * bucket weight so the per-doc weight is ONE decimal sum). Buckets
+    * are the first two md5 hex chars of the token — the engine's
+    * established cross-engine hash (q59/q89), standing in for DSIR's
+    * hashed n-grams. Each ln is rounded to 6 dp and quantized to
+    * DECIMAL before any sum, so per-doc totals are order-independent
+    * exact integers in 1e-6 units (the q142 device).
+    *
+    * Selection takes the top 25% per md5 SHARD of doc_id rather than
+    * a global order statistic: 16 hash shards are unbiased weight
+    * samples, so per-shard quotas equal the global rate while every
+    * rank window holds 1/16 of the corpus — the global top-k (a full
+    * sort or a driver-sized TakeOrdered) never materializes. Bucket
+    * stats are one 256-row broadcast; everything else is map-side.
+    */
+  def q214DsirResample(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text.tokens
+    val tok = documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("tk"))
+      .withColumn("bucket", substring(md5(col("tk").cast("binary")), 1, 2))
+    val tot = tok.agg(count(lit(1)).as("r_total"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_total"))
+    val bk = tok.groupBy("bucket").agg(count(lit(1)).as("c_raw"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
+    val rw = bk.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (round(log((col("c_tgt") + lit(1.0)) / (col("c_raw") + lit(1.0))), 6)
+           .cast("decimal(12,6)") +
+         round(log((col("r_total") + lit(256.0)) /
+             (col("t_total") + lit(256.0))), 6)
+           .cast("decimal(12,6)")).as("rw"))
+    val dw = tok.join(broadcast(rw), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("rw").as("w"))
+    val wnd = Window.partitionBy("shard")
+      .orderBy(col("w").desc, col("doc_id"))
+    dw.withColumn("shard",
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1))
+      .withColumn("rk", row_number().over(wnd).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("shard")))
+      .select(col("doc_id"), col("n_tok"),
+        col("w").cast("double").as("log_weight"), col("shard"),
+        col("rk").as("shard_rank"),
+        (col("rk") <= ceil(lit(0.25) * col("cnt"))).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  val q214Oracle: String = {
+    import graft.functions.Text.tokensSql
+    s"""WITH tok AS (SELECT doc_id, lang,
+      |   substr(md5(tk), 1, 2) AS bucket
+      | FROM (SELECT doc_id, lang, unnest($tokensSql) AS tk
+      |       FROM documents)),
+      |tot AS (SELECT count(*) AS r_total,
+      |  count(*) FILTER (WHERE lang = 'en') AS t_total FROM tok),
+      |bk AS (SELECT bucket, count(*) AS c_raw,
+      |  count(*) FILTER (WHERE lang = 'en') AS c_tgt
+      | FROM tok GROUP BY bucket),
+      |rw AS (SELECT bucket,
+      |  CAST(round(ln((c_tgt + 1.0) / (c_raw + 1.0)), 6)
+      |    AS DECIMAL(12,6))
+      |  + CAST(round(ln((r_total + 256.0) / (t_total + 256.0)), 6)
+      |    AS DECIMAL(12,6)) AS rw
+      | FROM bk CROSS JOIN tot),
+      |dw AS (SELECT doc_id, count(*) AS n_tok, sum(rw) AS w
+      | FROM tok JOIN rw USING (bucket) GROUP BY doc_id),
+      |rk AS (SELECT doc_id, n_tok, w,
+      |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY
+      |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+      |    ORDER BY w DESC, doc_id) AS BIGINT) AS rk,
+      |  count(*) OVER (PARTITION BY
+      |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS cnt
+      | FROM dw)
+      |SELECT doc_id, n_tok, CAST(w AS DOUBLE) AS log_weight, shard,
+      |  rk AS shard_rank,
+      |  rk <= ceil(CAST(0.25 AS DOUBLE) * cnt) AS selected
+      |FROM rk ORDER BY doc_id""".stripMargin
+  }
+
+  /** Greedy max-coverage document selection — the classic submodular
+    * coreset recipe (Nemhauser, Wolsey & Fisher 1978: greedy is
+    * (1−1/e)-optimal for monotone submodular objectives): pick up to
+    * [[CoverageRounds]] documents, each round taking the document
+    * adding the most NOT-YET-COVERED distinct tokens (ties →
+    * doc_id), stopping early when no document adds anything. This is
+    * the coverage-sampling shape behind "pick k docs that span the
+    * vocabulary / topic space" curation passes.
+    *
+    * Scale: each round is ONE distributed job — a broadcast ANTI join
+    * of the (doc, token) stream against the covered-token set (a
+    * vocabulary-BOUNDED frame, never corpus-sized) into a map-side
+    * combinable gain count and a global argmax (TakeOrdered of 1 row)
+    * — and the driver state per round is one (doc_id, gain) pair.
+    * K is small by construction (curation picks tens, not millions).
+    * The oracle replays the identical greedy chain as K materialized
+    * CTE rounds.
+    */
+  val CoverageRounds = 8
+
+  def q216CoverageSelect(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text.tokens
+    // coverage universe = token BIGRAMS: a realistic spanning target
+    // (the unigram vocabulary is tiny enough here that one document
+    // covers it, ending greedy in one round at every SF)
+    val ws = tokens(col("text"))
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val tokD = documents(s, dir)
+      .select(col("doc_id"), explode(bigrams).as("tk"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var covered: DataFrame = tokD.select(col("tk")).limit(0)
+    val picks = Seq.newBuilder[(Long, Long, Long, Long)]
+    var total = 0L
+    var round = 1
+    var done = false
+    while (round <= CoverageRounds && !done) {
+      val win = tokD.join(broadcast(covered), Seq("tk"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("g"))
+        .orderBy(col("g").desc, col("doc_id")).limit(1).collect()
+      if (win.isEmpty) done = true
+      else {
+        val w = win.head.getLong(0); val g = win.head.getLong(1)
+        total += g
+        picks += ((round.toLong, w, g, total))
+        val next = covered
+          .union(tokD.filter(col("doc_id") === w).select(col("tk")))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        covered.unpersist()
+        covered = next
+        round += 1
+      }
+    }
+    tokD.unpersist()
+    covered.unpersist()
+    s.createDataFrame(picks.result())
+      .toDF("round", "doc_id", "gain", "covered_total")
+      .orderBy("round")
+  }
+
+  val q216Oracle: String = {
+    import graft.functions.Text.tokensSql
+    val rounds = (1 to CoverageRounds).map { i =>
+      val pick =
+        if (i == 1)
+          s"""p1 AS MATERIALIZED (SELECT doc_id, count(*) AS g FROM tok
+            |  GROUP BY doc_id ORDER BY g DESC, doc_id LIMIT 1)""".stripMargin
+        else
+          s"""p$i AS MATERIALIZED (SELECT t.doc_id, count(*) AS g
+            |  FROM tok t ANTI JOIN c${i - 1} c ON t.tk = c.tk
+            |  GROUP BY t.doc_id ORDER BY g DESC, doc_id LIMIT 1)""".stripMargin
+      val cover =
+        if (i == 1)
+          s"""c1 AS MATERIALIZED (SELECT DISTINCT t.tk FROM tok t
+            |  JOIN p1 ON t.doc_id = p1.doc_id)""".stripMargin
+        else
+          s"""c$i AS MATERIALIZED (SELECT tk FROM c${i - 1}
+            |  UNION SELECT t.tk FROM tok t
+            |  JOIN p$i ON t.doc_id = p$i.doc_id)""".stripMargin
+      s"$pick,\n$cover"
+    }.mkString(",\n")
+    val selects = (1 to CoverageRounds).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS round, doc_id,
+        |  CAST(g AS BIGINT) AS gain,
+        |  (SELECT count(*) FROM c$i) AS covered_total FROM p$i""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH w AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+      |tok AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(
+      |  CASE WHEN length(ws) >= 2
+      |       THEN list_transform(range(1, length(ws)),
+      |              i -> ws[i] || ' ' || ws[i+1])
+      |       ELSE [] END) AS tk FROM w),
+      |$rounds
+      |SELECT * FROM (
+      |$selects
+      |) ORDER BY round""".stripMargin
+  }
+
+  /** Temperature of the sampling distribution (α) and the epoch cap. */
+  val MixAlpha = 0.3
+  val MixEpochCap = 1.5
+
+  /** Temperature-based mixture reweighting — the multilingual /
+    * multi-source sampling-weight computation from XLM-R (Conneau et
+    * al. 2020) and mT5: groups sampled ∝ p^α (α = 0.3) so
+    * low-resource groups are upweighted, with an epoch cap (here
+    * 1.5×) so no group is repeated past the point of memorization;
+    * capped mass is renormalized over everyone in one pass (the
+    * standard single-step approximation of the exact waterfill).
+    *
+    * Exactness: ONE pow per group rounded to 6 dp and quantized to
+    * DECIMAL before the normalizing sums (order-independent), every
+    * ratio a single IEEE double expression stated identically in both
+    * engines — the q142/q214 transcendental device applied to pow.
+    * Scale: group stats are one map-side-combinable aggregate; the
+    * normalizers are 1-row broadcasts; nothing corpus-sized moves.
+    */
+  def q217TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text.tokens
+    val g = documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("n"))
+    val tot = g.agg(sum("n").as("tot"))
+    val w = g.crossJoin(broadcast(tot))
+      .withColumn("w",
+        round(pow(col("n").cast("double") / col("tot"), lit(MixAlpha)), 6)
+          .cast("decimal(12,6)"))
+    val sw = w.agg(sum("w").as("sw"))
+    val ep = w.crossJoin(broadcast(sw))
+      .withColumn("ep_raw",
+        col("w").cast("double") / col("sw").cast("double") *
+          col("tot").cast("double") / col("n").cast("double"))
+      .withColumn("qc",
+        round(least(col("ep_raw"), lit(MixEpochCap)) *
+          col("n").cast("double") / col("tot").cast("double"), 6)
+          .cast("decimal(12,6)"))
+    val sqc = ep.agg(sum("qc").as("sqc"))
+    ep.crossJoin(broadcast(sqc))
+      .select(col("lang"), col("source"), col("n").as("n_tok"),
+        round(col("n").cast("double") / col("tot"), 6).as("p_raw"),
+        round(col("ep_raw"), 4).as("epochs_raw"),
+        (col("ep_raw") > MixEpochCap).as("capped"),
+        round(col("qc").cast("double") / col("sqc").cast("double"), 6)
+          .as("q_final"),
+        round(col("qc").cast("double") / col("sqc").cast("double") *
+          col("tot").cast("double") / col("n").cast("double"), 4)
+          .as("epochs_final"))
+      .orderBy("lang", "source")
+  }
+
+  val q217Oracle: String = {
+    import graft.functions.Text.tokensSql
+    s"""WITH g AS (SELECT lang, source,
+      |  sum(CAST(length($tokensSql) AS BIGINT)) AS n
+      | FROM documents GROUP BY lang, source),
+      |t AS (SELECT sum(n) AS tot FROM g),
+      |w AS (SELECT lang, source, n, tot,
+      |  CAST(round(pow(CAST(n AS DOUBLE) / tot, CAST($MixAlpha AS DOUBLE)),
+      |    6) AS DECIMAL(12,6)) AS w
+      | FROM g CROSS JOIN t),
+      |s AS (SELECT sum(w) AS sw FROM w),
+      |ep AS (SELECT lang, source, n, tot,
+      |  CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)
+      |    * CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) AS ep_raw
+      | FROM w CROSS JOIN s),
+      |qc AS (SELECT lang, source, n, tot, ep_raw,
+      |  CAST(round(least(ep_raw, CAST($MixEpochCap AS DOUBLE))
+      |    * CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+      |    AS DECIMAL(12,6)) AS qc
+      | FROM ep),
+      |sq AS (SELECT sum(qc) AS sqc FROM qc)
+      |SELECT lang, source, CAST(n AS BIGINT) AS n_tok,
+      |  round(CAST(n AS DOUBLE) / tot, 6) AS p_raw,
+      |  round(ep_raw, 4) AS epochs_raw,
+      |  ep_raw > CAST($MixEpochCap AS DOUBLE) AS capped,
+      |  round(CAST(qc AS DOUBLE) / CAST(sqc AS DOUBLE), 6) AS q_final,
+      |  round(CAST(qc AS DOUBLE) / CAST(sqc AS DOUBLE)
+      |    * CAST(tot AS DOUBLE) / CAST(n AS DOUBLE), 4) AS epochs_final
+      |FROM qc CROSS JOIN sq
+      |ORDER BY lang, source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_temperature_mix" -> (q217TemperatureMix _),
+    "q216_coverage_select" -> (q216CoverageSelect _),
+    "q214_dsir_resample" -> (q214DsirResample _),
     "q167_pps_sample" -> (q167PpsSample _),
     "q133_rebalance_plan" -> (q133RebalancePlan _),
     "q59_hash_split" -> (q59HashSplit _),
@@ -414,6 +695,9 @@ object Sampling {
   )
 
   def oracles: Map[String, String] = Map(
+    "q214_dsir_resample" -> q214Oracle,
+    "q216_coverage_select" -> q216Oracle,
+    "q217_temperature_mix" -> q217Oracle,
     "q167_pps_sample" -> q167Oracle,
     "q133_rebalance_plan" -> q133Oracle,
     "q59_hash_split" -> q59Oracle,

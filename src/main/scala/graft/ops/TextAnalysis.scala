@@ -665,6 +665,123 @@ object TextAnalysis {
       |FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 10)
       |ORDER BY rank""".stripMargin
 
+  /** Multinomial Naive Bayes text classifier, trained and evaluated
+    * in one query: learn P(lang) and P(token | lang) with add-1
+    * smoothing on the deterministic md5 train split (q59's device,
+    * prefix < 'cd'), classify the held-out test split (prefix ≥
+    * 'e6'), report per-document predictions — the classic generative
+    * baseline (McCallum & Nigam, AAAI-98 workshop) that production
+    * pipelines still use for cheap language/domain routing.
+    *
+    * Exactness: every log-likelihood — priors ln((n_c+1)/(N+C)),
+    * seen-token ln((cnt+1)/(tok_c+V)), and the per-class unseen-token
+    * default ln(1/(tok_c+V)) — is rounded to 6 dp and quantized to
+    * DECIMAL before any sum (the q142/q214 device), so per-(doc,
+    * class) scores are order-independent exact sums and the argmax
+    * (ties → alphabetical class) is a pure decimal compare.
+    *
+    * Scale: the model is vocabulary-sized — (class × token) counts,
+    * class totals, priors — built in one aggregate pass over the
+    * train tokens and BROADCAST; scoring is one map-side pass over
+    * test tokens fanned out to C=5 class rows, a (doc, class)
+    * partial-aggregating sum, and a 5-row-per-doc argmax window.
+    * No corpus-sized shuffle anywhere.
+    */
+  def q215NaiveBayes(s: SparkSession, dir: String): DataFrame = {
+    val langs = langMarkers.map(_._1)
+    val split = substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val docs = documents(s, dir).filter(col("lang").isNotNull)
+    val trainTok = docs.filter(split < "cd")
+      .select(col("lang").as("c"), explode(tokens(col("text"))).as("tk"))
+    // model: class priors + class totals + V, all in two tiny aggs
+    val classStats = trainTok.groupBy("c")
+      .agg(count(lit(1)).as("tok_c"))
+    val corpus = trainTok.agg(count(lit(1)).as("n_tok_total"),
+      countDistinct(col("tk")).as("v"),
+      countDistinct(col("c")).as("n_classes"))
+    val nDocsByClass = docs.filter(split < "cd")
+      .groupBy(col("lang").as("c")).agg(count(lit(1)).as("n_c"))
+    val nDocs = docs.filter(split < "cd").agg(count(lit(1)).as("n_docs"))
+    val model = classStats.join(nDocsByClass, "c")
+      .crossJoin(broadcast(corpus)).crossJoin(broadcast(nDocs))
+      .select(col("c"),
+        round(log((col("n_c") + lit(1.0)) /
+          (col("n_docs") + col("n_classes"))), 6)
+          .cast("decimal(12,6)").as("prior"),
+        round(log(lit(1.0) / (col("tok_c") + col("v"))), 6)
+          .cast("decimal(12,6)").as("unseen"),
+        (col("tok_c") + col("v")).as("denom"))
+    val lik = trainTok.groupBy("c", "tk")
+      .agg(count(lit(1)).as("cnt"))
+      .join(model.select(col("c"), col("denom")), "c")
+      .select(col("c"), col("tk"),
+        round(log((col("cnt") + lit(1.0)) / col("denom")), 6)
+          .cast("decimal(12,6)").as("lik"))
+    val testTok = docs.filter(split >= "e6")
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("tk"))
+    val perClass = testTok
+      .join(broadcast(model.select(col("c"), col("prior"), col("unseen"))))
+      .join(broadcast(lik), Seq("c", "tk"), "left")
+      .groupBy(col("doc_id"), col("lang"), col("c"), col("prior"))
+      .agg(sum(coalesce(col("lik"), col("unseen"))).as("loglik"))
+      .withColumn("score", col("prior") + col("loglik"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("c"))
+    perClass.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        col("c").as("pred_lang"),
+        col("score").cast("double").as("log_score"),
+        when(col("lang") === col("c"), true).otherwise(false)
+          .as("correct"))
+      .orderBy("doc_id")
+  }
+
+  val q215Oracle: String =
+    s"""WITH docs AS (SELECT doc_id, lang, text,
+      |   substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx
+      | FROM documents WHERE lang IS NOT NULL),
+      |train_tok AS (SELECT lang AS c, unnest($tokensSql) AS tk
+      | FROM docs WHERE hx < 'cd'),
+      |class_stats AS (SELECT c, count(*) AS tok_c FROM train_tok
+      | GROUP BY c),
+      |corpus AS (SELECT count(*) AS n_tok_total,
+      |  count(DISTINCT tk) AS v, count(DISTINCT c) AS n_classes
+      | FROM train_tok),
+      |ndc AS (SELECT lang AS c, count(*) AS n_c FROM docs
+      | WHERE hx < 'cd' GROUP BY lang),
+      |nd AS (SELECT count(*) AS n_docs FROM docs WHERE hx < 'cd'),
+      |model AS (SELECT c,
+      |  CAST(round(ln((n_c + 1.0) / (n_docs + n_classes)), 6)
+      |    AS DECIMAL(12,6)) AS prior,
+      |  CAST(round(ln(1.0 / (tok_c + v)), 6)
+      |    AS DECIMAL(12,6)) AS unseen,
+      |  tok_c + v AS denom
+      | FROM class_stats JOIN ndc USING (c)
+      | CROSS JOIN corpus CROSS JOIN nd),
+      |lik AS (SELECT c, tk,
+      |  CAST(round(ln((cnt + 1.0) / denom), 6) AS DECIMAL(12,6)) AS lik
+      | FROM (SELECT c, tk, count(*) AS cnt FROM train_tok GROUP BY c, tk)
+      | JOIN model USING (c)),
+      |test_tok AS (SELECT doc_id, lang, unnest($tokensSql) AS tk
+      | FROM docs WHERE hx >= 'e6'),
+      |per_class AS (SELECT t.doc_id, t.lang, m.c, m.prior,
+      |   sum(coalesce(l.lik, m.unseen)) AS loglik
+      | FROM test_tok t CROSS JOIN model m
+      | LEFT JOIN lik l ON l.c = m.c AND l.tk = t.tk
+      | GROUP BY t.doc_id, t.lang, m.c, m.prior),
+      |ranked AS (SELECT doc_id, lang, c, prior + loglik AS score,
+      |   row_number() OVER (PARTITION BY doc_id
+      |     ORDER BY prior + loglik DESC, c) AS rn
+      | FROM per_class)
+      |SELECT doc_id, lang AS true_lang, c AS pred_lang,
+      |  CAST(score AS DOUBLE) AS log_score,
+      |  CASE WHEN lang = c THEN true ELSE false END AS correct
+      |FROM ranked WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
   /** One BPE training iteration — the pair-count step tokenizer
     * training loops over: among adjacent character pairs inside
     * tokens, weighted by corpus token frequency, which merge wins?
@@ -769,6 +886,7 @@ object TextAnalysis {
     "q173_pair_lift" -> (q173PairLift _),
     "q142_bm25_topk" -> (q142Bm25TopK _),
     "q212_rrf_fusion" -> (q212RrfFusion _),
+    "q215_naive_bayes" -> (q215NaiveBayes _),
     "q135_frequent_pairs" -> (q135FrequentPairs _),
     "q124_vocab_coverage" -> (q124VocabCoverage _),
     "q30_token_stats" -> (q30TokenStats _),
@@ -786,6 +904,7 @@ object TextAnalysis {
     "q173_pair_lift" -> q173Oracle,
     "q142_bm25_topk" -> q142Oracle,
     "q212_rrf_fusion" -> q212Oracle,
+    "q215_naive_bayes" -> q215Oracle,
     "q135_frequent_pairs" -> q135Oracle,
     "q124_vocab_coverage" -> q124Oracle,
     "q30_token_stats" -> q30Oracle,
