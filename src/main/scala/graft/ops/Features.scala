@@ -1151,7 +1151,159 @@ object Features {
       |  CAST(aas AS DOUBLE) AS adamic_adar
       |FROM cand ORDER BY aas DESC, u, v LIMIT 20""".stripMargin
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) over the
+    * bipartite customer→part purchase graph — the classic use:
+    * hubs = broad buyers, authorities = widely-bought parts. Two
+    * UNNORMALIZED power iterations: a⁰ ≡ 1, h¹ = out-degree,
+    * a¹ = Σ_buyers h¹, h² = Σ_parts a¹, a² = Σ_buyers h² — every score
+    * an exact 64-bit integer (magnitudes ≤ deg_p²·deg_c², ~10¹⁰ even
+    * at sf100 since a customer's degree is bounded by the data
+    * model), so the ranking is bit-exact with no normalization float.
+    * Production HITS normalizes each round and iterates to a
+    * tolerance; the fixed-round unnormalized form RANKS identically
+    * round-for-round (normalization is a positive scalar) and is the
+    * shardable, engine-exact rendition.
+    *
+    * Scale: each half-iteration is one equi join of the edge list
+    * against a node-sized score frame plus a map-side-combinable sum;
+    * the edge list is checkpointed once and reused by all four
+    * rounds; top-10s are distributed TakeOrdered.
+    */
+  def q219Hits(s: SparkSession, dir: String): DataFrame = {
+    val cp = lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .join(orders(s, dir)
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("c")), "ok")
+      .select("c", "p").distinct()
+      .localCheckpoint()
+    val h1 = cp.groupBy("c").agg(count(lit(1)).as("h1"))
+    val a1 = cp.join(h1, "c").groupBy("p").agg(sum("h1").as("a1"))
+    val h2 = cp.join(a1, "p").groupBy("c").agg(sum("a1").as("h2"))
+    val a2 = cp.join(h2, "c").groupBy("p").agg(sum("h2").as("a2"))
+    val hubs = h1.join(h2, "c")
+      .orderBy(col("h2").desc, col("c")).limit(10)
+      .select(lit("hub").as("kind"), col("c").as("node"),
+        col("h1").as("score_r1"), col("h2").as("score_r2"))
+    val auths = a1.join(a2, "p")
+      .orderBy(col("a2").desc, col("p")).limit(10)
+      .select(lit("authority").as("kind"), col("p").as("node"),
+        col("a1").as("score_r1"), col("a2").as("score_r2"))
+    hubs.unionByName(auths)
+      .orderBy(col("kind"), col("score_r2").desc, col("node"))
+  }
+
+  val q219Oracle: String =
+    """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |h1 AS (SELECT c, count(*) AS h1 FROM cp GROUP BY c),
+      |a1 AS (SELECT p, CAST(sum(h1) AS BIGINT) AS a1
+      | FROM cp JOIN h1 USING (c) GROUP BY p),
+      |h2 AS (SELECT c, CAST(sum(a1) AS BIGINT) AS h2
+      | FROM cp JOIN a1 USING (p) GROUP BY c),
+      |a2 AS (SELECT p, CAST(sum(h2) AS BIGINT) AS a2
+      | FROM cp JOIN h2 USING (c) GROUP BY p),
+      |hubs AS (SELECT 'hub' AS kind, c AS node,
+      |  CAST(h1 AS BIGINT) AS score_r1, h2 AS score_r2
+      | FROM h1 JOIN h2 USING (c) ORDER BY h2 DESC, c LIMIT 10),
+      |auths AS (SELECT 'authority' AS kind, p AS node,
+      |  a1 AS score_r1, a2 AS score_r2
+      | FROM a1 JOIN a2 USING (p) ORDER BY a2 DESC, p LIMIT 10)
+      |SELECT * FROM (SELECT * FROM hubs UNION ALL SELECT * FROM auths)
+      |ORDER BY kind, score_r2 DESC, node""".stripMargin
+
+  /** Multi-source weighted shortest paths by synchronous Bellman-Ford
+    * relaxation — the weighted counterpart of q207's frontier BFS
+    * (BFS explores by hop; relaxation must revisit settled nodes
+    * because a longer-hop path can be CHEAPER, which is exactly what
+    * the unioned min-fold expresses). Sources are the q207 hub set
+    * (node ≡ 0 mod 97, "distance to nearest hub"); edge length =
+    * cheapest combined price of a co-purchase in integer cents (the
+    * q140 fixed-point device), so every distance is an exact int64
+    * and the oracle replays the identical [[GraphRounds]]-round
+    * recurrence as materialized CTEs.
+    *
+    * Scale: the edge list is hash-partitioned once on the join key
+    * and persisted (the q198/q207 pattern); each round joins the
+    * node-sized distance frame against that standing partitioning —
+    * rounds add NO edge re-exchange — and the min-fold is map-side
+    * combinable. Output is the per-node distance table capped to
+    * nodes reached within k rounds (k-bounded relaxation is the
+    * production form: it answers "cheapest within k legs" exactly,
+    * and k rounds of it IS Bellman-Ford's loop body, so the full
+    * algorithm is this op run |V|-1 times or to a fixpoint).
+    */
+  def q220SsspRelax(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val wEdges = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") &&
+        col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(min(col("a.cents") + col("b.cents")).as("w"))
+    relaxDistances(s, wEdges,
+      n => pmod(n, lit(97L)) === 0, GraphRounds)
+  }
+
+  /** The k-round Bellman-Ford loop over an arbitrary undirected
+    * weighted `(u, v, w)` edge list — factored so GraphSpec can pin
+    * the defining relaxation property (a longer-hop path beating a
+    * direct edge) on hand graphs.
+    */
+  private[graft] def relaxDistances(s: SparkSession, wEdges: DataFrame,
+      seed: Column => Column, rounds: Int): DataFrame = {
+    val parts = math.max(s.sparkContext.defaultParallelism, 8)
+    val bidir = wEdges
+      .select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(
+        wEdges.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      .repartition(parts, col("src"))
+      .persist()
+    try {
+      var dist = bidir.select(col("src").as("node")).distinct()
+        .filter(seed(col("node")))
+        .withColumn("d", lit(0L))
+      for (_ <- 1 to rounds) {
+        val relax = dist.join(bidir, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+        dist = dist.unionByName(relax)
+          .groupBy("node").agg(min("d").as("d"))
+      }
+      dist.select(col("node"), col("d").as("dist_cents"))
+        .orderBy("node")
+        .localCheckpoint()
+    } finally bidir.unpersist()
+  }
+
+  val q220Oracle: String = {
+    def relax(prev: String): String =
+      s"""(SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM $prev UNION ALL
+        |  SELECT b.dst, p.d + b.w FROM $prev p
+        |    JOIN bidir b ON p.node = b.src) GROUP BY 1)""".stripMargin
+    val rounds = (1 to GraphRounds).map { r =>
+      s"d$r AS MATERIALIZED ${relax(s"d${r - 1}")}"
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk,
+      |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      | FROM lineitem),
+      |we AS (SELECT a.pk AS u, b.pk AS v,
+      |  min(a.cents + b.cents) AS w
+      | FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      | GROUP BY 1, 2),
+      |bidir AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM we
+      | UNION ALL SELECT v AS src, u AS dst, w FROM we),
+      |d0 AS MATERIALIZED (SELECT DISTINCT src AS node,
+      |  CAST(0 AS BIGINT) AS d
+      | FROM bidir WHERE src % 97 = 0),
+      |$rounds
+      |SELECT node, CAST(d AS BIGINT) AS dist_cents FROM d$GraphRounds
+      |ORDER BY node""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_sssp_relax" -> (q220SsspRelax _),
+    "q219_hits" -> (q219Hits _),
     "q218_link_prediction" -> (q218LinkPrediction _),
     "q206_label_propagation" -> (q206LabelPropagation _),
     "q207_bfs_hops" -> (q207BfsHops _),
@@ -1180,6 +1332,8 @@ object Features {
     "q160_interval_join" -> q160Oracle,
     "q154_triangles" -> q154Oracle,
     "q218_link_prediction" -> q218Oracle,
+    "q219_hits" -> q219Oracle,
+    "q220_sssp_relax" -> q220Oracle,
     "q155_jl_projection" -> q155Oracle,
     "q156_robust_scale" -> q156Oracle,
     "q150_equidepth_bins" -> q150Oracle,

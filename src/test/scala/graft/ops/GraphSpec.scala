@@ -77,4 +77,23 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("dist") -> r.getAs[Long]("n")).toMap
     assert(got === expect)
   }
+
+  test("q220 loop: a two-hop path undercuts the direct edge") {
+    // 0 -10- 1 -10- 2 with a direct 0-2 edge of length 100: BFS-style
+    // frontier logic would settle node 2 at 100 in round 1 and never
+    // revisit; relaxation must land 20. Node 4 shows the k-bound: at
+    // k=3 its best 3-leg path still rides the expensive edge (120);
+    // one more round re-relaxes it down to 40. Seed = node 0.
+    val edges = Seq((0L, 1L, 10L), (1L, 2L, 10L), (0L, 2L, 100L),
+      (2L, 3L, 10L), (3L, 4L, 10L)).toDF("u", "v", "w")
+    def run(k: Int): Map[Long, Long] =
+      Features.relaxDistances(spark, edges, n => n === 0L, k)
+        .collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist_cents"))
+        .toMap
+    assert(run(3) ===
+      Map(0L -> 0L, 1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 120L))
+    assert(run(4) ===
+      Map(0L -> 0L, 1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L))
+  }
 }
