@@ -1301,7 +1301,176 @@ object Features {
       |ORDER BY node""".stripMargin
   }
 
+  /** Autocorrelation function of the daily order-count series at lags
+    * 1..7 — the seasonality probe run before fitting any forecaster
+    * (q6/q201 consume exactly this kind of series). Exactness: with
+    * S = Σc and n days, center in INTEGER space as y_t = n·c_t − S
+    * (≡ n·(c_t − μ)), so r_k = Σ y_t·y_{t+k} / Σ y_t² has exact
+    * integer numerator and denominator (DECIMAL(38,0) sums — y² can
+    * pass int64 at large SF) and ONE double division, rounded to 6 dp.
+    * ACF at lag k uses the standard biased estimator (denominator =
+    * full-series sum of squares).
+    *
+    * Scale: the series is CALENDAR-BOUNDED (one row per day — ~2.4k
+    * rows for the 7-year TPC-H span at any SF), so the indexing
+    * window and the 7-lag self-join run on a metadata-sized frame;
+    * the only corpus-sized work is the daily-count aggregate, which
+    * is map-side combinable. The lag join explodes the ≤7 offsets
+    * into an equi join (the q211 device), never a range predicate.
+    */
+  val AcfMaxLag = 7
+
+  def q221Acf(s: SparkSession, dir: String): DataFrame = {
+    val daily = orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val idx = daily.withColumn("t", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy("day")).cast("long"))
+    val stats = idx.agg(count(lit(1)).as("n"), sum("c").as("sv"))
+    val y = idx.crossJoin(broadcast(stats))
+      .select(col("t"), col("n"),
+        (col("n") * col("c") - col("sv")).as("y"))
+    // cast BEFORE the multiply: y² can pass int64 at large SF, and a
+    // long×long overflow happens silently before any output cast
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val denom = y.agg(sum(dec(col("y")) * dec(col("y"))).as("d0"))
+    val probes = y.select(col("t"), col("y").as("y1"))
+      .withColumn("k", explode(sequence(lit(1L), lit(AcfMaxLag.toLong))))
+      .withColumn("t2", col("t") + col("k"))
+    val lagged = probes.join(
+        y.select(col("t").as("t2"), col("y").as("y2")), Seq("t2"))
+      .groupBy("k")
+      .agg(sum(dec(col("y1")) * dec(col("y2"))).as("num"),
+        count(lit(1)).as("n_pairs"))
+    lagged.crossJoin(broadcast(denom))
+      .select(col("k").as("lag"), col("n_pairs"),
+        round(col("num").cast("double") / col("d0").cast("double"), 6)
+          .as("acf"))
+      .orderBy("lag")
+  }
+
+  val q221Oracle: String =
+    s"""WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+      |  count(*) AS c FROM orders GROUP BY 1),
+      |idx AS (SELECT c, CAST(row_number() OVER (ORDER BY day)
+      |  AS BIGINT) AS t FROM daily),
+      |st AS (SELECT count(*) AS n, sum(c) AS sv FROM idx),
+      |y AS (SELECT t, CAST(n * c - sv AS BIGINT) AS y
+      | FROM idx CROSS JOIN st),
+      |den AS (SELECT CAST(sum(CAST(y AS DECIMAL(38,0))
+      |    * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS d0 FROM y),
+      |lagged AS (SELECT k.k, CAST(sum(CAST(a.y AS DECIMAL(38,0))
+      |    * CAST(b.y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS num,
+      |  count(*) AS n_pairs
+      | FROM (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS k) k
+      | JOIN y a ON true
+      | JOIN y b ON b.t = a.t + k.k
+      | GROUP BY k.k)
+      |SELECT CAST(k AS BIGINT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  round(CAST(num AS DOUBLE) / CAST(d0 AS DOUBLE), 6) AS acf
+      |FROM lagged CROSS JOIN den
+      |ORDER BY lag""".stripMargin
+
+  /** Mann-Whitney U rank-sum test (Mann & Whitney 1947) — the
+    * nonparametric two-sample drift test for CONTINUOUS features,
+    * completing the drift suite next to TVD on categoricals (q134)
+    * and χ² on counts (q151): do RETURNED line items price
+    * differently from kept ones (returnflag R vs N)? Midranks are computed in
+    * DOUBLED integer space (midrank×2 = 2·|smaller| + ties + 1), so
+    * rank sums, the U statistic (doubled) and the tie correction
+    * Σ(t³−t) are exact integers; the only floats are σ (one sqrt —
+    * IEEE-correctly-rounded, hence bit-identical cross-engine, unlike
+    * ln/exp/pow) and the z-score, computed through identically-stated
+    * expressions and compared against 1.96 UNROUNDED.
+    *
+    * Scale: one map-side-combinable aggregate to the distinct-VALUE
+    * table (t, t₁ per price), one cumulative window over that
+    * value-domain-sized frame (the q73/q211 two-phase shard rank is
+    * the lever if a value domain ever rivals the corpus), one 1-row
+    * reduce. The raw sample is never sorted whole.
+    */
+  def q222MannWhitney(s: SparkSession, dir: String): DataFrame =
+    mannWhitneyFrom(lineitem(s, dir)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select((col("l_returnflag") === "R").as("is_a"),
+        col("l_extendedprice").as("x")))
+
+  /** [[q222MannWhitney]] over an explicit `(is_a, x)` sample frame —
+    * factored so FeatureSpec can pin the significant=true arm (the
+    * gate's returned-vs-kept prices genuinely do not differ).
+    */
+  private[graft] def mannWhitneyFrom(sample: DataFrame): DataFrame = {
+    val vals = sample.groupBy("x")
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("t1"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("x")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val ranked = vals
+      .withColumn("l", coalesce(sum("t").over(w), lit(0L)))
+      .withColumn("mr2", lit(2L) * col("l") + col("t") + lit(1L))
+    val agg = ranked.agg(
+      sum("t1").as("n1"), sum("t").as("n"),
+      sum(dec(col("t1")) * dec(col("mr2"))).as("r1_2"),
+      sum(dec(col("t")) * dec(col("t")) * dec(col("t")) - dec(col("t")))
+        .as("tcorr"))
+    agg.select(
+        col("n1"), (col("n") - col("n1")).as("n2"),
+        (col("r1_2") - dec(col("n1")) * dec(col("n1") + 1)).as("u2"),
+        col("n"), col("tcorr"))
+      .select(col("n1"), col("n2"),
+        col("u2").cast("double").as("u_doubled"),
+        (((col("u2").cast("double") / 2.0) -
+          col("n1").cast("double") * col("n2").cast("double") / 2.0) /
+          sqrt(col("n1").cast("double") * col("n2").cast("double") / 12.0 *
+            ((col("n").cast("double") + 1.0) -
+             col("tcorr").cast("double") /
+               (col("n").cast("double") *
+                (col("n").cast("double") - 1.0))))).as("z_raw"))
+      .select(col("n1"), col("n2"), col("u_doubled"),
+        round(col("z_raw"), 6).as("z"),
+        (abs(col("z_raw")) > 1.96).as("significant"))
+  }
+
+  val q222Oracle: String =
+    """WITH sample AS (SELECT l_returnflag = 'R' AS is_a,
+      |  l_extendedprice AS x FROM lineitem
+      | WHERE l_returnflag IN ('R', 'N')),
+      |vals AS (SELECT x, count(*) AS t,
+      |  sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS t1
+      | FROM sample GROUP BY x),
+      |ranked AS (SELECT t, t1,
+      |  coalesce(sum(t) OVER (ORDER BY x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS l
+      | FROM vals),
+      |agg AS (SELECT CAST(sum(t1) AS BIGINT) AS n1,
+      |  CAST(sum(t) AS BIGINT) AS n,
+      |  sum(CAST(t1 AS DECIMAL(38,0))
+      |    * CAST(2 * l + t + 1 AS DECIMAL(38,0))) AS r1_2,
+      |  sum(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+      |      * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0)))
+      |    AS tcorr
+      | FROM ranked),
+      |u AS (SELECT n1, n - n1 AS n2, n, tcorr,
+      |  r1_2 - CAST(n1 AS DECIMAL(38,0)) * CAST(n1 + 1 AS DECIMAL(38,0))
+      |    AS u2
+      | FROM agg),
+      |z AS (SELECT n1, n2, CAST(u2 AS DOUBLE) AS u_doubled,
+      |  ((CAST(u2 AS DOUBLE) / 2.0)
+      |    - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+      |  / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+      |    * ((CAST(n AS DOUBLE) + 1.0)
+      |       - CAST(tcorr AS DOUBLE)
+      |         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+      |    AS z_raw
+      | FROM u)
+      |SELECT n1, n2, u_doubled, round(z_raw, 6) AS z,
+      |  abs(z_raw) > 1.96 AS significant
+      |FROM z""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_mann_whitney" -> (q222MannWhitney _),
+    "q221_acf" -> (q221Acf _),
     "q220_sssp_relax" -> (q220SsspRelax _),
     "q219_hits" -> (q219Hits _),
     "q218_link_prediction" -> (q218LinkPrediction _),
@@ -1334,6 +1503,8 @@ object Features {
     "q218_link_prediction" -> q218Oracle,
     "q219_hits" -> q219Oracle,
     "q220_sssp_relax" -> q220Oracle,
+    "q221_acf" -> q221Oracle,
+    "q222_mann_whitney" -> q222Oracle,
     "q155_jl_projection" -> q155Oracle,
     "q156_robust_scale" -> q156Oracle,
     "q150_equidepth_bins" -> q150Oracle,

@@ -225,4 +225,22 @@ class FeatureSpec extends AnyFunSuite {
     }.toSet
     assert(inc === expected)
   }
+
+  // Two fully separated samples: every A value (1..20) below every B
+  // value (101..120). R1 = 210, so doubled U1 = 2R1 - 2*n1(n1+1)/2 =
+  // 420 - 420 = 0 — the no-overlap extreme — and |z| must cross any
+  // significance bar. One tied pair inside B (two 110s) exercises the
+  // tie-correction term without touching U1.
+  test("q222 core: separated samples are significant, U hits zero") {
+    import spark.implicits._
+    val sample = ((1 to 20).map(v => (true, v.toDouble)) ++
+      ((101 to 120).map(v => (false, v.toDouble)) :+ (false, 110.0)))
+      .toDF("is_a", "x")
+    val r = Features.mannWhitneyFrom(sample).collect().head
+    assert(r.getAs[Long]("n1") === 20L)
+    assert(r.getAs[Long]("n2") === 21L)
+    assert(r.getAs[Double]("u_doubled") === 0.0)
+    assert(r.getAs[Double]("z") < -5.0)
+    assert(r.getAs[Boolean]("significant"))
+  }
 }
