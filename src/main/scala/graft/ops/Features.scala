@@ -1266,8 +1266,14 @@ object Features {
       for (_ <- 1 to rounds) {
         val relax = dist.join(bidir, col("node") === col("src"))
           .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+        // cut the round's lineage: dist appears twice per round (carry
+        // + relax), so an uncut chain doubles the recomputation of
+        // everything upstream each round — measured 13 s / 2.7 GB of
+        // re-scans at sf0.1, 5.6 s / 0.37 GB with the cut (the q198
+        // per-round checkpoint device)
         dist = dist.unionByName(relax)
           .groupBy("node").agg(min("d").as("d"))
+          .localCheckpoint()
       }
       dist.select(col("node"), col("d").as("dist_cents"))
         .orderBy("node")

