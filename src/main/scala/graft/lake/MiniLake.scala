@@ -860,6 +860,35 @@ final class MiniLake(spark: SparkSession, val path: String,
     }
   }
 
+  /** OPTIMIZE ZORDER BY (a, b): the whole-table rewrite of
+    * [[compactFiles]] with the output laid along the 2-D Z-curve
+    * ([[graft.ops.Layout.zorderWrite]] — range-partitioned by
+    * interleaved key into `numFiles` files), so every rewritten file
+    * carries TIGHT min/max stats on BOTH clustered columns and
+    * [[snapshotForRanges]] probes open a handful of files instead of
+    * the table. This is the Delta `OPTIMIZE ... ZORDER BY` verb: the
+    * remedy for ingest-ordered layouts whose per-file stats span the
+    * full domain of every probe column (each such file intersects
+    * every range → zero pruning). Reads through deletion vectors and
+    * retires them, like any optimize. No rowHint on the write: the
+    * z-layout's file count IS the layout — the row-count bin-packing
+    * of [[compactFiles]] would coalesce the curve away.
+    */
+  def compactZorder(cols: (String, String), numFiles: Int = 16): Unit =
+    withCommitPlanning {
+      val v = nextVersion
+      val prior = liveFiles(v - 1)
+      if (prior.nonEmpty) {
+        val sch = schema
+        val data = applyDvs(spark.read.schema(sch).parquet(prior: _*), v - 1)
+        val adds = writeData(
+          graft.ops.Layout.zorderWrite(data, cols, numFiles), v)
+        writeEntry(CommitEntry(v, "optimize", System.currentTimeMillis(),
+          sch.json, adds, prior, hasChanges = false,
+          bucketSpec = bucketSpec, dvRemoves = liveDvFiles(v - 1)))
+      }
+    }
+
   /** Partition-scoped OPTIMIZE: compact only the partitions `keep`
     * selects (same driver-side file-list predicate as
     * [[snapshotWhere]]). On a 1000-partition table where yesterday's

@@ -238,6 +238,39 @@ object Pipeline {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** OPTIMIZE ZORDER as a table LIFECYCLE verb (q100 writes the
+    * z-layout at create; this gate REPAIRS a bad one): the events
+    * table is ingested as four hash-interleaved appends — the
+    * worst-case layout, every file's (user_id, event_id) stats span
+    * the full domain, so the 2-D range probe can prune NOTHING —
+    * then [[graft.lake.MiniLake.compactZorder]] rewrites it along
+    * the Z-curve and the same probe answers from a handful of
+    * tight-stats files. The gate checks the rewrite changed no row
+    * (contents vs the plain-SQL oracle); MiniLakeSpec asserts the
+    * pruning is physical (inputFiles shrink) and history records the
+    * optimize.
+    */
+  def q223ZorderOptimize(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_zopt").toString
+    val t = MiniLake(s, s"$base/events_zopt")
+    val e = events(s, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    t.create(e.filter(pmod(col("event_id"), lit(4)) === 0))
+    (1 to 3).foreach { k =>
+      t.append(e.filter(pmod(col("event_id"), lit(4)) === k))
+    }
+    t.compactZorder(("user_id", "event_id"), 16)
+    t.snapshotForRanges(
+      Map("user_id" -> (40L, 59L), "event_id" -> (2000L, 3999L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).cast("decimal(18,2)")
+          .cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val q223Oracle: String = q100Oracle
+
   /** String-column data skipping as a gate: the events table is
     * rewritten clustered by `event_type` (range partitioning gives
     * every file a tight string [min, max], recorded in the commit log
@@ -723,6 +756,7 @@ object Pipeline {
     "q90_time_travel" -> (q90TimeTravel _),
     "q91_range_skipping" -> (q91RangeSkipping _),
     "q100_zorder_2d" -> (q100Zorder2d _),
+    "q223_zorder_optimize" -> (q223ZorderOptimize _),
     "q101_string_skipping" -> (q101StringSkipping _),
     "q109_delete_restore" -> (q109DeleteRestore _),
     "q163_deletion_vectors" -> (q163DeletionVectors _),
@@ -743,6 +777,7 @@ object Pipeline {
     "q90_time_travel" -> q90Oracle,
     "q91_range_skipping" -> q91Oracle,
     "q100_zorder_2d" -> q100Oracle,
+    "q223_zorder_optimize" -> q223Oracle,
     "q101_string_skipping" -> q101Oracle,
     "q109_delete_restore" -> q109Oracle,
     "q163_deletion_vectors" -> q163Oracle,

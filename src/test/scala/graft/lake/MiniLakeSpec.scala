@@ -498,4 +498,30 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
     val ins = t.readChanges(2, 2).filter(col("_change_type") === "insert")
     assert(ins.count() === 2L, "both duplicate copies must re-insert")
   }
+
+  test("compactZorder turns an unprunable interleaved layout prunable") {
+    val t = MiniLake(spark, dir)
+    // hash-interleaved ingest: every commit's file spans the FULL
+    // (a, b) domain, so the 2-D range probe can exclude nothing
+    val df = (0L until 4000L).map(k => (k, k % 64)).toDF("a", "b")
+    t.create(df.filter($"a" % 4 === 0).coalesce(1))
+    (1 to 3).foreach(k => t.append(df.filter($"a" % 4 === k).coalesce(1)))
+    val probe = Map("a" -> (1000L, 1255L), "b" -> (0L, 15L))
+    val allBefore = t.snapshot().inputFiles.length
+    val before = t.snapshotForRanges(probe)
+    assert(before.inputFiles.length === allBefore) // zero pruning
+    val expect = before.count()
+    assert(expect === 64L)
+
+    t.compactZorder(("a", "b"), 16)
+    val after = t.snapshotForRanges(probe)
+    assert(after.count() === expect)               // rewrite changed no row
+    // pruning is physical: the z-layout answers the box from a strict
+    // subset of its 16 tight-stats files
+    val allAfter = t.snapshot().inputFiles.length
+    assert(allAfter > allBefore)                   // curve layout landed
+    assert(after.inputFiles.nonEmpty)
+    assert(after.inputFiles.length < allAfter)
+    assert(t.history.filter($"operation" === "optimize").count() === 1L)
+  }
 }
