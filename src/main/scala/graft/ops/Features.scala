@@ -967,7 +967,11 @@ object Features {
     } finally bidir.unpersist()
   }
 
-  val q206Oracle: String = {
+  /** CTE chain ending in `r4(node, label)` — the LPA replay shared by
+    * the q206 gate and the q224 modularity gate so the two cannot
+    * disagree about the partition being scored.
+    */
+  private val lpaCtes: String = {
     def round(prev: String): String =
       s"""(SELECT node, label FROM (
         |  SELECT e.dst AS node, l.label, count(*) AS cnt,
@@ -975,7 +979,7 @@ object Features {
         |      ORDER BY count(*) DESC, l.label ASC) AS rn
         |  FROM $prev l JOIN bidir e ON l.node = e.src
         |  GROUP BY e.dst, l.label) WHERE rn = 1)""".stripMargin
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+    s"""li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
       |    FROM lineitem),
       |edges AS (SELECT a.pk AS u, b.pk AS v
       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
@@ -986,9 +990,182 @@ object Features {
       |r1 AS ${round("r0")},
       |r2 AS ${round("r1")},
       |r3 AS ${round("r2")},
-      |r4 AS ${round("r3")}
-      |SELECT node, label AS community FROM r4 ORDER BY node""".stripMargin
+      |r4 AS ${round("r3")}""".stripMargin
   }
+
+  val q206Oracle: String =
+    s"""WITH $lpaCtes
+      |SELECT node, label AS community FROM r4 ORDER BY node""".stripMargin
+
+  /** Modularity of the q206 label-propagation partition (Newman &
+    * Girvan 2004) — the quality score that tells you whether a
+    * community structure is real: Q = Σ_c (l_c/m − (d_c/2m)²). Every
+    * term is computed as the EXACT integer 4m·l_c − d_c² over the
+    * common denominator 4m², so per-community contributions and the
+    * total are one identical double division each, rounded to 6 dp —
+    * no float accumulates. Communities are re-derived by the same
+    * [[labelPropagation]] loop (Spark) / CTE chain (oracle) as q206,
+    * so the scored partition cannot drift from the gated one.
+    *
+    * Scale: l_c is one join of the edge list against the broadcast
+    * node→community map (both endpoints) with a map-side count; d_c
+    * is a node-sized aggregate; the total is a 1-row reduce. Output
+    * is community-sized plus a TOTAL row (community = -1).
+    *
+    * Measured finding the gate preserves: on the sparsified
+    * co-purchase graph, 4-round SYNCHRONOUS LPA scores Q ≈ 0 (3 of
+    * 3573 edges internal at sf0.1) — synchronous updates oscillate on
+    * sparse near-bipartite structure, a known LPA failure mode the
+    * metric exists to catch; the q57 connected components score
+    * Q > 0 on the same graph by construction.
+    */
+  def q224Modularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(s, dir).localCheckpoint()
+    val labels = labelPropagation(s, edges, GraphRounds)
+    val m = edges.count()
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dc = labels.join(deg, "node")
+      .groupBy("community")
+      .agg(sum("deg").as("d_c"), count(lit(1)).as("n_nodes"))
+    val lc = edges
+      .join(labels.select(col("node").as("u"), col("community").as("cu")),
+        "u")
+      .join(labels.select(col("node").as("v"), col("community").as("cv")),
+        "v")
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community"))
+      .agg(count(lit(1)).as("l_c"))
+    val per = dc.join(lc, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("l_c"), lit(0L)).as("l_c"), col("d_c"))
+      .withColumn("num",
+        lit(4L) * lit(m) * col("l_c") - col("d_c") * col("d_c"))
+    val total = per.agg(sum("num").as("tnum"),
+        sum("n_nodes").as("tn"), sum("l_c").as("tl"), sum("d_c").as("td"))
+      .select(lit(-1L).as("community"), col("tn").as("n_nodes"),
+        col("tl").as("internal_edges"), col("td").as("degree_sum"),
+        (round(col("tnum").cast("double") /
+          (lit(4.0) * lit(m).cast("double") * lit(m).cast("double")), 6)
+          + lit(0.0)).as("q_contrib"))
+    per.select(col("community"), col("n_nodes"),
+        col("l_c").as("internal_edges"), col("d_c").as("degree_sum"),
+        // + 0.0 folds IEEE -0.0 (a tiny negative contribution rounded
+        // to six decimals) onto +0.0 — the engines disagree on the
+        // sign of rounded-away negatives and the gate hashes bits
+        (round(col("num").cast("double") /
+          (lit(4.0) * lit(m).cast("double") * lit(m).cast("double")), 6)
+          + lit(0.0)).as("q_contrib"))
+      .unionByName(total)
+      .orderBy("community")
+  }
+
+  val q224Oracle: String =
+    s"""WITH $lpaCtes,
+      |labels AS (SELECT node, label AS community FROM r4),
+      |m AS (SELECT count(*) AS m FROM edges),
+      |deg AS (SELECT node, count(*) AS deg FROM (
+      |  SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      | GROUP BY node),
+      |dc AS (SELECT community, CAST(sum(deg) AS BIGINT) AS d_c,
+      |  count(*) AS n_nodes
+      | FROM labels JOIN deg USING (node) GROUP BY community),
+      |lc AS (SELECT lu.community, count(*) AS l_c
+      | FROM edges e
+      | JOIN labels lu ON e.u = lu.node
+      | JOIN labels lv ON e.v = lv.node
+      | WHERE lu.community = lv.community GROUP BY lu.community),
+      |per AS (SELECT d.community, d.n_nodes,
+      |  coalesce(l.l_c, 0) AS l_c, d.d_c,
+      |  4 * m * coalesce(l.l_c, 0) - d.d_c * d.d_c AS num
+      | FROM dc d LEFT JOIN lc l USING (community) CROSS JOIN m),
+      |rows_ AS (SELECT community, CAST(n_nodes AS BIGINT) AS n_nodes,
+      |  CAST(l_c AS BIGINT) AS internal_edges,
+      |  d_c AS degree_sum,
+      |  round(CAST(num AS DOUBLE)
+      |    / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6) + 0.0
+      |    AS q_contrib
+      | FROM per CROSS JOIN m),
+      |tot AS (SELECT CAST(-1 AS BIGINT) AS community,
+      |  CAST(sum(n_nodes) AS BIGINT) AS n_nodes,
+      |  CAST(sum(l_c) AS BIGINT) AS internal_edges,
+      |  CAST(sum(d_c) AS BIGINT) AS degree_sum,
+      |  round(CAST(sum(num) AS DOUBLE)
+      |    / (4.0 * CAST(max(m) AS DOUBLE) * CAST(max(m) AS DOUBLE)), 6)
+      |    + 0.0 AS q_contrib
+      | FROM per CROSS JOIN m)
+      |SELECT * FROM (SELECT * FROM rows_ UNION ALL SELECT * FROM tot)
+      |ORDER BY community""".stripMargin
+
+  /** Degree assortativity (Newman, PRL 2002): the Pearson correlation
+    * of endpoint degrees over the directed edge list — positive when
+    * hubs buy with hubs, negative when hubs pair with the periphery
+    * (the usual shape of co-purchase graphs). Every moment (Σx, Σx²,
+    * Σxy over the 2m directed edges; symmetric, so x and y moments
+    * coincide — both stated anyway) is an exact DECIMAL(38,0) integer
+    * sum (decimal-cast before multiply: M·Σxy passes int64 at sf1);
+    * the final r is one identically-stated double expression — sqrt
+    * is IEEE-correctly-rounded, so r matches bit-for-bit before its
+    * 6 dp rounding.
+    */
+  def q225Assortativity(s: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(s, dir)
+    val bidir = edges.select(col("u").as("src"), col("v").as("dst"))
+      .union(edges.select(col("v").as("src"), col("u").as("dst")))
+    val deg = bidir.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val xy = bidir
+      .join(deg.select(col("node").as("src"), col("deg").as("x")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("y")), "dst")
+    val agg = xy.agg(count(lit(1)).as("mm"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+    agg.select(
+        (col("mm") / 2).cast("long").as("n_edges"),
+        round(
+          ((col("mm").cast("double") * col("sxy").cast("double")) -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt(
+            (col("mm").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+            (col("mm").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("assortativity"))
+  }
+
+  val q225Oracle: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |    FROM lineitem),
+      |edges AS (SELECT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= $CoEdgeMinOrders),
+      |bidir AS (SELECT u AS src, v AS dst FROM edges
+      |  UNION ALL SELECT v, u FROM edges),
+      |deg AS (SELECT src AS node, count(*) AS deg FROM bidir
+      |  GROUP BY src),
+      |xy AS (SELECT dx.deg AS x, dy.deg AS y
+      | FROM bidir b JOIN deg dx ON b.src = dx.node
+      | JOIN deg dy ON b.dst = dy.node),
+      |agg AS (SELECT count(*) AS mm,
+      |  sum(CAST(x AS DECIMAL(38,0))) AS sx,
+      |  sum(CAST(y AS DECIMAL(38,0))) AS sy,
+      |  sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+      |  sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy,
+      |  sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
+      | FROM xy)
+      |SELECT CAST(mm / 2 AS BIGINT) AS n_edges,
+      |  round(((CAST(mm AS DOUBLE) * CAST(sxy AS DOUBLE))
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / sqrt((CAST(mm AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (CAST(mm AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |    AS assortativity
+      |FROM agg""".stripMargin
 
   /** Multi-source BFS hop distances — seeds are parts with
     * pk ≡ 0 (mod 97) (a "products under recall" set), frontier
@@ -1477,6 +1654,8 @@ object Features {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_mann_whitney" -> (q222MannWhitney _),
     "q221_acf" -> (q221Acf _),
+    "q224_modularity" -> (q224Modularity _),
+    "q225_assortativity" -> (q225Assortativity _),
     "q220_sssp_relax" -> (q220SsspRelax _),
     "q219_hits" -> (q219Hits _),
     "q218_link_prediction" -> (q218LinkPrediction _),
@@ -1510,6 +1689,8 @@ object Features {
     "q219_hits" -> q219Oracle,
     "q220_sssp_relax" -> q220Oracle,
     "q221_acf" -> q221Oracle,
+    "q224_modularity" -> q224Oracle,
+    "q225_assortativity" -> q225Oracle,
     "q222_mann_whitney" -> q222Oracle,
     "q155_jl_projection" -> q155Oracle,
     "q156_robust_scale" -> q156Oracle,
