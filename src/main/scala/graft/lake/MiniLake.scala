@@ -151,6 +151,9 @@ final class MiniLake(spark: SparkSession, val path: String,
         .getOrElse(Seq.empty),
       constraints = Option(m.get("constraints"))
         .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap)
+        .getOrElse(Map.empty),
+      renames = Option(m.get("renames"))
+        .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap)
         .getOrElse(Map.empty))
   }
 
@@ -285,7 +288,10 @@ final class MiniLake(spark: SparkSession, val path: String,
     val withConstraints =
       if (e.constraints.isEmpty) withDvs
       else withDvs + ("constraints" -> e.constraints.asJava)
-    val bytes = mapper.writeValueAsBytes(withConstraints.asJava)
+    val withRenames =
+      if (e.renames.isEmpty) withConstraints
+      else withConstraints + ("renames" -> e.renames.asJava)
+    val bytes = mapper.writeValueAsBytes(withRenames.asJava)
     val tmp = logDir.resolve(s".${e.version}.json.tmp")
     Files.write(tmp, bytes)
     try Files.createLink(logDir.resolve(s"${e.version}.json"), tmp)
@@ -368,6 +374,103 @@ final class MiniLake(spark: SparkSession, val path: String,
     }
   }
 
+  /** RENAME COLUMN as a METADATA-ONLY commit (Delta column-mapping
+    * semantics): no data file is touched — the new entry carries the
+    * renamed logical schema plus the (from → to) mapping, and every
+    * read resolves files written before the rename by their era's
+    * PHYSICAL name ([[readFiles]]). On a 100 TB table this is the
+    * difference between an instant log append and rewriting the
+    * world. Appends after the rename must use the new name
+    * (requireSchemaMatch); stats recorded under the old physical name
+    * stop pruning for old files (conservatively kept — sound) while
+    * post-rename files prune under the new name.
+    */
+  def renameColumn(from: String, to: String): Unit = withCommitPlanning {
+    val v = nextVersion
+    require(v > 0, s"table $path does not exist")
+    val sch = schema
+    require(sch.fieldNames.contains(from), s"no such column: $from")
+    require(!sch.fieldNames.contains(to), s"column exists: $to")
+    val newSch = StructType(sch.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    writeEntry(CommitEntry(v, "rename", System.currentTimeMillis(),
+      newSch.json, Seq.empty, Seq.empty, hasChanges = false,
+      bucketSpec = bucketSpec, renames = Map(from -> to)))
+  }
+
+  /** Metadata-only DROP COLUMN: the new entry's logical schema simply
+    * omits the column; reads select by name, so old files' extra
+    * physical column is never decoded (parquet is columnar — the
+    * bytes are not even read), and appends must omit it
+    * (requireSchemaMatch). The complement of [[renameColumn]] in the
+    * Delta column-mapping verb pair; like it, an instant log append
+    * on a table of any size. Time travel before the drop still sees
+    * the column (each version reads under its own schema).
+    */
+  def dropColumn(name: String): Unit = withCommitPlanning {
+    val v = nextVersion
+    require(v > 0, s"table $path does not exist")
+    val sch = schema
+    require(sch.fieldNames.contains(name), s"no such column: $name")
+    require(sch.fields.length > 1, "cannot drop the last column")
+    require(!bucketSpec.exists(_.pks.contains(name)) &&
+      !partitionCols.contains(name),
+      s"cannot drop a bucketing/partitioning column: $name")
+    val newSch = StructType(sch.filterNot(_.name == name))
+    writeEntry(CommitEntry(v, "drop", System.currentTimeMillis(),
+      newSch.json, Seq.empty, Seq.empty, hasChanges = false,
+      bucketSpec = bucketSpec))
+  }
+
+  /** The rename commits at or before `asOf`, oldest first:
+    * (version, from, to). Metadata-sized fold.
+    */
+  private def renameChain(asOf: Long): Seq[(Long, String, String)] =
+    listVersions.filter(_ <= asOf).map(readEntry)
+      .filter(_.renames.nonEmpty)
+      .flatMap(e => e.renames.toSeq.map { case (f, t) => (e.version, f, t) })
+
+  /** Write version of a data file, parsed from its `data/v=N/w-…`
+    * attempt path — the era whose logical schema IS the file's
+    * physical column set.
+    */
+  private def writeVersionOf(f: String): Long = {
+    val m = MiniLake.VersionSeg.findFirstMatchIn(f)
+    require(m.isDefined, s"unversioned data path: $f")
+    m.get.group(1).toLong
+  }
+
+  /** Read data `files` under the logical schema of `asOf`,
+    * rename-aware: with no renames this is the plain one-scan path;
+    * otherwise files group by write version, each group scans with
+    * its era's physical schema (DVs apply per group — the `_metadata`
+    * columns must resolve against a file relation, so DV anti-joins
+    * cannot move above the union), the rename chain folds the old
+    * names forward, and each slice conforms to the logical schema
+    * (columns added by later evolution null-fill, as on the plain
+    * path).
+    */
+  private def readFiles(files: Seq[String], asOf: Long,
+      keepPos: Boolean = false): DataFrame = {
+    val sch = schemaAt(asOf)
+    val chain = renameChain(asOf)
+    if (chain.isEmpty)
+      applyDvs(spark.read.schema(sch).parquet(files: _*), asOf, keepPos)
+    else {
+      val target =
+        if (!keepPos) sch
+        else StructType(sch.fields ++ MiniLake.DvSchema.fields)
+      files.groupBy(writeVersionOf).toSeq.sortBy(_._1).map { case (w, fs) =>
+        val scanned = applyDvs(
+          spark.read.schema(schemaAt(w)).parquet(fs: _*), asOf, keepPos)
+        val renamed = chain.filter(_._1 > w).foldLeft(scanned) {
+          case (d, (_, f, t)) => d.withColumnRenamed(f, t)
+        }
+        MiniLake.conformTo(renamed, target)
+      }.reduce(_ unionByName _)
+    }
+  }
+
   /** Full snapshot as of `asOf` (default: latest). S1 surface.
     * Merge-on-read: live deletion vectors are applied here, so every
     * consumer (reads, COW rewrites, merges) sees the post-delete
@@ -378,7 +481,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     val files = liveFiles(asOf)
     val sch = schemaAt(asOf)
     if (files.isEmpty) emptyDf(spark, sch)
-    else applyDvs(spark.read.schema(sch).parquet(files: _*), asOf)
+    else readFiles(files, asOf)
   }
 
   /** Partition-pruned snapshot: `keep` sees each live file's partition
@@ -396,7 +499,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     val files = liveFiles(latestVersion).filter(f => keep(partValuesOf(f)))
     val sch = schemaAt(latestVersion)
     if (files.isEmpty) emptyDf(spark, sch)
-    else applyDvs(spark.read.schema(sch).parquet(files: _*), latestVersion)
+    else readFiles(files, latestVersion)
   }
 
   /** Stats-pruned range read (data skipping): open only the live files
@@ -434,7 +537,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     val sch = schemaAt(latestVersion)
     val base =
       if (files.isEmpty) emptyDf(spark, sch)
-      else applyDvs(spark.read.schema(sch).parquet(files: _*), latestVersion)
+      else readFiles(files, latestVersion)
     ranges.foldLeft(base) { case (d, (c, (lo, hi))) =>
       d.filter(col(c) >= lo && col(c) <= hi)
     }
@@ -468,7 +571,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     val sch = schemaAt(latestVersion)
     val base =
       if (files.isEmpty) emptyDf(spark, sch)
-      else applyDvs(spark.read.schema(sch).parquet(files: _*), latestVersion)
+      else readFiles(files, latestVersion)
     ranges.foldLeft(base) { case (d, (c, (lo, hi))) =>
       d.filter(col(c) >= lo && col(c) <= hi)
     }
@@ -500,7 +603,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     val sch = schemaAt(latestVersion)
     val base =
       if (files.isEmpty) emptyDf(spark, sch)
-      else applyDvs(spark.read.schema(sch).parquet(files: _*), latestVersion)
+      else readFiles(files, latestVersion)
     base.filter(col(colName).isin(values: _*))
   }
 
@@ -545,7 +648,11 @@ final class MiniLake(spark: SparkSession, val path: String,
         // narrower schema of their day; conform every slice to the
         // CURRENT schema (missing columns null-fill) so the union is
         // well-typed across evolution boundaries
-        conformTo(base, changeDataSchema(sch))
+        val renamedBase = renameChain(latestVersion)
+          .filter(_._1 > v).foldLeft(base) {
+            case (d, (_, from, to)) => d.withColumnRenamed(from, to)
+          }
+        conformTo(renamedBase, changeDataSchema(sch))
           .withColumn(CommitVersion, lit(v))
           .withColumn(CommitTimestamp,
             timestamp_millis(lit(e.timestampMs)).cast("timestamp"))
@@ -851,7 +958,7 @@ final class MiniLake(spark: SparkSession, val path: String,
       // OPTIMIZE doubles as DV materialization: the rewrite reads
       // through the deletion vectors, so the compacted files carry
       // only surviving rows and the DVs retire with the old files.
-      val data = applyDvs(spark.read.schema(sch).parquet(prior: _*), v - 1)
+      val data = readFiles(prior, v - 1)
       val n = data.count()
       val adds = writeData(data, v, rowHint = Some(n))
       writeEntry(CommitEntry(v, "optimize", System.currentTimeMillis(),
@@ -880,7 +987,7 @@ final class MiniLake(spark: SparkSession, val path: String,
       val prior = liveFiles(v - 1)
       if (prior.nonEmpty) {
         val sch = schema
-        val data = applyDvs(spark.read.schema(sch).parquet(prior: _*), v - 1)
+        val data = readFiles(prior, v - 1)
         val adds = writeData(
           graft.ops.Layout.zorderWrite(data, cols, numFiles), v)
         writeEntry(CommitEntry(v, "optimize", System.currentTimeMillis(),
@@ -905,7 +1012,7 @@ final class MiniLake(spark: SparkSession, val path: String,
       val hit = liveFiles(v - 1).filter(f => keep(partValuesOf(f)))
       if (hit.nonEmpty) {
         val sch = schema
-        val data = applyDvs(spark.read.schema(sch).parquet(hit: _*), v - 1)
+        val data = readFiles(hit, v - 1)
         val n = data.count()
         val adds = writeData(data, v, rowHint = Some(n))
         writeEntry(CommitEntry(v, "optimize", System.currentTimeMillis(),
@@ -1031,7 +1138,7 @@ final class MiniLake(spark: SparkSession, val path: String,
             affected.exists(k => f.contains(s"/$BucketCol=$k/")))
           val affectedTarget =
             if (hit.isEmpty) emptyDf(spark, target.schema)
-            else spark.read.schema(target.schema).parquet(hit: _*)
+            else readFiles(hit, v - 1)
           val keptAffected = affectedTarget.join(delKeys, pks, "left_anti")
           (keptAffected.unionByName(toInsert), hit)
         case None =>
@@ -1263,8 +1370,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     // columns the sidecar needs
     val base =
       if (files.isEmpty) return 0L
-      else applyDvs(spark.read.schema(sch).parquet(files: _*),
-        latestVersion, keepPos = true)
+      else readFiles(files, latestVersion, keepPos = true)
     val doomed = base.filter(matched)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDel = doomed.rdd.count()
@@ -1304,7 +1410,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     if (dvs.nonEmpty) {
       val prior = liveFiles(v - 1)
       val sch = schema
-      val data = applyDvs(spark.read.schema(sch).parquet(prior: _*), v - 1)
+      val data = readFiles(prior, v - 1)
       val n = data.count()
       val adds = writeData(data, v, rowHint = Some(n))
       writeEntry(CommitEntry(v, "materialize", System.currentTimeMillis(),
@@ -1329,6 +1435,12 @@ final class MiniLake(spark: SparkSession, val path: String,
     * (file-level log replay serves the read).
     */
   def restoreTo(v: Long): Unit = withCommitPlanning {
+    // a restore target BEFORE a rename would need the reverse mapping
+    // applied to post-rename files — refused explicitly rather than
+    // silently nulling the renamed column (MiniLakeSpec pins this)
+    require(renameChain(latestVersion).forall(_._1 <= v),
+      "RESTORE across a column rename is unsupported; " +
+        "restore to a version at or after the rename")
     val cur = snapshot()
     val tgt = snapshot(v)
     val changes = cur.exceptAll(tgt).withColumn(ChangeType, lit("delete"))
@@ -1393,6 +1505,9 @@ object MiniLake {
     org.apache.spark.sql.types.StructField(DvPosCol,
       org.apache.spark.sql.types.LongType, nullable = false)))
 
+  /** `v=<N>` path segment of a data-file attempt directory. */
+  private[lake] val VersionSeg = """/v=(\d+)/""".r
+
   /** Path-segment prefix for value-partition directories. */
   val PartPrefix = "_p_"
 
@@ -1429,7 +1544,8 @@ object MiniLake {
       statsStr: Map[String, Map[String, (String, String)]] = Map.empty,
       dvAdds: Seq[String] = Seq.empty,
       dvRemoves: Seq[String] = Seq.empty,
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      renames: Map[String, String] = Map.empty)
 
   def apply(spark: SparkSession, path: String): MiniLake =
     new MiniLake(spark, path)

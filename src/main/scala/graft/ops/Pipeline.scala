@@ -271,6 +271,60 @@ object Pipeline {
 
   val q223Oracle: String = q100Oracle
 
+  /** Metadata-only RENAME COLUMN across a table's whole lifecycle
+    * ([[graft.lake.MiniLake.renameColumn]], Delta column-mapping
+    * semantics): ingest under the old name, rename (an instant log
+    * append — zero files rewritten, MiniLakeSpec pins that), keep
+    * ingesting under the NEW name, then run a COW delete whose
+    * predicate uses the new name over the MIXED-era file set. The
+    * final snapshot must read pre-rename files by their old physical
+    * name and post-rename files by the new one — the per-era grouped
+    * read the whole feature hangs on — and match the oracle stated
+    * directly in renamed terms.
+    */
+  def q226RenameColumn(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_rename").toString
+    val t = MiniLake(s, s"$base/docs")
+    val d = documents(s, dir).select("doc_id", "lang", "n_chars")
+    t.create(d.filter(col("doc_id") < 200))
+    t.append(d.filter(col("doc_id") >= 200 && col("doc_id") < 300))
+    t.renameColumn("n_chars", "char_count")
+    t.append(d.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+      .withColumnRenamed("n_chars", "char_count"))
+    t.delete(col("char_count") % 10 === 0)
+    t.snapshot().orderBy("doc_id")
+  }
+
+  val q226Oracle: String =
+    """SELECT doc_id, lang, n_chars AS char_count FROM documents
+      |WHERE doc_id < 400
+      |  AND (n_chars % 10 <> 0 OR n_chars IS NULL)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Metadata-only DROP COLUMN ([[graft.lake.MiniLake.dropColumn]]),
+    * the complement verb: ingest wide, drop `text` (instant log
+    * append — the 100 TB of dropped bytes are never rewritten OR
+    * decoded again: parquet is columnar and reads select by name),
+    * keep ingesting narrow, snapshot. Time travel at the pre-drop
+    * version still serves the column — pinned in MiniLakeSpec with
+    * the metadata-only file-count assert.
+    */
+  def q227DropColumn(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_drop").toString
+    val t = MiniLake(s, s"$base/docs")
+    val d = documents(s, dir).select("doc_id", "text", "lang", "n_chars")
+    t.create(d.filter(col("doc_id") < 200))
+    t.dropColumn("text")
+    t.append(d.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+      .drop("text"))
+    t.snapshot().orderBy("doc_id")
+  }
+
+  val q227Oracle: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id < 400
+      |ORDER BY doc_id""".stripMargin
+
   /** String-column data skipping as a gate: the events table is
     * rewritten clustered by `event_type` (range partitioning gives
     * every file a tight string [min, max], recorded in the commit log
@@ -757,6 +811,8 @@ object Pipeline {
     "q91_range_skipping" -> (q91RangeSkipping _),
     "q100_zorder_2d" -> (q100Zorder2d _),
     "q223_zorder_optimize" -> (q223ZorderOptimize _),
+    "q226_rename_column" -> (q226RenameColumn _),
+    "q227_drop_column" -> (q227DropColumn _),
     "q101_string_skipping" -> (q101StringSkipping _),
     "q109_delete_restore" -> (q109DeleteRestore _),
     "q163_deletion_vectors" -> (q163DeletionVectors _),
@@ -778,6 +834,8 @@ object Pipeline {
     "q91_range_skipping" -> q91Oracle,
     "q100_zorder_2d" -> q100Oracle,
     "q223_zorder_optimize" -> q223Oracle,
+    "q226_rename_column" -> q226Oracle,
+    "q227_drop_column" -> q227Oracle,
     "q101_string_skipping" -> q101Oracle,
     "q109_delete_restore" -> q109Oracle,
     "q163_deletion_vectors" -> q163Oracle,

@@ -524,4 +524,55 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(after.inputFiles.length < allAfter)
     assert(t.history.filter($"operation" === "optimize").count() === 1L)
   }
+
+  test("renameColumn is metadata-only; reads and CDF span the rename") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a"))
+    t.append(kv(2L -> "b"))
+    t.renameColumn("value", "label")
+    // metadata-only: the rename commit added and removed ZERO files
+    val h = t.history.filter($"operation" === "rename")
+      .select("n_files_added", "n_files_removed").as[(Long, Long)]
+      .collect()
+    assert(h.toSeq === Seq((0L, 0L)))
+    // appends must speak the new schema
+    intercept[IllegalArgumentException] { t.append(kv(9L -> "x")) }
+    t.append(Seq((3L, "c")).toDF("key", "label"))
+
+    assert(t.schema.fieldNames.toSeq === Seq("key", "label"))
+    val snap = t.snapshot().orderBy("key").as[(Long, String)].collect()
+    assert(snap.toSeq === Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+    // time travel resolves each version under ITS schema
+    assert(t.snapshot(asOf = 1).columns.toSeq === Seq("key", "value"))
+    // CDF slices from before the rename surface under the new name
+    val ch = t.readChanges(0, 3)
+    assert(ch.columns.contains("label") && !ch.columns.contains("value"))
+    assert(ch.filter($"label" === "a").count() === 1L)
+    // COW delete over the mixed-era file set, predicate in new terms
+    assert(t.delete($"label" === "b") === 1L)
+    assert(t.snapshot().orderBy("key").as[(Long, String)].collect()
+      .toSeq === Seq(1L -> "a", 3L -> "c"))
+    // restore across the rename is an explicit refusal, not silent nulls
+    intercept[IllegalArgumentException] { t.restoreTo(0) }
+    t.restoreTo(2) // at the rename itself: fine
+    assert(t.snapshot().orderBy("key").as[(Long, String)].collect()
+      .toSeq === Seq(1L -> "a", 2L -> "b"))
+  }
+
+  test("dropColumn is metadata-only; time travel still sees the column") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a", 2L -> "b"))
+    t.dropColumn("value")
+    val h = t.history.filter($"operation" === "drop")
+      .select("n_files_added", "n_files_removed").as[(Long, Long)]
+      .collect()
+    assert(h.toSeq === Seq((0L, 0L)))
+    intercept[IllegalArgumentException] { t.append(kv(9L -> "x")) }
+    t.append(Seq(Tuple1(3L)).toDF("key"))
+    assert(t.snapshot().columns.toSeq === Seq("key"))
+    assert(t.snapshot().orderBy("key").as[Long].collect().toSeq ===
+      Seq(1L, 2L, 3L))
+    assert(t.snapshot(asOf = 0).columns.toSeq === Seq("key", "value"))
+    intercept[IllegalArgumentException] { t.dropColumn("key") } // last col
+  }
 }
