@@ -687,12 +687,22 @@ object TextAnalysis {
     * partial-aggregating sum, and a 5-row-per-doc argmax window.
     * No corpus-sized shuffle anywhere.
     */
-  def q215NaiveBayes(s: SparkSession, dir: String): DataFrame = {
-    val langs = langMarkers.map(_._1)
+  def q215NaiveBayes(s: SparkSession, dir: String): DataFrame =
+    nbPredictions(s, dir, trainCap = "cd")
+
+  /** [[q215NaiveBayes]] with the train split's md5-prefix ceiling as a
+    * parameter — "cd" is the standard 80% split (q59); smaller caps
+    * carve NESTED train subsets (a doc in the 20% slice is in every
+    * larger one), which is what the q228 learning curve needs: the
+    * only thing that varies between points is how much data the model
+    * saw.
+    */
+  private[graft] def nbPredictions(s: SparkSession, dir: String,
+      trainCap: String): DataFrame = {
     val split = substring(
       md5(col("doc_id").cast("string").cast("binary")), 1, 2)
     val docs = documents(s, dir).filter(col("lang").isNotNull)
-    val trainTok = docs.filter(split < "cd")
+    val trainTok = docs.filter(split < trainCap)
       .select(col("lang").as("c"), explode(tokens(col("text"))).as("tk"))
     // model: class priors + class totals + V, all in two tiny aggs
     val classStats = trainTok.groupBy("c")
@@ -700,9 +710,10 @@ object TextAnalysis {
     val corpus = trainTok.agg(count(lit(1)).as("n_tok_total"),
       countDistinct(col("tk")).as("v"),
       countDistinct(col("c")).as("n_classes"))
-    val nDocsByClass = docs.filter(split < "cd")
+    val nDocsByClass = docs.filter(split < trainCap)
       .groupBy(col("lang").as("c")).agg(count(lit(1)).as("n_c"))
-    val nDocs = docs.filter(split < "cd").agg(count(lit(1)).as("n_docs"))
+    val nDocs = docs.filter(split < trainCap)
+      .agg(count(lit(1)).as("n_docs"))
     val model = classStats.join(nDocsByClass, "c")
       .crossJoin(broadcast(corpus)).crossJoin(broadcast(nDocs))
       .select(col("c"),
@@ -739,20 +750,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val q215Oracle: String =
+  val q215Oracle: String = nbOracleCtes("cd") + """
+    |SELECT doc_id, lang AS true_lang, c AS pred_lang,
+    |  CAST(score AS DOUBLE) AS log_score,
+    |  CASE WHEN lang = c THEN true ELSE false END AS correct
+    |FROM ranked WHERE rn = 1
+    |ORDER BY doc_id""".stripMargin
+
+  /** The q215 NB train/score pipeline as a WITH-clause ending in
+    * `ranked(doc_id, lang, c, score, rn)`, parameterized by the train
+    * cap — shared by the q215 gate and each q228 curve point.
+    */
+  private def nbOracleCtes(trainCap: String): String =
     s"""WITH docs AS (SELECT doc_id, lang, text,
       |   substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx
       | FROM documents WHERE lang IS NOT NULL),
       |train_tok AS (SELECT lang AS c, unnest($tokensSql) AS tk
-      | FROM docs WHERE hx < 'cd'),
+      | FROM docs WHERE hx < '$trainCap'),
       |class_stats AS (SELECT c, count(*) AS tok_c FROM train_tok
       | GROUP BY c),
       |corpus AS (SELECT count(*) AS n_tok_total,
       |  count(DISTINCT tk) AS v, count(DISTINCT c) AS n_classes
       | FROM train_tok),
       |ndc AS (SELECT lang AS c, count(*) AS n_c FROM docs
-      | WHERE hx < 'cd' GROUP BY lang),
-      |nd AS (SELECT count(*) AS n_docs FROM docs WHERE hx < 'cd'),
+      | WHERE hx < '$trainCap' GROUP BY lang),
+      |nd AS (SELECT count(*) AS n_docs FROM docs
+      | WHERE hx < '$trainCap'),
       |model AS (SELECT c,
       |  CAST(round(ln((n_c + 1.0) / (n_docs + n_classes)), 6)
       |    AS DECIMAL(12,6)) AS prior,
@@ -775,12 +798,51 @@ object TextAnalysis {
       |ranked AS (SELECT doc_id, lang, c, prior + loglik AS score,
       |   row_number() OVER (PARTITION BY doc_id
       |     ORDER BY prior + loglik DESC, c) AS rn
-      | FROM per_class)
-      |SELECT doc_id, lang AS true_lang, c AS pred_lang,
-      |  CAST(score AS DOUBLE) AS log_score,
-      |  CASE WHEN lang = c THEN true ELSE false END AS correct
-      |FROM ranked WHERE rn = 1
-      |ORDER BY doc_id""".stripMargin
+      | FROM per_class)""".stripMargin
+
+  /** Train caps for the learning curve: md5-prefix ceilings carving
+    * ~20/40/60/80% NESTED train subsets (each point's corpus contains
+    * the previous one's — the only varying quantity is data volume).
+    * The test split (≥ 'e6') never moves.
+    */
+  val CurveCaps: Seq[String] = Seq("33", "66", "99", "cd")
+
+  /** Learning curve: held-out accuracy of the q215 Naive Bayes
+    * classifier at four nested train-set sizes — the scaling probe a
+    * curation pipeline runs to decide whether MORE DATA still buys
+    * accuracy before paying for it (the Banko-Brill question; today's
+    * scaling-law methodology in miniature). Each point re-trains on a
+    * strictly larger md5-prefix subset ([[nbPredictions]]) and scores
+    * the SAME fixed test split, so points differ only in data volume.
+    * Exactness: counts and an exact-decimal argmax per point (q215's
+    * machinery), accuracy = one rounded division. Scale: each point
+    * is the q215 plan — vocabulary-sized broadcast model, one
+    * map-side scoring pass — so the curve costs K linear passes.
+    */
+  def q228LearningCurve(s: SparkSession, dir: String): DataFrame =
+    CurveCaps.zipWithIndex.map { case (cap, i) =>
+      nbPredictions(s, dir, cap)
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
+        .select(lit((i + 1) * 20L).as("train_pct_approx"),
+          lit(cap).as("train_cap"), col("n_test"), col("n_correct"),
+          round(col("n_correct").cast("double") /
+            col("n_test").cast("double"), 6).as("accuracy"))
+    }.reduce(_ unionByName _)
+      .orderBy("train_cap")
+
+  val q228Oracle: String =
+    CurveCaps.zipWithIndex.map { case (cap, i) =>
+      val point = nbOracleCtes(cap) + s"""
+        |SELECT CAST(${(i + 1) * 20} AS BIGINT) AS train_pct_approx,
+        |  '$cap' AS train_cap, count(*) AS n_test,
+        |  CAST(sum(CASE WHEN lang = c THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  round(CAST(sum(CASE WHEN lang = c THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS accuracy
+        |FROM ranked WHERE rn = 1""".stripMargin
+      s"SELECT * FROM ($point)"
+    }.mkString("", "\nUNION ALL ", "\nORDER BY train_cap")
 
   /** One BPE training iteration — the pair-count step tokenizer
     * training loops over: among adjacent character pairs inside
@@ -887,6 +949,7 @@ object TextAnalysis {
     "q142_bm25_topk" -> (q142Bm25TopK _),
     "q212_rrf_fusion" -> (q212RrfFusion _),
     "q215_naive_bayes" -> (q215NaiveBayes _),
+    "q228_learning_curve" -> (q228LearningCurve _),
     "q135_frequent_pairs" -> (q135FrequentPairs _),
     "q124_vocab_coverage" -> (q124VocabCoverage _),
     "q30_token_stats" -> (q30TokenStats _),
@@ -905,6 +968,7 @@ object TextAnalysis {
     "q142_bm25_topk" -> q142Oracle,
     "q212_rrf_fusion" -> q212Oracle,
     "q215_naive_bayes" -> q215Oracle,
+    "q228_learning_curve" -> q228Oracle,
     "q135_frequent_pairs" -> q135Oracle,
     "q124_vocab_coverage" -> q124Oracle,
     "q30_token_stats" -> q30Oracle,
