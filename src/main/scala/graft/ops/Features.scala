@@ -1651,7 +1651,94 @@ object Features {
       |  abs(z_raw) > 1.96 AS significant
       |FROM z""".stripMargin
 
+  /** Population stability index (the credit-scoring industry's
+    * standard drift monitor, alongside TVD q134 / χ² q151 / U q222):
+    * PSI = Σ_bins (p_A − p_B)·ln(p_A/p_B) between the value
+    * distribution of the first half of January and the rest, over 20
+    * equi-width bins (global [min, max] from a 1-row broadcast, the
+    * q129/q103 device) with add-1 bin smoothing so empty-on-one-side
+    * bins stay finite. Each bin's term is one identically-stated
+    * double expression rounded to 6 dp and DECIMAL-quantized before
+    * the total sum (order-independent; the single ln per bin is the
+    * q142-class transcendental). Output = per-bin rows + a TOTAL row
+    * (bin = −1); PSI > 0.2 is the conventional "investigate" bar,
+    * reported as a flag on the total (per-bin rows flag their own
+    * term against the same bar — a single hot bin is itself a red
+    * flag).
+    */
+  val PsiBins = 20
+
+  def q229Psi(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("value").cast("double").as("v"),
+        (col("ts").cast("timestamp") <
+          lit("2024-01-15").cast("timestamp")).as("is_a"))
+      .filter(col("v").isNotNull)
+    val r = e.agg(min("v").as("mn"), max("v").as("mx"))
+    val binned = e.crossJoin(broadcast(r))
+      .withColumn("bin",
+        least(floor((col("v") - col("mn")) /
+          ((col("mx") - col("mn")) / lit(PsiBins.toDouble))),
+          lit(PsiBins - 1.0)).cast("long"))
+    val counts = binned.groupBy("bin")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("is_a"), 0L).otherwise(1L)).as("nb"))
+    val tot = counts.agg(sum("na").as("ta"), sum("nb").as("tb"))
+    def p(n: Column, t: Column): Column =
+      (n.cast("double") + 1.0) / (t.cast("double") + lit(PsiBins.toDouble))
+    val per = counts.crossJoin(broadcast(tot))
+      .withColumn("term",
+        round((p(col("na"), col("ta")) - p(col("nb"), col("tb"))) *
+          log(p(col("na"), col("ta")) / p(col("nb"), col("tb"))), 6)
+          .cast("decimal(12,6)"))
+    val total = per.agg(sum("na").as("na"), sum("nb").as("nb"),
+        sum("term").as("t"))
+      .select(lit(-1L).as("bin"), col("na"), col("nb"),
+        col("t").cast("double").as("psi_term"),
+        (col("t") > 0.2).as("drift_flag"))
+    per.select(col("bin"), col("na"), col("nb"),
+        col("term").cast("double").as("psi_term"),
+        (col("term") > 0.2).as("drift_flag"))
+      .unionByName(total)
+      .orderBy("bin")
+  }
+
+  val q229Oracle: String =
+    s"""WITH e AS (SELECT CAST(value AS DOUBLE) AS v,
+      |  ts < TIMESTAMP '2024-01-15 00:00:00' AS is_a
+      | FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT min(v) AS mn, max(v) AS mx FROM e),
+      |binned AS (SELECT CAST(least(floor((v - mn)
+      |    / ((mx - mn) / CAST($PsiBins AS DOUBLE))),
+      |    CAST(${PsiBins - 1} AS DOUBLE)) AS BIGINT) AS bin, is_a
+      | FROM e CROSS JOIN r),
+      |counts AS (SELECT bin,
+      |  CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |  CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+      | FROM binned GROUP BY bin),
+      |tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+      |  CAST(sum(nb) AS BIGINT) AS tb FROM counts),
+      |per AS (SELECT bin, na, nb,
+      |  CAST(round(
+      |    ((CAST(na AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + CAST($PsiBins AS DOUBLE))
+      |     - (CAST(nb AS DOUBLE) + 1.0) / (CAST(tb AS DOUBLE) + CAST($PsiBins AS DOUBLE)))
+      |    * ln(((CAST(na AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + CAST($PsiBins AS DOUBLE)))
+      |      / ((CAST(nb AS DOUBLE) + 1.0) / (CAST(tb AS DOUBLE) + CAST($PsiBins AS DOUBLE)))),
+      |    6) AS DECIMAL(12,6)) AS term
+      | FROM counts CROSS JOIN tot)
+      |SELECT * FROM (
+      |SELECT bin, na, nb, CAST(term AS DOUBLE) AS psi_term,
+      |  term > 0.2 AS drift_flag
+      |FROM per
+      |UNION ALL
+      |SELECT CAST(-1 AS BIGINT), CAST(sum(na) AS BIGINT),
+      |  CAST(sum(nb) AS BIGINT), CAST(sum(term) AS DOUBLE),
+      |  sum(term) > 0.2
+      |FROM per)
+      |ORDER BY bin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_psi" -> (q229Psi _),
     "q222_mann_whitney" -> (q222MannWhitney _),
     "q221_acf" -> (q221Acf _),
     "q224_modularity" -> (q224Modularity _),
@@ -1692,6 +1779,7 @@ object Features {
     "q224_modularity" -> q224Oracle,
     "q225_assortativity" -> q225Oracle,
     "q222_mann_whitney" -> q222Oracle,
+    "q229_psi" -> q229Oracle,
     "q155_jl_projection" -> q155Oracle,
     "q156_robust_scale" -> q156Oracle,
     "q150_equidepth_bins" -> q150Oracle,
