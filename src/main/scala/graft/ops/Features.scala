@@ -1737,7 +1737,106 @@ object Features {
       |FROM per)
       |ORDER BY bin""".stripMargin
 
+  /** PageRank on a LARGE graph — q146 proves the integer-exact
+    * recurrence on the 25-node nation graph; this runs the same
+    * device (rank mass in 10¹² micro-units, per-edge shares in 10⁶
+    * units via integer DIV, damping r·17 div 20, teleport
+    * scale·15 div (100·n) — every step integer, both engines
+    * truncate identically) on the ~20k-node WEIGHTED co-purchase
+    * graph for [[GraphRounds]] rounds, weights = co-order counts.
+    *
+    * Scale: shares are a per-src window over each node's own
+    * neighbor list (degree-bounded partitions); the edge list with
+    * shares is hash-partitioned once on the join key and persisted,
+    * so each round is one node-sized rank frame joined against the
+    * standing partitioning + a map-side-combinable inflow sum — the
+    * q198/q207/q220 standing-partition round shape. No dangling-mass
+    * term: the bidirected graph has no sinks by construction.
+    * Output: top 20 by rank (distributed TakeOrdered), ties → node.
+    */
+  def q230PagerankParts(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val ew = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") &&
+        col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= CoEdgeMinOrders)
+    val parts = math.max(s.sparkContext.defaultParallelism, 8)
+    val edges = ew.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(ew.select(col("v").as("src"), col("u").as("dst"),
+        col("w")))
+      .withColumn("share", expr(
+        "(w * 1000000L) div sum(w) OVER (PARTITION BY src)"))
+      .select("src", "dst", "share")
+      .repartition(parts, col("src"))
+      .persist()
+    try {
+      val nodes = edges.select(col("src").as("node")).distinct()
+        .localCheckpoint()
+      val n = nodes.count()
+      // an empty graph has no ranks (and no teleport denominator)
+      if (n == 0L)
+        return nodes.select(col("node").as("part"),
+          col("node").as("pr_scaled"))
+      val scale = 1000000000000L
+      val teleport = scale * 15L / (100L * n)
+      var ranks = nodes.select(col("node"), lit(scale / n).as("r"))
+      for (_ <- 1 to GraphRounds) {
+        val contrib = edges
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst"),
+            expr("(r * 17L div 20L) * share div 1000000L").as("c"))
+          .groupBy("dst").agg(sum("c").as("inflow"))
+        ranks = nodes
+          .join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(teleport) + coalesce(col("inflow"), lit(0L))).as("r"))
+          .localCheckpoint()
+      }
+      ranks.orderBy(col("r").desc, col("node")).limit(20)
+        .select(col("node").as("part"), col("r").as("pr_scaled"))
+        .orderBy(col("pr_scaled").desc, col("part"))
+    } finally edges.unpersist()
+  }
+
+  val q230Oracle: String = {
+    def round(prev: String): String =
+      s"""(SELECT nn.node, CAST((1000000000000 * 15) // (100 * n.n)
+        |    + coalesce(sum(($prev.r * 17 // 20) * e.share // 1000000),
+        |        0) AS BIGINT) AS r
+        |  FROM nodes nn CROSS JOIN n
+        |  LEFT JOIN edges e ON e.dst = nn.node
+        |  LEFT JOIN $prev ON $prev.node = e.src
+        |  GROUP BY nn.node, n.n)""".stripMargin
+    val rounds = (1 to GraphRounds).map { i =>
+      s"p$i AS MATERIALIZED ${round(s"p${i - 1}")}"
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |    FROM lineitem),
+      |ew AS (SELECT a.pk AS u, b.pk AS v, count(*) AS w
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= $CoEdgeMinOrders),
+      |bidir AS (SELECT u AS src, v AS dst, w FROM ew
+      |  UNION ALL SELECT v, u, w FROM ew),
+      |edges AS MATERIALIZED (SELECT src, dst,
+      |  (w * 1000000) // sum(w) OVER (PARTITION BY src) AS share
+      | FROM bidir),
+      |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+      |n AS (SELECT count(*) AS n FROM nodes),
+      |p0 AS MATERIALIZED (SELECT node,
+      |  CAST(1000000000000 // n.n AS BIGINT) AS r
+      | FROM nodes CROSS JOIN n),
+      |$rounds
+      |SELECT node AS part, r AS pr_scaled
+      |FROM p$GraphRounds
+      |ORDER BY pr_scaled DESC, part LIMIT 20""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_pagerank_parts" -> (q230PagerankParts _),
     "q229_psi" -> (q229Psi _),
     "q222_mann_whitney" -> (q222MannWhitney _),
     "q221_acf" -> (q221Acf _),
@@ -1780,6 +1879,7 @@ object Features {
     "q225_assortativity" -> q225Oracle,
     "q222_mann_whitney" -> q222Oracle,
     "q229_psi" -> q229Oracle,
+    "q230_pagerank_parts" -> q230Oracle,
     "q155_jl_projection" -> q155Oracle,
     "q156_robust_scale" -> q156Oracle,
     "q150_equidepth_bins" -> q150Oracle,
