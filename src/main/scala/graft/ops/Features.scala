@@ -1835,7 +1835,93 @@ object Features {
       |ORDER BY pr_scaled DESC, part LIMIT 20""".stripMargin
   }
 
+  /** Poisson-bootstrap confidence intervals (Chamandy, Muralidharan,
+    * Najmi & Naidu, "Estimating uncertainty for massive data streams",
+    * Google 2012): the at-scale bootstrap — instead of B full
+    * resamples, each row gets an independent Poisson(1) WEIGHT per
+    * replicate, so all B=32 replicates compute in ONE pass with a
+    * (group, replicate) aggregate. Weights are deterministic: two md5
+    * hex chars of (row key : replicate) inverted through the
+    * Poisson(1) CDF as LITERAL thresholds (94/188/235/251/255 of 256
+    * ≈ e⁻¹ cum masses — the q191 literal-constant device), so both
+    * engines draw the identical "randomness". CI = the 2nd and 31st
+    * order statistics of the replicate means (≈ 3%/97% percentile
+    * bootstrap), exact integer cents until one rounded division per
+    * replicate. Per l_returnflag group.
+    */
+  val BootReps = 32
+
+  def q231PoissonBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .filter(col("cents").isNotNull)
+    val point = li.groupBy("flag")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum("cents").cast("double") / count(lit(1)), 6)
+          .as("mean_cents"))
+    val reps = li
+      .withColumn("b",
+        explode(sequence(lit(0L), lit(BootReps - 1L))))
+      .withColumn("hx", substring(md5(concat(
+        col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string"), lit(":"),
+        col("b").cast("string")).cast("binary")), 1, 2))
+      .withColumn("w",
+        when(col("hx") < "5e", 0L).when(col("hx") < "bc", 1L)
+          .when(col("hx") < "eb", 2L).when(col("hx") < "fb", 3L)
+          .when(col("hx") < "ff", 4L).otherwise(5L))
+    val means = reps.groupBy("flag", "b")
+      .agg(sum(col("w") * col("cents")).as("sw"), sum("w").as("ww"))
+      .select(col("flag"), col("b"),
+        round(col("sw").cast("double") / col("ww").cast("double"), 6)
+          .as("m"))
+    val rw = Window.partitionBy("flag").orderBy(col("m"), col("b"))
+    val ci = means.withColumn("rn", row_number().over(rw))
+      .groupBy("flag")
+      .agg(max(when(col("rn") === 2, col("m"))).as("ci_lo"),
+        max(when(col("rn") === BootReps - 1, col("m"))).as("ci_hi"))
+    point.join(ci, "flag")
+      .select(col("flag"), col("n_rows"), col("mean_cents"),
+        col("ci_lo"), col("ci_hi"))
+      .orderBy("flag")
+  }
+
+  val q231Oracle: String =
+    s"""WITH li AS (SELECT l_returnflag AS flag, l_orderkey,
+      |  l_linenumber,
+      |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      | FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |pt AS (SELECT flag, count(*) AS n_rows,
+      |  round(CAST(sum(cents) AS DOUBLE) / count(*), 6) AS mean_cents
+      | FROM li GROUP BY flag),
+      |reps AS (SELECT flag, cents,
+      |  substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+      |    || CAST(l_linenumber AS VARCHAR) || ':'
+      |    || CAST(b AS VARCHAR)), 1, 2) AS hx, b
+      | FROM li CROSS JOIN (SELECT unnest(range(0, $BootReps)) AS b)),
+      |wts AS (SELECT flag, b, cents,
+      |  CASE WHEN hx < '5e' THEN 0 WHEN hx < 'bc' THEN 1
+      |       WHEN hx < 'eb' THEN 2 WHEN hx < 'fb' THEN 3
+      |       WHEN hx < 'ff' THEN 4 ELSE 5 END AS w
+      | FROM reps),
+      |means AS (SELECT flag, b,
+      |  round(CAST(sum(w * cents) AS DOUBLE)
+      |    / CAST(sum(w) AS DOUBLE), 6) AS m
+      | FROM wts GROUP BY flag, b),
+      |ranked AS (SELECT flag, m, row_number() OVER (PARTITION BY flag
+      |    ORDER BY m, b) AS rn FROM means),
+      |ci AS (SELECT flag,
+      |  max(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+      |  max(CASE WHEN rn = ${BootReps - 1} THEN m END) AS ci_hi
+      | FROM ranked GROUP BY flag)
+      |SELECT flag, n_rows, mean_cents, ci_lo, ci_hi
+      |FROM pt JOIN ci USING (flag)
+      |ORDER BY flag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_poisson_bootstrap" -> (q231PoissonBootstrap _),
     "q230_pagerank_parts" -> (q230PagerankParts _),
     "q229_psi" -> (q229Psi _),
     "q222_mann_whitney" -> (q222MannWhitney _),
@@ -1880,6 +1966,7 @@ object Features {
     "q222_mann_whitney" -> q222Oracle,
     "q229_psi" -> q229Oracle,
     "q230_pagerank_parts" -> q230Oracle,
+    "q231_poisson_bootstrap" -> q231Oracle,
     "q155_jl_projection" -> q155Oracle,
     "q156_robust_scale" -> q156Oracle,
     "q150_equidepth_bins" -> q150Oracle,
