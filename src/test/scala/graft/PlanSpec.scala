@@ -348,4 +348,32 @@ class PlanSpec extends AnyFunSuite {
     val winLines = plan.linesIterator.filter(_.contains("Window")).toSeq
     assert(winLines.forall(_.contains("shard")), winLines.mkString("\n"))
   }
+
+  test("q213: the rank cut is the TopKPerGroup operator, partial+final") {
+    val plan = planOf(graft.ops.Similarity.q213NdcgAtK(spark, sf))
+    // two instances: the pre-exchange partial heap and the final —
+    // the property that bounds the shuffle at O(partitions·queries·k)
+    val hits = "TopKPerGroup".r.findAllIn(plan).length
+    assert(hits >= 2, plan)
+  }
+
+  test("q218: wedge and scoring joins are equi joins, never a cross") {
+    val plan = planOf(graft.ops.Features.q218LinkPrediction(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q221: the lag self-join is an equi join on exploded offsets") {
+    val plan = planOf(graft.ops.Features.q221Acf(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop allowed is the 1-row stats broadcast cross
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q231: one pass — the replicate fan-out adds no join at all") {
+    val plan = planOf(graft.ops.Features.q231PoissonBootstrap(spark, sf))
+    assert(plan.contains("Generate explode"), plan)   // per-row fan-out
+    assert(!plan.contains("SortMergeJoin"), plan)     // CI join broadcasts
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
