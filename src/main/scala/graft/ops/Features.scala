@@ -1567,10 +1567,14 @@ object Features {
     * expressions and compared against 1.96 UNROUNDED.
     *
     * Scale: one map-side-combinable aggregate to the distinct-VALUE
-    * table (t, t₁ per price), one cumulative window over that
-    * value-domain-sized frame (the q73/q211 two-phase shard rank is
-    * the lever if a value domain ever rivals the corpus), one 1-row
-    * reduce. The raw sample is never sorted whole.
+    * table (t, t₁ per price) — which for a continuous feature like
+    * price is ~the corpus size (97% distinct measured at sf0.1), so
+    * the cumulative rank is the q73/q167 TWO-PHASE SHARDED prefix
+    * sum: range-shard on x, per-shard subtotals (≤32 rows, driver-
+    * folded into exclusive offsets, broadcast back), intra-shard
+    * window PARTITIONED BY shard. No window in the plan is global —
+    * nothing row-scale ever sorts on one task. One 1-row reduce
+    * closes it; the raw sample is never sorted whole.
     */
   def q222MannWhitney(s: SparkSession, dir: String): DataFrame =
     mannWhitneyFrom(lineitem(s, dir)
@@ -1586,11 +1590,36 @@ object Features {
     val vals = sample.groupBy("x")
       .agg(count(lit(1)).as("t"),
         sum(when(col("is_a"), 1L).otherwise(0L)).as("t1"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("x")
+    // Two-phase sharded exclusive prefix sum of t in x-order (the
+    // q73/q167 device): a plain Window.orderBy("x") here would be a
+    // single-task sort-and-scan of the whole ~97%-distinct value
+    // table. Shard assignment is Spark-internal (never emitted), so
+    // float range math is fine; the oracle keeps its plain window.
+    val bounds = vals.agg(min("x"), max("x")).head()
+    val (minX, maxX) =
+      if (bounds.isNullAt(0)) (0.0, 1.0)
+      else (bounds.getDouble(0), bounds.getDouble(1))
+    val span = math.max(maxX - minX, java.lang.Double.MIN_NORMAL)
+    val nShards = 32
+    val sharded = vals.withColumn("shard",
+      least(floor((col("x") - minX) / span * nShards), lit(nShards - 1L))
+        .cast("int"))
+    val subtotals = sharded.groupBy("shard").agg(sum("t").as("st"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = subtotals.map { case (sh, st) =>
+      val off = acc; acc += st; (sh, off)
+    }
+    val spark = sample.sparkSession
+    val offsetDf = spark.createDataFrame(offsets.toSeq).toDF("shard", "base")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("x")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val ranked = vals
-      .withColumn("l", coalesce(sum("t").over(w), lit(0L)))
+    val ranked = sharded
+      .withColumn("intra", coalesce(sum("t").over(w), lit(0L)))
+      .join(broadcast(offsetDf), Seq("shard"))
+      .withColumn("l", col("base") + col("intra"))
       .withColumn("mr2", lit(2L) * col("l") + col("t") + lit(1L))
     val agg = ranked.agg(
       sum("t1").as("n1"), sum("t").as("n"),

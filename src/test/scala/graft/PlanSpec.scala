@@ -349,6 +349,17 @@ class PlanSpec extends AnyFunSuite {
     assert(winLines.forall(_.contains("shard")), winLines.mkString("\n"))
   }
 
+  test("q222: the Mann-Whitney midrank window is shard-partitioned") {
+    val plan = graft.ops.Features.q222MannWhitney(spark, sf)
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    val unpartitioned = plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      s"single-partition window found:\n${unpartitioned.mkString("\n")}")
+  }
+
   test("q213: the rank cut is the TopKPerGroup operator, partial+final") {
     val plan = planOf(graft.ops.Similarity.q213NdcgAtK(spark, sf))
     // two instances: the pre-exchange partial heap and the final —
