@@ -391,6 +391,13 @@ final class MiniLake(spark: SparkSession, val path: String,
     val sch = schema
     require(sch.fieldNames.contains(from), s"no such column: $from")
     require(!sch.fieldNames.contains(to), s"column exists: $to")
+    // pre-drop file groups still physically carry a dropped column;
+    // renaming another column INTO that name would hand conformTo two
+    // physical sources for one logical name (ambiguous reference) —
+    // and resolving it would resurrect retired bytes. Refuse.
+    require(!droppedNames(v - 1).contains(to),
+      s"cannot rename to '$to': the name was previously dropped and " +
+        s"old files still carry its physical column")
     val newSch = StructType(sch.map(f =>
       if (f.name == from) f.copy(name = to) else f))
     writeEntry(CommitEntry(v, "rename", System.currentTimeMillis(),
@@ -429,6 +436,27 @@ final class MiniLake(spark: SparkSession, val path: String,
     listVersions.filter(_ <= asOf).map(readEntry)
       .filter(_.renames.nonEmpty)
       .flatMap(e => e.renames.toSeq.map { case (f, t) => (e.version, f, t) })
+
+  /** Every logical name ever retired by a DROP COLUMN commit. Reads
+    * are purely name-based, so re-introducing such a name (via
+    * mergeSchema append or a rename target) would make pre-drop files'
+    * old physical bytes silently resurface under the new column —
+    * the exact leak Delta's physical column IDs exist to prevent.
+    * Both re-introduction paths REJECT against this set instead
+    * (names renamed away are safe to reuse: the rename chain consumes
+    * their physical column before conformTo sees it).
+    */
+  private def droppedNames(asOf: Long): Set[String] =
+    listVersions.filter(_ <= asOf).map(readEntry)
+      .filter(_.mode == "drop")
+      .flatMap(e => {
+        // a drop entry's schema omits the dropped name; recover it by
+        // diffing against the immediately prior version's schema
+        val prior = schemaAt(e.version - 1).fieldNames.toSet
+        val now = DataType.fromJson(e.schemaJson)
+          .asInstanceOf[StructType].fieldNames.toSet
+        prior -- now
+      }).toSet
 
   /** Write version of a data file, parsed from its `data/v=N/w-…`
     * attempt path — the era whose logical schema IS the file's
@@ -770,23 +798,35 @@ final class MiniLake(spark: SparkSession, val path: String,
   private def requireCheckConstraints(df: DataFrame): Unit = {
     val cs = checkConstraints
     if (cs.nonEmpty) {
-      val anyBad = cs.values.map(p => expr(p) <=> lit(false))
-        .reduce(_ or _)
-      if (!df.filter(anyBad).isEmpty) {
-        val names = cs.collect {
-          case (n, p) if !df.filter(expr(p) <=> lit(false)).isEmpty => n
-        }
+      // ONE aggregate pass: a per-constraint violation count in a
+      // single job (sum(when(violates, 1))) — probe and attribution
+      // together, instead of a probe scan plus one extra scan per
+      // constraint on the failure path
+      val counts = df.agg(
+        count(lit(1)).as("_n"),
+        cs.toSeq.map { case (n, p) =>
+          sum(when(expr(p) <=> lit(false), 1L).otherwise(0L)).as(n)
+        }: _*).head()
+      val names = cs.keys.toSeq.filter(n =>
+        counts.getAs[Long](n) > 0L)
+      if (names.nonEmpty)
         throw new IllegalArgumentException(
           s"CHECK constraint violation writing to $path: " +
-            names.mkString(", "))
-      }
+            names.sorted.mkString(", "))
     }
   }
 
+  /** `checked = false` skips the CHECK-constraint probe: rewrite-only
+    * commits (optimize/compact/materialize/restore's republish) read
+    * data that is ALREADY committed — it provably satisfied every
+    * active constraint when it landed, so re-probing would be a free
+    * extra full scan per rewrite.
+    */
   private def writeData(df: DataFrame, v: Long,
       rowHint: Option[Long] = None,
-      dirOverride: Option[Path] = None): Seq[String] = {
-    requireCheckConstraints(df)
+      dirOverride: Option[Path] = None,
+      checked: Boolean = true): Seq[String] = {
+    if (checked) requireCheckConstraints(df)
     val dir = dirOverride.getOrElse(attemptDir("data", v))
     bucketSpec match {
       case Some(spec) =>
@@ -859,7 +899,8 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   def append(df: DataFrame, mergeSchema: Boolean = false): Unit = {
     if (mergeSchema && exists) {
-      val merged = mergedSchemaWith(schema, df.schema, path)
+      val merged = mergedSchemaWith(schema, df.schema, path,
+        droppedNames(latestVersion))
       commitInsertOnly(conformTo(df, merged), mode = "append",
         rowHint = None)
     } else {
@@ -960,7 +1001,7 @@ final class MiniLake(spark: SparkSession, val path: String,
       // only surviving rows and the DVs retire with the old files.
       val data = readFiles(prior, v - 1)
       val n = data.count()
-      val adds = writeData(data, v, rowHint = Some(n))
+      val adds = writeData(data, v, rowHint = Some(n), checked = false)
       writeEntry(CommitEntry(v, "optimize", System.currentTimeMillis(),
         sch.json, adds, prior, hasChanges = false,
         bucketSpec = bucketSpec, dvRemoves = liveDvFiles(v - 1)))
@@ -989,7 +1030,8 @@ final class MiniLake(spark: SparkSession, val path: String,
         val sch = schema
         val data = readFiles(prior, v - 1)
         val adds = writeData(
-          graft.ops.Layout.zorderWrite(data, cols, numFiles), v)
+          graft.ops.Layout.zorderWrite(data, cols, numFiles), v,
+          checked = false)
         writeEntry(CommitEntry(v, "optimize", System.currentTimeMillis(),
           sch.json, adds, prior, hasChanges = false,
           bucketSpec = bucketSpec, dvRemoves = liveDvFiles(v - 1)))
@@ -1014,7 +1056,7 @@ final class MiniLake(spark: SparkSession, val path: String,
         val sch = schema
         val data = readFiles(hit, v - 1)
         val n = data.count()
-        val adds = writeData(data, v, rowHint = Some(n))
+        val adds = writeData(data, v, rowHint = Some(n), checked = false)
         writeEntry(CommitEntry(v, "optimize", System.currentTimeMillis(),
           sch.json, adds, hit, hasChanges = false,
           bucketSpec = bucketSpec))
@@ -1412,7 +1454,7 @@ final class MiniLake(spark: SparkSession, val path: String,
       val sch = schema
       val data = readFiles(prior, v - 1)
       val n = data.count()
-      val adds = writeData(data, v, rowHint = Some(n))
+      val adds = writeData(data, v, rowHint = Some(n), checked = false)
       writeEntry(CommitEntry(v, "materialize", System.currentTimeMillis(),
         sch.json, adds, prior, hasChanges = false,
         bucketSpec = bucketSpec, dvRemoves = dvs))
@@ -1642,7 +1684,8 @@ object MiniLake {
     * append as nullable.
     */
   private[lake] def mergedSchemaWith(existing: StructType,
-      incoming: StructType, path: String): StructType = {
+      incoming: StructType, path: String,
+      dropped: Set[String] = Set.empty): StructType = {
     val byName = incoming.fields.map(f => f.name -> f).toMap
     existing.fields.foreach { f =>
       byName.get(f.name).foreach { g =>
@@ -1652,9 +1695,17 @@ object MiniLake {
       }
     }
     val existingNames = existing.fieldNames.toSet
-    StructType(existing.fields ++
-      incoming.fields.filterNot(f => existingNames.contains(f.name))
-        .map(_.copy(nullable = true)))
+    val added = incoming.fields.filterNot(f => existingNames.contains(f.name))
+    // name-based reads mean a re-added name would resolve against
+    // pre-drop files' OLD physical bytes — the retired data would
+    // resurface (privacy hazard: DROP often retires data). Reject,
+    // matching the spirit of Delta column mapping's fresh physical IDs.
+    added.map(_.name).find(dropped.contains).foreach { n =>
+      throw new IllegalArgumentException(
+        s"mergeSchema cannot re-add previously dropped column '$n' " +
+          s"for $path: old files still carry its physical data")
+    }
+    StructType(existing.fields ++ added.map(_.copy(nullable = true)))
   }
 
   /** Project `df` onto `sch`: present columns pass through, missing

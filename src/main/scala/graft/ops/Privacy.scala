@@ -214,6 +214,12 @@ object Privacy {
     * identical in any engine), which keeps the mechanism's output
     * deterministic and therefore hash-gateable — a production release
     * would swap the LCG for a CSPRNG, changing one expression.
+    * BECAUSE the noise is a public function of the group key, this
+    * fixture provides NO actual privacy (the release is exactly
+    * invertible); the budget column is therefore named
+    * `epsilon_nominal` — the ε the mechanism WOULD spend with a real
+    * noise source — so no consumer can mistake the deterministic
+    * test device for an ε-DP guarantee.
     *
     * Scale shape: one map-side-combinable count per group plus a
     * handful of per-GROUP scalar expressions — noise cost is O(groups),
@@ -234,7 +240,7 @@ object Privacy {
       .agg(count(lit(1)).as("n_true"))
       .select(col("c_nationkey"),
         round(col("n_true") + noise, 6).as("n_noisy"),
-        lit(DpEpsilon).as("epsilon"))
+        lit(DpEpsilon).as("epsilon_nominal"))
       .orderBy("c_nationkey")
   }
 
@@ -248,7 +254,7 @@ object Privacy {
       |SELECT c_nationkey,
       |  round(n_true + round(-1.0 * sign(u - 0.5)
       |    * ln(1.0 - 2.0 * abs(u - 0.5)), 6), 6) AS n_noisy,
-      |  1.0 AS epsilon
+      |  1.0 AS epsilon_nominal
       |FROM u
       |ORDER BY c_nationkey""".stripMargin
 

@@ -575,4 +575,47 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(t.snapshot(asOf = 0).columns.toSeq === Seq("key", "value"))
     intercept[IllegalArgumentException] { t.dropColumn("key") } // last col
   }
+
+  test("a dropped column's name cannot be re-introduced " +
+      "(mergeSchema append and rename target both reject)") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "secret-a", 2L -> "secret-b")
+      .withColumn("extra", lit("x")))
+    t.dropColumn("value")
+    // mergeSchema re-add: pre-drop files still physically carry the
+    // old "value" bytes — re-adding the name would resurrect them
+    val err = intercept[IllegalArgumentException] {
+      t.append(Seq((3L, "fresh")).toDF("key", "value"), mergeSchema = true)
+    }
+    assert(err.getMessage.contains("value"))
+    // rename INTO the dropped name: pre-drop file groups would then
+    // hold two physical sources for one logical column
+    val err2 = intercept[IllegalArgumentException] {
+      t.renameColumn("extra", "value")
+    }
+    assert(err2.getMessage.contains("previously dropped"))
+    // an UNDROPPED name rename still works, and a mergeSchema append
+    // of a genuinely new name still widens
+    t.renameColumn("extra", "extra2")
+    t.append(Seq((4L, "y", 7L)).toDF("key", "extra2", "brand_new"),
+      mergeSchema = true)
+    assert(t.snapshot().columns.toSeq === Seq("key", "extra2", "brand_new"))
+    assert(t.snapshot().count() === 3)
+  }
+
+  test("constraint violation attributes every violated name in one pass") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a"))
+    t.addCheckConstraint("key_pos", "key > 0")
+    t.addCheckConstraint("val_nonempty", "length(value) > 0")
+    val err = intercept[IllegalArgumentException] {
+      t.append(kv(-5L -> ""))
+    }
+    assert(err.getMessage.contains("key_pos"))
+    assert(err.getMessage.contains("val_nonempty"))
+    // a batch violating only one constraint names only that one
+    val err2 = intercept[IllegalArgumentException] { t.append(kv(-6L -> "ok")) }
+    assert(err2.getMessage.contains("key_pos"))
+    assert(!err2.getMessage.contains("val_nonempty"))
+  }
 }
