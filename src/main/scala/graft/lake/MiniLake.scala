@@ -91,6 +91,255 @@ final class MiniLake(spark: SparkSession, val path: String,
 
   def exists: Boolean = MiniLake.exists(path)
 
+  private val ckptDir = logDir.resolve("_checkpoints")
+  private val lastCkptFile = logDir.resolve("_last_checkpoint")
+
+  /** Memoized folded states, keyed by as-of version. A state at a
+    * fixed version is immutable once that version is committed (log
+    * entries are write-once via the hard-link publish), so caching is
+    * always sound; later commits simply appear as new keys. Repeated
+    * opens inside one job (the CDC loop pattern) fold only the delta
+    * since the last cached state.
+    */
+  private val stateCache =
+    scala.collection.concurrent.TrieMap.empty[Long, FoldState]
+
+  /** Fold one commit entry into the running state — the single
+    * definition of what every log-derived accessor means. Mirrors the
+    * per-accessor folds exactly: liveFiles keeps insertion order
+    * (removes filter, adds append), constraints/renames/txn/stats
+    * accumulate by mode.
+    */
+  private def foldEntryInto(s: FoldState, e: CommitEntry): FoldState = {
+    val removed = e.removes.toSet
+    val dvRemoved = e.dvRemoves.toSet
+    val droppedNow: Set[String] =
+      if (e.mode != "drop") Set.empty
+      else {
+        val prior = DataType.fromJson(s.schemaJson)
+          .asInstanceOf[StructType].fieldNames.toSet
+        val now = DataType.fromJson(e.schemaJson)
+          .asInstanceOf[StructType].fieldNames.toSet
+        prior -- now
+      }
+    FoldState(
+      version = e.version,
+      schemaJson = e.schemaJson,
+      liveFiles = s.liveFiles.filterNot(removed) ++ e.adds,
+      liveDvFiles = s.liveDvFiles.filterNot(dvRemoved) ++ e.dvAdds,
+      constraints = e.mode match {
+        case "addConstraint"  => s.constraints ++ e.constraints
+        case "dropConstraint" => s.constraints -- e.constraints.keySet
+        case _                => s.constraints
+      },
+      renames = s.renames ++
+        e.renames.toSeq.map { case (f, t) => (e.version, f, t) },
+      dropped = s.dropped ++ droppedNow,
+      txnMax = e.txn.fold(s.txnMax) { case (app, tv) =>
+        s.txnMax + (app -> math.max(tv, s.txnMax.getOrElse(app, -1L)))
+      },
+      stats = s.stats ++ e.stats,
+      statsStr = s.statsStr ++ e.statsStr,
+      changeBacked =
+        if (e.changesMode == "insertsFromData") s.changeBacked ++ e.adds
+        else s.changeBacked,
+      listedChanges = s.listedChanges ++ e.changeFiles,
+      legacyVersions =
+        if (e.changesMode == "files" && e.changeFiles.isEmpty)
+          s.legacyVersions :+ e.version
+        else s.legacyVersions)
+  }
+
+  /** The folded log state as of `asOf`: basis = the largest already-
+    * cached state ≤ asOf, else the best on-disk checkpoint ≤ asOf,
+    * else empty; then fold only the tail entries. This is what makes
+    * opening a long-lived table O(tail since last checkpoint) instead
+    * of O(all versions) — the Delta `_last_checkpoint` contract. Full
+    * folds remain only for time travel older than every checkpoint.
+    */
+  private[lake] def state(asOf: Long): FoldState = {
+    if (asOf < 0) return FoldState.empty
+    stateCache.getOrElse(asOf, {
+      val cachedBase = stateCache.keys.filter(_ < asOf)
+        .maxOption.map(stateCache(_))
+      val base = cachedBase
+        .orElse(readBestCheckpoint(asOf))
+        .getOrElse(FoldState.empty)
+      val s = listVersions.filter(v => v > base.version && v <= asOf)
+        .foldLeft(base)((acc, v) => foldEntryInto(acc, readEntry(v)))
+      stateCache.put(asOf, s)
+      s
+    })
+  }
+
+  /** Full from-scratch fold, checkpoint- and cache-free — the
+    * equivalence oracle MiniLakeSpec checks `state` against.
+    */
+  private[lake] def foldStateScratch(asOf: Long): FoldState =
+    listVersions.filter(_ <= asOf)
+      .foldLeft(FoldState.empty)((acc, v) => foldEntryInto(acc, readEntry(v)))
+
+  private def checkpointVersions: Seq[Long] =
+    if (!Files.isDirectory(ckptDir)) Seq.empty
+    else usingStream(Files.list(ckptDir))(_
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong)
+      .toSeq.sorted)
+
+  /** Best-effort checkpoint lookup: the `_last_checkpoint` pointer
+    * first (one read), the checkpoint directory listing as fallback.
+    * Any unreadable/corrupt checkpoint is simply skipped — the full
+    * fold is always available, so checkpoints can never lose data,
+    * only speed.
+    */
+  private def readBestCheckpoint(asOf: Long): Option[FoldState] = {
+    val fromPointer =
+      try {
+        if (!Files.exists(lastCkptFile)) None
+        else {
+          val m = mapper.readValue(Files.readAllBytes(lastCkptFile),
+            classOf[java.util.Map[String, Object]])
+          val v = m.get("version").asInstanceOf[Number].longValue()
+          if (v <= asOf) readCheckpoint(v) else None
+        }
+      } catch { case _: Exception => None }
+    fromPointer.orElse(
+      checkpointVersions.filter(_ <= asOf).reverseIterator
+        .map(readCheckpoint)
+        .collectFirst { case Some(s) => s })
+  }
+
+  private def readCheckpoint(v: Long): Option[FoldState] =
+    try {
+      val m = mapper.readValue(
+        Files.readAllBytes(ckptDir.resolve(s"$v.json")),
+        classOf[java.util.Map[String, Object]])
+      def strs(key: String): Seq[String] =
+        Option(m.get(key))
+          .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
+          .getOrElse(Seq.empty)
+      def strMap(key: String): Map[String, String] =
+        Option(m.get(key))
+          .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap)
+          .getOrElse(Map.empty)
+      Some(FoldState(
+        version = m.get("version").asInstanceOf[Number].longValue(),
+        schemaJson = m.get("schemaJson").toString,
+        liveFiles = strs("liveFiles"),
+        liveDvFiles = strs("liveDvFiles"),
+        constraints = strMap("constraints"),
+        renames = Option(m.get("renames"))
+          .map(_.asInstanceOf[java.util.List[java.util.List[Object]]]
+            .asScala.toSeq.map { r =>
+              (r.get(0).asInstanceOf[Number].longValue(),
+                r.get(1).toString, r.get(2).toString)
+            })
+          .getOrElse(Seq.empty),
+        dropped = strs("dropped").toSet,
+        txnMax = Option(m.get("txnMax"))
+          .map(_.asInstanceOf[java.util.Map[String, Number]].asScala
+            .map { case (k, v) => k -> v.longValue() }.toMap)
+          .getOrElse(Map.empty),
+        stats = Option(m.get("stats"))
+          .map(_.asInstanceOf[java.util.Map[String, java.util.Map[String,
+            java.util.List[Number]]]].asScala.map { case (f, cols) =>
+            f -> cols.asScala.map { case (c, mm) =>
+              c -> (mm.get(0).longValue(), mm.get(1).longValue())
+            }.toMap
+          }.toMap)
+          .getOrElse(Map.empty),
+        statsStr = Option(m.get("statsStr"))
+          .map(_.asInstanceOf[java.util.Map[String, java.util.Map[String,
+            java.util.List[String]]]].asScala.map { case (f, cols) =>
+            f -> cols.asScala.map { case (c, mm) =>
+              c -> (mm.get(0), mm.get(1))
+            }.toMap
+          }.toMap)
+          .getOrElse(Map.empty),
+        changeBacked = strs("changeBacked"),
+        listedChanges = strs("listedChanges"),
+        legacyVersions = Option(m.get("legacyVersions"))
+          .map(_.asInstanceOf[java.util.List[Number]].asScala.toSeq
+            .map(_.longValue()))
+          .getOrElse(Seq.empty)))
+    } catch { case _: Exception => None }
+
+  /** Write the folded-state checkpoint for `v` (every
+    * [[MiniLake.CheckpointInterval]] commits) plus the
+    * `_last_checkpoint` pointer. Strictly best-effort: a checkpoint
+    * failure must never fail the commit that triggered it, and a
+    * racing writer's duplicate checkpoint is ignored (identical
+    * content — the fold is deterministic). Stats are pruned to live
+    * data/DV files: dead files' stats serve no read and would grow
+    * the checkpoint without bound under churn.
+    */
+  private def maybeCheckpoint(v: Long): Unit =
+    if (v > 0 && v % CheckpointInterval == 0) {
+      try {
+        val s0 = state(v)
+        val live = s0.liveFiles.toSet ++ s0.liveDvFiles
+        val s = s0.copy(
+          stats = s0.stats.filter { case (f, _) => live(f) },
+          statsStr = s0.statsStr.filter { case (f, _) => live(f) })
+        val base = Map[String, Object](
+          "version" -> Long.box(s.version),
+          "schemaJson" -> s.schemaJson,
+          "liveFiles" -> s.liveFiles.asJava,
+          "liveDvFiles" -> s.liveDvFiles.asJava,
+          "constraints" -> s.constraints.asJava,
+          "renames" -> s.renames.map { case (rv, f, t) =>
+            java.util.List.of[Object](Long.box(rv), f, t)
+          }.asJava,
+          "dropped" -> s.dropped.toSeq.sorted.asJava,
+          "txnMax" -> s.txnMax.map { case (k, tv) =>
+            k -> Long.box(tv)
+          }.asJava,
+          "stats" -> s.stats.map { case (f, cols) =>
+            f -> cols.map { case (c, (lo, hi)) =>
+              c -> java.util.List.of[Object](Long.box(lo), Long.box(hi))
+            }.asJava
+          }.asJava,
+          "statsStr" -> s.statsStr.map { case (f, cols) =>
+            f -> cols.map { case (c, (lo, hi)) =>
+              c -> java.util.List.of[Object](lo, hi)
+            }.asJava
+          }.asJava,
+          "changeBacked" -> s.changeBacked.asJava,
+          "listedChanges" -> s.listedChanges.asJava,
+          "legacyVersions" -> s.legacyVersions.map(Long.box).asJava)
+        Files.createDirectories(ckptDir)
+        val bytes = mapper.writeValueAsBytes(base.asJava)
+        // writer-unique tmp names: two committers can checkpoint the
+        // same version concurrently (identical content), but they must
+        // not interleave writes into one tmp file
+        val nonce = java.util.UUID.randomUUID.toString.take(8)
+        val tmp = ckptDir.resolve(s".$v.$nonce.json.tmp")
+        Files.write(tmp, bytes)
+        try Files.createLink(ckptDir.resolve(s"$v.json"), tmp)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        finally Files.deleteIfExists(tmp)
+        // advance the pointer only forward — a racing writer's higher
+        // pointer must not regress (regression would only cost speed,
+        // but forward-only is free to maintain)
+        val current =
+          try {
+            if (!Files.exists(lastCkptFile)) -1L
+            else mapper.readValue(Files.readAllBytes(lastCkptFile),
+              classOf[java.util.Map[String, Object]])
+              .get("version").asInstanceOf[Number].longValue()
+          } catch { case _: Exception => -1L }
+        if (v > current) {
+          val ptmp = logDir.resolve(s"._last_checkpoint.$nonce.tmp")
+          Files.write(ptmp, mapper.writeValueAsBytes(
+            Map[String, Object]("version" -> Long.box(v)).asJava))
+          Files.move(ptmp, lastCkptFile,
+            StandardCopyOption.REPLACE_EXISTING,
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+      } catch { case _: Exception => () }
+    }
+
   /** Latest committed version, or -1 for a nonexistent table. */
   def latestVersion: Long = listVersions.lastOption.getOrElse(-1L)
 
@@ -292,10 +541,15 @@ final class MiniLake(spark: SparkSession, val path: String,
       if (e.renames.isEmpty) withConstraints
       else withConstraints + ("renames" -> e.renames.asJava)
     val bytes = mapper.writeValueAsBytes(withRenames.asJava)
-    val tmp = logDir.resolve(s".${e.version}.json.tmp")
+    // writer-unique tmp: two committers racing the SAME version must
+    // not share a tmp path, or the link winner could publish the
+    // loser's bytes written into the common tmp between write and link
+    val tmp = logDir.resolve(
+      s".${e.version}.${java.util.UUID.randomUUID.toString.take(8)}.json.tmp")
     Files.write(tmp, bytes)
     try Files.createLink(logDir.resolve(s"${e.version}.json"), tmp)
     finally Files.deleteIfExists(tmp)
+    maybeCheckpoint(e.version)
   }
 
   /** DESCRIBE HISTORY parity (S6 surface, full form): one row per
@@ -320,15 +574,8 @@ final class MiniLake(spark: SparkSession, val path: String,
 
   // ---- reads --------------------------------------------------------
 
-  private[lake] def liveFiles(asOf: Long): Seq[String] = {
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    listVersions.filter(_ <= asOf).foreach { v =>
-      val e = readEntry(v)
-      live --= e.removes
-      live ++= e.adds
-    }
-    live.toSeq
-  }
+  private[lake] def liveFiles(asOf: Long): Seq[String] =
+    state(asOf).liveFiles
 
   /** Deletion-vector files live as of `asOf` — added by
     * [[deleteVectored]] commits, retired whenever a commit rewrites
@@ -338,15 +585,8 @@ final class MiniLake(spark: SparkSession, val path: String,
     * `_dv_file` matches nothing at read time), so partial rewrites —
     * the bucketed merge — need no DV bookkeeping at all.
     */
-  private def liveDvFiles(asOf: Long): Seq[String] = {
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    listVersions.filter(_ <= asOf).foreach { v =>
-      val e = readEntry(v)
-      live --= e.dvRemoves
-      live ++= e.dvAdds
-    }
-    live.toSeq
-  }
+  private def liveDvFiles(asOf: Long): Seq[String] =
+    state(asOf).liveDvFiles
 
   /** Apply live deletion vectors to a file-sourced frame: anti-join on
     * (physical file, row position) from the `_metadata` struct — the
@@ -433,9 +673,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     * (version, from, to). Metadata-sized fold.
     */
   private def renameChain(asOf: Long): Seq[(Long, String, String)] =
-    listVersions.filter(_ <= asOf).map(readEntry)
-      .filter(_.renames.nonEmpty)
-      .flatMap(e => e.renames.toSeq.map { case (f, t) => (e.version, f, t) })
+    state(asOf).renames
 
   /** Every logical name ever retired by a DROP COLUMN commit. Reads
     * are purely name-based, so re-introducing such a name (via
@@ -447,16 +685,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     * their physical column before conformTo sees it).
     */
   private def droppedNames(asOf: Long): Set[String] =
-    listVersions.filter(_ <= asOf).map(readEntry)
-      .filter(_.mode == "drop")
-      .flatMap(e => {
-        // a drop entry's schema omits the dropped name; recover it by
-        // diffing against the immediately prior version's schema
-        val prior = schemaAt(e.version - 1).fieldNames.toSet
-        val now = DataType.fromJson(e.schemaJson)
-          .asInstanceOf[StructType].fieldNames.toSet
-        prior -- now
-      }).toSet
+    state(asOf).dropped
 
   /** Write version of a data file, parsed from its `data/v=N/w-…`
     * attempt path — the era whose logical schema IS the file's
@@ -553,7 +782,7 @@ final class MiniLake(spark: SparkSession, val path: String,
   def snapshotForRanges(ranges: Map[String, (Long, Long)]): DataFrame = {
     require(latestVersion >= 0, s"table $path does not exist")
     require(ranges.nonEmpty, "at least one column range required")
-    val statsByFile = listVersions.map(readEntry).flatMap(_.stats).toMap
+    val statsByFile = state(latestVersion).stats
     val files = liveFiles(latestVersion).filter { f =>
       ranges.forall { case (colName, (lo, hi)) =>
         statsByFile.get(f).flatMap(_.get(colName)) match {
@@ -587,7 +816,7 @@ final class MiniLake(spark: SparkSession, val path: String,
       ranges: Map[String, (String, String)]): DataFrame = {
     require(latestVersion >= 0, s"table $path does not exist")
     require(ranges.nonEmpty, "at least one column range required")
-    val statsByFile = listVersions.map(readEntry).flatMap(_.statsStr).toMap
+    val statsByFile = state(latestVersion).statsStr
     val files = liveFiles(latestVersion).filter { f =>
       ranges.forall { case (colName, (lo, hi)) =>
         statsByFile.get(f).flatMap(_.get(colName)) match {
@@ -747,15 +976,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     * as explicit commit modes (readable in DESCRIBE HISTORY).
     */
   def checkConstraints: Map[String, String] =
-    if (!exists) Map.empty
-    else listVersions.sorted.map(readEntry)
-      .foldLeft(Map.empty[String, String]) { (acc, e) =>
-        e.mode match {
-          case "addConstraint"  => acc ++ e.constraints
-          case "dropConstraint" => acc -- e.constraints.keySet
-          case _                => acc
-        }
-      }
+    state(latestVersion).constraints
 
   /** ALTER TABLE ADD CONSTRAINT ... CHECK (Delta semantics): rejects
     * unless EVERY existing row satisfies the predicate (one snapshot
@@ -914,9 +1135,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     * writers. Driver-side log scan, metadata-sized.
     */
   def lastTxnVersion(appId: String): Long =
-    listVersions.map(readEntry).flatMap(_.txn)
-      .collect { case (app, v) if app == appId => v }
-      .maxOption.getOrElse(-1L)
+    state(latestVersion).txnMax.getOrElse(appId, -1L)
 
   /** Idempotent append for replayable writers (foreachBatch streaming
     * sinks): the (appId, txnVersion) marker commits ATOMICALLY with the
@@ -958,9 +1177,17 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   def appendConcurrent(df: DataFrame, maxRetries: Int = 32): Long = {
     requireSchemaMatch(df)
-    val dataDir = root.resolve(
-      s"data/c-${java.util.UUID.randomUUID.toString.take(12)}")
-    val adds = withCommitPlanning { writeData(df, -1L, None, Some(dataDir)) }
+    // the attempt dir is stamped with the READ version, not the claimed
+    // one: the version segment is the file's schema ERA for rename-
+    // aware reads (writeVersionOf), and this writer's schema is exactly
+    // the table schema at its read version. A schema-changing winner
+    // (rename/drop/mergeSchema) between read and publish makes the
+    // retry loop's requireSchemaMatch abort, so a committed append's
+    // era schema can never diverge from its files.
+    val readV = math.max(0L, latestVersion)
+    val adds = withCommitPlanning {
+      writeData(df, -1L, None, Some(attemptDir("data", readV)))
+    }
     var attempt = 0
     while (true) {
       val v = nextVersion
@@ -1309,31 +1536,28 @@ final class MiniLake(spark: SparkSession, val path: String,
   val DefaultVacuumRetainMillis: Long = 7L * 24 * 60 * 60 * 1000
 
   def vacuum(retainMillis: Long = DefaultVacuumRetainMillis): Unit = {
-    val entries = listVersions.map(readEntry)
-    val live = liveFiles(latestVersion).toSet
+    val st = state(latestVersion)
+    val live = st.liveFiles.toSet
     // data files of insert-only commits double as that commit's change
     // feed (changesMode=insertsFromData) — they must survive vacuum
     // even after leaving the live set, exactly like dedicated change
     // files do.
-    val changeBacked = entries
-      .filter(_.changesMode == "insertsFromData")
-      .flatMap(_.adds).toSet
+    val changeBacked = st.changeBacked.toSet
     // entry-listed change files back readChanges forever; change files
     // NOT listed by any entry are debris from a commit attempt that
     // lost its publish race (each attempt writes its own w-<uuid> dir)
-    val listedChanges = entries.flatMap(_.changeFiles).toSet
+    val listedChanges = st.listedChanges.toSet
     // live deletion vectors are part of the current table state;
     // retired DVs (materialized/rewritten away) age out like data files
-    val liveDvs = liveDvFiles(latestVersion).toSet
+    val liveDvs = st.liveDvFiles.toSet
     val protectedFiles = live ++ changeBacked ++ listedChanges ++ liveDvs
     val cutoff = System.currentTimeMillis() - retainMillis
     Seq("data", "changes", "dv").map(root.resolve).foreach { d =>
       if (Files.isDirectory(d)) {
         // legacy layout: entries without a changeFiles list own their
         // whole changes/v=<v> directory — leave those subtrees alone
-        val legacyDirs = entries
-          .filter(e => e.changesMode == "files" && e.changeFiles.isEmpty)
-          .map(e => root.resolve(s"changes/v=${e.version}")).toSet
+        val legacyDirs = st.legacyVersions
+          .map(v => root.resolve(s"changes/v=$v")).toSet
         usingStream(Files.walk(d))(_
           .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
           .filterNot(p => protectedFiles.contains(p.toString))
@@ -1505,6 +1729,39 @@ object MiniLake {
   /** Sizing target for writes whose row count is known up front. */
   private[lake] val RowsPerFile: Long = 1L << 20
 
+  /** A folded checkpoint lands every this-many commits (Delta writes
+    * its parquet checkpoint every 10 — same cadence). Opening a table
+    * then folds the checkpoint plus at most this many tail entries.
+    */
+  private[lake] val CheckpointInterval: Long = 10L
+
+  /** Everything the log-derived accessors need, folded to one version:
+    * the live data/DV file sets (insertion-ordered), active CHECK
+    * constraints, the rename chain, dropped-name tombstones, per-app
+    * txn high-water marks, the skipping stats, and vacuum's protected
+    * file lists. This is the unit checkpoints serialize.
+    */
+  private[lake] final case class FoldState(
+      version: Long,
+      schemaJson: String,
+      liveFiles: Seq[String],
+      liveDvFiles: Seq[String],
+      constraints: Map[String, String],
+      renames: Seq[(Long, String, String)],
+      dropped: Set[String],
+      txnMax: Map[String, Long],
+      stats: Map[String, Map[String, (Long, Long)]],
+      statsStr: Map[String, Map[String, (String, String)]],
+      changeBacked: Seq[String],
+      listedChanges: Seq[String],
+      legacyVersions: Seq[Long])
+
+  private[lake] object FoldState {
+    val empty: FoldState = FoldState(-1L, "", Seq.empty, Seq.empty,
+      Map.empty, Seq.empty, Set.empty, Map.empty, Map.empty, Map.empty,
+      Seq.empty, Seq.empty, Seq.empty)
+  }
+
   /** The session's AQE setting as first observed OUTSIDE any commit —
     * the restore target for `withCommitPlanning`. Keyed per session so
     * multi-session processes (tests) don't cross-restore.
@@ -1641,10 +1898,9 @@ object MiniLake {
     // carry the source's skipping index for the referenced files —
     // re-reading 100 TB worth of footers to rebuild it would defeat
     // the metadata-only point
-    val allEntries = src.listVersions.map(src.readEntry)
-    val stats = allEntries.flatMap(_.stats).filter(f => live(f._1)).toMap
-    val statsStr =
-      allEntries.flatMap(_.statsStr).filter(f => live(f._1)).toMap
+    val srcState = src.state(v)
+    val stats = srcState.stats.filter(f => live(f._1))
+    val statsStr = srcState.statsStr.filter(f => live(f._1))
     dest.writeEntry(CommitEntry(0L, "clone", System.currentTimeMillis(),
       src.schemaAt(v).json, src.liveFiles(v), Seq.empty,
       hasChanges = false, bucketSpec = entry.bucketSpec,

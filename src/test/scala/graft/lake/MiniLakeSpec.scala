@@ -603,6 +603,89 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(t.snapshot().count() === 3)
   }
 
+  test("checkpointed open ≡ full-fold open across every commit mode") {
+    val t = MiniLake.bucketed(spark, dir, Seq("key"), numBuckets = 4)
+    // a lifecycle long enough to cross several checkpoint boundaries,
+    // touching every commit mode the fold distinguishes
+    t.create(kv(1L -> "a", 2L -> "b"))                       // v0
+    t.append(kv(3L -> "c"))                                  // v1
+    t.merge(inserts = kv(4L -> "d"), deletes = kv(2L -> "b"),
+      pks = Seq("key"))                                      // v2
+    t.update($"key" === 1L, Map("value" -> lit("a2")))       // v3
+    t.appendIfAbsent(kv(5L -> "e"), "app1", 7L)              // v4
+    t.delete($"key" === 5L)                                  // v5
+    t.deleteVectored($"key" === 4L)                          // v6
+    t.addCheckConstraint("key_pos", "key > 0")               // v7
+    t.append(kv(6L -> "f"))                                  // v8
+    t.materializeDeletes()                                   // v9 -> ckpt
+    t.compactFiles()                                         // v10 -> ckpt
+    t.restoreTo(8L)                                          // v11
+    t.dropCheckConstraint("key_pos")                         // v12
+    t.append(kv(7L -> "g", 8L -> "h").withColumn("extra", lit(1L)),
+      mergeSchema = true)                                    // v13
+    t.renameColumn("extra", "score")                         // v14
+    t.mergeUpdate(Seq((7L, "g2", 9L)).toDF("key", "value", "score"),
+      Seq("key"))                                            // v15
+    t.dropColumn("score")                                    // v16
+    t.overwrite(kv(1L -> "z", 9L -> "y"))                    // v17
+    t.appendConcurrent(kv(10L -> "w"))                       // v18
+    t.compactZorder(("key", "key"), numFiles = 2)            // v19 -> ckpt
+    t.append(kv(11L -> "v"))                                 // v20
+
+    // checkpoints landed at the interval
+    val ckpts = Files.list(
+        java.nio.file.Paths.get(dir, "_log", "_checkpoints"))
+      .iterator(); var n = 0
+    while (ckpts.hasNext) { ckpts.next(); n += 1 }
+    assert(n >= 2, s"expected >=2 checkpoints, found $n")
+    assert(Files.exists(java.nio.file.Paths.get(dir, "_log",
+      "_last_checkpoint")))
+
+    // a FRESH instance (cold cache) must reconstruct the identical
+    // fold from checkpoint+tail at every version, including eras
+    // straddling rename/drop/DV/constraint commits
+    for (v <- 0L to t.latestVersion) {
+      val fast = MiniLake(spark, dir).state(v)
+      val full = t.foldStateScratch(v)
+      assert(fast.version === full.version, s"v=$v")
+      assert(fast.liveFiles === full.liveFiles, s"v=$v liveFiles")
+      assert(fast.liveDvFiles === full.liveDvFiles, s"v=$v dv")
+      assert(fast.constraints === full.constraints, s"v=$v constraints")
+      assert(fast.renames === full.renames, s"v=$v renames")
+      assert(fast.dropped === full.dropped, s"v=$v dropped")
+      assert(fast.txnMax === full.txnMax, s"v=$v txn")
+      assert(fast.changeBacked === full.changeBacked, s"v=$v changeBacked")
+      assert(fast.listedChanges === full.listedChanges, s"v=$v listed")
+      assert(fast.legacyVersions === full.legacyVersions, s"v=$v legacy")
+      assert(fast.schemaJson === full.schemaJson, s"v=$v schema")
+      // stats: checkpoints prune dead files' stats, so compare on the
+      // files any read can consult — the live set
+      val liveSet = full.liveFiles.toSet ++ full.liveDvFiles
+      assert(fast.stats.view.filterKeys(liveSet).toMap ===
+        full.stats.view.filterKeys(liveSet).toMap, s"v=$v stats")
+      assert(fast.statsStr.view.filterKeys(liveSet).toMap ===
+        full.statsStr.view.filterKeys(liveSet).toMap, s"v=$v statsStr")
+    }
+
+    // observable equivalence on the hot read paths
+    val fresh = MiniLake(spark, dir)
+    assert(fresh.snapshot().orderBy("key").as[(Long, String)]
+      .collect().toSeq === Seq(1L -> "z", 9L -> "y", 10L -> "w", 11L -> "v"))
+    assert(fresh.lastTxnVersion("app1") === 7L)
+    assert(fresh.checkConstraints === Map.empty)
+
+    // a corrupt checkpoint (and pointer) must only cost speed, never
+    // correctness: reads fall back to older checkpoints / full fold
+    val ckptRoot = java.nio.file.Paths.get(dir, "_log", "_checkpoints")
+    MiniLake.usingStream(Files.list(ckptRoot))(_.foreach(p =>
+      Files.write(p, "not json".getBytes)))
+    Files.write(java.nio.file.Paths.get(dir, "_log", "_last_checkpoint"),
+      "garbage".getBytes)
+    val recovered = MiniLake(spark, dir)
+    assert(recovered.state(t.latestVersion) ===
+      t.foldStateScratch(t.latestVersion))
+  }
+
   test("constraint violation attributes every violated name in one pass") {
     val t = MiniLake(spark, dir)
     t.create(kv(1L -> "a"))
