@@ -1082,10 +1082,79 @@ final class MiniLake(spark: SparkSession, val path: String,
         withP.repartition(partitionCols.map(col): _*)
           .write.partitionBy(pCols: _*).parquet(dir.toString)
       case None =>
-        rowHint.map(n => df.coalesce(filesFor(n))).getOrElse(maybeCompact(df))
-          .write.parquet(dir.toString)
+        localBatchRows(df) match {
+          case Some((rows, sch)) =>
+            writeLocalParquet(rows, sch, dir)
+          case None =>
+            rowHint.map(n => df.coalesce(filesFor(n)))
+              .getOrElse(maybeCompact(df))
+              .write.parquet(dir.toString)
+        }
     }
     parquetFilesIn(dir)
+  }
+
+  /** Fast path probe for `compact` tables: a batch that is statically
+    * a driver-local relation of simply-typed rows (the watermark-bump
+    * / streaming-marker / scripted-lifecycle shape) can skip the Spark
+    * write job entirely. A distributed write for one metadata row
+    * costs ~100 ms of job launch + committer protocol; at one commit
+    * per micro-batch that overhead IS the ingest latency floor.
+    */
+  private def localBatchRows(df: DataFrame): Option[(Seq[Row], StructType)] = {
+    import org.apache.spark.sql.types._
+    val simple = df.schema.fields.forall(_.dataType match {
+      case LongType | IntegerType | DoubleType | BooleanType |
+           StringType => true
+      case _ => false
+    })
+    if (!compact || !simple) None
+    else df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if l.data.length <= MaxLocalFastPathRows =>
+        // LocalTableScanExec.executeCollect is driver-local: no job
+        Some((df.collect().toSeq, df.schema))
+      case _ => None
+    }
+  }
+
+  /** Driver-side parquet write of a metadata-sized batch — one file,
+    * standard footer stats (so data skipping and CDF reads see exactly
+    * what a Spark-written file would carry). Only reached via
+    * [[localBatchRows]]' gate: `compact` table, LocalRelation source,
+    * simple column types, bounded row count.
+    */
+  private def writeLocalParquet(rows: Seq[Row], sch: StructType,
+      dir: Path): Seq[String] = {
+    import org.apache.spark.sql.types._
+    Files.createDirectories(dir)
+    val out = dir.resolve(
+      s"part-00000-${java.util.UUID.randomUUID.toString}.snappy.parquet")
+    val msg = MiniLake.parquetMessageType(sch)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(msg, conf)
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(out.toString))
+      .withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try rows.foreach { r =>
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(msg)
+      sch.fields.zipWithIndex.foreach { case (f, i) =>
+        if (!r.isNullAt(i)) f.dataType match {
+          case LongType    => g.add(f.name, r.getLong(i))
+          case IntegerType => g.add(f.name, r.getInt(i))
+          case DoubleType  => g.add(f.name, r.getDouble(i))
+          case BooleanType => g.add(f.name, r.getBoolean(i))
+          case StringType  => g.add(f.name, r.getString(i))
+          case other => throw new IllegalStateException(
+            s"unreachable: $other passed the localBatchRows type gate")
+        }
+      }
+      writer.write(g)
+    } finally writer.close()
+    Seq(out.toString)
   }
 
   private def writeChanges(changes: DataFrame, v: Long,
@@ -1728,6 +1797,38 @@ final class MiniLake(spark: SparkSession, val path: String,
 object MiniLake {
   /** Sizing target for writes whose row count is known up front. */
   private[lake] val RowsPerFile: Long = 1L << 20
+
+  /** Row bound for the driver-side tiny-commit write path: above this
+    * a batch is data, not metadata, and belongs to the distributed
+    * writer.
+    */
+  private[lake] val MaxLocalFastPathRows: Int = 10000
+
+  /** Parquet message type for a simply-typed Spark schema (the
+    * tiny-commit fast path). All fields OPTIONAL — Spark treats
+    * parquet nullability as advisory on read, and OPTIONAL is always
+    * safe to write.
+    */
+  private[lake] def parquetMessageType(
+      sch: StructType): org.apache.parquet.schema.MessageType = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val b = Types.buildMessage()
+    sch.fields.foreach { f =>
+      f.dataType match {
+        case LongType    => b.addField(Types.optional(INT64).named(f.name))
+        case IntegerType => b.addField(Types.optional(INT32).named(f.name))
+        case DoubleType  => b.addField(Types.optional(DOUBLE).named(f.name))
+        case BooleanType => b.addField(Types.optional(BOOLEAN).named(f.name))
+        case StringType  => b.addField(Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case other => throw new IllegalArgumentException(
+          s"unsupported fast-path type: $other")
+      }
+    }
+    b.named("spark_schema")
+  }
 
   /** A folded checkpoint lands every this-many commits (Delta writes
     * its parquet checkpoint every 10 — same cadence). Opening a table

@@ -612,6 +612,49 @@ object Pipeline {
       |       n_dvs_added, n_dvs_removed, has_changes)
       |ORDER BY version""".stripMargin
 
+  /** Long-lifecycle checkpointed open (q232): 117 commits — 110
+    * appends interleaved with deletes and OPTIMIZE rewrites — then a
+    * COLD reopen (fresh instance, empty fold cache) must reconstruct
+    * the exact table state. The reopen folds `_last_checkpoint` plus
+    * at most [[MiniLake.CheckpointInterval]] tail entries instead of
+    * all 117 — the property that keeps a year-old streaming-ingest
+    * table (~500k commits) openable from a notebook. The emitted
+    * numbers are closed-form, so the DuckDB oracle states them from
+    * a `range()` reconstruction of the scripted lifecycle.
+    */
+  def q232CheckpointLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_ckpt").toString
+    val t = MiniLake.compact(s, s"$base/ledger")
+    import s.implicits._
+    t.create(Seq((0L, 0L)).toDF("k", "cents"))               // v0
+    for (i <- 1L to 110L) {
+      t.append(Seq((i, i * 37L % 1000L)).toDF("k", "cents"))
+      if (i % 25 == 0) t.delete(col("k") % 10 === 3)
+      if (i % 40 == 0) t.compactFiles()
+    }
+    // cold reopen: a FRESH instance with an empty fold cache — this
+    // read goes through checkpoint + tail, not a 117-entry fold
+    val fresh = MiniLake(s, s"$base/ledger")
+    fresh.snapshot().agg(
+        count(lit(1)).as("n_rows"),
+        sum("cents").cast("long").as("total_cents"),
+        max("k").as("max_k"))
+      .select(lit(fresh.latestVersion).as("last_version"),
+        col("n_rows"), col("total_cents"), col("max_k"))
+  }
+
+  // k % 10 == 3 rows appended at or before the last delete (i=100)
+  // were purged by one of the scripted deletes; only k=103 survives.
+  val q232Oracle: String =
+    """WITH ks AS (SELECT unnest(range(0, 111)) AS k),
+      |live AS (SELECT k, (k * 37) % 1000 AS cents FROM ks
+      |  WHERE k % 10 <> 3 OR k > 100)
+      |SELECT CAST(116 AS BIGINT) AS last_version,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents,
+      |  CAST(max(k) AS BIGINT) AS max_k
+      |FROM live""".stripMargin
+
   /** Right-to-be-forgotten: purge every row a set of users owns from a
     * versioned lake table, then AUDIT the purge from the change feed —
     * the GDPR/DSAR lifecycle the reference's health-data setting makes
@@ -819,7 +862,8 @@ object Pipeline {
     "q164_bloom_skipping" -> (q164BloomSkipping _),
     "q175_merge_upsert" -> (q175MergeUpsert _),
     "q176_shallow_clone" -> (q176ShallowClone _),
-    "q177_table_history" -> (q177TableHistory _)
+    "q177_table_history" -> (q177TableHistory _),
+    "q232_checkpoint_lifecycle" -> (q232CheckpointLifecycle _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -842,6 +886,7 @@ object Pipeline {
     "q164_bloom_skipping" -> q164Oracle,
     "q175_merge_upsert" -> q175Oracle,
     "q176_shallow_clone" -> q176Oracle,
-    "q177_table_history" -> q177Oracle
+    "q177_table_history" -> q177Oracle,
+    "q232_checkpoint_lifecycle" -> q232Oracle
   )
 }
