@@ -1502,6 +1502,147 @@ final class MiniLake(spark: SparkSession, val path: String,
     (nIns, nDel)
   }
 
+  /** [[merge]] under OPTIMISTIC CONCURRENCY — Delta's commit-protocol
+    * conflict detection for rewrite commits, where [[appendConcurrent]]
+    * covers blind appends. Requires a bucketed table: the hash-bucket
+    * layout is what makes two rewrites' read/write sets PROVABLY
+    * disjoint from metadata alone (a PK's row can only live in its
+    * own bucket).
+    *
+    * Protocol: compute the deltas and write data/change files ONCE
+    * against the snapshot at entry (`readV`), then race for the log
+    * publish. On losing, examine every winner committed after `readV`:
+    *  - a winner whose touched files all carry bucket ids DISJOINT
+    *    from this merge's affected buckets, with an unchanged schema
+    *    and no renames/DVs, cannot have seen or produced any row this
+    *    merge read or writes — retry the publish at the next version;
+    *  - anything else (overlapping buckets, schema change, DV delete,
+    *    unbucketed files, constraint/metadata commits) invalidates the
+    *    snapshot this rewrite was computed from — throw
+    *    [[java.util.ConcurrentModificationException]] so the caller
+    *    re-runs against fresh state, exactly Delta's
+    *    ConcurrentAppend/ConcurrentDeleteRead contract.
+    *
+    * At cluster scale this is the multi-pipeline MERGE contract: N
+    * jobs upserting different key ranges commit concurrently with one
+    * distributed write each; only genuinely overlapping keys pay a
+    * retry-from-scratch.
+    */
+  def mergeConcurrent(inserts: DataFrame, deletes: DataFrame,
+      pks: Seq[String], maxRetries: Int = 16): (Long, Long) =
+    mergeConcurrentImpl(inserts, deletes, pks, maxRetries, () => ())
+
+  /** Test seam: `beforePublish` runs after the data write, before the
+    * first publish attempt — the window a racing winner lands in.
+    */
+  private[lake] def mergeConcurrentImpl(inserts: DataFrame,
+      deletes: DataFrame, pks: Seq[String], maxRetries: Int,
+      beforePublish: () => Unit): (Long, Long) = withCommitPlanning {
+    requireSchemaMatch(inserts)
+    val spec = bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"mergeConcurrent requires a bucketed table ($path is unbucketed): " +
+        "bucket scope is what makes concurrent rewrites provably disjoint"))
+    val readV = latestVersion
+    val mySchemaJson = schemaAt(readV).json
+    val target = snapshot(readV)
+    val emptyDel = knownEmpty(deletes)
+    val emptyIns = knownEmpty(inserts)
+    val delKeys = deletes.select(pks.map(col): _*).distinct()
+    val toDelete =
+      if (emptyDel) emptyDf(spark, target.schema)
+      else target.join(delKeys, pks, "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept =
+      if (emptyDel) target else target.join(delKeys, pks, "left_anti")
+    val toInsert =
+      if (emptyIns) emptyDf(spark, target.schema)
+      else inserts.join(kept.select(pks.map(col): _*), pks, "left_anti")
+        .select(target.columns.map(col).toSeq: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def byBucket(df: DataFrame, statically: Boolean): Map[Long, Long] =
+      if (statically) Map.empty
+      else df.select(bucketExpr(spec).cast("long")).rdd
+        .map(_.getLong(0)).countByValue().toMap
+    val delByBucket = byBucket(toDelete, emptyDel)
+    val insByBucket = byBucket(toInsert, emptyIns)
+    val nDel = delByBucket.values.sum
+    val nIns = insByBucket.values.sum
+    // the read/write footprint: buckets this merge rewrote (deletes)
+    // plus buckets whose ABSENCE check justified an insert — a winner
+    // inserting the same PK would land in one of these
+    val affected = delByBucket.keySet ++ insByBucket.keySet
+    // data/change files are written once, pinned to the entry snapshot
+    // (attempt dirs stamped with readV = the files' schema era)
+    val (adds, removed, chg, changesMode) =
+      if (nDel > 0) {
+        val prior = liveFiles(readV)
+        val hit = prior.filter(f =>
+          delByBucket.keySet.exists(k => f.contains(s"/$BucketCol=$k/")))
+        val affectedTarget =
+          if (hit.isEmpty) emptyDf(spark, target.schema)
+          else readFiles(hit, readV)
+        val keptAffected = affectedTarget.join(delKeys, pks, "left_anti")
+        val (a, c) = inParallel(
+          writeData(keptAffected.unionByName(toInsert), -1L,
+            dirOverride = Some(attemptDir("data", readV))),
+          writeChanges(toDelete.withColumn(ChangeType, lit("delete"))
+            .unionByName(toInsert.withColumn(ChangeType, lit("insert"))),
+            readV, rowHint = Some(nIns + nDel)))
+        (a, hit, c, "files")
+      } else {
+        val a = writeData(toInsert, -1L, rowHint = Some(nIns),
+          dirOverride = Some(attemptDir("data", readV)))
+        (a, Seq.empty[String], Seq.empty[String], "insertsFromData")
+      }
+    toDelete.unpersist()
+    toInsert.unpersist()
+    beforePublish()
+
+    def requireCompatible(e: CommitEntry): Unit = {
+      def conflict(why: String): Nothing =
+        throw new java.util.ConcurrentModificationException(
+          s"merge on $path (read version $readV, buckets " +
+            s"${affected.toSeq.sorted.mkString("{", ",", "}")}) conflicts " +
+            s"with concurrent ${e.mode} at version ${e.version}: $why")
+      if (e.mode != "append" && e.mode != "merge")
+        conflict("only blind appends and bucket-disjoint merges commute")
+      if (e.schemaJson != mySchemaJson) conflict("schema changed")
+      if (e.renames.nonEmpty) conflict("column rename")
+      if (e.dvAdds.nonEmpty || e.dvRemoves.nonEmpty)
+        conflict("deletion vectors touched")
+      val bucketRe = s"/$BucketCol=(\\d+)/".r
+      (e.adds ++ e.removes).foreach { f =>
+        bucketRe.findFirstMatchIn(f) match {
+          case Some(m) if !affected.contains(m.group(1).toLong) => ()
+          case Some(m) => conflict(s"bucket ${m.group(1)} overlaps")
+          case None => conflict(s"unbucketed file $f")
+        }
+      }
+    }
+
+    var attempt = 0
+    while (true) {
+      val v = nextVersion
+      // every commit that landed after our snapshot must commute with
+      // this rewrite — re-checked each attempt so late winners are seen
+      listVersions.filter(_ > readV).foreach(w =>
+        requireCompatible(readEntry(w)))
+      try {
+        writeEntry(CommitEntry(v, "merge", System.currentTimeMillis(),
+          mySchemaJson, adds, removed, hasChanges = true,
+          bucketSpec = bucketSpec, changeFiles = chg,
+          changesMode = changesMode))
+        return (nIns, nDel)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          require(attempt <= maxRetries,
+            s"merge on $path lost $maxRetries commit races, giving up")
+      }
+    }
+    (-1L, -1L) // unreachable
+  }
+
   /** MERGE with UPDATE-matched semantics (the Delta
     * `whenMatchedUpdate` / `whenNotMatchedInsertAll` pair; [[merge]]
     * is the reference's delete-matched variant): source rows whose PK

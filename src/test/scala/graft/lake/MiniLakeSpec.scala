@@ -686,6 +686,98 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
       t.foldStateScratch(t.latestVersion))
   }
 
+  test("mergeConcurrent: bucket-disjoint racing merges BOTH land; " +
+      "overlapping buckets abort cleanly") {
+    val t = MiniLake.bucketed(spark, dir, Seq("key"), numBuckets = 2)
+    // keys partitioned by the table's own bucket function, so the
+    // disjointness below is by construction, not luck
+    val buckets = spark.range(1, 41).select(col("id"),
+        pmod(xxhash64(concat_ws("", col("id").cast("string"))),
+          lit(2)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b0 = buckets.collect { case (k, 0L) => k }.toSeq.sorted
+    val b1 = buckets.collect { case (k, 1L) => k }.toSeq.sorted
+    t.create(kv(b0.head -> "x", b1.head -> "y"))
+
+    // DISJOINT: while this merge (bucket 0: delete b0.head, insert
+    // b0(1)) sits between its data write and its publish, a winner
+    // merge lands entirely in bucket 1 — both must commit
+    val (ins, del) = t.mergeConcurrentImpl(
+      inserts = kv(b0(1) -> "n0"), deletes = kv(b0.head -> "x"),
+      pks = Seq("key"), maxRetries = 16,
+      beforePublish = () => {
+        val w = MiniLake(spark, dir)
+        val r = w.mergeConcurrent(
+          inserts = kv(b1(1) -> "n1"), deletes = kv(b1.head -> "y"),
+          pks = Seq("key"))
+        assert(r === (1L, 1L))
+      })
+    assert((ins, del) === (1L, 1L))
+    assert(MiniLake(spark, dir).snapshot().orderBy("key")
+      .as[(Long, String)].collect().toSeq ===
+      Seq(b0(1) -> "n0", b1(1) -> "n1").sortBy(_._1))
+
+    // OVERLAP: a winner touching bucket 0 while our merge also reads/
+    // writes bucket 0 — the loser must detect the logical conflict and
+    // abort (never last-writer-win a stale rewrite)
+    val err = intercept[java.util.ConcurrentModificationException] {
+      t.mergeConcurrentImpl(
+        inserts = kv(b0(2) -> "mine"), deletes = kv(b0(1) -> "n0"),
+        pks = Seq("key"), maxRetries = 16,
+        beforePublish = () =>
+          MiniLake(spark, dir).mergeConcurrent(
+            inserts = kv(b0(3) -> "theirs"),
+            deletes = MiniLake.emptyDf(spark, t.schema), pks = Seq("key")))
+    }
+    assert(err.getMessage.contains("conflicts"))
+    // the winner's commit survives; the loser left only vacuum debris
+    val snap = MiniLake(spark, dir).snapshot()
+      .as[(Long, String)].collect().toMap
+    assert(snap(b0(3)) === "theirs")
+    assert(snap(b0(1)) === "n0") // loser's delete did NOT land
+    assert(!snap.contains(b0(2)))
+
+    // SCHEMA CHANGE: a widening append between read and publish
+    // invalidates the rewrite's pinned schema — abort
+    intercept[java.util.ConcurrentModificationException] {
+      t.mergeConcurrentImpl(
+        inserts = kv(b0(4) -> "v"), deletes = MiniLake.emptyDf(spark, t.schema),
+        pks = Seq("key"), maxRetries = 16,
+        beforePublish = () =>
+          MiniLake(spark, dir).append(
+            kv(b1(2) -> "w").withColumn("extra", lit(1L)),
+            mergeSchema = true))
+    }
+  }
+
+  test("mergeConcurrent fuzz: racing bucket-disjoint merges all land " +
+      "through the publish-retry path") {
+    val n = 8
+    val t = MiniLake.bucketed(spark, dir, Seq("key"), numBuckets = n)
+    // one key per bucket, derived from the table's own bucket function
+    val perBucket = spark.range(1, 200).select(col("id"),
+        pmod(xxhash64(concat_ws("", col("id").cast("string"))),
+          lit(n.toLong)).as("b"))
+      .collect().groupBy(_.getLong(1)).map { case (b, rs) =>
+        b -> rs.head.getLong(0)
+      }
+    assert(perBucket.size === n)
+    t.create(kv(0L -> "seed"))
+    val keys = perBucket.values.toSeq.sorted
+    val threads = keys.map { k =>
+      new Thread(() => {
+        val w = MiniLake(spark, dir)
+        w.mergeConcurrent(kv(k -> s"v$k"),
+          MiniLake.emptyDf(spark, w.schema), Seq("key"))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val snap = MiniLake(spark, dir).snapshot().as[(Long, String)]
+      .collect().toMap
+    keys.foreach(k => assert(snap.get(k) === Some(s"v$k"), s"key $k lost"))
+    assert(MiniLake(spark, dir).latestVersion === keys.size.toLong)
+  }
+
   test("constraint violation attributes every violated name in one pass") {
     val t = MiniLake(spark, dir)
     t.create(kv(1L -> "a"))
