@@ -19,7 +19,8 @@ object SparkEntry {
       ops.Skew.queries ++ ops.Profiling.queries ++ ops.Reshape.queries ++
       ops.CorpusHygiene.queries ++ ops.Layout.queries ++
       ops.HeavyHitters.queries ++ ops.Ivm.queries ++ ops.Features.queries ++
-      ops.TextSources.queries ++ ops.Eval.queries
+      ops.TextSources.queries ++ ops.Eval.queries ++
+      streaming.CdfStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       ops.Skew.oracles ++ ops.Profiling.oracles ++ ops.Reshape.oracles ++
       ops.CorpusHygiene.oracles ++ ops.Layout.oracles ++
       ops.HeavyHitters.oracles ++ ops.Ivm.oracles ++ ops.Features.oracles ++
-      ops.TextSources.oracles ++ ops.Eval.oracles
+      ops.TextSources.oracles ++ ops.Eval.oracles ++
+      streaming.CdfStream.oracles
 }

@@ -2224,7 +2224,7 @@ object MiniLake {
         org.apache.spark.sql.types.StringType, nullable = false))
 
   /** Full CDF read schema: data + all three metadata columns. */
-  private[lake] def changeSchema(sch: StructType): StructType = {
+  private[graft] def changeSchema(sch: StructType): StructType = {
     import org.apache.spark.sql.types._
     StructType(changeDataSchema(sch).fields ++ Seq(
       StructField(CommitVersion, LongType, nullable = false),

@@ -1,0 +1,167 @@
+// Copyright (c) 2026 graft contributors
+// SPDX-License-Identifier: Apache-2.0
+
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.lake.MiniLake
+
+/** Structured-Streaming SOURCE over a MiniLake change feed — the
+  * streaming closure of the batch CDC story (Delta's
+  * `readChangeFeed`-as-stream; the reference consumes the same feed in
+  * batch at patient_notes/src/patient_notes/datalake.py:88-94):
+  *
+  * {{{
+  *   spark.readStream
+  *     .format(classOf[MiniLakeCdfSourceProvider].getName)
+  *     .option("path", tablePath)
+  *     .option("startingVersion", "0")   // default 0
+  *     .load()                           // data cols + _change_type/
+  *                                       // _commit_version/_commit_timestamp
+  * }}}
+  *
+  * Offsets ARE commit versions: each micro-batch serves the rows of
+  * `readChanges(lastSeen + 1, latest)` — newly committed versions
+  * only, discovered by watching the `_log` directory (a metadata
+  * listing, no data scan). Exactly-once downstream composes the same
+  * way as every replayable source here: the sink pairs the batchId
+  * with [[MiniLake.appendIfAbsent]] txn markers.
+  *
+  * Scale: a micro-batch's plan is the batch CDF read — schema'd
+  * parquet scans of the change files for the version range, unioned
+  * and conformed — so per-batch cost is bounded by the churn in that
+  * range, never the table size.
+  */
+final class MiniLakeCdfSourceProvider
+    extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "minilake-cdf"
+
+  private def lakeFor(sqlContext: SQLContext,
+      parameters: Map[String, String]): MiniLake = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "minilake-cdf requires option 'path' (the table root)"))
+    MiniLake(sqlContext.sparkSession, path)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val lake = lakeFor(sqlContext, parameters)
+    require(lake.exists, s"no MiniLake table at ${parameters("path")}")
+    (shortName(), MiniLake.changeSchema(lake.schema))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new MiniLakeCdfSource(lakeFor(sqlContext, parameters),
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+}
+
+/** Driver gates for the streaming change-feed source. */
+object CdfStream {
+  import org.apache.spark.sql.{Dataset, Row, SparkSession}
+  import org.apache.spark.sql.functions._
+
+  /** q233: maintain a silver table FROM THE STREAMED change feed of
+    * the q19 bronze lifecycle (create / append / merge-delete, each
+    * processed as its own micro-batch like the watermarked batch CDC
+    * does) — the final silver snapshot must equal the batch-CDC
+    * silver, so the gate re-uses q19's oracle verbatim. Replay safety:
+    * offsets are commit versions checkpointed by the engine, and the
+    * apply step is MiniLake.merge, whose delete-matched/insert-absent
+    * semantics are idempotent under at-least-once redelivery (C5).
+    */
+  def q233StreamCdcSilver(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_cdfstream").toString
+    val bronzePath = s"$base/bronze"
+    val silverPath = s"$base/silver"
+    val docs = graft.Tables.documents(s, dir)
+      .filter(col("doc_id") < 400 || col("doc_id") % 7 === 0).persist()
+    val bronze = MiniLake(s, bronzePath)
+    bronze.create(docs.filter(col("doc_id") < 300))          // v0
+
+    val apply: (Dataset[Row], Long) => Unit = (batch, _) => {
+      val silver = MiniLake(s, silverPath)
+      val dataCols = batch.columns
+        .filterNot(MiniLake.MetaColumns.contains).toSeq
+      val inserts = batch
+        .filter(col(MiniLake.ChangeType) === "insert")
+        .select(dataCols.map(col): _*)
+      val deletes = batch
+        .filter(col(MiniLake.ChangeType) === "delete")
+        .select(dataCols.map(col): _*)
+      if (!silver.exists) silver.create(inserts)   // C7: meta cols dropped
+      else silver.merge(inserts, deletes, Seq("doc_id"))
+      ()
+    }
+    val q = s.readStream
+      .format(classOf[MiniLakeCdfSourceProvider].getName)
+      .option("path", bronzePath).load()
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(apply).start()
+    try {
+      q.processAllAvailable()                                // batch: v0
+      bronze.append(docs.filter(col("doc_id") >= 300 &&
+        col("doc_id") < 400))                                // v1
+      q.processAllAvailable()                                // batch: v1
+      bronze.merge(inserts = MiniLake.emptyDf(s, bronze.schema),
+        deletes = docs.filter(col("doc_id") % 7 === 0),
+        pks = Seq("doc_id"))                                 // v2
+      q.processAllAvailable()                                // batch: v2
+    } finally q.stop()
+    docs.unpersist()
+    MiniLake(s, silverPath).snapshot()
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_stream_cdc_silver" -> (q233StreamCdcSilver _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    // the stream-maintained silver must equal the batch-CDC silver
+    "q233_stream_cdc_silver" -> graft.ops.Pipeline.q19Oracle
+  )
+}
+
+final class MiniLakeCdfSource(lake: MiniLake, startingVersion: Long)
+    extends Source {
+
+  override val schema: StructType = MiniLake.changeSchema(lake.schema)
+
+  private def versionOf(o: Offset): Long = o match {
+    case LongOffset(v)       => v
+    case SerializedOffset(j) => j.trim.toLong
+    case other => throw new IllegalArgumentException(
+      s"unexpected offset type: $other")
+  }
+
+  /** Latest committed version — one `_log` listing, no data touched. */
+  override def getOffset: Option[Offset] = {
+    val v = lake.latestVersion
+    if (v < startingVersion) None else Some(LongOffset(v))
+  }
+
+  /** Changes of versions (start, end] — exactly the batch CDF read,
+    * so a stream-maintained table provably equals its batch-CDC
+    * sibling (CdfSourceSpec pins this; gate q233 hash-checks it).
+    */
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val lo = start.map(versionOf(_) + 1).getOrElse(startingVersion)
+    val hi = versionOf(end)
+    // V1 contract: the returned frame must carry isStreaming=true; the
+    // bridge wraps the batch plan lazily, pushdown intact
+    org.apache.spark.sql.GraftStreamingBridge.asStreamingFrame(
+      lake.readChanges(lo, hi))
+  }
+
+  override def stop(): Unit = ()
+}

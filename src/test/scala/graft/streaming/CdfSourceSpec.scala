@@ -1,0 +1,110 @@
+// Copyright (c) 2026 graft contributors
+// SPDX-License-Identifier: Apache-2.0
+
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.lake.MiniLake
+
+class CdfSourceSpec extends AnyFunSuite with BeforeAndAfterEach {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private var dir: String = _
+  override def beforeEach(): Unit =
+    dir = Files.createTempDirectory("cdfsrc").toString + "/t"
+  override def afterEach(): Unit =
+    MiniLake.deleteRecursively(dir)
+
+  private def kv(rows: (Long, String)*) = rows.toDF("key", "value")
+
+  private def readCdfStream() = spark.readStream
+    .format(classOf[MiniLakeCdfSourceProvider].getName)
+    .option("path", dir)
+    .load()
+
+  test("streamed change feed equals the batch CDF read, including " +
+      "incremental micro-batches for later commits") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a", 2L -> "b"))                         // v0
+    t.append(kv(3L -> "c"))                                    // v1
+    t.merge(inserts = kv(4L -> "d"), deletes = kv(2L -> "b"),
+      pks = Seq("key"))                                        // v2
+
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    val q = readCdfStream().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        seen.synchronized {
+          seen ++= batch
+            .select("key", "value", MiniLake.ChangeType,
+              MiniLake.CommitVersion)
+            .collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+              r.getLong(3)))
+        }
+        ()
+    }.start()
+    try {
+      q.processAllAvailable()
+      def batchCdf(lo: Long, hi: Long) =
+        t.readChanges(lo, hi)
+          .select("key", "value", MiniLake.ChangeType, MiniLake.CommitVersion)
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getLong(3)))
+      assert(seen.sorted.toSeq === batchCdf(0, 2).toSeq.sorted)
+
+      // commits landing while the stream runs surface as new batches
+      seen.clear()
+      t.append(kv(5L -> "e"))                                  // v3
+      t.update(col("key") === 1L, Map("value" -> lit("a2")))   // v4
+      q.processAllAvailable()
+      assert(seen.sorted.toSeq === batchCdf(3, 4).toSeq.sorted)
+    } finally q.stop()
+  }
+
+  test("startingVersion skips history; checkpointed restart does not " +
+      "redeliver (replay idempotence at the offset level)") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a"))            // v0 — history to skip
+    t.append(kv(2L -> "b"))            // v1
+    val ckpt = Files.createTempDirectory("cdfsrc_ck").toString
+
+    def run(): Seq[(Long, Long)] = {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val q = spark.readStream
+        .format(classOf[MiniLakeCdfSourceProvider].getName)
+        .option("path", dir).option("startingVersion", "1")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            seen.synchronized {
+              seen ++= batch.select("key", MiniLake.CommitVersion).collect()
+                .map(r => (r.getLong(0), r.getLong(1)))
+            }
+            ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      seen.toSeq
+    }
+
+    // first run: v1 only (v0 skipped by startingVersion)
+    assert(run().sorted === Seq(2L -> 1L))
+    // restart with the same checkpoint after one more commit: ONLY the
+    // new version arrives — no redelivery of v1
+    t.append(kv(3L -> "c"))            // v2
+    assert(run().sorted === Seq(3L -> 2L))
+    // idle restart delivers nothing
+    assert(run() === Seq.empty)
+  }
+}
