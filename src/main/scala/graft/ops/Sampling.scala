@@ -503,14 +503,16 @@ object Sampling {
     * the coverage-sampling shape behind "pick k docs that span the
     * vocabulary / topic space" curation passes.
     *
-    * Scale: each round is ONE distributed job — a broadcast ANTI join
-    * of the (doc, token) stream against the covered-token set (a
-    * vocabulary-BOUNDED frame, never corpus-sized) into a map-side
-    * combinable gain count and a global argmax (TakeOrdered of 1 row)
-    * — and the driver state per round is one (doc_id, gain) pair.
-    * K is small by construction (curation picks tens, not millions).
-    * The oracle replays the identical greedy chain as K materialized
-    * CTE rounds.
+    * Scale: the token frame builds in ONE narrow scan (within-doc
+    * dedup via array_distinct — doc_id is the PK, so no corpus-sized
+    * DISTINCT shuffle exists) and persists once. Each round is then
+    * ONE distributed job: a broadcast ANTI join against the covered
+    * set — re-derived as a broadcast-sized subplan (tokens of the ≤K
+    * picked docs), so no per-round materialization job — into a
+    * map-side-combinable gain count and a TakeOrdered-of-1 argmax.
+    * Driver state per round is one (doc_id, gain) pair; K is small by
+    * construction (curation picks tens, not millions). The oracle
+    * replays the identical greedy chain as K materialized CTE rounds.
     */
   val CoverageRounds = 8
 
@@ -529,22 +531,39 @@ object Sampling {
     // ~50k-row stages, and the extra build shuffle outweighed the
     // elision; the q198/q207 standing-partition device pays off on
     // edge lists orders of magnitude wider than this)
+    // per-(doc, token) dedup happens INSIDE the row (array_distinct
+    // before the explode): doc_id is the table's PK, so cross-row
+    // duplicates cannot exist and the corpus-sized distinct shuffle
+    // the previous form paid (~1M rows at sf0.1) disappears — the
+    // token frame builds in one narrow scan, zero exchanges
     val tokD = documents(s, dir)
-      .select(col("doc_id"), explode(bigrams).as("tk"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(bigrams)).as("tk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the covered set is vocabulary-bounded (≤ distinct bigrams), so
-    // each round pins it as ONE single-partition eager checkpoint —
-    // one job, one task — instead of a 32-partition persist+count;
-    // the greedy loop is scheduling-bound, not data-bound (measured:
-    // 7.8 s → the checkpointed form at sf0.1 on 47 MB of input)
-    var covered: DataFrame = tokD.select(col("tk")).limit(0)
+    // the covered set is never materialized: it is BY CONSTRUCTION the
+    // tokens of the ≤K picked documents, so each round re-derives it
+    // as a broadcast-sized subplan over the persisted token frame
+    // (filter on the picked doc ids). That makes the whole round ONE
+    // job — anti-join against the derived cover, map-side-combinable
+    // gain count, TakeOrdered argmax — where the previous form paid a
+    // second eager job per round just to checkpoint the cover
+    // (measured: 17 jobs → 9 at K=8; the loop is scheduler-bound, so
+    // job count IS the wall clock).
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
     val picks = Seq.newBuilder[(Long, Long, Long, Long)]
     var total = 0L
     var round = 1
     var done = false
     while (round <= CoverageRounds && !done) {
-      val win = tokD.join(broadcast(covered), Seq("tk"), "left_anti")
+      val uncovered =
+        if (picked.isEmpty) tokD
+        else tokD.join(
+          // no distinct: LEFT ANTI ignores build-side duplicates, and
+          // dropping it removes a whole shuffle stage from every round
+          broadcast(tokD.filter(col("doc_id").isin(picked.toSeq: _*))
+            .select(col("tk"))),
+          Seq("tk"), "left_anti")
+      val win = uncovered
         .groupBy("doc_id").agg(count(lit(1)).as("g"))
         .orderBy(col("g").desc, col("doc_id")).limit(1).collect()
       if (win.isEmpty) done = true
@@ -552,11 +571,7 @@ object Sampling {
         val w = win.head.getLong(0); val g = win.head.getLong(1)
         total += g
         picks += ((round.toLong, w, g, total))
-        covered = covered
-          .union(tokD.filter(col("doc_id") === w).select(col("tk")))
-          .coalesce(1)
-          .distinct()
-          .localCheckpoint()
+        picked += w
         round += 1
       }
     }
