@@ -10,6 +10,11 @@ import java.nio.file.{Files, Path}
   * scratch dirs live under ONE root that a shutdown hook deletes, so
   * repeated invocations — the bench runs every query three times —
   * don't accumulate full copies of exported/laked data on disk.
+  *
+  * This is RUNTIME infrastructure, not a dev tool: the lake-lifecycle
+  * and streaming gate queries (q19, q58, q84, q232, q233, …) allocate
+  * their table roots through it, which is why it lives in src/main
+  * while the profilers live under src/test/graft/tools.
   */
 object Scratch {
 

@@ -789,7 +789,7 @@ object Relational {
   }
 
   val q146Oracle: String =
-    """WITH ew AS (
+    """WITH ew AS MATERIALIZED (
       |  SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
       |  FROM lineitem
       |  JOIN orders ON l_orderkey = o_orderkey
@@ -797,27 +797,27 @@ object Relational {
       |  JOIN supplier ON l_suppkey = s_suppkey
       |  WHERE s_nationkey <> c_nationkey
       |  GROUP BY 1, 2),
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT src, dst,
       |    (w * 1000000) // sum(w) OVER (PARTITION BY src) AS share
       |  FROM ew),
-      |r0 AS (SELECT n_nationkey AS node, 1000000000000 // 25 AS r
+      |r0 AS MATERIALIZED (SELECT n_nationkey AS node, 1000000000000 // 25 AS r
       |       FROM nation),
-      |i1 AS (SELECT n.n_nationkey AS node,
+      |i1 AS MATERIALIZED (SELECT n.n_nationkey AS node,
       |  CAST(6000000000 + coalesce(
       |    sum((r0.r * 17 // 20) * e.share // 1000000), 0) AS BIGINT) AS r
       | FROM nation n
       | LEFT JOIN edges e ON e.dst = n.n_nationkey
       | LEFT JOIN r0 ON r0.node = e.src
       | GROUP BY 1),
-      |i2 AS (SELECT n.n_nationkey AS node,
+      |i2 AS MATERIALIZED (SELECT n.n_nationkey AS node,
       |  CAST(6000000000 + coalesce(
       |    sum((i1.r * 17 // 20) * e.share // 1000000), 0) AS BIGINT) AS r
       | FROM nation n
       | LEFT JOIN edges e ON e.dst = n.n_nationkey
       | LEFT JOIN i1 ON i1.node = e.src
       | GROUP BY 1),
-      |i3 AS (SELECT n.n_nationkey AS node,
+      |i3 AS MATERIALIZED (SELECT n.n_nationkey AS node,
       |  CAST(6000000000 + coalesce(
       |    sum((i2.r * 17 // 20) * e.share // 1000000), 0) AS BIGINT) AS r
       | FROM nation n

@@ -1,7 +1,9 @@
 // Copyright (c) 2026 graft contributors
 // SPDX-License-Identifier: Apache-2.0
 
-package graft
+package graft.tools
+
+import graft.{ops, SparkEntry}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
