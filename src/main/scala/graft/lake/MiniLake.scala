@@ -53,7 +53,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
 final class MiniLake(spark: SparkSession, val path: String,
     compact: Boolean = false,
     bucketSpecAtCreate: Option[MiniLake.BucketSpec] = None,
-    partitionColsAtCreate: Seq[String] = Seq.empty) {
+    partitionColsAtCreate: Seq[String] = Seq.empty,
+    generatedColsAtCreate: Seq[(String, String)] = Seq.empty) {
   import MiniLake._
 
   // capture the session AQE default at construction — before any
@@ -86,6 +87,28 @@ final class MiniLake(spark: SparkSession, val path: String,
   private def bucketExpr(spec: BucketSpec): Column =
     pmod(xxhash64(concat_ws("\u0001",
       spec.pks.map(c => col(c).cast("string")): _*)), lit(spec.numBuckets))
+
+  /** GENERATED ALWAYS AS columns (Delta generated-column semantics),
+    * fixed at create time like the bucket/partition layout: ordered
+    * (name → SQL expression) pairs. Writers may omit the column (it is
+    * computed) or supply it (it is VALIDATED — an implicit CHECK
+    * `name <=> expr` folded into the single write-probe pass). The
+    * flagship combination is a generated date PARTITION column:
+    * callers append raw event batches and driver-side partition
+    * pruning on the derived day comes for free — the Delta use case.
+    */
+  private def generatedCols: Seq[(String, String)] =
+    if (!exists) generatedColsAtCreate
+    else readEntry(listVersions.head).generatedCols
+
+  /** Compute any ABSENT generated columns on an incoming batch (the
+    * write-side half of the contract; supplied values are validated
+    * in [[requireCheckConstraints]]'s probe instead).
+    */
+  private def withGenerated(df: DataFrame): DataFrame =
+    generatedCols.foldLeft(df) { case (d, (name, sql)) =>
+      if (d.columns.contains(name)) d else d.withColumn(name, expr(sql))
+    }
 
   // ---- log ----------------------------------------------------------
 
@@ -403,7 +426,11 @@ final class MiniLake(spark: SparkSession, val path: String,
         .getOrElse(Map.empty),
       renames = Option(m.get("renames"))
         .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap)
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty),
+      generatedCols = Option(m.get("generatedCols"))
+        .map(_.asInstanceOf[java.util.List[java.util.List[String]]]
+          .asScala.toSeq.map(p => (p.get(0), p.get(1))))
+        .getOrElse(Seq.empty))
   }
 
   /** File-level min/max stats for INT64 and UTF8-string columns, read
@@ -540,7 +567,14 @@ final class MiniLake(spark: SparkSession, val path: String,
     val withRenames =
       if (e.renames.isEmpty) withConstraints
       else withConstraints + ("renames" -> e.renames.asJava)
-    val bytes = mapper.writeValueAsBytes(withRenames.asJava)
+    // generated columns are a create-time property (like the partition
+    // layout); stamp every entry from the resolved value
+    val tableGen = generatedCols
+    val withGen =
+      if (tableGen.isEmpty) withRenames
+      else withRenames + ("generatedCols" ->
+        tableGen.map { case (n, x) => java.util.List.of(n, x) }.asJava)
+    val bytes = mapper.writeValueAsBytes(withGen.asJava)
     // writer-unique tmp: two committers racing the SAME version must
     // not share a tmp path, or the link winner could publish the
     // loser's bytes written into the common tmp between write and link
@@ -631,6 +665,8 @@ final class MiniLake(spark: SparkSession, val path: String,
     val sch = schema
     require(sch.fieldNames.contains(from), s"no such column: $from")
     require(!sch.fieldNames.contains(to), s"column exists: $to")
+    require(!generatedCols.exists(_._1 == from),
+      s"cannot rename generated column: $from")
     // pre-drop file groups still physically carry a dropped column;
     // renaming another column INTO that name would hand conformTo two
     // physical sources for one logical name (ambiguous reference) —
@@ -663,6 +699,8 @@ final class MiniLake(spark: SparkSession, val path: String,
     require(!bucketSpec.exists(_.pks.contains(name)) &&
       !partitionCols.contains(name),
       s"cannot drop a bucketing/partitioning column: $name")
+    require(!generatedCols.exists(_._1 == name),
+      s"cannot drop generated column: $name")
     val newSch = StructType(sch.filterNot(_.name == name))
     writeEntry(CommitEntry(v, "drop", System.currentTimeMillis(),
       newSch.json, Seq.empty, Seq.empty, hasChanges = false,
@@ -1017,7 +1055,13 @@ final class MiniLake(spark: SparkSession, val path: String,
     * debris for vacuum, never state.
     */
   private def requireCheckConstraints(df: DataFrame): Unit = {
-    val cs = checkConstraints
+    // generated columns validate as implicit CHECKs in the same probe:
+    // a caller-supplied value must equal the generation expression
+    // (for engine-computed values the predicate is a tautology
+    // evaluated inside the already-paid scan)
+    val cs = checkConstraints ++ generatedCols.map { case (n, x) =>
+      s"generated col $n" -> s"`$n` <=> ($x)"
+    }
     if (cs.nonEmpty) {
       // ONE aggregate pass: a per-constraint violation count in a
       // single job (sum(when(violates, 1))) — probe and attribution
@@ -1175,7 +1219,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   def create(df: DataFrame, rowHint: Option[Long] = None): Unit = {
     require(!exists, s"table $path already exists")
-    commitInsertOnly(df, mode = "create", rowHint)
+    commitInsertOnly(withGenerated(df), mode = "create", rowHint)
   }
 
   /** Append (S3). With `mergeSchema = true`, Delta's additive schema
@@ -1187,7 +1231,8 @@ final class MiniLake(spark: SparkSession, val path: String,
     * new columns — no rewrite of history (schema-on-read, the only
     * evolution that is feasible on a 100 TB table).
     */
-  def append(df: DataFrame, mergeSchema: Boolean = false): Unit = {
+  def append(batch: DataFrame, mergeSchema: Boolean = false): Unit = {
+    val df = withGenerated(batch)
     if (mergeSchema && exists) {
       val merged = mergedSchemaWith(schema, df.schema, path,
         droppedNames(latestVersion))
@@ -1212,8 +1257,9 @@ final class MiniLake(spark: SparkSession, val path: String,
     * write and bookkeeping cannot double-apply on replay. Returns false
     * (no commit) when this txn version was already applied.
     */
-  def appendIfAbsent(df: DataFrame, appId: String,
+  def appendIfAbsent(batch: DataFrame, appId: String,
       txnVersion: Long): Boolean = {
+    val df = withGenerated(batch)
     if (lastTxnVersion(appId) >= txnVersion) false
     else {
       requireSchemaMatch(df)
@@ -1244,7 +1290,8 @@ final class MiniLake(spark: SparkSession, val path: String,
     * number of executors/jobs appending concurrently, each paying one
     * distributed write plus a few driver-side retry reads.
     */
-  def appendConcurrent(df: DataFrame, maxRetries: Int = 32): Long = {
+  def appendConcurrent(batch: DataFrame, maxRetries: Int = 32): Long = {
+    val df = withGenerated(batch)
     requireSchemaMatch(df)
     // the attempt dir is stamped with the READ version, not the claimed
     // one: the version segment is the file's schema ERA for rename-
@@ -1419,14 +1466,15 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   def merge(inserts: DataFrame, deletes: DataFrame,
       pks: Seq[String]): (Long, Long) = withCommitPlanning {
-    requireSchemaMatch(inserts)
+    val ins = withGenerated(inserts)
+    requireSchemaMatch(ins)
     val target = snapshot()
     // A statically-empty side (pure-insert or pure-delete batches —
     // the common CDC shapes) skips its joins entirely: each skipped
     // broadcast join is a driver-side plan + an extra Spark job, which
     // dominates small-commit latency.
     val emptyDel = knownEmpty(deletes)
-    val emptyIns = knownEmpty(inserts)
+    val emptyIns = knownEmpty(ins)
     // Deletes apply BEFORE the not-matched-insert check (the reference
     // executes whenMatchedDelete then whenNotMatchedInsertAll,
     // datalake.py:194-211) — so a PK deleted and re-inserted in the
@@ -1440,7 +1488,7 @@ final class MiniLake(spark: SparkSession, val path: String,
       if (emptyDel) target else target.join(delKeys, pks, "left_anti")
     val toInsert =
       if (emptyIns) emptyDf(spark, target.schema)
-      else inserts.join(kept.select(pks.map(col): _*), pks, "left_anti")
+      else ins.join(kept.select(pks.map(col): _*), pks, "left_anti")
         .select(target.columns.map(col).toSeq: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -2086,7 +2134,8 @@ object MiniLake {
       dvAdds: Seq[String] = Seq.empty,
       dvRemoves: Seq[String] = Seq.empty,
       constraints: Map[String, String] = Map.empty,
-      renames: Map[String, String] = Map.empty)
+      renames: Map[String, String] = Map.empty,
+      generatedCols: Seq[(String, String)] = Seq.empty)
 
   def apply(spark: SparkSession, path: String): MiniLake =
     new MiniLake(spark, path)
@@ -2103,6 +2152,17 @@ object MiniLake {
       numBuckets: Int): MiniLake =
     new MiniLake(spark, path,
       bucketSpecAtCreate = Some(BucketSpec(pks, numBuckets)))
+
+  /** Variant with GENERATED ALWAYS AS columns (ordered name → SQL
+    * expression), optionally value-partitioned — partitioning BY a
+    * generated column is the Delta flagship: append raw batches, get
+    * derived-date partition pruning for free.
+    */
+  def generated(spark: SparkSession, path: String,
+      generatedCols: Seq[(String, String)],
+      partitionCols: Seq[String] = Seq.empty): MiniLake =
+    new MiniLake(spark, path, partitionColsAtCreate = partitionCols,
+      generatedColsAtCreate = generatedCols)
 
   /** Variant with value-partitioned layout (`_p_<col>=<value>` dirs):
     * `snapshotWhere` prunes partitions on the driver before any scan.

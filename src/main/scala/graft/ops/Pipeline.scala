@@ -655,6 +655,45 @@ object Pipeline {
       |  CAST(max(k) AS BIGINT) AS max_k
       |FROM live""".stripMargin
 
+  /** GENERATED ALWAYS AS column as the PARTITION key (q234) — the
+    * Delta generated-column flagship: the table declares
+    * `day = date_format(ts, 'yyyy-MM-dd')` at create time, callers
+    * append RAW event batches (no day column anywhere in the caller's
+    * code), and the engine computes the derived day on every write —
+    * so the value-partitioned layout, driver-side partition pruning,
+    * and the implicit CHECK validating any caller-supplied value all
+    * come from one declaration. The 3-day report reads through
+    * `snapshotWhere`, so the pruning path is load-bearing for the
+    * oracle match.
+    */
+  def q234GeneratedPartition(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_gen").toString
+    val t = MiniLake.generated(s, s"$base/events",
+      generatedCols = Seq("day" -> "date_format(ts, 'yyyy-MM-dd')"),
+      partitionCols = Seq("day"))
+    val e = events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts").cast("timestamp").as("ts"))
+    t.create(e.filter(col("event_id") % 2 === 0))
+    t.append(e.filter(col("event_id") % 2 === 1))
+    t.snapshotWhere(p =>
+        p("day") >= "2024-01-05" && p("day") <= "2024-01-07")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).cast("decimal(18,2)")
+          .cast("double").as("total_value"))
+      .orderBy("day")
+  }
+
+  val q234Oracle: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+      | CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS DOUBLE)
+      |   AS total_value
+      |FROM events
+      |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-07'
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+
   /** Right-to-be-forgotten: purge every row a set of users owns from a
     * versioned lake table, then AUDIT the purge from the change feed —
     * the GDPR/DSAR lifecycle the reference's health-data setting makes
@@ -863,7 +902,8 @@ object Pipeline {
     "q175_merge_upsert" -> (q175MergeUpsert _),
     "q176_shallow_clone" -> (q176ShallowClone _),
     "q177_table_history" -> (q177TableHistory _),
-    "q232_checkpoint_lifecycle" -> (q232CheckpointLifecycle _)
+    "q232_checkpoint_lifecycle" -> (q232CheckpointLifecycle _),
+    "q234_generated_partition" -> (q234GeneratedPartition _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -887,6 +927,7 @@ object Pipeline {
     "q175_merge_upsert" -> q175Oracle,
     "q176_shallow_clone" -> q176Oracle,
     "q177_table_history" -> q177Oracle,
-    "q232_checkpoint_lifecycle" -> q232Oracle
+    "q232_checkpoint_lifecycle" -> q232Oracle,
+    "q234_generated_partition" -> q234Oracle
   )
 }

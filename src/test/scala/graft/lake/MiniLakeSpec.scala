@@ -778,6 +778,41 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(MiniLake(spark, dir).latestVersion === keys.size.toLong)
   }
 
+  test("generated columns: computed when absent, validated when " +
+      "supplied, guarded against drop/rename") {
+    val t = MiniLake.generated(spark, dir,
+      generatedCols = Seq("value_len" -> "length(value)"))
+    // create computes the absent column
+    t.create(kv(1L -> "abc", 2L -> "de"))
+    assert(t.snapshot().columns.toSeq === Seq("key", "value", "value_len"))
+    assert(t.snapshot().orderBy("key")
+      .select("value_len").as[Int].collect().toSeq === Seq(3, 2))
+    // append without the column computes it; with a CORRECT value
+    // passes; with a WRONG value rejects (implicit CHECK)
+    t.append(kv(3L -> "wxyz"))
+    t.append(Seq((4L, "pq", 2)).toDF("key", "value", "value_len"))
+    val err = intercept[IllegalArgumentException] {
+      t.append(Seq((5L, "pq", 99)).toDF("key", "value", "value_len"))
+    }
+    assert(err.getMessage.contains("generated col value_len"))
+    assert(t.snapshot().count() === 4)
+    // merge inserts compute it too
+    t.merge(inserts = kv(6L -> "hello"),
+      deletes = MiniLake.emptyDf(spark, kv().schema), pks = Seq("key"))
+    assert(t.snapshot().filter($"key" === 6L)
+      .select("value_len").as[Int].head() === 5)
+    // lifecycle guards
+    intercept[IllegalArgumentException] { t.dropColumn("value_len") }
+    intercept[IllegalArgumentException] {
+      t.renameColumn("value_len", "vl")
+    }
+    // reopen recovers the generation rule from the log
+    val fresh = MiniLake(spark, dir)
+    fresh.append(kv(7L -> "abcdef"))
+    assert(fresh.snapshot().filter($"key" === 7L)
+      .select("value_len").as[Int].head() === 6)
+  }
+
   test("constraint violation attributes every violated name in one pass") {
     val t = MiniLake(spark, dir)
     t.create(kv(1L -> "a"))
