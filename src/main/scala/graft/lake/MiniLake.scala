@@ -1973,6 +1973,40 @@ final class MiniLake(spark: SparkSession, val path: String,
       removesAll = true)
   }
 
+  /** GENERATE symlink_format_manifest (Delta's Presto/Trino/Athena
+    * interop verb): publish the CURRENT live file list as newline-
+    * separated absolute paths under `_symlink_format_manifest/` — one
+    * manifest per partition directory for value-partitioned tables
+    * (external engines prune on the manifest directory structure),
+    * one flat `manifest` otherwise. Metadata-only: no data file is
+    * read or written; the manifest is a SNAPSHOT (like Delta's, it
+    * must be re-generated after writes — callers that need freshness
+    * re-run it; no logical commit is created).
+    */
+  def generateSymlinkManifest(): Unit = {
+    require(exists, s"table $path does not exist")
+    val manifestRoot = root.resolve("_symlink_format_manifest")
+    MiniLake.deleteRecursively(manifestRoot.toString)
+    val live = liveFiles(latestVersion)
+    val byPart: Map[Seq[String], Seq[String]] = live.groupBy { f =>
+      f.split('/').iterator.filter(_.startsWith(PartPrefix)).map { seg =>
+        // external layout uses plain <col>=<value> dir names
+        seg.substring(PartPrefix.length)
+      }.toSeq
+    }
+    byPart.foreach { case (partSegs, files) =>
+      val dir = partSegs.foldLeft(manifestRoot)(_ resolve _)
+      Files.createDirectories(dir)
+      Files.write(dir.resolve("manifest"),
+        files.sorted.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    if (byPart.isEmpty) { // empty table: an empty flat manifest
+      Files.createDirectories(manifestRoot)
+      Files.write(manifestRoot.resolve("manifest"), Array.empty[Byte])
+    }
+  }
+
   private def requireSchemaMatch(df: DataFrame): Unit = {
     if (exists) {
       val expected = schema.fields.map(f => (f.name, f.dataType)).toSeq

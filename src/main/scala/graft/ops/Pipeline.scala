@@ -694,6 +694,53 @@ object Pipeline {
       |GROUP BY day
       |ORDER BY day""".stripMargin
 
+  /** Symlink-format manifest interop (q235) — Delta's
+    * `GENERATE symlink_format_manifest` verb: after a lifecycle whose
+    * delete REWROTE the live set (so stale pre-delete files still sit
+    * on disk for vacuum), the manifest must reference EXACTLY the live
+    * files; the gate then reads the table the way Presto/Trino would —
+    * parquet paths taken from the manifest text files, no commit log —
+    * and the numbers must match plain SQL with the delete applied.
+    * Partitioned layout: one manifest per `lang=<v>` directory, so an
+    * external engine's partition pruning works off the directory tree.
+    */
+  def q235SymlinkManifest(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_manifest").toString
+    val path = s"$base/docs"
+    val t = MiniLake.partitioned(s, path, Seq("lang"))
+    val d = documents(s, dir).select("doc_id", "lang", "n_chars")
+    t.create(d.filter(col("doc_id") % 2 === 0))
+    t.append(d.filter(col("doc_id") % 2 === 1))
+    t.delete(col("doc_id") % 5 === 0) // COW rewrite leaves stale files
+    t.generateSymlinkManifest()
+
+    // read back AS AN EXTERNAL ENGINE WOULD: walk the manifest tree,
+    // take the file list verbatim, scan those parquet paths directly
+    val manifestRoot = java.nio.file.Paths.get(path,
+      "_symlink_format_manifest")
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(manifestRoot)
+    val files =
+      try walk.iterator.asScala
+        .filter(p => p.getFileName.toString == "manifest")
+        .flatMap(p => Files.readAllLines(p).asScala)
+        .filter(_.nonEmpty)
+        .toSeq
+      finally walk.close()
+    s.read.schema(t.schema).parquet(files: _*)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+      .orderBy("lang")
+  }
+
+  val q235Oracle: String =
+    """SELECT lang, count(*) AS n,
+      | CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |WHERE doc_id % 5 <> 0
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** Right-to-be-forgotten: purge every row a set of users owns from a
     * versioned lake table, then AUDIT the purge from the change feed —
     * the GDPR/DSAR lifecycle the reference's health-data setting makes
@@ -903,7 +950,8 @@ object Pipeline {
     "q176_shallow_clone" -> (q176ShallowClone _),
     "q177_table_history" -> (q177TableHistory _),
     "q232_checkpoint_lifecycle" -> (q232CheckpointLifecycle _),
-    "q234_generated_partition" -> (q234GeneratedPartition _)
+    "q234_generated_partition" -> (q234GeneratedPartition _),
+    "q235_symlink_manifest" -> (q235SymlinkManifest _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -928,6 +976,7 @@ object Pipeline {
     "q176_shallow_clone" -> q176Oracle,
     "q177_table_history" -> q177Oracle,
     "q232_checkpoint_lifecycle" -> q232Oracle,
-    "q234_generated_partition" -> q234Oracle
+    "q234_generated_partition" -> q234Oracle,
+    "q235_symlink_manifest" -> q235Oracle
   )
 }
