@@ -1680,6 +1680,369 @@ object Features {
       |  abs(z_raw) > 1.96 AS significant
       |FROM z""".stripMargin
 
+  /** Welch's unequal-variance t-test (q236) — the PARAMETRIC
+    * two-sample drift test next to the rank-based U (q222): do
+    * returned line items price differently in MEAN? Group moments
+    * (n, Σx, Σx²) are exact DECIMAL(38,0) integer-cent sums
+    * (cast-before-multiply — Σx² passes int64 at sf0.1 already);
+    * the exact decimals then cast once to double and flow through ONE
+    * identically-stated IEEE expression tree for means, variances,
+    * t, and the Welch–Satterthwaite df (div/mul/sqrt are all
+    * correctly-rounded → bit-identical cross-engine; only the final
+    * reported t/df round to 6 dp, significance compares UNROUNDED).
+    *
+    * Scale: one map-side-combinable aggregate to 2 rows, one 1-row
+    * fold. Nothing else moves.
+    */
+  def q236WelchT(s: SparkSession, dir: String): DataFrame =
+    welchFrom(lineitem(s, dir)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select((col("l_returnflag") === "R").as("is_a"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents")))
+
+  /** [[q236WelchT]] over an explicit `(is_a, cents)` frame — factored
+    * so FeatureSpec can pin the significant arm.
+    */
+  private[graft] def welchFrom(sample: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val g = sample.groupBy("is_a").agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("cents"))).as("sx"),
+      sum(dec(col("cents")) * dec(col("cents"))).as("sxx"))
+    val m = g.agg(
+      max(when(col("is_a"), col("n"))).as("n1"),
+      max(when(col("is_a"), col("sx"))).as("sx1"),
+      max(when(col("is_a"), col("sxx"))).as("sxx1"),
+      max(when(!col("is_a"), col("n"))).as("n2"),
+      max(when(!col("is_a"), col("sx"))).as("sx2"),
+      max(when(!col("is_a"), col("sxx"))).as("sxx2"))
+    def d(name: String): Column = col(name).cast("double")
+    val v1 = (d("n1") * d("sxx1") - d("sx1") * d("sx1")) /
+      (d("n1") * (d("n1") - 1.0))
+    val v2 = (d("n2") * d("sxx2") - d("sx2") * d("sx2")) /
+      (d("n2") * (d("n2") - 1.0))
+    val se2 = v1 / d("n1") + v2 / d("n2")
+    val tRaw = (d("sx1") / d("n1") - d("sx2") / d("n2")) / sqrt(se2)
+    val dfRaw = se2 * se2 /
+      ((v1 / d("n1")) * (v1 / d("n1")) / (d("n1") - 1.0) +
+        (v2 / d("n2")) * (v2 / d("n2")) / (d("n2") - 1.0))
+    m.select(col("n1"), col("n2"),
+      round(tRaw, 6).as("t"),
+      round(dfRaw, 6).as("df"),
+      (abs(tRaw) > 1.96).as("significant"))
+  }
+
+  val q236Oracle: String =
+    """WITH sample AS (SELECT l_returnflag = 'R' AS is_a,
+      |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      | FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+      |g AS (SELECT is_a, count(*) AS n,
+      |  sum(CAST(cents AS DECIMAL(38,0))) AS sx,
+      |  sum(CAST(cents AS DECIMAL(38,0))
+      |    * CAST(cents AS DECIMAL(38,0))) AS sxx
+      | FROM sample GROUP BY is_a),
+      |m AS (SELECT
+      |  CAST(max(CASE WHEN is_a THEN n END) AS BIGINT) AS n1,
+      |  max(CASE WHEN is_a THEN sx END) AS sx1,
+      |  max(CASE WHEN is_a THEN sxx END) AS sxx1,
+      |  CAST(max(CASE WHEN NOT is_a THEN n END) AS BIGINT) AS n2,
+      |  max(CASE WHEN NOT is_a THEN sx END) AS sx2,
+      |  max(CASE WHEN NOT is_a THEN sxx END) AS sxx2
+      | FROM g),
+      |v AS (SELECT n1, n2,
+      |  (CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+      |    - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE))
+      |    / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) AS v1,
+      |  (CAST(n2 AS DOUBLE) * CAST(sxx2 AS DOUBLE)
+      |    - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE))
+      |    / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) AS v2,
+      |  CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |    - CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS dm
+      | FROM m),
+      |t AS (SELECT n1, n2,
+      |  dm / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+      |    AS t_raw,
+      |  (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+      |  * (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+      |  / ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE))
+      |       / (CAST(n1 AS DOUBLE) - 1.0)
+      |     + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE))
+      |       / (CAST(n2 AS DOUBLE) - 1.0)) AS df_raw
+      | FROM v)
+      |SELECT n1, n2, round(t_raw, 6) AS t, round(df_raw, 6) AS df,
+      |  abs(t_raw) > 1.96 AS significant
+      |FROM t""".stripMargin
+
+  /** Two-sample Kolmogorov–Smirnov test (q237) — the DISTRIBUTION-
+    * shape drift test completing means (q236 Welch) and ranks (q222
+    * U): D = sup|F_A − F_B| over the empirical CDFs. Exact: per
+    * distinct value the inclusive cumulative counts (c_A, c_B) come
+    * from the q222 two-phase SHARDED prefix sum (both sums in one
+    * shard-partitioned window pass — no global window anywhere), and
+    * the sup maximizes |c_A·n_B − c_B·n_A| in EXACT integer space
+    * (≤ n² ≈ 3.6e17 at 600M rows/side — inside int64; emitted as the
+    * scaled integer plus one double division rounded to 6 dp).
+    * Significance vs the large-sample critical value
+    * c(α=.05)·sqrt((n_A+n_B)/(n_A·n_B)), compared UNROUNDED (sqrt and
+    * division are correctly-rounded IEEE).
+    */
+  def q237KsTest(s: SparkSession, dir: String): DataFrame =
+    ksFrom(lineitem(s, dir)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select((col("l_returnflag") === "R").as("is_a"),
+        col("l_extendedprice").as("x")))
+
+  private[graft] def ksFrom(sample: DataFrame): DataFrame = {
+    val vals = sample.groupBy("x").agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("ta"),
+      sum(when(col("is_a"), 0L).otherwise(1L)).as("tb"))
+    val bounds = vals.agg(min("x"), max("x")).head()
+    val (minX, maxX) =
+      if (bounds.isNullAt(0)) (0.0, 1.0)
+      else (bounds.getDouble(0), bounds.getDouble(1))
+    val span = math.max(maxX - minX, java.lang.Double.MIN_NORMAL)
+    val nShards = 32
+    val sharded = vals.withColumn("shard",
+      least(floor((col("x") - minX) / span * nShards), lit(nShards - 1L))
+        .cast("int"))
+    val subtotals = sharded.groupBy("shard")
+      .agg(sum("ta").as("sa"), sum("tb").as("sb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var accA = 0L; var accB = 0L
+    val offsets = subtotals.map { case (sh, sa, sb) =>
+      val r = (sh, accA, accB); accA += sa; accB += sb; r
+    }
+    val (nA, nB) = (accA, accB)
+    val spark = sample.sparkSession
+    val offsetDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("shard", "base_a", "base_b")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("x")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val d = sharded
+      .withColumn("ia", sum("ta").over(w))
+      .withColumn("ib", sum("tb").over(w))
+      .join(broadcast(offsetDf), Seq("shard"))
+      .select(abs((col("base_a") + col("ia")) * nB -
+        (col("base_b") + col("ib")) * nA).as("d_scaled"))
+      .agg(max("d_scaled").as("d_scaled"))
+    d.select(lit(nA).as("n_a"), lit(nB).as("n_b"), col("d_scaled"),
+        (col("d_scaled").cast("double") /
+          (lit(nA).cast("double") * lit(nB).cast("double"))).as("d_raw"))
+      .select(col("n_a"), col("n_b"), col("d_scaled"),
+        round(col("d_raw"), 6).as("d"),
+        (col("d_raw") > lit(1.358) *
+          sqrt((lit(nA).cast("double") + lit(nB).cast("double")) /
+            (lit(nA).cast("double") * lit(nB).cast("double"))))
+          .as("significant"))
+  }
+
+  val q237Oracle: String =
+    """WITH sample AS (SELECT l_returnflag = 'R' AS is_a,
+      |  l_extendedprice AS x FROM lineitem
+      | WHERE l_returnflag IN ('R', 'N')),
+      |vals AS (SELECT x,
+      |  sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ta,
+      |  sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS tb
+      | FROM sample GROUP BY x),
+      |tot AS (SELECT CAST(sum(ta) AS BIGINT) AS na,
+      |  CAST(sum(tb) AS BIGINT) AS nb FROM vals),
+      |cum AS (SELECT
+      |  CAST(sum(ta) OVER (ORDER BY x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS ca,
+      |  CAST(sum(tb) OVER (ORDER BY x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cb
+      | FROM vals),
+      |d AS (SELECT CAST(max(abs(ca * nb - cb * na)) AS BIGINT)
+      |    AS d_scaled
+      | FROM cum CROSS JOIN tot)
+      |SELECT na AS n_a, nb AS n_b, d_scaled,
+      |  round(CAST(d_scaled AS DOUBLE)
+      |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS d,
+      |  CAST(d_scaled AS DOUBLE)
+      |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+      |  > 1.358 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+      |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS significant
+      |FROM d CROSS JOIN tot""".stripMargin
+
+  /** Spearman rank correlation (q238) — the monotone-dependence
+    * measure between quantity and price per line item: Pearson on
+    * MIDRANKS, tie-correct by construction. Exactness: both rank
+    * tables carry DOUBLED midranks (2l+t+1 — exact integers, the q222
+    * device); quantity's ranks come from its ≤50-value integer domain
+    * (a bounded-domain window, the q165/q197 class), price's from the
+    * two-phase SHARDED prefix sum (97% distinct — never one task);
+    * all five moments are exact DECIMAL(38,0) sums, the covariance /
+    * variance combinations stay exact in decimal, and ONE final
+    * double expression (two correctly-rounded sqrts, one division)
+    * rounds to 6 dp.
+    *
+    * Scale: one narrow scan to both rank tables (one tiny, one
+    * sharded), one co-partitioned join-back keyed on price, one
+    * map-side-combinable moment aggregate.
+    */
+  def q238Spearman(s: SparkSession, dir: String): DataFrame = {
+    val rows = lineitem(s, dir)
+      .select(col("l_quantity").as("q"), col("l_extendedprice").as("x"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // quantity midranks: bounded integer domain, plain window
+    val wq = org.apache.spark.sql.expressions.Window.orderBy("q")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val rankQ = rows.groupBy("q").agg(count(lit(1)).as("t"))
+      .withColumn("l", coalesce(sum("t").over(wq), lit(0L)))
+      .select(col("q"), (lit(2L) * col("l") + col("t") + 1L).as("rq2"))
+    // price midranks: sharded two-phase prefix (the q222 device)
+    val vals = rows.groupBy("x").agg(count(lit(1)).as("t"))
+    val bounds = vals.agg(min("x"), max("x")).head()
+    val (minX, maxX) =
+      if (bounds.isNullAt(0)) (0.0, 1.0)
+      else (bounds.getDouble(0), bounds.getDouble(1))
+    val span = math.max(maxX - minX, java.lang.Double.MIN_NORMAL)
+    val nShards = 32
+    val sharded = vals.withColumn("shard",
+      least(floor((col("x") - minX) / span * nShards), lit(nShards - 1L))
+        .cast("int"))
+    val subtotals = sharded.groupBy("shard").agg(sum("t").as("st"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = subtotals.map { case (sh, st) =>
+      val off = acc; acc += st; (sh, off)
+    }
+    val offsetDf = s.createDataFrame(offsets.toSeq).toDF("shard", "base")
+    val wx = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("x")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val rankX = sharded
+      .withColumn("intra", coalesce(sum("t").over(wx), lit(0L)))
+      .join(broadcast(offsetDf), Seq("shard"))
+      .select(col("x"),
+        (lit(2L) * (col("base") + col("intra")) + col("t") + 1L).as("rx2"))
+    val m = rows
+      .join(broadcast(rankQ), Seq("q"))
+      .join(rankX, Seq("x"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("rx2"))).as("sa"),
+        sum(dec(col("rq2"))).as("sb"),
+        sum(dec(col("rx2")) * dec(col("rq2"))).as("sab"),
+        sum(dec(col("rx2")) * dec(col("rx2"))).as("saa"),
+        sum(dec(col("rq2")) * dec(col("rq2"))).as("sbb"))
+    m.select(col("n"),
+        (dec(col("n")) * col("sab") - col("sa") * col("sb")).as("num"),
+        (dec(col("n")) * col("saa") - col("sa") * col("sa")).as("da"),
+        (dec(col("n")) * col("sbb") - col("sb") * col("sb")).as("db"))
+      .select(col("n"),
+        round(col("num").cast("double") /
+          (sqrt(col("da").cast("double")) * sqrt(col("db").cast("double"))),
+          6).as("rho"))
+  }
+
+  val q238Oracle: String =
+    """WITH rows_ AS (SELECT l_quantity AS q, l_extendedprice AS x
+      |  FROM lineitem),
+      |rq AS (SELECT q, 2 * coalesce(sum(count(*)) OVER (ORDER BY q
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + count(*) + 1 AS rq2
+      | FROM rows_ GROUP BY q),
+      |rx AS (SELECT x, 2 * coalesce(sum(count(*)) OVER (ORDER BY x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + count(*) + 1 AS rx2
+      | FROM rows_ GROUP BY x),
+      |j AS (SELECT CAST(rx2 AS DECIMAL(38,0)) AS a,
+      |  CAST(rq2 AS DECIMAL(38,0)) AS b
+      | FROM rows_ JOIN rq USING (q) JOIN rx USING (x)),
+      |m AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+      |  sum(a) AS sa, sum(b) AS sb, sum(a * b) AS sab,
+      |  sum(a * a) AS saa, sum(b * b) AS sbb FROM j)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  round(CAST(n * sab - sa * sb AS DOUBLE)
+      |    / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+      |       * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6) AS rho
+      |FROM m""".stripMargin
+
+  /** Gini coefficient per order priority (q239) — the inequality
+    * measure data-curation uses to quantify how concentrated spend /
+    * token mass is within a stratum: G = Σᵢ(2i−n−1)xᵢ / (nΣx) over
+    * the ascending sort. Exact: tie blocks contribute
+    * cents·t·(2l+t−n) (the within-block coefficient sum is
+    * order-invariant), prefix positions l come from the SHARDED
+    * prefix sum partitioned per (priority, shard) — per-group offsets
+    * fold from a ≤ groups×shards driver list — and the single double
+    * division rounds to 6 dp. One narrow scan, one shard-partitioned
+    * window, one group aggregate.
+    */
+  def q239Gini(s: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val o = orders(s, dir).select(col("o_orderpriority").as("prio"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+      // Gini is defined over KNOWN values; a null amount has no rank
+      // (and would null the shard key)
+      .filter(col("cents").isNotNull)
+    val vals = o.groupBy("prio", "cents").agg(count(lit(1)).as("t"))
+    val bounds = o.agg(min("cents"), max("cents")).head()
+    val (minC, maxC) =
+      if (bounds.isNullAt(0)) (0L, 1L)
+      else (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, maxC - minC + 1)
+    val nShards = 32
+    val sharded = vals.withColumn("shard",
+      ((col("cents") - minC) * nShards / span).cast("int"))
+    val subtotals = sharded.groupBy("prio", "shard")
+      .agg(sum("t").as("st"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // group first (null-safe), order shards within each group — a
+    // global sort would compareTo a null group key
+    val offsets = subtotals.groupBy(_._1).toSeq.flatMap {
+      case (prio, shards) =>
+        var acc = 0L
+        shards.sortBy(_._2).map { case (_, sh, st) =>
+          val off = acc; acc += st; (prio, sh, off)
+        }
+    }
+    val offsetDf = s.createDataFrame(offsets).toDF("prio", "shard", "base")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("prio", "shard").orderBy("cents")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("intra", coalesce(sum("t").over(w), lit(0L)))
+      .join(broadcast(offsetDf), Seq("prio", "shard"))
+      .withColumn("l", col("base") + col("intra"))
+      .groupBy("prio")
+      .agg(sum("t").as("n"), sum(dec(col("cents")) * dec(col("t"))).as("sx"),
+        sum(dec(col("cents")) * dec(col("t")) *
+          (lit(2L) * dec(col("l")) + dec(col("t")))).as("s2lt"))
+      // Σ cents·t·(2l+t−n) = s2lt − n·sx, assembled exactly in decimal
+      .select(col("prio"), col("n"),
+        col("sx").cast("long").as("total_cents"),
+        round((col("s2lt") - dec(col("n")) * col("sx")).cast("double") /
+          (dec(col("n")) * col("sx")).cast("double"), 6).as("gini"))
+      .orderBy("prio")
+  }
+
+  val q239Oracle: String =
+    """WITH o AS (SELECT o_orderpriority AS prio,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      | FROM orders WHERE o_totalprice IS NOT NULL),
+      |vals AS (SELECT prio, cents, count(*) AS t FROM o
+      | GROUP BY prio, cents),
+      |ranked AS (SELECT prio, cents, t,
+      |  coalesce(sum(t) OVER (PARTITION BY prio ORDER BY cents
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS l
+      | FROM vals),
+      |g AS (SELECT prio, CAST(sum(t) AS BIGINT) AS n,
+      |  sum(CAST(cents AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)))
+      |    AS sx,
+      |  sum(CAST(cents AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+      |    * (2 * CAST(l AS DECIMAL(38,0)) + CAST(t AS DECIMAL(38,0))))
+      |    AS s2lt
+      | FROM ranked GROUP BY prio)
+      |SELECT prio, n, CAST(sx AS BIGINT) AS total_cents,
+      |  round(CAST(s2lt - CAST(n AS DECIMAL(38,0)) * sx AS DOUBLE)
+      |    / CAST(CAST(n AS DECIMAL(38,0)) * sx AS DOUBLE), 6) AS gini
+      |FROM g ORDER BY prio""".stripMargin
+
   /** Population stability index (the credit-scoring industry's
     * standard drift monitor, alongside TVD q134 / χ² q151 / U q222):
     * PSI = Σ_bins (p_A − p_B)·ln(p_A/p_B) between the value
@@ -1954,6 +2317,10 @@ object Features {
     "q230_pagerank_parts" -> (q230PagerankParts _),
     "q229_psi" -> (q229Psi _),
     "q222_mann_whitney" -> (q222MannWhitney _),
+    "q236_welch_t" -> (q236WelchT _),
+    "q237_ks_test" -> (q237KsTest _),
+    "q238_spearman" -> (q238Spearman _),
+    "q239_gini" -> (q239Gini _),
     "q221_acf" -> (q221Acf _),
     "q224_modularity" -> (q224Modularity _),
     "q225_assortativity" -> (q225Assortativity _),
@@ -1993,6 +2360,10 @@ object Features {
     "q224_modularity" -> q224Oracle,
     "q225_assortativity" -> q225Oracle,
     "q222_mann_whitney" -> q222Oracle,
+    "q236_welch_t" -> q236Oracle,
+    "q237_ks_test" -> q237Oracle,
+    "q238_spearman" -> q238Oracle,
+    "q239_gini" -> q239Oracle,
     "q229_psi" -> q229Oracle,
     "q230_pagerank_parts" -> q230Oracle,
     "q231_poisson_bootstrap" -> q231Oracle,

@@ -360,6 +360,32 @@ class PlanSpec extends AnyFunSuite {
       s"single-partition window found:\n${unpartitioned.mkString("\n")}")
   }
 
+  test("q237/q238/q239: every corpus-scale prefix window is " +
+      "shard-partitioned") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // q238's quantity window is a bounded integer domain (≤50 rows) —
+    // exempt by the q165/q197 rule; everything value-domain-sized must
+    // carry a shard in its partition spec
+    for ((name, df) <- Seq(
+        "q237" -> graft.ops.Features.q237KsTest(spark, sf),
+        "q239" -> graft.ops.Features.q239Gini(spark, sf))) {
+      val unpartitioned = df.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty,
+        s"$name: single-partition window:\n${unpartitioned.mkString("\n")}")
+    }
+    val spearman = graft.ops.Features.q238Spearman(spark, sf)
+      .queryExecution.executedPlan
+    val globalWindows = spearman.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    // exactly the bounded-domain quantity window may be global
+    assert(globalWindows.size <= 1, globalWindows.mkString("\n"))
+    val plan = spearman.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q213: the rank cut is the TopKPerGroup operator, partial+final") {
     val plan = planOf(graft.ops.Similarity.q213NdcgAtK(spark, sf))
     // two instances: the pre-exchange partial heap and the final —

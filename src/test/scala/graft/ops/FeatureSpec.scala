@@ -243,4 +243,43 @@ class FeatureSpec extends AnyFunSuite {
     assert(r.getAs[Double]("z") < -5.0)
     assert(r.getAs[Boolean]("significant"))
   }
+
+  // Shifted-mean samples (A around 100 cents, B around 10100): Welch
+  // must flag them; closed-form check on the exact group means. The
+  // spread inside each group keeps both variances nonzero.
+  test("q236 core: shifted means are significant, equal samples are not") {
+    import spark.implicits._
+    val shifted = ((1 to 30).map(v => (true, 100L + v)) ++
+      (1 to 30).map(v => (false, 10100L + v))).toDF("is_a", "cents")
+    val r = Features.welchFrom(shifted).collect().head
+    assert(r.getAs[Long]("n1") === 30L)
+    assert(r.getAs[Double]("t") < -100.0) // |Δmean|=10000 vs sd≈8.8
+    assert(r.getAs[Boolean]("significant"))
+    val same = ((1 to 30).map(v => (true, 100L + v)) ++
+      (1 to 30).map(v => (false, 100L + v))).toDF("is_a", "cents")
+    val r2 = Features.welchFrom(same).collect().head
+    assert(r2.getAs[Double]("t") === 0.0)
+    assert(!r2.getAs[Boolean]("significant"))
+  }
+
+  // Fully separated samples: the empirical CDFs are disjoint, so
+  // D = 1 exactly (d_scaled = nA*nB) and any critical bar is crossed.
+  // Identical samples give D = 0.
+  test("q237 core: separated samples give D=1 significant; " +
+      "identical give D=0") {
+    import spark.implicits._
+    val sep = ((1 to 25).map(v => (true, v.toDouble)) ++
+      (1 to 25).map(v => (false, 1000.0 + v))).toDF("is_a", "x")
+    val r = Features.ksFrom(sep).collect().head
+    assert(r.getAs[Long]("n_a") === 25L)
+    assert(r.getAs[Long]("n_b") === 25L)
+    assert(r.getAs[Long]("d_scaled") === 625L)
+    assert(r.getAs[Double]("d") === 1.0)
+    assert(r.getAs[Boolean]("significant"))
+    val same = ((1 to 25).map(v => (true, v.toDouble)) ++
+      (1 to 25).map(v => (false, v.toDouble))).toDF("is_a", "x")
+    val r2 = Features.ksFrom(same).collect().head
+    assert(r2.getAs[Long]("d_scaled") === 0L)
+    assert(!r2.getAs[Boolean]("significant"))
+  }
 }
