@@ -73,6 +73,73 @@ object Eval {
       |      (2.0 * sum(p) * sum(n)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS auc
       |FROM r""".stripMargin
 
+  /** Average precision / PR-AUC (q241) — the ranking metric that,
+    * unlike ROC-AUC (q165), stays informative under heavy class
+    * imbalance (the retrieval/filtering regime). Step-interpolated AP
+    * over DISTINCT-SCORE blocks (sklearn's convention, well-defined
+    * under ties): AP = Σ_b (R_b − R_{b−1})·P_b with blocks in
+    * descending score order. Same scale shape as q165: the score
+    * domain is bounded (≤ ~13k values), so cumulative TP/total run as
+    * a window over the metadata-sized cells frame, never the corpus;
+    * per-block terms round to 6 dp and DECIMAL-quantize before the
+    * order-independent sum.
+    */
+  def q241PrAuc(s: SparkSession, dir: String): DataFrame = {
+    val scored = events(s, dir).select(
+      (pmod(col("event_id") * lit(2654435761L), lit(9973L)) +
+        when(col("event_type") === "purchase", lit(3000L))
+          .otherwise(lit(0L))).as("score"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+    // the cells frame feeds both the total and the cumulative pass —
+    // cut the plan so the corpus scans once (the q151 device)
+    val cells = scored.groupBy("score")
+      .agg(sum("pos").as("tp"), count(lit(1)).as("t"))
+      .localCheckpoint()
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totRow = cells.agg(sum("tp")).head()
+    // empty input: no positives; the final agg still emits its one
+    // all-null row, it just must not NPE here
+    val tot = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+    cells
+      .withColumn("cum_tp", sum("tp").over(w))
+      .withColumn("cum_t", sum("t").over(w))
+      .filter(col("tp") > 0) // zero-recall-gain blocks contribute 0
+      .select((col("tp").cast("double") / lit(tot.toDouble) *
+        (col("cum_tp").cast("double") / col("cum_t").cast("double")))
+        .as("term"))
+      .agg(sum(round(col("term"), 6).cast("decimal(18,6)")).as("ap_d"),
+        count(lit(1)).as("n_blocks"))
+      .select(lit(tot).as("n_pos"), col("n_blocks"),
+        col("ap_d").cast("double").as("ap"))
+  }
+
+  val q241Oracle: String =
+    """WITH scored AS (SELECT
+      |  (event_id * 2654435761) % 9973 +
+      |    CASE WHEN event_type = 'purchase' THEN 3000 ELSE 0 END AS score,
+      |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      | FROM events),
+      |cells AS (SELECT score, CAST(sum(pos) AS BIGINT) AS tp,
+      |  CAST(count(*) AS BIGINT) AS t
+      | FROM scored GROUP BY score),
+      |tot AS (SELECT CAST(sum(tp) AS BIGINT) AS n_pos FROM cells),
+      |c AS (SELECT tp,
+      |  CAST(sum(tp) OVER (ORDER BY score DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_tp,
+      |  CAST(sum(t) OVER (ORDER BY score DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_t
+      | FROM cells)
+      |SELECT n_pos, count(*) AS n_blocks,
+      |  CAST(sum(CAST(round(CAST(tp AS DOUBLE) / n_pos
+      |      * (CAST(cum_tp AS DOUBLE) / cum_t), 6)
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS ap
+      |FROM c CROSS JOIN tot
+      |WHERE tp > 0
+      |GROUP BY n_pos""".stripMargin
+
   /** Distributed-sketch MERGEABILITY, the property that makes
     * approximate distinct counting work on a cluster at all: per-day
     * partial HLL sketches (DataSketches `hll_sketch_agg`) union into
@@ -760,6 +827,7 @@ object Eval {
     "q204_decision_stump" -> (q204DecisionStump _),
     "q203_ols_segment" -> (q203OlsSegment _),
     "q165_auc" -> (q165Auc _),
+    "q241_pr_auc" -> (q241PrAuc _),
     "q197_conformal_coverage" -> (q197ConformalCoverage _),
     "q196_propensity_att" -> (q196PropensityAtt _),
     "q194_lift_gains" -> (q194LiftGains _),
@@ -773,6 +841,7 @@ object Eval {
     "q204_decision_stump" -> q204Oracle,
     "q203_ols_segment" -> q203Oracle,
     "q165_auc" -> q165Oracle,
+    "q241_pr_auc" -> q241Oracle,
     "q190_calibration" -> q190Oracle,
     "q194_lift_gains" -> q194Oracle,
     "q196_propensity_att" -> q196Oracle,

@@ -1868,6 +1868,246 @@ object Features {
       |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS significant
       |FROM d CROSS JOIN tot""".stripMargin
 
+  /** Cramér's V (q242) — the NORMALIZED effect size over the q151
+    * chi-square: V = sqrt(χ² / (N·(min(r,c)−1))) in [0,1], the number
+    * a feature-selection pass actually thresholds on (raw χ² grows
+    * with N; V doesn't). Same one-scan contingency shape as q151;
+    * per-cell χ² contributions round to 6 dp and DECIMAL-quantize
+    * before the order-independent total, then one sqrt (correctly
+    * rounded IEEE) and a 6-dp final round.
+    */
+  def q242CramersV(s: SparkSession, dir: String): DataFrame = {
+    val cells = orders(s, dir)
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("obs"))
+      .localCheckpoint()
+    val rowTot = cells.groupBy("o_orderpriority")
+      .agg(sum("obs").as("row_tot"))
+    val colTot = cells.groupBy("o_orderstatus")
+      .agg(sum("obs").as("col_tot"))
+    val dims = cells.agg(sum("obs").as("n_total"),
+      countDistinct("o_orderpriority").as("r"),
+      countDistinct("o_orderstatus").as("c"))
+    cells
+      .join(broadcast(rowTot), "o_orderpriority")
+      .join(broadcast(colTot), "o_orderstatus")
+      .crossJoin(broadcast(dims))
+      .select(col("n_total"), col("r"), col("c"),
+        round((col("obs") - col("row_tot").cast("double") * col("col_tot")
+            / col("n_total")) *
+          (col("obs") - col("row_tot").cast("double") * col("col_tot")
+            / col("n_total")) /
+          (col("row_tot").cast("double") * col("col_tot") / col("n_total")),
+          6).cast("decimal(18,6)").as("contrib"))
+      .groupBy("n_total", "r", "c")
+      .agg(sum("contrib").as("chi2_d"))
+      .select(col("n_total"), col("r"), col("c"),
+        col("chi2_d").cast("double").as("chi2"),
+        round(sqrt(col("chi2_d").cast("double") /
+          (col("n_total").cast("double") *
+            (least(col("r"), col("c")).cast("double") - 1.0))), 6)
+          .as("cramers_v"))
+  }
+
+  val q242Oracle: String =
+    """WITH cells AS (SELECT o_orderpriority, o_orderstatus,
+      |  count(*) AS obs FROM orders GROUP BY 1, 2),
+      |rt AS (SELECT o_orderpriority, sum(obs) AS row_tot
+      |  FROM cells GROUP BY 1),
+      |ct AS (SELECT o_orderstatus, sum(obs) AS col_tot
+      |  FROM cells GROUP BY 1),
+      |d AS (SELECT CAST(sum(obs) AS BIGINT) AS n_total,
+      |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS r,
+      |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS c FROM cells),
+      |j AS (SELECT n_total, r, c,
+      |  CAST(round((obs - CAST(row_tot AS DOUBLE) * col_tot / n_total)
+      |    * (obs - CAST(row_tot AS DOUBLE) * col_tot / n_total)
+      |    / (CAST(row_tot AS DOUBLE) * col_tot / n_total), 6)
+      |    AS DECIMAL(18,6)) AS contrib
+      | FROM cells JOIN rt USING (o_orderpriority)
+      |   JOIN ct USING (o_orderstatus) CROSS JOIN d)
+      |SELECT n_total, r, c, CAST(sum(contrib) AS DOUBLE) AS chi2,
+      |  round(sqrt(CAST(sum(contrib) AS DOUBLE)
+      |    / (CAST(n_total AS DOUBLE)
+      |       * (CAST(least(r, c) AS DOUBLE) - 1.0))), 6) AS cramers_v
+      |FROM j GROUP BY n_total, r, c""".stripMargin
+
+  /** Jensen-Shannon divergence (q243) between the language
+    * distributions of two source cohorts — the symmetric, bounded
+    * [0, ln 2] distribution-drift measure a corpus-mixing pipeline
+    * monitors when a new crawl lands. Cohorts: numeric source suffix
+    * < 8 vs ≥ 8 (both populated at every SF). Zero-count languages
+    * contribute 0 on their side by the 0·ln0 = 0 convention (the
+    * `when(p > 0, …)` arm — no smoothing distortion). Each ln term
+    * rounds to 6 dp and DECIMAL-quantizes before the order-
+    * independent sum (the q191 libm device).
+    *
+    * Scale: one map-side-combinable (cohort × lang) aggregate — the
+    * frame is vocabulary-of-langs sized, everything after is
+    * metadata arithmetic.
+    */
+  def q243Jsd(s: SparkSession, dir: String): DataFrame = {
+    val cohort = when(
+      expr("try_cast(substring(source, 4, 10) AS int)") < 8, "a")
+      .otherwise("b")
+    val cells = documents(s, dir)
+      .groupBy(cohort.as("g"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val tot = cells.groupBy("g").agg(sum("n").as("t"))
+    val byLang = cells.join(broadcast(tot), "g")
+      .select(col("lang"), col("g"),
+        (col("n").cast("double") / col("t")).as("p"))
+      .groupBy("lang")
+      .agg(max(when(col("g") === "a", col("p"))).as("pa"),
+        max(when(col("g") === "b", col("p"))).as("pb"))
+      .select(col("lang"),
+        coalesce(col("pa"), lit(0.0)).as("pa"),
+        coalesce(col("pb"), lit(0.0)).as("pb"))
+    byLang
+      .select(col("lang"), col("pa"), col("pb"),
+        (when(col("pa") > 0,
+          col("pa") * log(col("pa") / ((col("pa") + col("pb")) / 2.0)))
+          .otherwise(lit(0.0)) / 2.0 +
+         when(col("pb") > 0,
+           col("pb") * log(col("pb") / ((col("pa") + col("pb")) / 2.0)))
+           .otherwise(lit(0.0)) / 2.0).as("term"))
+      .agg(sum(round(col("term"), 6).cast("decimal(18,6)")).as("jsd_d"),
+        count(lit(1)).as("n_langs"))
+      .select(col("n_langs"), col("jsd_d").cast("double").as("jsd"))
+  }
+
+  val q243Oracle: String =
+    """WITH cells AS (SELECT
+      |  CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 8
+      |       THEN 'a' ELSE 'b' END AS g,
+      |  lang, count(*) AS n
+      | FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT g, sum(n) AS t FROM cells GROUP BY g),
+      |p AS (SELECT lang,
+      |  coalesce(max(CASE WHEN g = 'a'
+      |    THEN CAST(n AS DOUBLE) / t END), 0.0) AS pa,
+      |  coalesce(max(CASE WHEN g = 'b'
+      |    THEN CAST(n AS DOUBLE) / t END), 0.0) AS pb
+      | FROM cells JOIN tot USING (g) GROUP BY lang)
+      |SELECT count(*) AS n_langs,
+      |  CAST(sum(CAST(round(
+      |    CASE WHEN pa > 0
+      |      THEN pa * ln(pa / ((pa + pb) / 2.0)) ELSE 0.0 END / 2.0
+      |    + CASE WHEN pb > 0
+      |      THEN pb * ln(pb / ((pa + pb) / 2.0)) ELSE 0.0 END / 2.0,
+      |    6) AS DECIMAL(18,6))) AS DOUBLE) AS jsd
+      |FROM p""".stripMargin
+
+  /** CUSUM drift detector (q244) over the daily order-count series —
+    * Page's cumulative-sum chart, the change-point monitor that beats
+    * per-point thresholds on SLOW drifts. Recursion eliminated: with
+    * P_t the prefix of centered counts, S_t = P_t − min_{j≤t} P_j —
+    * a prefix sum plus a running min, both windows over the
+    * CALENDAR-BOUNDED daily frame (the q221 class, never data-sized).
+    * Centering is exact: q221's integer device (D·x_t − Σx per day, so
+    * the prefix is exact int64 and P_D = 0 by construction); the flag
+    * compares S_t against 3σ·D with σ from exact integer moments —
+    * sqrt and the one division are correctly-rounded IEEE, compared
+    * UNROUNDED.
+    */
+  def q244Cusum(s: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val daily = orders(s, dir).groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint()
+    val m = daily.agg(count(lit(1)).as("d"), sum("x").as("sx"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+    val wp = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    daily.crossJoin(broadcast(m))
+      .withColumn("p", sum(col("d") * col("x") - col("sx")).over(wp))
+      .withColumn("minp", least(min("p").over(wp), lit(0L)))
+      .select(col("day"), col("x"),
+        (col("p") - col("minp")).as("s_scaled"),
+        round((col("p") - col("minp")).cast("double") /
+          col("d").cast("double"), 6).as("cusum"),
+        ((col("p") - col("minp")).cast("double") / col("d").cast("double")
+          > lit(3.0) * sqrt((col("d").cast("double") *
+              col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) /
+            (col("d").cast("double") * (col("d").cast("double") - 1.0))))
+          .as("drifted"))
+      .orderBy("day")
+  }
+
+  val q244Oracle: String =
+    """WITH daily AS (SELECT o_orderdate AS day, count(*) AS x
+      |  FROM orders GROUP BY 1),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS d,
+      |  CAST(sum(x) AS BIGINT) AS sx,
+      |  sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx
+      | FROM daily),
+      |pp AS (SELECT day, x, d, sx, sxx,
+      |  CAST(sum(d * x - sx) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS p
+      | FROM daily CROSS JOIN m),
+      |s AS (SELECT day, x, d, sx, sxx, p,
+      |  least(CAST(min(p) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT),
+      |    0) AS minp
+      | FROM pp)
+      |SELECT day, x, p - minp AS s_scaled,
+      |  round(CAST(p - minp AS DOUBLE) / d, 6) AS cusum,
+      |  CAST(p - minp AS DOUBLE) / d
+      |    > 3.0 * sqrt((CAST(d AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      / (CAST(d AS DOUBLE) * (CAST(d AS DOUBLE) - 1.0)))
+      |    AS drifted
+      |FROM s ORDER BY day""".stripMargin
+
+  /** Mutual information (q245) between document language and source —
+    * the dependence measure feature selection and mix design use when
+    * χ²'s significance framing is the wrong question ("how many BITS
+    * does source tell me about language"). Per-cell terms
+    * (n_xy/N)·ln(N·n_xy/(n_x·n_y)), each rounded to 6 dp and
+    * DECIMAL-quantized (the q191 device; empty cells contribute 0 by
+    * convention and are simply absent from the grouped frame).
+    * One corpus scan to the |langs|×|sources| cell table; marginals
+    * re-aggregate from the CELLS.
+    */
+  def q245MutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val cells = documents(s, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val rowTot = cells.groupBy("lang").agg(sum("n").as("nx"))
+    val colTot = cells.groupBy("source").agg(sum("n").as("ny"))
+    val tot = cells.agg(sum("n").as("nn"))
+    cells
+      .join(broadcast(rowTot), "lang")
+      .join(broadcast(colTot), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n"),
+        round((col("n").cast("double") / col("nn")) *
+          log(col("nn").cast("double") * col("n") /
+            (col("nx").cast("double") * col("ny"))), 6)
+          .cast("decimal(18,6)").as("term"))
+      .groupBy(lit(1).as("k"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum("term").as("mi_d"))
+      .select(col("n_cells"), col("mi_d").cast("double").as("mi_nats"))
+  }
+
+  val q245Oracle: String =
+    """WITH cells AS (SELECT lang, source, count(*) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT lang, sum(n) AS nx FROM cells GROUP BY 1),
+      |ct AS (SELECT source, sum(n) AS ny FROM cells GROUP BY 1),
+      |t AS (SELECT sum(n) AS nn FROM cells)
+      |SELECT count(*) AS n_cells,
+      |  CAST(sum(CAST(round((CAST(n AS DOUBLE) / nn)
+      |    * ln(CAST(nn AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny)), 6)
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS mi_nats
+      |FROM cells JOIN rt USING (lang) JOIN ct USING (source)
+      |CROSS JOIN t""".stripMargin
+
   /** Spearman rank correlation (q238) — the monotone-dependence
     * measure between quantity and price per line item: Pearson on
     * MIDRANKS, tie-correct by construction. Exactness: both rank
@@ -2320,6 +2560,10 @@ object Features {
     "q236_welch_t" -> (q236WelchT _),
     "q237_ks_test" -> (q237KsTest _),
     "q238_spearman" -> (q238Spearman _),
+    "q242_cramers_v" -> (q242CramersV _),
+    "q243_jsd" -> (q243Jsd _),
+    "q244_cusum" -> (q244Cusum _),
+    "q245_mutual_info" -> (q245MutualInfo _),
     "q239_gini" -> (q239Gini _),
     "q221_acf" -> (q221Acf _),
     "q224_modularity" -> (q224Modularity _),
@@ -2363,6 +2607,10 @@ object Features {
     "q236_welch_t" -> q236Oracle,
     "q237_ks_test" -> q237Oracle,
     "q238_spearman" -> q238Oracle,
+    "q242_cramers_v" -> q242Oracle,
+    "q243_jsd" -> q243Oracle,
+    "q244_cusum" -> q244Oracle,
+    "q245_mutual_info" -> q245Oracle,
     "q239_gini" -> q239Oracle,
     "q229_psi" -> q229Oracle,
     "q230_pagerank_parts" -> q230Oracle,
