@@ -122,13 +122,84 @@ object CdfStream {
       .orderBy("doc_id")
   }
 
+  /** q240: INCREMENTAL VIEW MAINTENANCE from the streamed change feed
+    * — the streaming closure of q113's batch IVM. A per-language
+    * count aggregate is maintained from CDF deltas alone: each
+    * micro-batch folds to (lang, ±n) group deltas (batch-sized), then
+    * upserts new-count rows into a GROUP-CARDINALITY-sized compact
+    * lake via mergeUpdate. The corpus is NEVER rescanned — per-batch
+    * cost is O(changes + groups), the whole point of IVM at 100 TB.
+    * The final counts must equal a from-scratch aggregate over the
+    * final bronze (the oracle).
+    */
+  def q240StreamIvm(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_ivm").toString
+    val bronzePath = s"$base/bronze"
+    val countsPath = s"$base/lang_counts"
+    val docs = graft.Tables.documents(s, dir)
+      .filter(col("doc_id") < 400 || col("doc_id") % 7 === 0).persist()
+    val bronze = MiniLake(s, bronzePath)
+    bronze.create(docs.filter(col("doc_id") < 300))          // v0
+
+    val apply: (Dataset[Row], Long) => Unit = (batch, _) => {
+      val delta = batch.groupBy("lang").agg(
+        sum(when(col(MiniLake.ChangeType).isin(
+            "insert", "update_postimage"), 1L)
+          .when(col(MiniLake.ChangeType).isin(
+            "delete", "update_preimage"), -1L)
+          .otherwise(0L)).as("d"))
+        .filter(col("d") =!= 0L)
+      val counts = MiniLake.compact(s, countsPath)
+      if (!counts.exists)
+        counts.create(delta.select(col("lang"), col("d").as("n")))
+      else {
+        // group-sized read ⊕ batch-sized delta → upsert only the
+        // touched groups (mergeUpdate inserts brand-new languages)
+        val cur = counts.snapshot()
+        val upd = delta.join(cur, Seq("lang"), "left")
+          .select(col("lang"),
+            (coalesce(col("n"), lit(0L)) + col("d")).as("n"))
+        counts.mergeUpdate(upd, Seq("lang"))
+      }
+      ()
+    }
+    val q = s.readStream
+      .format(classOf[MiniLakeCdfSourceProvider].getName)
+      .option("path", bronzePath).load()
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(apply).start()
+    try {
+      q.processAllAvailable()                                // v0
+      bronze.append(docs.filter(col("doc_id") >= 300 &&
+        col("doc_id") < 400))                                // v1
+      q.processAllAvailable()
+      bronze.merge(inserts = MiniLake.emptyDf(s, bronze.schema),
+        deletes = docs.filter(col("doc_id") % 7 === 0),
+        pks = Seq("doc_id"))                                 // v2
+      q.processAllAvailable()
+    } finally q.stop()
+    docs.unpersist()
+    MiniLake(s, countsPath).snapshot()
+      .filter(col("n") > 0)
+      .orderBy("lang")
+  }
+
+  val q240Oracle: String =
+    """SELECT lang, count(*) AS n
+      |FROM documents
+      |WHERE doc_id < 400 AND doc_id % 7 <> 0
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q233_stream_cdc_silver" -> (q233StreamCdcSilver _)
+    "q233_stream_cdc_silver" -> (q233StreamCdcSilver _),
+    "q240_stream_ivm" -> (q240StreamIvm _)
   )
 
   def oracles: Map[String, String] = Map(
     // the stream-maintained silver must equal the batch-CDC silver
-    "q233_stream_cdc_silver" -> graft.ops.Pipeline.q19Oracle
+    "q233_stream_cdc_silver" -> graft.ops.Pipeline.q19Oracle,
+    "q240_stream_ivm" -> q240Oracle
   )
 }
 
