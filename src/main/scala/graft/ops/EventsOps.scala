@@ -880,7 +880,52 @@ object EventsOps {
       |GROUP BY cutoff
       |ORDER BY cutoff""".stripMargin
 
+  /** Fano factor / burstiness per event type (q249): F = Var/Mean of
+    * the daily count series — F ≈ 1 is Poisson arrivals, F ≫ 1 is
+    * bursty traffic (bot storms, batch backfills), F < 1 regular
+    * (schedulers). The dispersion triage an ingest pipeline runs
+    * before trusting per-day rate alarms. Exact: per-(type, day)
+    * counts in one map-side pass, then per-type moments
+    * (D, Σx, Σx²) with Σx² as exact DECIMAL, and F/mean as one
+    * identically-stated double expression rounded to 6 dp. The daily
+    * frame is calendar-bounded (q221 class).
+    */
+  def q249FanoFactor(s: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("d"), sum("x").as("sx"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+      .select(col("event_type"), col("d"), col("sx"),
+        round(col("sx").cast("double") / col("d").cast("double"), 6)
+          .as("mean_daily"),
+        round(((col("d").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) /
+          (col("d").cast("double") * (col("d").cast("double") - 1.0))) /
+          (col("sx").cast("double") / col("d").cast("double")), 6)
+          .as("fano"))
+      .orderBy("event_type")
+  }
+
+  val q249Oracle: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |  count(*) AS x FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS d,
+      |  CAST(sum(x) AS BIGINT) AS sx,
+      |  sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx
+      | FROM daily GROUP BY 1)
+      |SELECT event_type, d, sx,
+      |  round(CAST(sx AS DOUBLE) / d, 6) AS mean_daily,
+      |  round(((CAST(d AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    / (CAST(d AS DOUBLE) * (CAST(d AS DOUBLE) - 1.0)))
+      |    / (CAST(sx AS DOUBLE) / d), 6) AS fano
+      |FROM m ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_fano_factor" -> (q249FanoFactor _),
     "q143_retention_cohorts" -> (q143RetentionCohorts _),
     "q201_backtest_forecast" -> (q201BacktestForecast _),
     "q192_kaplan_meier" -> (q192KaplanMeier _),
@@ -901,6 +946,7 @@ object EventsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q249_fano_factor" -> q249Oracle,
     "q143_retention_cohorts" -> q143Oracle,
     "q192_kaplan_meier" -> q192Oracle,
     "q201_backtest_forecast" -> q201Oracle,

@@ -943,7 +943,207 @@ object TextAnalysis {
       |WHERE support >= ms
       |ORDER BY lift DESC, t1, t2""".stripMargin
 
+  /** Zipf-law fit over the frequency HEAD (q246) — the corpus-health
+    * check that a natural-language corpus's top words follow
+    * f ∝ rank^(−s), s ≈ 1 (machine-generated or template spam
+    * doesn't): OLS of ln f on ln rank over the top 100 words. The
+    * head is where Zipf is classically fit AND what keeps the plan
+    * bounded: the global cut is a distributed TakeOrdered (never a
+    * vocabulary sort), the rank window runs over 100 rows, each ln
+    * rounds to 6 dp and DECIMAL-quantizes before the OLS sums (the
+    * q191 libm device), and the slope/intercept are one double
+    * expression rounded at the end.
+    */
+  def q246ZipfFit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text.tokens
+    val k = 100
+    val freq = documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("f").desc, col("w"))
+    def dec6(c: Column): Column = round(c, 6).cast("decimal(18,6)")
+    val pts = freq
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(dec6(log(col("rank").cast("double"))).as("x"),
+        dec6(log(col("f").cast("double"))).as("y"))
+    pts.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          6).as("zipf_slope"),
+        round((col("sy").cast("double") -
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * col("sx").cast("double")) / col("n").cast("double"), 6)
+          .as("intercept"))
+  }
+
+  val q246Oracle: String = {
+    import graft.functions.Text.tokensSql
+    s"""WITH w AS (SELECT unnest($tokensSql) AS w FROM documents),
+      |freq AS (SELECT w, count(*) AS f FROM w GROUP BY w
+      |  ORDER BY f DESC, w LIMIT 100),
+      |pts AS (SELECT
+      |  CAST(round(ln(CAST(row_number() OVER (ORDER BY f DESC, w)
+      |    AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+      |  CAST(round(ln(CAST(f AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+      | FROM freq),
+      |m AS (SELECT CAST(count(*) AS DECIMAL(18,6)) AS n,
+      |  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+      |  sum(x * x) AS sxx FROM pts)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+      |  round((CAST(sy AS DOUBLE)
+      |    - (CAST(n * sxy - sx * sy AS DOUBLE)
+      |       / CAST(n * sxx - sx * sx AS DOUBLE))
+      |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+      |FROM m""".stripMargin
+  }
+
+  /** Heaps-law vocabulary growth (q247): vocabulary size at four
+    * NESTED md5-prefix corpus subsets (25/50/75/100% — the q228
+    * nested-split device, so each point is a superset of the last,
+    * exactly the growth-curve semantics), all four (token count,
+    * vocab) pairs from ONE scan via conditional aggregation; the
+    * Heaps exponent β is the OLS slope of ln V on ln N over the four
+    * points, computed in the same decimal-quantized way as q246 and
+    * repeated per row. Sub-linear β (≈0.5–0.8) is natural text; β≈1
+    * means unbounded novelty (noise), β≈0 a closed template set.
+    */
+  def q247HeapsGrowth(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text.tokens
+    val bucket = substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val toks = documents(s, dir)
+      .select(bucket.as("b"), explode(tokens(col("text"))).as("w"))
+    val cuts = Seq("25" -> "40", "50" -> "80", "75" -> "c0",
+      "100" -> "zz")
+    // one corpus scan for all four points; the 1-row result is then
+    // pinned so the four union branches below don't re-scan
+    val aggExprs = cuts.map { case (pct, hi) =>
+      sum(when(col("b") < hi, 1L).otherwise(0L)).as(s"n_$pct")
+    } ++ cuts.map { case (pct, hi) =>
+      countDistinct(when(col("b") < hi, col("w"))).as(s"v_$pct")
+    }
+    val agg = toks.agg(aggExprs.head, aggExprs.tail: _*).localCheckpoint()
+    def dec6(c: Column): Column = round(c, 6).cast("decimal(18,6)")
+    val pts = cuts.map { case (pct, _) =>
+      agg.select(lit(pct.toLong).as("pct"),
+        col(s"n_$pct").as("n_tokens"), col(s"v_$pct").as("vocab"),
+        dec6(log(col(s"n_$pct").cast("double"))).as("x"),
+        dec6(log(col(s"v_$pct").cast("double"))).as("y"))
+    }.reduce(_ unionByName _)
+    val beta = pts.agg(count(lit(1)).as("k"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(round((col("k") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+        (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"),
+        6).as("heaps_beta"))
+    pts.crossJoin(broadcast(beta))
+      .select(col("pct"), col("n_tokens"), col("vocab"), col("heaps_beta"))
+      .orderBy("pct")
+  }
+
+  val q247Oracle: String = {
+    import graft.functions.Text.tokensSql
+    s"""WITH t AS (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+      |    AS b, unnest($tokensSql) AS w
+      |  FROM documents),
+      |pts AS (
+      |  SELECT 25 AS pct, count(*) FILTER (WHERE b < '40') AS n_tokens,
+      |    count(DISTINCT CASE WHEN b < '40' THEN w END) AS vocab FROM t
+      |  UNION ALL SELECT 50, count(*) FILTER (WHERE b < '80'),
+      |    count(DISTINCT CASE WHEN b < '80' THEN w END) FROM t
+      |  UNION ALL SELECT 75, count(*) FILTER (WHERE b < 'c0'),
+      |    count(DISTINCT CASE WHEN b < 'c0' THEN w END) FROM t
+      |  UNION ALL SELECT 100, count(*),
+      |    count(DISTINCT w) FROM t),
+      |l AS (SELECT pct, n_tokens, vocab,
+      |  CAST(round(ln(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6))
+      |    AS x,
+      |  CAST(round(ln(CAST(vocab AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+      | FROM pts),
+      |m AS (SELECT CAST(count(*) AS DECIMAL(18,6)) AS k, sum(x) AS sx,
+      |  sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx FROM l)
+      |SELECT CAST(pct AS BIGINT) AS pct,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(vocab AS BIGINT) AS vocab,
+      |  round(CAST(k * sxy - sx * sy AS DOUBLE)
+      |    / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS heaps_beta
+      |FROM l CROSS JOIN m
+      |ORDER BY pct""".stripMargin
+  }
+
+  /** Bigram novelty rate (q248) — how much genuinely NEW phrase
+    * structure the latest corpus slice adds: distinct bigrams of the
+    * tail md5 quartile never seen in the first three quartiles,
+    * divided by the tail's distinct bigrams. The freshness probe a
+    * continuously-fed training corpus runs before paying to ingest a
+    * new crawl (near-zero novelty = the feed is recycling). Both
+    * vocabularies are bigram-set-sized; the novelty check is one
+    * co-partitioned LEFT ANTI join on the bigram — never doc×doc.
+    */
+  def q248NoveltyRate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text.tokens
+    val ws = tokens(col("text"))
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bucket = substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val d = documents(s, dir)
+      .select(bucket.as("b"), explode(array_distinct(bigrams)).as("tk"))
+    val head = d.filter(col("b") < "c0").select("tk").distinct()
+    val tail = d.filter(col("b") >= "c0").select("tk").distinct()
+      .localCheckpoint()
+    val novel = tail.join(head, Seq("tk"), "left_anti")
+    val nTail = tail.count()
+    val nNovel = novel.count()
+    import s.implicits._
+    // HALF_UP to match SQL round() (rint is half-to-even)
+    val rate =
+      if (nTail == 0) 0.0
+      else new java.math.BigDecimal(nNovel.toDouble / nTail.toDouble)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    Seq((nTail, nNovel, rate))
+      .toDF("n_tail_bigrams", "n_novel", "novelty_rate")
+  }
+
+  val q248Oracle: String = {
+    import graft.functions.Text.tokensSql
+    s"""WITH d AS (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+      |    AS b, unnest(list_distinct(
+      |  CASE WHEN length($tokensSql) >= 2
+      |       THEN list_transform(range(1, length($tokensSql)),
+      |              i -> $tokensSql[i] || ' ' || $tokensSql[i+1])
+      |       ELSE [] END)) AS tk
+      |  FROM documents),
+      |head_ AS (SELECT DISTINCT tk FROM d WHERE b < 'c0'),
+      |tail_ AS (SELECT DISTINCT tk FROM d WHERE b >= 'c0'),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tail FROM tail_),
+      |nov AS (SELECT CAST(count(*) AS BIGINT) AS n_novel
+      |  FROM tail_ ANTI JOIN head_ USING (tk))
+      |SELECT n_tail AS n_tail_bigrams, n_novel,
+      |  CASE WHEN n_tail = 0 THEN 0.0
+      |       ELSE round(CAST(n_novel AS DOUBLE) / n_tail, 6) END
+      |    AS novelty_rate
+      |FROM n CROSS JOIN nov""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_zipf_fit" -> (q246ZipfFit _),
+    "q247_heaps_growth" -> (q247HeapsGrowth _),
+    "q248_novelty_rate" -> (q248NoveltyRate _),
     "q172_bpe_merge" -> (q172BpeMerge _),
     "q173_pair_lift" -> (q173PairLift _),
     "q142_bm25_topk" -> (q142Bm25TopK _),
@@ -963,6 +1163,9 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q246_zipf_fit" -> q246Oracle,
+    "q247_heaps_growth" -> q247Oracle,
+    "q248_novelty_rate" -> q248Oracle,
     "q172_bpe_merge" -> q172Oracle,
     "q173_pair_lift" -> q173Oracle,
     "q142_bm25_topk" -> q142Oracle,
