@@ -163,6 +163,7 @@ final class MiniLake(spark: SparkSession, val path: String,
       },
       stats = s.stats ++ e.stats,
       statsStr = s.statsStr ++ e.statsStr,
+      statsDbl = s.statsDbl ++ e.statsDbl,
       changeBacked =
         if (e.changesMode == "insertsFromData") s.changeBacked ++ e.adds
         else s.changeBacked,
@@ -280,6 +281,14 @@ final class MiniLake(spark: SparkSession, val path: String,
             }.toMap
           }.toMap)
           .getOrElse(Map.empty),
+        statsDbl = Option(m.get("statsDbl"))
+          .map(_.asInstanceOf[java.util.Map[String, java.util.Map[String,
+            java.util.List[Number]]]].asScala.map { case (f, cols) =>
+            f -> cols.asScala.map { case (c, mm) =>
+              c -> (mm.get(0).doubleValue(), mm.get(1).doubleValue())
+            }.toMap
+          }.toMap)
+          .getOrElse(Map.empty),
         changeBacked = strs("changeBacked"),
         listedChanges = strs("listedChanges"),
         legacyVersions = Option(m.get("legacyVersions"))
@@ -304,7 +313,8 @@ final class MiniLake(spark: SparkSession, val path: String,
         val live = s0.liveFiles.toSet ++ s0.liveDvFiles
         val s = s0.copy(
           stats = s0.stats.filter { case (f, _) => live(f) },
-          statsStr = s0.statsStr.filter { case (f, _) => live(f) })
+          statsStr = s0.statsStr.filter { case (f, _) => live(f) },
+          statsDbl = s0.statsDbl.filter { case (f, _) => live(f) })
         val base = Map[String, Object](
           "version" -> Long.box(s.version),
           "schemaJson" -> s.schemaJson,
@@ -326,6 +336,11 @@ final class MiniLake(spark: SparkSession, val path: String,
           "statsStr" -> s.statsStr.map { case (f, cols) =>
             f -> cols.map { case (c, (lo, hi)) =>
               c -> java.util.List.of[Object](lo, hi)
+            }.asJava
+          }.asJava,
+          "statsDbl" -> s.statsDbl.map { case (f, cols) =>
+            f -> cols.map { case (c, (lo, hi)) =>
+              c -> java.util.List.of[Object](Double.box(lo), Double.box(hi))
             }.asJava
           }.asJava,
           "changeBacked" -> s.changeBacked.asJava,
@@ -415,6 +430,14 @@ final class MiniLake(spark: SparkSession, val path: String,
           }.toMap
         }.toMap)
         .getOrElse(Map.empty),
+      statsDbl = Option(m.get("statsDbl"))
+        .map(_.asInstanceOf[java.util.Map[String, java.util.Map[String,
+          java.util.List[Number]]]].asScala.map { case (f, cols) =>
+          f -> cols.asScala.map { case (c, mm) =>
+            c -> (mm.get(0).doubleValue(), mm.get(1).doubleValue())
+          }.toMap
+        }.toMap)
+        .getOrElse(Map.empty),
       dvAdds = Option(m.get("dvAdds"))
         .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
         .getOrElse(Seq.empty),
@@ -446,12 +469,15 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   private def collectFileStats(files: Seq[String]): (
       Map[String, Map[String, (Long, Long)]],
-      Map[String, Map[String, (String, String)]]) = {
+      Map[String, Map[String, (String, String)]],
+      Map[String, Map[String, (Double, Double)]]) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val longs =
       scala.collection.mutable.Map.empty[String, Map[String, (Long, Long)]]
     val strs =
       scala.collection.mutable.Map.empty[String, Map[String, (String, String)]]
+    val dbls =
+      scala.collection.mutable.Map.empty[String, Map[String, (Double, Double)]]
     files.foreach { f =>
       try {
         val md = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
@@ -459,6 +485,7 @@ final class MiniLake(spark: SparkSession, val path: String,
           org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
         val accL = scala.collection.mutable.Map.empty[String, (Long, Long)]
         val accS = scala.collection.mutable.Map.empty[String, (String, String)]
+        val accD = scala.collection.mutable.Map.empty[String, (Double, Double)]
         md.getBlocks.asScala.foreach { b =>
           b.getColumns.asScala.foreach { c =>
             val pt = c.getPrimitiveType
@@ -493,6 +520,20 @@ final class MiniLake(spark: SparkSession, val path: String,
                       case None => (mn, mx)
                     }
                   }
+                case org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.DOUBLE =>
+                  val mn = st.genericGetMin
+                    .asInstanceOf[java.lang.Double].doubleValue
+                  val mx = st.genericGetMax
+                    .asInstanceOf[java.lang.Double].doubleValue
+                  // NaN-poisoned stats are not usable bounds
+                  if (!mn.isNaN && !mx.isNaN) {
+                    accD(name) = accD.get(name) match {
+                      case Some((lo, hi)) =>
+                        (math.min(lo, mn), math.max(hi, mx))
+                      case None => (mn, mx)
+                    }
+                  }
                 case _ => ()
               }
             }
@@ -500,9 +541,10 @@ final class MiniLake(spark: SparkSession, val path: String,
         }
         if (accL.nonEmpty) longs(f) = accL.toMap
         if (accS.nonEmpty) strs(f) = accS.toMap
+        if (accD.nonEmpty) dbls(f) = accD.toMap
       } catch { case _: Exception => () } // stats are best-effort
     }
-    (longs.toMap, strs.toMap)
+    (longs.toMap, strs.toMap, dbls.toMap)
   }
 
   /** Publish the commit entry for `v` atomically: write a tmp file, then
@@ -512,8 +554,8 @@ final class MiniLake(spark: SparkSession, val path: String,
   private def writeEntry(e0: CommitEntry): Unit = {
     val e =
       if (e0.adds.nonEmpty && e0.stats.isEmpty && e0.statsStr.isEmpty) {
-        val (longs, strs) = collectFileStats(e0.adds)
-        e0.copy(stats = longs, statsStr = strs)
+        val (longs, strs, dbls) = collectFileStats(e0.adds)
+        e0.copy(stats = longs, statsStr = strs, statsDbl = dbls)
       } else e0
     Files.createDirectories(logDir)
     val base = Map[String, Object](
@@ -552,9 +594,16 @@ final class MiniLake(spark: SparkSession, val path: String,
           c -> java.util.List.of[Object](lo, hi)
         }.asJava
       }.asJava)
+    val withStatsDbl =
+      if (e.statsDbl.isEmpty) withStatsStr
+      else withStatsStr + ("statsDbl" -> e.statsDbl.map { case (f, cols) =>
+        f -> cols.map { case (c, (lo, hi)) =>
+          c -> java.util.List.of[Object](Double.box(lo), Double.box(hi))
+        }.asJava
+      }.asJava)
     val withChangeFiles =
-      if (e.changeFiles.isEmpty) withStatsStr
-      else withStatsStr + ("changeFiles" -> e.changeFiles.asJava)
+      if (e.changeFiles.isEmpty) withStatsDbl
+      else withStatsDbl + ("changeFiles" -> e.changeFiles.asJava)
     val withDvAdds =
       if (e.dvAdds.isEmpty) withChangeFiles
       else withChangeFiles + ("dvAdds" -> e.dvAdds.asJava)
@@ -821,6 +870,41 @@ final class MiniLake(spark: SparkSession, val path: String,
     require(latestVersion >= 0, s"table $path does not exist")
     require(ranges.nonEmpty, "at least one column range required")
     val statsByFile = state(latestVersion).stats
+    val files = liveFiles(latestVersion).filter { f =>
+      ranges.forall { case (colName, (lo, hi)) =>
+        statsByFile.get(f).flatMap(_.get(colName)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+    }
+    val sch = schemaAt(latestVersion)
+    val base =
+      if (files.isEmpty) emptyDf(spark, sch)
+      else readFiles(files, latestVersion)
+    ranges.foldLeft(base) { case (d, (c, (lo, hi))) =>
+      d.filter(col(c) >= lo && col(c) <= hi)
+    }
+  }
+
+  /** DOUBLE-column data skipping — same index, IEEE min/max from the
+    * footers (NaN-poisoned stats are dropped at collection, so every
+    * recorded range is a sound bound; rows with NaN values are never
+    * range-selected anyway since NaN comparisons are false). This is
+    * what metric/score columns (quality scores, embedding norms,
+    * prices as raw doubles) need when the layout clusters on them.
+    * Files without double stats are conservatively kept; the exact
+    * filter always reapplies.
+    */
+  def snapshotForDoubleRange(colName: String, lo: Double,
+      hi: Double): DataFrame =
+    snapshotForDoubleRanges(Map(colName -> (lo, hi)))
+
+  def snapshotForDoubleRanges(
+      ranges: Map[String, (Double, Double)]): DataFrame = {
+    require(latestVersion >= 0, s"table $path does not exist")
+    require(ranges.nonEmpty, "at least one column range required")
+    val statsByFile = state(latestVersion).statsDbl
     val files = liveFiles(latestVersion).filter { f =>
       ranges.forall { case (colName, (lo, hi)) =>
         statsByFile.get(f).flatMap(_.get(colName)) match {
@@ -2076,6 +2160,7 @@ object MiniLake {
       txnMax: Map[String, Long],
       stats: Map[String, Map[String, (Long, Long)]],
       statsStr: Map[String, Map[String, (String, String)]],
+      statsDbl: Map[String, Map[String, (Double, Double)]],
       changeBacked: Seq[String],
       listedChanges: Seq[String],
       legacyVersions: Seq[Long])
@@ -2083,7 +2168,7 @@ object MiniLake {
   private[lake] object FoldState {
     val empty: FoldState = FoldState(-1L, "", Seq.empty, Seq.empty,
       Map.empty, Seq.empty, Set.empty, Map.empty, Map.empty, Map.empty,
-      Seq.empty, Seq.empty, Seq.empty)
+      Map.empty, Seq.empty, Seq.empty, Seq.empty)
   }
 
   /** The session's AQE setting as first observed OUTSIDE any commit —
@@ -2169,7 +2254,8 @@ object MiniLake {
       dvRemoves: Seq[String] = Seq.empty,
       constraints: Map[String, String] = Map.empty,
       renames: Map[String, String] = Map.empty,
-      generatedCols: Seq[(String, String)] = Seq.empty)
+      generatedCols: Seq[(String, String)] = Seq.empty,
+      statsDbl: Map[String, Map[String, (Double, Double)]] = Map.empty)
 
   def apply(spark: SparkSession, path: String): MiniLake =
     new MiniLake(spark, path)
@@ -2237,11 +2323,12 @@ object MiniLake {
     val srcState = src.state(v)
     val stats = srcState.stats.filter(f => live(f._1))
     val statsStr = srcState.statsStr.filter(f => live(f._1))
+    val statsDbl = srcState.statsDbl.filter(f => live(f._1))
     dest.writeEntry(CommitEntry(0L, "clone", System.currentTimeMillis(),
       src.schemaAt(v).json, src.liveFiles(v), Seq.empty,
       hasChanges = false, bucketSpec = entry.bucketSpec,
       partitionCols = entry.partitionCols,
-      stats = stats, statsStr = statsStr,
+      stats = stats, statsStr = statsStr, statsDbl = statsDbl,
       dvAdds = src.liveDvFiles(v)))
     dest
   }

@@ -741,6 +741,42 @@ object Pipeline {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** DOUBLE-column data skipping as a gate (q250) — the q91 scenario
+    * on an IEEE metric column: three appends give each commit's files
+    * a disjoint o_totalprice range (footer double stats land in the
+    * commit log), then `snapshotForDoubleRange` serves a price-band
+    * report opening only the middle commit's files (MiniLakeSpec
+    * asserts the pruning physically via inputFiles; this gate checks
+    * the numbers against plain SQL). Score/quality/price columns are
+    * what a curation pipeline range-reads — INT64 stats alone leave
+    * them unprunable.
+    */
+  def q250DoubleSkipping(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_dskip").toString
+    val t = MiniLake(s, s"$base/orders")
+    val o = orders(s, dir).select("o_orderkey", "o_orderpriority",
+      "o_totalprice")
+    t.create(o.filter(col("o_totalprice") < 60000.0))
+    t.append(o.filter(col("o_totalprice") >= 60000.0 &&
+      col("o_totalprice") < 180000.0))
+    t.append(o.filter(col("o_totalprice") >= 180000.0))
+    t.snapshotForDoubleRange("o_totalprice", 70000.0, 170000.0)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).cast("decimal(18,2)")
+          .cast("double").as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q250Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      | CAST(CAST(round(sum(o_totalprice), 2) AS DECIMAL(18,2)) AS DOUBLE)
+      |   AS total
+      |FROM orders
+      |WHERE o_totalprice BETWEEN 70000.0 AND 170000.0
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Right-to-be-forgotten: purge every row a set of users owns from a
     * versioned lake table, then AUDIT the purge from the change feed —
     * the GDPR/DSAR lifecycle the reference's health-data setting makes
@@ -951,7 +987,8 @@ object Pipeline {
     "q177_table_history" -> (q177TableHistory _),
     "q232_checkpoint_lifecycle" -> (q232CheckpointLifecycle _),
     "q234_generated_partition" -> (q234GeneratedPartition _),
-    "q235_symlink_manifest" -> (q235SymlinkManifest _)
+    "q235_symlink_manifest" -> (q235SymlinkManifest _),
+    "q250_double_skipping" -> (q250DoubleSkipping _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -977,6 +1014,7 @@ object Pipeline {
     "q177_table_history" -> q177Oracle,
     "q232_checkpoint_lifecycle" -> q232Oracle,
     "q234_generated_partition" -> q234Oracle,
-    "q235_symlink_manifest" -> q235Oracle
+    "q235_symlink_manifest" -> q235Oracle,
+    "q250_double_skipping" -> q250Oracle
   )
 }

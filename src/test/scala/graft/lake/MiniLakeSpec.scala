@@ -665,6 +665,8 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
         full.stats.view.filterKeys(liveSet).toMap, s"v=$v stats")
       assert(fast.statsStr.view.filterKeys(liveSet).toMap ===
         full.statsStr.view.filterKeys(liveSet).toMap, s"v=$v statsStr")
+      assert(fast.statsDbl.view.filterKeys(liveSet).toMap ===
+        full.statsDbl.view.filterKeys(liveSet).toMap, s"v=$v statsDbl")
     }
 
     // observable equivalence on the hot read paths
@@ -684,6 +686,25 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
     val recovered = MiniLake(spark, dir)
     assert(recovered.state(t.latestVersion) ===
       t.foldStateScratch(t.latestVersion))
+  }
+
+  test("snapshotForDoubleRange skips files whose double stats " +
+      "exclude the range") {
+    val t = MiniLake(spark, dir)
+    def batch(lo: Double, n: Int) =
+      (0 until n).map(i => (lo + i, s"r$i")).toDF("score", "tag")
+    t.create(batch(0.0, 100))     // scores 0..99
+    t.append(batch(1000.0, 100))  // 1000..1099
+    t.append(batch(2000.0, 100))  // 2000..2099
+    val hit = t.snapshotForDoubleRange("score", 1010.5, 1020.5)
+    assert(hit.count() === 10)
+    // physical pruning: only the middle commit's files are opened
+    val opened = hit.inputFiles.toSeq
+    assert(opened.nonEmpty)
+    assert(opened.forall(_.contains("/v=1/")), opened.mkString("\n"))
+    // files without double stats are conservatively kept, exact
+    // filter still applies (empty result, no crash, full scan ok)
+    assert(t.snapshotForDoubleRange("score", -50.0, -1.0).count() === 0)
   }
 
   test("mergeConcurrent: bucket-disjoint racing merges BOTH land; " +
