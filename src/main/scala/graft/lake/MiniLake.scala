@@ -575,8 +575,11 @@ final class MiniLake(spark: SparkSession, val path: String,
     }
     // the table's partition layout is a create-time property (like the
     // bucket spec); stamp it on every entry from the resolved value so
-    // call sites don't thread it through
-    val tableParts = partitionCols
+    // call sites don't thread it through — unless the entry carries
+    // its own (shallow clone of a partitioned table: dest doesn't
+    // exist yet, so the instance resolves to empty)
+    val tableParts =
+      if (e.partitionCols.nonEmpty) e.partitionCols else partitionCols
     val withParts =
       if (tableParts.isEmpty) withTxn
       else withTxn + ("partitionCols" -> tableParts.asJava)
@@ -617,8 +620,13 @@ final class MiniLake(spark: SparkSession, val path: String,
       if (e.renames.isEmpty) withConstraints
       else withConstraints + ("renames" -> e.renames.asJava)
     // generated columns are a create-time property (like the partition
-    // layout); stamp every entry from the resolved value
-    val tableGen = generatedCols
+    // layout); stamp every entry from the resolved value — except when
+    // the entry carries its own (shallow clone: the DEST table does
+    // not exist yet, so the instance resolves to empty and the
+    // source's rules must ride the entry or the clone silently loses
+    // its generation/validation invariant)
+    val tableGen =
+      if (e.generatedCols.nonEmpty) e.generatedCols else generatedCols
     val withGen =
       if (tableGen.isEmpty) withRenames
       else withRenames + ("generatedCols" ->
@@ -1374,7 +1382,15 @@ final class MiniLake(spark: SparkSession, val path: String,
     * number of executors/jobs appending concurrently, each paying one
     * distributed write plus a few driver-side retry reads.
     */
-  def appendConcurrent(batch: DataFrame, maxRetries: Int = 32): Long = {
+  def appendConcurrent(batch: DataFrame, maxRetries: Int = 32): Long =
+    appendConcurrentImpl(batch, maxRetries, () => ())
+
+  /** Test seam: `beforePublish` runs after the data write, before the
+    * first publish attempt — the window a schema-changing winner can
+    * land in without a version-number collision.
+    */
+  private[lake] def appendConcurrentImpl(batch: DataFrame,
+      maxRetries: Int, beforePublish: () => Unit): Long = {
     val df = withGenerated(batch)
     requireSchemaMatch(df)
     // the attempt dir is stamped with the READ version, not the claimed
@@ -1388,8 +1404,20 @@ final class MiniLake(spark: SparkSession, val path: String,
     val adds = withCommitPlanning {
       writeData(df, -1L, None, Some(attemptDir("data", readV)))
     }
+    beforePublish()
     var attempt = 0
     while (true) {
+      // re-check the schema at the TOP of every attempt, before the
+      // version claim: a schema-changing winner (rename/drop/
+      // mergeSchema) landing during the distributed data write does
+      // NOT collide on the version number — it simply advances it —
+      // so a catch-side check alone would let the first publish
+      // attempt stamp the stale pre-change schemaJson and silently
+      // revert the schema for every later reader. Checking before
+      // nextVersion closes the window: any winner landing after this
+      // check necessarily takes the version this writer is about to
+      // claim, forcing a collision and the next iteration's re-check.
+      requireSchemaMatch(df)
       val v = nextVersion
       try {
         writeEntry(CommitEntry(v, "append", System.currentTimeMillis(),
@@ -1401,10 +1429,6 @@ final class MiniLake(spark: SparkSession, val path: String,
           attempt += 1
           require(attempt <= maxRetries,
             s"append to $path lost $maxRetries commit races, giving up")
-          // another writer claimed v — re-check the schema still
-          // matches (a concurrent mergeSchema append may have widened
-          // it) and contend for the next version
-          requireSchemaMatch(df)
       }
     }
     -1L // unreachable
@@ -1518,8 +1542,13 @@ final class MiniLake(spark: SparkSession, val path: String,
     (a, Await.result(r, Duration.Inf))
   }
 
-  def overwrite(df: DataFrame): Unit = {
-    if (!exists) { create(df); return }
+  def overwrite(batch: DataFrame): Unit = {
+    if (!exists) { create(batch); return }
+    // compute absent generated columns here too — every insert-style
+    // verb (create/append/appendIfAbsent/appendConcurrent/merge)
+    // already does, and a raw batch failing on overwrite but passing
+    // on append would be an inconsistent write surface
+    val df = withGenerated(batch)
     val prior = snapshot()
     val changes = prior.withColumn(ChangeType, lit("delete"))
       .unionByName(df.withColumn(ChangeType, lit("insert")))
@@ -1795,8 +1824,11 @@ final class MiniLake(spark: SparkSession, val path: String,
     * path would apply; this variant rewrites the live set, the right
     * call for wide-update CDC batches). Deltas stay batch-sized.
     */
-  def mergeUpdate(source: DataFrame, pks: Seq[String]): (Long, Long) =
+  def mergeUpdate(rawSource: DataFrame, pks: Seq[String]): (Long, Long) =
     withCommitPlanning {
+      // generated columns compute-if-absent on this insert/update
+      // surface too (consistency with every other data-carrying verb)
+      val source = withGenerated(rawSource)
       requireSchemaMatch(source)
       val target = snapshot()
       val srcKeys = source.select(pks.map(col): _*).distinct()
@@ -2329,7 +2361,12 @@ object MiniLake {
       hasChanges = false, bucketSpec = entry.bucketSpec,
       partitionCols = entry.partitionCols,
       stats = stats, statsStr = statsStr, statsDbl = statsDbl,
-      dvAdds = src.liveDvFiles(v)))
+      dvAdds = src.liveDvFiles(v),
+      // GENERATED ALWAYS AS rules ride the clone entry (Delta clone
+      // preserves table metadata): without this the clone would
+      // accept wrong caller-supplied values unvalidated, breaking
+      // the invariant the source enforces
+      generatedCols = src.generatedCols))
     dest
   }
 

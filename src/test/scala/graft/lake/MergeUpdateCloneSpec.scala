@@ -103,4 +103,57 @@ class MergeUpdateCloneSpec extends AnyFunSuite with BeforeAndAfterEach {
       .select("key").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
     MiniLake.deleteRecursively(cdir)
   }
+
+  test("clone preserves GENERATED ALWAYS AS rules") {
+    val t = MiniLake.generated(spark, dir,
+      generatedCols = Seq("value_len" -> "length(value)"))
+    t.create(kv(1L -> "abc"))
+    val cdir = dir + "_gclone"
+    val c = MiniLake.shallowClone(spark, dir, cdir)
+    // absent column computes on the clone's own appends
+    c.append(kv(2L -> "wxyz"))
+    assert(c.snapshot().filter(col("key") === 2L)
+      .select("value_len").as[Int].head() === 4)
+    // wrong caller-supplied value REJECTS — the source's invariant
+    // survived the clone (the regression being pinned: the clone
+    // entry used to drop the generation rules, letting this pass)
+    val err = intercept[IllegalArgumentException] {
+      c.append(Seq((3L, "pq", 99)).toDF("key", "value", "value_len"))
+    }
+    assert(err.getMessage.contains("generated col value_len"))
+    // a COLD reopen of the clone still has the rules
+    val fresh = MiniLake(spark, cdir)
+    fresh.append(kv(4L -> "hello"))
+    assert(fresh.snapshot().filter(col("key") === 4L)
+      .select("value_len").as[Int].head() === 5)
+    MiniLake.deleteRecursively(cdir)
+  }
+
+  test("clone of a value-partitioned table keeps the partition layout") {
+    val t = MiniLake.partitioned(spark, dir, Seq("value"))
+    t.create(kv(1L -> "a", 2L -> "b", 3L -> "a"))
+    val cdir = dir + "_pclone"
+    val c = MiniLake.shallowClone(spark, dir, cdir)
+    // driver-side pruning works on the clone...
+    assert(c.snapshotWhere(p => p("value") == "a")
+      .select("key").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    // ...and the clone's OWN writes land partitioned (the layout is
+    // recovered from the clone entry, not lost to an empty default)
+    c.append(kv(4L -> "b"))
+    assert(c.snapshotWhere(p => p("value") == "b")
+      .select("key").as[Long].collect().sorted.toSeq === Seq(2L, 4L))
+    MiniLake.deleteRecursively(cdir)
+  }
+
+  test("overwrite and mergeUpdate compute absent generated columns") {
+    val t = MiniLake.generated(spark, dir,
+      generatedCols = Seq("value_len" -> "length(value)"))
+    t.create(kv(1L -> "abc"))
+    t.overwrite(kv(1L -> "wxyz", 2L -> "pq"))
+    assert(t.snapshot().orderBy("key").select("value_len")
+      .as[Int].collect().toSeq === Seq(4, 2))
+    t.mergeUpdate(kv(2L -> "hello", 3L -> "x"), Seq("key"))
+    assert(t.snapshot().orderBy("key").select("value_len")
+      .as[Int].collect().toSeq === Seq(4, 5, 1))
+  }
 }

@@ -834,6 +834,26 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
       .select("value_len").as[Int].head() === 6)
   }
 
+  test("appendConcurrent aborts when a schema-changing winner lands " +
+      "during the data write (no version collision needed)") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a"))
+    // the rename lands in the window between this writer's data write
+    // and its FIRST publish attempt — it takes the next version, so
+    // the publish would NOT collide; only the loop-top schema re-check
+    // can catch it
+    val err = intercept[IllegalArgumentException] {
+      t.appendConcurrentImpl(kv(2L -> "b"), maxRetries = 4,
+        beforePublish = () =>
+          MiniLake(spark, dir).renameColumn("value", "val2"))
+    }
+    assert(err.getMessage.contains("schema mismatch"))
+    // the rename survived: no stale-schema entry reverted it
+    val fresh = MiniLake(spark, dir)
+    assert(fresh.schema.fieldNames.toSeq === Seq("key", "val2"))
+    assert(fresh.latestVersion === 1L)
+  }
+
   test("constraint violation attributes every violated name in one pass") {
     val t = MiniLake(spark, dir)
     t.create(kv(1L -> "a"))
