@@ -2427,7 +2427,7 @@ object MiniLake {
   /** Project `df` onto `sch`: present columns pass through, missing
     * columns null-fill with the target type.
     */
-  private[lake] def conformTo(df: DataFrame, sch: StructType): DataFrame = {
+  private[graft] def conformTo(df: DataFrame, sch: StructType): DataFrame = {
     val have = df.columns.toSet
     df.select(sch.fields.toSeq.map { f =>
       if (have.contains(f.name)) col(f.name)

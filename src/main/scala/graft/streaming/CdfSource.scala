@@ -206,7 +206,19 @@ object CdfStream {
 final class MiniLakeCdfSource(lake: MiniLake, startingVersion: Long)
     extends Source {
 
-  override val schema: StructType = MiniLake.changeSchema(lake.schema)
+  /** The table schema this stream was PLANNED against, pinned at
+    * source construction: the V1 engine binds downstream operators to
+    * these ordinals for the life of the query, so a table that
+    * evolves mid-stream (mergeSchema append, rename) must surface as
+    * an explicit restart-the-stream error — serving batches conformed
+    * to the NEW schema under the OLD declaration would mis-bind
+    * columns silently. Delta's streaming source draws the same
+    * boundary (fails the stream on schema change; the restart picks
+    * up the new schema).
+    */
+  private val pinnedDataSchema: StructType = lake.schema
+
+  override val schema: StructType = MiniLake.changeSchema(pinnedDataSchema)
 
   private def versionOf(o: Offset): Long = o match {
     case LongOffset(v)       => v
@@ -228,10 +240,26 @@ final class MiniLakeCdfSource(lake: MiniLake, startingVersion: Long)
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val lo = start.map(versionOf(_) + 1).getOrElse(startingVersion)
     val hi = versionOf(end)
+    // fail FAST when the table no longer reads under the pinned
+    // schema: readChanges conforms every slice to the CURRENT table
+    // schema, so a mid-stream evolution would otherwise hand the V1
+    // engine a frame whose columns diverge from the declared source
+    // schema — ordinal mis-binding, not an error
+    val now = lake.schema
+    def sig(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
+    if (sig(now) != sig(pinnedDataSchema))
+      throw new IllegalStateException(
+        s"MiniLake CDF stream over ${lake.path}: table schema changed " +
+          s"mid-stream (was ${pinnedDataSchema.simpleString}, now " +
+          s"${now.simpleString}); restart the stream to pick up the " +
+          "new schema")
     // V1 contract: the returned frame must carry isStreaming=true; the
-    // bridge wraps the batch plan lazily, pushdown intact
+    // bridge wraps the batch plan lazily, pushdown intact. The
+    // projection onto the pinned schema is an identity here (the
+    // signatures just matched) — kept so the bound ordinals are
+    // guaranteed by construction, not by readChanges' column order.
     org.apache.spark.sql.GraftStreamingBridge.asStreamingFrame(
-      lake.readChanges(lo, hi))
+      MiniLake.conformTo(lake.readChanges(lo, hi), schema))
   }
 
   override def stop(): Unit = ()

@@ -107,4 +107,70 @@ class CdfSourceSpec extends AnyFunSuite with BeforeAndAfterEach {
     // idle restart delivers nothing
     assert(run() === Seq.empty)
   }
+
+  test("mid-stream schema evolution fails the stream explicitly; " +
+      "a restart picks up the new schema") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a"))                                    // v0
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def start() = readCdfStream().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        seen.synchronized { seen ++= batch.select("key").as[Long].collect() }
+        ()
+    }.start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(seen.sorted.toSeq === Seq(1L))
+      // a mergeSchema append lands MID-STREAM: the next batch must
+      // fail with the explicit restart error — not silently mis-bind
+      // or drop the new column
+      t.append(Seq((2L, "b", 7L)).toDF("key", "value", "extra"),
+        mergeSchema = true)                                    // v1
+      val err = intercept[org.apache.spark.sql.streaming
+          .StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination()
+      }
+      def rootMessages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+      assert(rootMessages(err).exists(_.contains("schema changed")),
+        s"wanted the explicit schema-changed error, got: $err")
+    } finally q.stop()
+
+    // a RESTARTED stream pins the evolved schema and serves the
+    // commit that failed the old stream (fresh temp checkpoint here,
+    // so v0 redelivers too — the point is v1 now flows)
+    seen.clear()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(seen.sorted.toSeq === Seq(1L, 2L))
+    } finally q2.stop()
+  }
+
+  test("mid-stream rename fails the stream explicitly") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a"))                                    // v0
+    val q = readCdfStream().writeStream.foreachBatch {
+      (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => ()
+    }.start()
+    try {
+      q.processAllAvailable()
+      t.renameColumn("value", "val2")                          // v1
+      t.append(Seq((2L, "b")).toDF("key", "val2"))             // v2
+      val err = intercept[org.apache.spark.sql.streaming
+          .StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination()
+      }
+      def rootMessages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+      assert(rootMessages(err).exists(_.contains("schema changed")))
+    } finally q.stop()
+  }
 }
