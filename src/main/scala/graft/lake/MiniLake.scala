@@ -65,12 +65,31 @@ final class MiniLake(spark: SparkSession, val path: String,
   private val root = Paths.get(path)
   private val logDir = root.resolve("_log")
 
+  /** Create-time properties (bucket layout, partition columns,
+    * generated columns) are immutable once the first entry exists —
+    * resolved once and cached forever. Per-commit re-resolution
+    * re-read the v0 entry and re-listed the log directory three
+    * times per commit: measurable at 1,000-commit lifecycles.
+    */
+  @volatile private var createProps: Option[(Option[BucketSpec],
+    Seq[String], Seq[(String, String)])] = None
+  private def resolveCreateProps: (Option[BucketSpec], Seq[String],
+      Seq[(String, String)]) =
+    createProps.getOrElse {
+      if (!exists)
+        (bucketSpecAtCreate, partitionColsAtCreate, generatedColsAtCreate)
+      else {
+        val e = readEntry(listVersions.head)
+        val p = (e.bucketSpec, e.partitionCols, e.generatedCols)
+        createProps = Some(p)
+        p
+      }
+    }
+
   /** The table's bucket layout: fixed at create time, recovered from
     * the first commit entry on reopen.
     */
-  private def bucketSpec: Option[BucketSpec] =
-    if (!exists) bucketSpecAtCreate
-    else readEntry(listVersions.head).bucketSpec
+  private def bucketSpec: Option[BucketSpec] = resolveCreateProps._1
 
   /** Value-partition columns (fixed at create, recovered on reopen).
     * Like the bucket layout, the partition value is DUPLICATED into
@@ -80,9 +99,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     * pruning is a driver-side file-list filter plus the parquet
     * min/max stats the files already carry.
     */
-  private def partitionCols: Seq[String] =
-    if (!exists) partitionColsAtCreate
-    else readEntry(listVersions.head).partitionCols
+  private def partitionCols: Seq[String] = resolveCreateProps._2
 
   private def bucketExpr(spec: BucketSpec): Column =
     pmod(xxhash64(concat_ws("\u0001",
@@ -97,9 +114,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     * callers append raw event batches and driver-side partition
     * pruning on the derived day comes for free — the Delta use case.
     */
-  private def generatedCols: Seq[(String, String)] =
-    if (!exists) generatedColsAtCreate
-    else readEntry(listVersions.head).generatedCols
+  private def generatedCols: Seq[(String, String)] = resolveCreateProps._3
 
   /** Compute any ABSENT generated columns on an incoming batch (the
     * write-side half of the contract; supplied values are validated
@@ -165,13 +180,22 @@ final class MiniLake(spark: SparkSession, val path: String,
       statsStr = s.statsStr ++ e.statsStr,
       statsDbl = s.statsDbl ++ e.statsDbl,
       changeBacked =
-        if (e.changesMode == "insertsFromData") s.changeBacked ++ e.adds
+        if (e.changesMode == "insertsFromData")
+          s.changeBacked ++
+            e.adds.map(f => ChangeRef(e.version, e.timestampMs, f))
         else s.changeBacked,
-      listedChanges = s.listedChanges ++ e.changeFiles,
+      listedChanges = s.listedChanges ++
+        e.changeFiles.map(f => ChangeRef(e.version, e.timestampMs, f)),
       legacyVersions =
-        if (e.changesMode == "files" && e.changeFiles.isEmpty)
+        // only CHANGE-BEARING commits without a file list are legacy
+        // (pre-changeFiles layout owning a whole changes/v=N dir);
+        // metadata-only commits (optimize/rename/constraint/no-match
+        // delete) have no change dir and must not grow this list
+        if (e.hasChanges && e.changesMode == "files" &&
+            e.changeFiles.isEmpty)
           s.legacyVersions :+ e.version
-        else s.legacyVersions)
+        else s.legacyVersions,
+      changeFloor = s.changeFloor)
   }
 
   /** The folded log state as of `asOf`: basis = the largest already-
@@ -207,9 +231,27 @@ final class MiniLake(spark: SparkSession, val path: String,
     if (!Files.isDirectory(ckptDir)) Seq.empty
     else usingStream(Files.list(ckptDir))(_
       .map(_.getFileName.toString)
-      .filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong)
+      .filter(_.endsWith(".manifest.json"))
+      .map(_.stripSuffix(".manifest.json").toLong)
       .toSeq.sorted)
+
+  /** Change-metadata retention horizon: checkpoint writes prune
+    * listedChanges/changeBacked refs whose commit is older than this,
+    * advancing the change floor (default = the 7-day vacuum window;
+    * `graft.lake.changeRetentionMillis` overrides — tests set it to 0
+    * to force pruning).
+    */
+  private def changeRetentionMillis: Long =
+    spark.conf.getOption("graft.lake.changeRetentionMillis")
+      .map(_.toLong).getOrElse(DefaultVacuumRetainMillis)
+
+  /** Per-part entry cap for multi-part checkpoints (file-list entries
+    * per part file). `graft.lake.checkpointPartEntries` overrides —
+    * tests set it low to force multi-part layouts at toy scale.
+    */
+  private def checkpointPartEntries: Int =
+    spark.conf.getOption("graft.lake.checkpointPartEntries")
+      .map(_.toInt).getOrElse(MiniLake.DefaultCheckpointPartEntries)
 
   /** Best-effort checkpoint lookup: the `_last_checkpoint` pointer
     * first (one read), the checkpoint directory listing as fallback.
@@ -234,25 +276,79 @@ final class MiniLake(spark: SparkSession, val path: String,
         .collectFirst { case Some(s) => s })
   }
 
+  /** Read the multi-part checkpoint for `v`: the manifest names its
+    * exact part files (writer-unique names — the manifest link is the
+    * atomic commit point, so a mixed set of two racing writers' parts
+    * can never be assembled), parts concatenate in manifest order.
+    * Any missing/corrupt piece returns None — the caller falls back
+    * to an older checkpoint or the full fold, so a bad checkpoint
+    * only ever costs speed. Each part is an independently parseable
+    * JSON document of bounded size (the Delta multi-part-checkpoint
+    * property that lets a cluster-side reader fan the parts out
+    * instead of streaming one giant blob through the driver).
+    */
   private def readCheckpoint(v: Long): Option[FoldState] =
     try {
       val m = mapper.readValue(
-        Files.readAllBytes(ckptDir.resolve(s"$v.json")),
+        Files.readAllBytes(ckptDir.resolve(s"$v.manifest.json")),
         classOf[java.util.Map[String, Object]])
-      def strs(key: String): Seq[String] =
-        Option(m.get(key))
+      def strs(mm: java.util.Map[String, Object], key: String): Seq[String] =
+        Option(mm.get(key))
           .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
           .getOrElse(Seq.empty)
-      def strMap(key: String): Map[String, String] =
-        Option(m.get(key))
-          .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap)
+      val partNames = strs(m, "partFiles")
+      val parts = partNames.map { p =>
+        mapper.readValue(Files.readAllBytes(ckptDir.resolve(p)),
+          classOf[java.util.Map[String, Object]])
+      }
+      def refs(mm: java.util.Map[String, Object],
+          key: String): Seq[ChangeRef] =
+        Option(mm.get(key))
+          .map(_.asInstanceOf[java.util.List[java.util.List[Object]]]
+            .asScala.toSeq.map { r =>
+              ChangeRef(r.get(0).asInstanceOf[Number].longValue(),
+                r.get(1).asInstanceOf[Number].longValue(),
+                r.get(2).toString)
+            })
+          .getOrElse(Seq.empty)
+      def statsL(mm: java.util.Map[String, Object])
+          : Map[String, Map[String, (Long, Long)]] =
+        Option(mm.get("stats"))
+          .map(_.asInstanceOf[java.util.Map[String, java.util.Map[String,
+            java.util.List[Number]]]].asScala.map { case (f, cols) =>
+            f -> cols.asScala.map { case (c, b) =>
+              c -> (b.get(0).longValue(), b.get(1).longValue())
+            }.toMap
+          }.toMap)
+          .getOrElse(Map.empty)
+      def statsS(mm: java.util.Map[String, Object])
+          : Map[String, Map[String, (String, String)]] =
+        Option(mm.get("statsStr"))
+          .map(_.asInstanceOf[java.util.Map[String, java.util.Map[String,
+            java.util.List[String]]]].asScala.map { case (f, cols) =>
+            f -> cols.asScala.map { case (c, b) =>
+              c -> (b.get(0), b.get(1))
+            }.toMap
+          }.toMap)
+          .getOrElse(Map.empty)
+      def statsD(mm: java.util.Map[String, Object])
+          : Map[String, Map[String, (Double, Double)]] =
+        Option(mm.get("statsDbl"))
+          .map(_.asInstanceOf[java.util.Map[String, java.util.Map[String,
+            java.util.List[Number]]]].asScala.map { case (f, cols) =>
+            f -> cols.asScala.map { case (c, b) =>
+              c -> (b.get(0).doubleValue(), b.get(1).doubleValue())
+            }.toMap
+          }.toMap)
           .getOrElse(Map.empty)
       Some(FoldState(
         version = m.get("version").asInstanceOf[Number].longValue(),
         schemaJson = m.get("schemaJson").toString,
-        liveFiles = strs("liveFiles"),
-        liveDvFiles = strs("liveDvFiles"),
-        constraints = strMap("constraints"),
+        liveFiles = parts.flatMap(strs(_, "liveFiles")),
+        liveDvFiles = parts.flatMap(strs(_, "liveDvFiles")),
+        constraints = Option(m.get("constraints"))
+          .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap)
+          .getOrElse(Map.empty),
         renames = Option(m.get("renames"))
           .map(_.asInstanceOf[java.util.List[java.util.List[Object]]]
             .asScala.toSeq.map { r =>
@@ -260,66 +356,126 @@ final class MiniLake(spark: SparkSession, val path: String,
                 r.get(1).toString, r.get(2).toString)
             })
           .getOrElse(Seq.empty),
-        dropped = strs("dropped").toSet,
+        dropped = strs(m, "dropped").toSet,
         txnMax = Option(m.get("txnMax"))
           .map(_.asInstanceOf[java.util.Map[String, Number]].asScala
-            .map { case (k, v) => k -> v.longValue() }.toMap)
+            .map { case (k, tv) => k -> tv.longValue() }.toMap)
           .getOrElse(Map.empty),
-        stats = Option(m.get("stats"))
-          .map(_.asInstanceOf[java.util.Map[String, java.util.Map[String,
-            java.util.List[Number]]]].asScala.map { case (f, cols) =>
-            f -> cols.asScala.map { case (c, mm) =>
-              c -> (mm.get(0).longValue(), mm.get(1).longValue())
-            }.toMap
-          }.toMap)
-          .getOrElse(Map.empty),
-        statsStr = Option(m.get("statsStr"))
-          .map(_.asInstanceOf[java.util.Map[String, java.util.Map[String,
-            java.util.List[String]]]].asScala.map { case (f, cols) =>
-            f -> cols.asScala.map { case (c, mm) =>
-              c -> (mm.get(0), mm.get(1))
-            }.toMap
-          }.toMap)
-          .getOrElse(Map.empty),
-        statsDbl = Option(m.get("statsDbl"))
-          .map(_.asInstanceOf[java.util.Map[String, java.util.Map[String,
-            java.util.List[Number]]]].asScala.map { case (f, cols) =>
-            f -> cols.asScala.map { case (c, mm) =>
-              c -> (mm.get(0).doubleValue(), mm.get(1).doubleValue())
-            }.toMap
-          }.toMap)
-          .getOrElse(Map.empty),
-        changeBacked = strs("changeBacked"),
-        listedChanges = strs("listedChanges"),
+        stats = parts.map(statsL).fold(Map.empty)(_ ++ _),
+        statsStr = parts.map(statsS).fold(Map.empty)(_ ++ _),
+        statsDbl = parts.map(statsD).fold(Map.empty)(_ ++ _),
+        changeBacked = parts.flatMap(refs(_, "changeBacked")),
+        listedChanges = parts.flatMap(refs(_, "listedChanges")),
         legacyVersions = Option(m.get("legacyVersions"))
           .map(_.asInstanceOf[java.util.List[Number]].asScala.toSeq
             .map(_.longValue()))
-          .getOrElse(Seq.empty)))
+          .getOrElse(Seq.empty),
+        changeFloor = Option(m.get("changeFloor"))
+          .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)))
     } catch { case _: Exception => None }
 
   /** Write the folded-state checkpoint for `v` (every
     * [[MiniLake.CheckpointInterval]] commits) plus the
     * `_last_checkpoint` pointer. Strictly best-effort: a checkpoint
     * failure must never fail the commit that triggered it, and a
-    * racing writer's duplicate checkpoint is ignored (identical
-    * content — the fold is deterministic). Stats are pruned to live
-    * data/DV files: dead files' stats serve no read and would grow
-    * the checkpoint without bound under churn.
+    * racing writer's duplicate checkpoint loses the manifest link and
+    * is ignored. Two bounds keep checkpoints sized by LIVE state, not
+    * table history:
+    *
+    *  - stats are pruned to live data/DV files (dead files' stats
+    *    serve no read);
+    *  - change-feed metadata older than [[changeRetentionMillis]] is
+    *    pruned and the change floor advances — without this,
+    *    listedChanges grows monotonically with every CDF commit
+    *    forever, and a streaming-ingest table at ~500k commits/year
+    *    would make every checkpoint a multi-GB driver JSON pass.
+    *
+    * The layout is multi-part (Delta's multi-part checkpoint shape):
+    * `<v>.part-<i>.<nonce>.json` files of at most
+    * [[checkpointPartEntries]] file entries each, plus a
+    * `<v>.manifest.json` naming its exact parts. Parts are written
+    * first under writer-unique names; the manifest hard-link is the
+    * atomic commit point, so readers can never assemble a mix of two
+    * racing writers' parts, and a writer that died mid-checkpoint
+    * leaves only invisible orphans.
     */
   private def maybeCheckpoint(v: Long): Unit =
     if (v > 0 && v % CheckpointInterval == 0) {
       try {
         val s0 = state(v)
         val live = s0.liveFiles.toSet ++ s0.liveDvFiles
+        // retention-prune change metadata: refs older than the horizon
+        // stop being vacuum-protected and the floor advances so CDF
+        // reads below it refuse explicitly instead of going missing
+        val cutoff = System.currentTimeMillis() - changeRetentionMillis
+        def kept(r: ChangeRef): Boolean = r.ts > cutoff
+        val prunedV = (s0.changeBacked.iterator ++ s0.listedChanges.iterator)
+          .filterNot(kept).map(_.version + 1)
+        val floor = (prunedV ++ Iterator.single(s0.changeFloor)).max
         val s = s0.copy(
           stats = s0.stats.filter { case (f, _) => live(f) },
           statsStr = s0.statsStr.filter { case (f, _) => live(f) },
-          statsDbl = s0.statsDbl.filter { case (f, _) => live(f) })
-        val base = Map[String, Object](
+          statsDbl = s0.statsDbl.filter { case (f, _) => live(f) },
+          changeBacked = s0.changeBacked.filter(kept),
+          listedChanges = s0.listedChanges.filter(kept),
+          legacyVersions = s0.legacyVersions.filter(_ >= floor),
+          changeFloor = floor)
+        Files.createDirectories(ckptDir)
+        val nonce = java.util.UUID.randomUUID.toString.take(8)
+        def refJson(r: ChangeRef): Object =
+          java.util.List.of[Object](Long.box(r.version), Long.box(r.ts),
+            r.file)
+        // one conceptual entry stream — live files, DV files, change
+        // refs — sliced into parts of at most checkpointPartEntries
+        sealed trait Unit0
+        final case class LF(f: String) extends Unit0
+        final case class DV(f: String) extends Unit0
+        final case class CB(r: ChangeRef) extends Unit0
+        final case class LC(r: ChangeRef) extends Unit0
+        val units: Seq[Unit0] =
+          s.liveFiles.map(LF) ++ s.liveDvFiles.map(DV) ++
+            s.changeBacked.map(CB) ++ s.listedChanges.map(LC)
+        val cap = math.max(1, checkpointPartEntries)
+        val slices =
+          if (units.isEmpty) Seq(Seq.empty[Unit0])
+          else units.grouped(cap).toSeq
+        val partNames = slices.zipWithIndex.map { case (slice, i) =>
+          val lf = slice.collect { case LF(f) => f }
+          val dv = slice.collect { case DV(f) => f }
+          val cb = slice.collect { case CB(r) => r }
+          val lc = slice.collect { case LC(r) => r }
+          val inPart = (lf ++ dv).toSet
+          val part = Map[String, Object](
+            "liveFiles" -> lf.asJava,
+            "liveDvFiles" -> dv.asJava,
+            "changeBacked" -> cb.map(refJson).asJava,
+            "listedChanges" -> lc.map(refJson).asJava,
+            "stats" -> s.stats.collect { case (f, cols) if inPart(f) =>
+              f -> cols.map { case (c, (lo, hi)) =>
+                c -> java.util.List.of[Object](Long.box(lo), Long.box(hi))
+              }.asJava
+            }.asJava,
+            "statsStr" -> s.statsStr.collect { case (f, cols) if inPart(f) =>
+              f -> cols.map { case (c, (lo, hi)) =>
+                c -> java.util.List.of[Object](lo, hi)
+              }.asJava
+            }.asJava,
+            "statsDbl" -> s.statsDbl.collect { case (f, cols) if inPart(f) =>
+              f -> cols.map { case (c, (lo, hi)) =>
+                c -> java.util.List.of[Object](Double.box(lo),
+                  Double.box(hi))
+              }.asJava
+            }.asJava)
+          val name = s"$v.part-$i.$nonce.json"
+          val tmp = ckptDir.resolve(s".$name.tmp")
+          Files.write(tmp, mapper.writeValueAsBytes(part.asJava))
+          try Files.createLink(ckptDir.resolve(name), tmp)
+          finally Files.deleteIfExists(tmp)
+          name
+        }
+        val manifest = Map[String, Object](
           "version" -> Long.box(s.version),
           "schemaJson" -> s.schemaJson,
-          "liveFiles" -> s.liveFiles.asJava,
-          "liveDvFiles" -> s.liveDvFiles.asJava,
           "constraints" -> s.constraints.asJava,
           "renames" -> s.renames.map { case (rv, f, t) =>
             java.util.List.of[Object](Long.box(rv), f, t)
@@ -328,35 +484,20 @@ final class MiniLake(spark: SparkSession, val path: String,
           "txnMax" -> s.txnMax.map { case (k, tv) =>
             k -> Long.box(tv)
           }.asJava,
-          "stats" -> s.stats.map { case (f, cols) =>
-            f -> cols.map { case (c, (lo, hi)) =>
-              c -> java.util.List.of[Object](Long.box(lo), Long.box(hi))
-            }.asJava
-          }.asJava,
-          "statsStr" -> s.statsStr.map { case (f, cols) =>
-            f -> cols.map { case (c, (lo, hi)) =>
-              c -> java.util.List.of[Object](lo, hi)
-            }.asJava
-          }.asJava,
-          "statsDbl" -> s.statsDbl.map { case (f, cols) =>
-            f -> cols.map { case (c, (lo, hi)) =>
-              c -> java.util.List.of[Object](Double.box(lo), Double.box(hi))
-            }.asJava
-          }.asJava,
-          "changeBacked" -> s.changeBacked.asJava,
-          "listedChanges" -> s.listedChanges.asJava,
-          "legacyVersions" -> s.legacyVersions.map(Long.box).asJava)
-        Files.createDirectories(ckptDir)
-        val bytes = mapper.writeValueAsBytes(base.asJava)
-        // writer-unique tmp names: two committers can checkpoint the
-        // same version concurrently (identical content), but they must
-        // not interleave writes into one tmp file
-        val nonce = java.util.UUID.randomUUID.toString.take(8)
-        val tmp = ckptDir.resolve(s".$v.$nonce.json.tmp")
-        Files.write(tmp, bytes)
-        try Files.createLink(ckptDir.resolve(s"$v.json"), tmp)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
-        finally Files.deleteIfExists(tmp)
+          "legacyVersions" -> s.legacyVersions.map(Long.box).asJava,
+          "changeFloor" -> Long.box(s.changeFloor),
+          "partFiles" -> partNames.asJava)
+        val mtmp = ckptDir.resolve(s".$v.manifest.$nonce.json.tmp")
+        Files.write(mtmp, mapper.writeValueAsBytes(manifest.asJava))
+        try Files.createLink(ckptDir.resolve(s"$v.manifest.json"), mtmp)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            // lost the manifest race: this writer's parts are orphans —
+            // reclaim them best-effort (they are invisible to readers)
+            partNames.foreach(p =>
+              Files.deleteIfExists(ckptDir.resolve(p)))
+        }
+        finally Files.deleteIfExists(mtmp)
         // advance the pointer only forward — a racing writer's higher
         // pointer must not regress (regression would only cost speed,
         // but forward-only is free to maintain)
@@ -389,7 +530,18 @@ final class MiniLake(spark: SparkSession, val path: String,
       .map(_.stripSuffix(".json").toLong)
       .toSeq.sorted)
 
-  private def readEntry(v: Long): CommitEntry = {
+  /** Log entries are write-once (hard-link publish), so caching parsed
+    * entries is always sound — the same immutability argument as
+    * [[stateCache]], and the same order of driver memory (the fold
+    * already touches every entry once).
+    */
+  private val entryCache =
+    scala.collection.concurrent.TrieMap.empty[Long, CommitEntry]
+
+  private def readEntry(v: Long): CommitEntry =
+    entryCache.getOrElseUpdate(v, readEntryUncached(v))
+
+  private def readEntryUncached(v: Long): CommitEntry = {
     val m = mapper.readValue(
       Files.readAllBytes(logDir.resolve(s"$v.json")), classOf[java.util.Map[String, Object]])
     CommitEntry(
@@ -554,8 +706,24 @@ final class MiniLake(spark: SparkSession, val path: String,
   private def writeEntry(e0: CommitEntry): Unit = {
     val e =
       if (e0.adds.nonEmpty && e0.stats.isEmpty && e0.statsStr.isEmpty) {
-        val (longs, strs, dbls) = collectFileStats(e0.adds)
-        e0.copy(stats = longs, statsStr = strs, statsDbl = dbls)
+        // files written by the driver-side fast path computed their
+        // stats inline — consume them instead of re-opening footers
+        // (one footer read per tiny commit IS measurable at
+        // 1,000-commit lifecycles)
+        val inline = e0.adds.map(f => f -> pendingStats.remove(f))
+        if (inline.nonEmpty && inline.forall(_._2.isDefined)) {
+          val byFile = inline.collect { case (f, Some(t)) => f -> t }
+          e0.copy(
+            stats = byFile.collect {
+              case (f, (l, _, _)) if l.nonEmpty => f -> l }.toMap,
+            statsStr = byFile.collect {
+              case (f, (_, ss, _)) if ss.nonEmpty => f -> ss }.toMap,
+            statsDbl = byFile.collect {
+              case (f, (_, _, d)) if d.nonEmpty => f -> d }.toMap)
+        } else {
+          val (longs, strs, dbls) = collectFileStats(e0.adds)
+          e0.copy(stats = longs, statsStr = strs, statsDbl = dbls)
+        }
       } else e0
     Files.createDirectories(logDir)
     val base = Map[String, Object](
@@ -1010,6 +1178,16 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   def readChanges(lo: Long, hi: Long): DataFrame = {
     val sch = schema
+    // retention boundary: change metadata below the floor was pruned
+    // by a checkpoint (files released to vacuum) — refuse explicitly
+    // rather than serve a silently partial feed. Delta's CDF draws
+    // the same line at its log-retention horizon.
+    val floor = state(latestVersion).changeFloor
+    if (lo < floor && hi >= lo)
+      throw new IllegalStateException(
+        s"change data for versions < $floor of $path has passed the " +
+          s"retention horizon (requested [$lo, $hi]); re-read from a " +
+          "snapshot or start at a retained version")
     val versions = listVersions.filter(v => v >= lo && v <= hi)
     val withChanges = versions.map(v => (v, readEntry(v))).filter(_._2.hasChanges)
     if (withChanges.isEmpty) {
@@ -1260,6 +1438,14 @@ final class MiniLake(spark: SparkSession, val path: String,
     * [[localBatchRows]]' gate: `compact` table, LocalRelation source,
     * simple column types, bounded row count.
     */
+  /** Inline-computed file stats for driver-written files, keyed by
+    * exact output path (UUID-unique), consumed once by [[writeEntry]]
+    * — saves the footer re-read the distributed path pays.
+    */
+  private val pendingStats = scala.collection.concurrent.TrieMap.empty[
+    String, (Map[String, (Long, Long)], Map[String, (String, String)],
+      Map[String, (Double, Double)])]
+
   private def writeLocalParquet(rows: Seq[Row], sch: StructType,
       dir: Path): Seq[String] = {
     import org.apache.spark.sql.types._
@@ -1269,27 +1455,58 @@ final class MiniLake(spark: SparkSession, val path: String,
     val msg = MiniLake.parquetMessageType(sch)
     val conf = new org.apache.hadoop.conf.Configuration()
     org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(msg, conf)
+    // nio LocalOutputFile, NOT the Hadoop Path overload: the Hadoop
+    // route wraps ChecksumFileSystem (a .crc sidecar write + stream
+    // wrapping) and measures ~2× slower per tiny file — at one commit
+    // per micro-batch that overhead is ingest latency
     val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
-      .builder(new org.apache.hadoop.fs.Path(out.toString))
+      .builder(new org.apache.parquet.io.LocalOutputFile(out))
       .withConf(conf)
       .withCompressionCodec(
         org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
       .build()
+    // stats accumulate while writing — same families and bounds the
+    // footer read would yield (INT64 exact, DOUBLE skipping NaN,
+    // strings kept only when both bounds fit MaxStatsStringLen)
+    val accL = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val accS = scala.collection.mutable.Map.empty[String, (String, String)]
+    val accD = scala.collection.mutable.Map.empty[String, (Double, Double)]
     try rows.foreach { r =>
       val g = new org.apache.parquet.example.data.simple.SimpleGroup(msg)
       sch.fields.zipWithIndex.foreach { case (f, i) =>
         if (!r.isNullAt(i)) f.dataType match {
-          case LongType    => g.add(f.name, r.getLong(i))
+          case LongType    =>
+            val v = r.getLong(i); g.add(f.name, v)
+            accL(f.name) = accL.get(f.name) match {
+              case Some((lo, hi)) => (math.min(lo, v), math.max(hi, v))
+              case None => (v, v)
+            }
           case IntegerType => g.add(f.name, r.getInt(i))
-          case DoubleType  => g.add(f.name, r.getDouble(i))
+          case DoubleType  =>
+            val v = r.getDouble(i); g.add(f.name, v)
+            if (!v.isNaN) accD(f.name) = accD.get(f.name) match {
+              case Some((lo, hi)) => (math.min(lo, v), math.max(hi, v))
+              case None => (v, v)
+            }
           case BooleanType => g.add(f.name, r.getBoolean(i))
-          case StringType  => g.add(f.name, r.getString(i))
+          case StringType  =>
+            val v = r.getString(i); g.add(f.name, v)
+            accS(f.name) = accS.get(f.name) match {
+              case Some((lo, hi)) =>
+                (if (v < lo) v else lo, if (v > hi) v else hi)
+              case None => (v, v)
+            }
           case other => throw new IllegalStateException(
             s"unreachable: $other passed the localBatchRows type gate")
         }
       }
       writer.write(g)
     } finally writer.close()
+    pendingStats.put(out.toString, (accL.toMap,
+      accS.toMap.filter { case (_, (lo, hi)) =>
+        lo.length <= MiniLake.MaxStatsStringLen &&
+          hi.length <= MiniLake.MaxStatsStringLen },
+      accD.toMap))
     Seq(out.toString)
   }
 
@@ -1916,11 +2133,13 @@ final class MiniLake(spark: SparkSession, val path: String,
     // feed (changesMode=insertsFromData) — they must survive vacuum
     // even after leaving the live set, exactly like dedicated change
     // files do.
-    val changeBacked = st.changeBacked.toSet
-    // entry-listed change files back readChanges forever; change files
-    // NOT listed by any entry are debris from a commit attempt that
-    // lost its publish race (each attempt writes its own w-<uuid> dir)
-    val listedChanges = st.listedChanges.toSet
+    val changeBacked = st.changeBacked.map(_.file).toSet
+    // entry-listed change files back readChanges until the retention
+    // horizon prunes their refs from a checkpoint (then they age out
+    // here); change files NOT listed by any retained ref are either
+    // past-retention or debris from a commit attempt that lost its
+    // publish race (each attempt writes its own w-<uuid> dir)
+    val listedChanges = st.listedChanges.map(_.file).toSet
     // live deletion vectors are part of the current table state;
     // retired DVs (materialized/rewritten away) age out like data files
     val liveDvs = st.liveDvFiles.toSet
@@ -2175,11 +2394,33 @@ object MiniLake {
     */
   private[lake] val CheckpointInterval: Long = 10L
 
+  /** File-list entries per checkpoint part file. At ~150 bytes/entry
+    * this caps a part around a few MB — each part parses in bounded
+    * memory and the part set is what a cluster-side reader would fan
+    * out (Delta's multi-part checkpoint sizing intent).
+    */
+  private[lake] val DefaultCheckpointPartEntries: Int = 10000
+
+  /** A change-feed file reference with the metadata retention pruning
+    * needs: the commit that published it and that commit's timestamp.
+    * Kept per file (not per version) so the fold stays a pure append
+    * and checkpoints can prune by age without re-reading any entry.
+    */
+  private[lake] final case class ChangeRef(version: Long, ts: Long,
+      file: String)
+
   /** Everything the log-derived accessors need, folded to one version:
     * the live data/DV file sets (insertion-ordered), active CHECK
     * constraints, the rename chain, dropped-name tombstones, per-app
     * txn high-water marks, the skipping stats, and vacuum's protected
     * file lists. This is the unit checkpoints serialize.
+    *
+    * `changeFloor` is the retention boundary: change-feed metadata for
+    * commits BELOW it has been pruned from checkpoints (and the files
+    * released to vacuum), so [[MiniLake.readChanges]] refuses version
+    * ranges that dip under it — the Delta change-data retention
+    * contract (fail clean, never silently partial). A from-scratch
+    * fold has floor 0; only checkpoint pruning advances it.
     */
   private[lake] final case class FoldState(
       version: Long,
@@ -2193,14 +2434,15 @@ object MiniLake {
       stats: Map[String, Map[String, (Long, Long)]],
       statsStr: Map[String, Map[String, (String, String)]],
       statsDbl: Map[String, Map[String, (Double, Double)]],
-      changeBacked: Seq[String],
-      listedChanges: Seq[String],
-      legacyVersions: Seq[Long])
+      changeBacked: Seq[ChangeRef],
+      listedChanges: Seq[ChangeRef],
+      legacyVersions: Seq[Long],
+      changeFloor: Long)
 
   private[lake] object FoldState {
     val empty: FoldState = FoldState(-1L, "", Seq.empty, Seq.empty,
       Map.empty, Seq.empty, Set.empty, Map.empty, Map.empty, Map.empty,
-      Map.empty, Seq.empty, Seq.empty, Seq.empty)
+      Map.empty, Seq.empty, Seq.empty, Seq.empty, 0L)
   }
 
   /** The session's AQE setting as first observed OUTSIDE any commit —

@@ -612,29 +612,57 @@ object Pipeline {
       |       n_dvs_added, n_dvs_removed, has_changes)
       |ORDER BY version""".stripMargin
 
-  /** Long-lifecycle checkpointed open (q232): 117 commits — 110
+  /** Long-lifecycle checkpointed open (q232): ~1,000 commits — 980
     * appends interleaved with deletes and OPTIMIZE rewrites — then a
     * COLD reopen (fresh instance, empty fold cache) must reconstruct
     * the exact table state. The reopen folds `_last_checkpoint` plus
     * at most [[MiniLake.CheckpointInterval]] tail entries instead of
-    * all 117 — the property that keeps a year-old streaming-ingest
+    * all ~1,000 — and because checkpoints are multi-part with
+    * retention-pruned change metadata, each of the ~98 checkpoints
+    * written along the way is sized by LIVE state, never by history.
+    * This is the property that keeps a year-old streaming-ingest
     * table (~500k commits) openable from a notebook. The emitted
     * numbers are closed-form, so the DuckDB oracle states them from
     * a `range()` reconstruction of the scripted lifecycle.
     */
   def q232CheckpointLifecycle(s: SparkSession, dir: String): DataFrame = {
     val base = graft.Scratch.dir("graft_ckpt").toString
-    val t = MiniLake.compact(s, s"$base/ledger")
+    val path = s"$base/ledger"
+    val t = MiniLake.compact(s, path)
     import s.implicits._
     t.create(Seq((0L, 0L)).toDF("k", "cents"))               // v0
-    for (i <- 1L to 110L) {
-      t.append(Seq((i, i * 37L % 1000L)).toDF("k", "cents"))
-      if (i % 25 == 0) t.delete(col("k") % 10 === 3)
-      if (i % 40 == 0) t.compactFiles()
+    // ingest is MULTI-WRITER: 8 threads race appendConcurrent for
+    // every version slot (the optimistic blind-append protocol), with
+    // single-writer maintenance (DELETE / OPTIMIZE) at the barriers
+    // between bursts — the shape of N streaming jobs feeding one
+    // table with a nightly maintenance window
+    val nWriters = 8
+    def appendBlock(lo: Long, hi: Long): Unit = {
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val threads = (0 until nWriters).map { w =>
+        new Thread(() => {
+          try {
+            val mine = MiniLake.compact(s, path)
+            var k = lo + w
+            while (k <= hi) {
+              mine.appendConcurrent(
+                Seq((k, k * 37L % 1000L)).toDF("k", "cents"))
+              k += nWriters
+            }
+          } catch { case e: Throwable => failure.compareAndSet(null, e) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      if (failure.get() != null) throw failure.get()
     }
+    appendBlock(1L, 250L);   t.delete(col("k") % 10 === 3)
+    appendBlock(251L, 500L); t.delete(col("k") % 10 === 3)
+    t.compactFiles()
+    appendBlock(501L, 750L); t.delete(col("k") % 10 === 3)
+    appendBlock(751L, 980L); t.compactFiles()
     // cold reopen: a FRESH instance with an empty fold cache — this
-    // read goes through checkpoint + tail, not a 117-entry fold
-    val fresh = MiniLake(s, s"$base/ledger")
+    // read goes through checkpoint + tail, not a ~986-entry fold
+    val fresh = MiniLake(s, path)
     fresh.snapshot().agg(
         count(lit(1)).as("n_rows"),
         sum("cents").cast("long").as("total_cents"),
@@ -643,13 +671,15 @@ object Pipeline {
         col("n_rows"), col("total_cents"), col("max_k"))
   }
 
-  // k % 10 == 3 rows appended at or before the last delete (i=100)
-  // were purged by one of the scripted deletes; only k=103 survives.
+  // commits: v0 create + 980 appends + 3 deletes + 2 optimizes =
+  // last_version 985 (append ORDER is racy; the commit COUNT and the
+  // final content are not). k % 10 == 3 rows appended at or before
+  // the third barrier (k ≤ 750) were purged; later ones survive.
   val q232Oracle: String =
-    """WITH ks AS (SELECT unnest(range(0, 111)) AS k),
+    """WITH ks AS (SELECT unnest(range(0, 981)) AS k),
       |live AS (SELECT k, (k * 37) % 1000 AS cents FROM ks
-      |  WHERE k % 10 <> 3 OR k > 100)
-      |SELECT CAST(116 AS BIGINT) AS last_version,
+      |  WHERE k % 10 <> 3 OR k > 750)
+      |SELECT CAST(985 AS BIGINT) AS last_version,
       |  CAST(count(*) AS BIGINT) AS n_rows,
       |  CAST(sum(cents) AS BIGINT) AS total_cents,
       |  CAST(max(k) AS BIGINT) AS max_k

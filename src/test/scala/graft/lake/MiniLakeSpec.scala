@@ -688,6 +688,80 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
       t.foldStateScratch(t.latestVersion))
   }
 
+  test("multi-part checkpoints fold identically when forced to many " +
+      "small parts") {
+    spark.conf.set("graft.lake.checkpointPartEntries", "2")
+    try {
+      val t = MiniLake(spark, dir)
+      t.create(kv(1L -> "a"))
+      for (i <- 2L to 21L) t.append(kv(i -> s"v$i"))   // v1..v20
+      // v20's checkpoint carries 21 live files + 21 change refs →
+      // far over the 2-entry cap → a genuinely multi-part layout
+      val ckptRoot = java.nio.file.Paths.get(dir, "_log", "_checkpoints")
+      val parts = MiniLake.usingStream(Files.list(ckptRoot))(
+        _.count(_.getFileName.toString.startsWith("20.part-")))
+      assert(parts >= 4, s"expected a multi-part checkpoint, got $parts")
+      assert(Files.exists(ckptRoot.resolve("20.manifest.json")))
+      // a COLD open assembled from manifest + parts ≡ the scratch fold
+      val fresh = MiniLake(spark, dir)
+      for (v <- Seq(5L, 15L, 20L, 21L))
+        assert(fresh.state(v) === t.foldStateScratch(v), s"v=$v")
+      assert(fresh.snapshot().count() === 21)
+    } finally spark.conf.unset("graft.lake.checkpointPartEntries")
+  }
+
+  test("checkpoint bytes are bounded by live state, not history; " +
+      "CDF reads below the retention floor refuse explicitly") {
+    // retention 0: every checkpoint prunes ALL change metadata at or
+    // before its own wall-clock — the maximal-churn worst case
+    spark.conf.set("graft.lake.changeRetentionMillis", "0")
+    try {
+      val t = MiniLake(spark, dir)
+      t.create(kv(0L -> "seed"))
+      def ckptBytes(v: Long): Long = {
+        val root = java.nio.file.Paths.get(dir, "_log", "_checkpoints")
+        MiniLake.usingStream(Files.list(root))(_
+          .filter(_.getFileName.toString.startsWith(s"$v."))
+          .map(Files.size(_): java.lang.Long).foldLeft(0L)(_ + _))
+      }
+      // two history epochs of identical live-state shape: appends
+      // compacted away by OPTIMIZE, so the live set at v20 and v40 is
+      // one file each — only HISTORY differs (2× the commits)
+      for (i <- 1L to 19L) t.append(kv(i -> s"v$i"))
+      t.compactFiles()                                  // v20 → ckpt
+      val bytes20 = ckptBytes(20L)
+      for (i <- 21L to 39L) t.append(kv(i -> s"v$i"))
+      t.compactFiles()                                  // v40 → ckpt
+      val bytes40 = ckptBytes(40L)
+      assert(bytes20 > 0 && bytes40 > 0)
+      // bounded by live state: twice the history must NOT mean a
+      // bigger checkpoint (allow slack for the larger compacted file's
+      // stats strings)
+      assert(bytes40 <= bytes20 * 3 / 2,
+        s"checkpoint grew with history: v20=$bytes20 v40=$bytes40")
+      // the cold-open state carries the pruned metadata + the floor
+      val fresh = MiniLake(spark, dir)
+      val st = fresh.state(fresh.latestVersion)
+      assert(st.listedChanges.isEmpty && st.changeBacked.isEmpty)
+      assert(st.changeFloor > 0L)
+      // CDF below the floor refuses with the explicit retention error
+      val err = intercept[IllegalStateException] {
+        fresh.readChanges(0, fresh.latestVersion)
+      }
+      assert(err.getMessage.contains("retention"))
+      // an empty range above the floor is still the schema'd no-op
+      assert(fresh.readChanges(st.changeFloor,
+        st.changeFloor - 1).isEmpty)
+      // snapshots are untouched by change-metadata retention
+      assert(fresh.snapshot().count() === 39)
+      // past-retention change files are vacuum-reclaimable on the
+      // pruned state: the retired pre-optimize data files (which
+      // doubled as the insert change feed) age out
+      fresh.vacuum(retainMillis = 0)
+      assert(fresh.snapshot().count() === 39)
+    } finally spark.conf.unset("graft.lake.changeRetentionMillis")
+  }
+
   test("snapshotForDoubleRange skips files whose double stats " +
       "exclude the range") {
     val t = MiniLake(spark, dir)
