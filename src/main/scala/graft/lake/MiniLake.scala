@@ -160,6 +160,27 @@ final class MiniLake(spark: SparkSession, val path: String,
           .asInstanceOf[StructType].fieldNames.toSet
         prior -- now
       }
+    // a tombstoned name re-introduced by a widening commit is REBORN:
+    // it gets a fresh identity as of this version (Delta column
+    // mapping's fresh physical id), so per-era reads null it for
+    // files older than the rebirth — the old incarnation's bytes can
+    // never resurface. Schema parse gated on live tombstones: with
+    // none, nothing can be reborn.
+    val rebornNow: Map[String, Long] =
+      if (s.dropped.isEmpty || e.mode == "drop" || s.version < 0)
+        Map.empty
+      else {
+        val prior = DataType.fromJson(s.schemaJson)
+          .asInstanceOf[StructType].fieldNames.toSet
+        val now = DataType.fromJson(e.schemaJson)
+          .asInstanceOf[StructType].fieldNames
+        now.iterator.filterNot(prior)
+          .filter(s.dropped).map(_ -> e.version).toMap
+      }
+    // renames carry a reborn column's identity to its new name
+    val rebornRenamed = e.renames.foldLeft(s.reborn) {
+      case (m, (f, t)) => m.get(f).map(rv => m - f + (t -> rv)).getOrElse(m)
+    }
     FoldState(
       version = e.version,
       schemaJson = e.schemaJson,
@@ -172,7 +193,7 @@ final class MiniLake(spark: SparkSession, val path: String,
       },
       renames = s.renames ++
         e.renames.toSeq.map { case (f, t) => (e.version, f, t) },
-      dropped = s.dropped ++ droppedNow,
+      dropped = (s.dropped ++ droppedNow) -- rebornNow.keySet,
       txnMax = e.txn.fold(s.txnMax) { case (app, tv) =>
         s.txnMax + (app -> math.max(tv, s.txnMax.getOrElse(app, -1L)))
       },
@@ -195,7 +216,8 @@ final class MiniLake(spark: SparkSession, val path: String,
             e.changeFiles.isEmpty)
           s.legacyVersions :+ e.version
         else s.legacyVersions,
-      changeFloor = s.changeFloor)
+      changeFloor = s.changeFloor,
+      reborn = rebornRenamed ++ rebornNow)
   }
 
   /** The folded log state as of `asOf`: basis = the largest already-
@@ -371,7 +393,11 @@ final class MiniLake(spark: SparkSession, val path: String,
             .map(_.longValue()))
           .getOrElse(Seq.empty),
         changeFloor = Option(m.get("changeFloor"))
-          .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)))
+          .map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
+        reborn = Option(m.get("reborn"))
+          .map(_.asInstanceOf[java.util.Map[String, Number]].asScala
+            .map { case (k, rv) => k -> rv.longValue() }.toMap)
+          .getOrElse(Map.empty)))
     } catch { case _: Exception => None }
 
   /** Write the folded-state checkpoint for `v` (every
@@ -486,6 +512,9 @@ final class MiniLake(spark: SparkSession, val path: String,
           }.asJava,
           "legacyVersions" -> s.legacyVersions.map(Long.box).asJava,
           "changeFloor" -> Long.box(s.changeFloor),
+          "reborn" -> s.reborn.map { case (k, rv) =>
+            k -> Long.box(rv)
+          }.asJava,
           "partFiles" -> partNames.asJava)
         val mtmp = ckptDir.resolve(s".$v.manifest.$nonce.json.tmp")
         Files.write(mtmp, mapper.writeValueAsBytes(manifest.asJava))
@@ -938,14 +967,16 @@ final class MiniLake(spark: SparkSession, val path: String,
   private def renameChain(asOf: Long): Seq[(Long, String, String)] =
     state(asOf).renames
 
-  /** Every logical name ever retired by a DROP COLUMN commit. Reads
-    * are purely name-based, so re-introducing such a name (via
-    * mergeSchema append or a rename target) would make pre-drop files'
-    * old physical bytes silently resurface under the new column —
-    * the exact leak Delta's physical column IDs exist to prevent.
-    * Both re-introduction paths REJECT against this set instead
-    * (names renamed away are safe to reuse: the rename chain consumes
-    * their physical column before conformTo sees it).
+  /** Logical names retired by a DROP COLUMN commit and not since
+    * re-added. Re-introduction via mergeSchema append is ALLOWED and
+    * marks the column reborn (per-era reads null the old
+    * incarnation's bytes — Delta column mapping's fresh physical id);
+    * a RENAME target is still refused against this set, because the
+    * renamed column's pre-rename bytes live in era files that also
+    * physically carry the dropped name — two physical sources for one
+    * logical name in the same file group (names renamed away are safe
+    * to reuse: the rename chain consumes their physical column before
+    * conformTo sees it).
     */
   private def droppedNames(asOf: Long): Set[String] =
     state(asOf).dropped
@@ -974,7 +1005,8 @@ final class MiniLake(spark: SparkSession, val path: String,
       keepPos: Boolean = false): DataFrame = {
     val sch = schemaAt(asOf)
     val chain = renameChain(asOf)
-    if (chain.isEmpty)
+    val reborn = state(asOf).reborn
+    if (chain.isEmpty && reborn.isEmpty)
       applyDvs(spark.read.schema(sch).parquet(files: _*), asOf, keepPos)
     else {
       val target =
@@ -986,7 +1018,13 @@ final class MiniLake(spark: SparkSession, val path: String,
         val renamed = chain.filter(_._1 > w).foldLeft(scanned) {
           case (d, (_, f, t)) => d.withColumnRenamed(f, t)
         }
-        MiniLake.conformTo(renamed, target)
+        // a REBORN column reads NULL from files older than its
+        // rebirth: their physical bytes under that name belong to the
+        // dropped incarnation (fresh-physical-id semantics)
+        val cleansed = reborn.foldLeft(renamed) { case (d, (c, rv)) =>
+          if (rv > w && d.columns.contains(c)) d.drop(c) else d
+        }
+        MiniLake.conformTo(cleansed, target)
       }.reduce(_ unionByName _)
     }
   }
@@ -1217,7 +1255,14 @@ final class MiniLake(spark: SparkSession, val path: String,
           .filter(_._1 > v).foldLeft(base) {
             case (d, (_, from, to)) => d.withColumnRenamed(from, to)
           }
-        conformTo(renamedBase, changeDataSchema(sch))
+        // reborn columns: slices older than the rebirth must not
+        // expose the dropped incarnation's values (same per-era rule
+        // as readFiles)
+        val cleansed = state(latestVersion).reborn
+          .foldLeft(renamedBase) { case (d, (c, rv)) =>
+            if (rv > v && d.columns.contains(c)) d.drop(c) else d
+          }
+        conformTo(cleansed, changeDataSchema(sch))
           .withColumn(CommitVersion, lit(v))
           .withColumn(CommitTimestamp,
             timestamp_millis(lit(e.timestampMs)).cast("timestamp"))
@@ -1543,8 +1588,7 @@ final class MiniLake(spark: SparkSession, val path: String,
   def append(batch: DataFrame, mergeSchema: Boolean = false): Unit = {
     val df = withGenerated(batch)
     if (mergeSchema && exists) {
-      val merged = mergedSchemaWith(schema, df.schema, path,
-        droppedNames(latestVersion))
+      val merged = mergedSchemaWith(schema, df.schema, path)
       commitInsertOnly(conformTo(df, merged), mode = "append",
         rowHint = None)
     } else {
@@ -2294,14 +2338,41 @@ final class MiniLake(spark: SparkSession, val path: String,
     * (file-level log replay serves the read).
     */
   def restoreTo(v: Long): Unit = withCommitPlanning {
-    // a restore target BEFORE a rename would need the reverse mapping
-    // applied to post-rename files — refused explicitly rather than
-    // silently nulling the renamed column (MiniLakeSpec pins this)
-    require(renameChain(latestVersion).forall(_._1 <= v),
-      "RESTORE across a column rename is unsupported; " +
-        "restore to a version at or after the rename")
+    val latest = latestVersion
+    val st = state(latest)
+    val curSchema = schema
+    // RESTORE works ACROSS renames: the target snapshot's old names
+    // fold FORWARD through every rename committed after v, so the
+    // restored table carries the CURRENT schema names with the as-of
+    // data (Delta RESTORE via column mapping — logical names travel,
+    // the data is pinned by identity, not name).
+    val chain = renameChain(latest).filter(_._1 > v)
+    val tgtRenamed = chain.foldLeft(snapshot(v)) {
+      case (d, (_, f, t)) => d.withColumnRenamed(f, t)
+    }
+    // two explicit refusals, both "the restored values would have no
+    // legal home under the current schema":
+    //  - a column dropped since v (its restored values would silently
+    //    vanish, or worse resurrect the retired name)
+    val lost = tgtRenamed.columns.filterNot(curSchema.fieldNames.toSet)
+    require(lost.isEmpty,
+      s"RESTORE to $v would restore column(s) ${lost.mkString(", ")} " +
+        s"dropped since; drop the data explicitly or restore to a " +
+        "version at or after the drop")
+    //  - a column REBORN since v (the current name's identity was born
+    //    after v — writing the old incarnation's values into it is
+    //    exactly the resurrection the tombstones exist to prevent)
+    val rebornSince = st.reborn.collect {
+      case (c, rv) if rv > v && tgtRenamed.columns.contains(c) => c
+    }
+    require(rebornSince.isEmpty,
+      s"RESTORE to $v would write the dropped incarnation of " +
+        s"${rebornSince.mkString(", ")} into its reborn successor; " +
+        "restore to a version at or after the re-add")
+    // columns ADDED since v (mergeSchema widening) null-fill — the
+    // restore is then a well-typed multiset diff under one schema
     val cur = snapshot()
-    val tgt = snapshot(v)
+    val tgt = MiniLake.conformTo(tgtRenamed, curSchema)
     val changes = cur.exceptAll(tgt).withColumn(ChangeType, lit("delete"))
       .unionByName(tgt.exceptAll(cur).withColumn(ChangeType, lit("insert")))
     commitWithChanges(tgt, mode = "restore", changes = changes,
@@ -2437,12 +2508,13 @@ object MiniLake {
       changeBacked: Seq[ChangeRef],
       listedChanges: Seq[ChangeRef],
       legacyVersions: Seq[Long],
-      changeFloor: Long)
+      changeFloor: Long,
+      reborn: Map[String, Long])
 
   private[lake] object FoldState {
     val empty: FoldState = FoldState(-1L, "", Seq.empty, Seq.empty,
       Map.empty, Seq.empty, Set.empty, Map.empty, Map.empty, Map.empty,
-      Map.empty, Seq.empty, Seq.empty, Seq.empty, 0L)
+      Map.empty, Seq.empty, Seq.empty, Seq.empty, 0L, Map.empty)
   }
 
   /** The session's AQE setting as first observed OUTSIDE any commit —
@@ -2642,8 +2714,7 @@ object MiniLake {
     * append as nullable.
     */
   private[lake] def mergedSchemaWith(existing: StructType,
-      incoming: StructType, path: String,
-      dropped: Set[String] = Set.empty): StructType = {
+      incoming: StructType, path: String): StructType = {
     val byName = incoming.fields.map(f => f.name -> f).toMap
     existing.fields.foreach { f =>
       byName.get(f.name).foreach { g =>
@@ -2654,15 +2725,11 @@ object MiniLake {
     }
     val existingNames = existing.fieldNames.toSet
     val added = incoming.fields.filterNot(f => existingNames.contains(f.name))
-    // name-based reads mean a re-added name would resolve against
-    // pre-drop files' OLD physical bytes — the retired data would
-    // resurface (privacy hazard: DROP often retires data). Reject,
-    // matching the spirit of Delta column mapping's fresh physical IDs.
-    added.map(_.name).find(dropped.contains).foreach { n =>
-      throw new IllegalArgumentException(
-        s"mergeSchema cannot re-add previously dropped column '$n' " +
-          s"for $path: old files still carry its physical data")
-    }
+    // re-adding a previously dropped name is allowed: the fold marks
+    // the column REBORN at this commit, and per-era reads null it for
+    // older files — the retired incarnation's bytes can never
+    // resurface (Delta column mapping's fresh-physical-id semantics,
+    // resolved per era instead of per file)
     StructType(existing.fields ++ added.map(_.copy(nullable = true)))
   }
 

@@ -361,14 +361,16 @@ object Pipeline {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
-  /** DELETE + RESTORE lifecycle as a gate: create → predicate DELETE
-    * (v1, change feed publishes delete preimages) → RESTORE to v0
-    * (v2, a NEW commit whose change feed re-inserts exactly the
-    * deleted rows — history is never rewound). The report reads every
-    * version through time travel AND tallies the change feed, so the
-    * oracle pins down snapshot semantics and row-level CDF story at
-    * once: a restore that silently rewound history, double-counted
-    * changes, or missed multiset semantics shows up as a wrong row.
+  /** DELETE + rename + RESTORE lifecycle as a gate: create → predicate
+    * DELETE (v1, change feed publishes delete preimages) → RENAME
+    * COLUMN (v2, metadata-only) → RESTORE to v0 ACROSS the rename
+    * (v3, a NEW commit whose change feed re-inserts exactly the
+    * deleted rows UNDER THE CURRENT NAME — history is never rewound,
+    * and the reverse rename mapping carries the pre-rename data into
+    * the current schema). The report reads every version through time
+    * travel AND tallies the change feed, so the oracle pins down
+    * snapshot semantics, the rename-aware restore, and the row-level
+    * CDF story at once.
     */
   def q109DeleteRestore(s: SparkSession, dir: String): DataFrame = {
     val base = graft.Scratch.dir("graft_delres").toString
@@ -376,16 +378,18 @@ object Pipeline {
     val o = orders(s, dir)
       .select("o_orderkey", "o_orderstatus", "o_orderpriority")
       .filter(col("o_orderkey") % 4 === 0)
-    t.create(o)                                // v0
-    t.delete(col("o_orderstatus") === "F")     // v1: copy-on-write
-    t.restoreTo(0)                             // v2: live set == v0
-    val snaps = Seq(0L, 1L, 2L).map { v =>
+    t.create(o)                                  // v0
+    t.delete(col("o_orderstatus") === "F")       // v1: copy-on-write
+    t.renameColumn("o_orderstatus", "status")    // v2: metadata-only
+    t.restoreTo(0)                               // v3: across the rename
+    val snaps = Seq(0L, 1L, 2L, 3L).map { v =>
+      val statusCol = if (v >= 2) col("status") else col("o_orderstatus")
       t.snapshot(asOf = v).agg(
         count(lit(1)).as("n_rows"),
-        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"))
+        sum(when(statusCol === "F", 1L).otherwise(0L)).as("n_f"))
         .select(lit(v).as("version"), col("n_rows"), col("n_f"))
     }.reduce(_ unionByName _)
-    val feed = t.readChanges(1, 2)
+    val feed = t.readChanges(1, 3)
       .groupBy(col("_commit_version").cast("long").as("version"))
       .agg(
         sum(when(col("_change_type") === "delete", 1L).otherwise(0L))
@@ -407,7 +411,8 @@ object Pipeline {
       |SELECT CAST(0 AS BIGINT) AS version, t AS n_rows, f AS n_f,
       |  CAST(0 AS BIGINT) AS n_del, CAST(0 AS BIGINT) AS n_ins FROM c
       |UNION ALL SELECT 1, t - f, 0, f, 0 FROM c
-      |UNION ALL SELECT 2, t, f, 0, f FROM c
+      |UNION ALL SELECT 2, t - f, 0, 0, 0 FROM c
+      |UNION ALL SELECT 3, t, f, 0, f FROM c
       |ORDER BY version""".stripMargin
 
   /** Merge-on-read deletion vectors end to end: create a lineitem

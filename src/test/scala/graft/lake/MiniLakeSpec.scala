@@ -552,11 +552,46 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(t.delete($"label" === "b") === 1L)
     assert(t.snapshot().orderBy("key").as[(Long, String)].collect()
       .toSeq === Seq(1L -> "a", 3L -> "c"))
-    // restore across the rename is an explicit refusal, not silent nulls
-    intercept[IllegalArgumentException] { t.restoreTo(0) }
-    t.restoreTo(2) // at the rename itself: fine
+    // RESTORE across the rename: the pre-rename snapshot's data comes
+    // back under the CURRENT column names (reverse mapping applied)
+    t.restoreTo(0)
+    assert(t.schema.fieldNames.toSeq === Seq("key", "label"))
+    assert(t.snapshot().orderBy("key").as[(Long, String)].collect()
+      .toSeq === Seq(1L -> "a"))
+    // ...and the restore's change feed tells the row-level story in
+    // current names: key 3 (added after v0) leaves, nothing returns
+    val rch = t.readChanges(t.latestVersion, t.latestVersion)
+      .select("key", "label", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(rch === Set((3L, "c", "delete")))
+    t.restoreTo(2) // at the rename itself: also fine
     assert(t.snapshot().orderBy("key").as[(Long, String)].collect()
       .toSeq === Seq(1L -> "a", 2L -> "b"))
+  }
+
+  test("restore across a mergeSchema widening null-fills the new " +
+      "column; across a drop or re-add it refuses explicitly") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a", 2L -> "b"))                       // v0
+    t.append(Seq((3L, "c", 7L)).toDF("key", "value", "score"),
+      mergeSchema = true)                                    // v1
+    t.restoreTo(0)                                           // v2
+    assert(t.schema.fieldNames.toSeq === Seq("key", "value", "score"))
+    assert(t.snapshot().orderBy("key")
+      .select("key", "score").as[(Long, Option[Long])].collect().toSeq ===
+      Seq(1L -> None, 2L -> None))
+    // drop since v: refuse, name the column
+    t.dropColumn("score")                                    // v3
+    val err = intercept[IllegalArgumentException] { t.restoreTo(1) }
+    assert(err.getMessage.contains("score"))
+    // re-add since v: restoring would resurrect the old incarnation
+    t.append(Seq((4L, "d", 99L)).toDF("key", "value", "score"),
+      mergeSchema = true)                                    // v4 (reborn)
+    val err2 = intercept[IllegalArgumentException] { t.restoreTo(1) }
+    assert(err2.getMessage.contains("reborn"))
+    // restore to a version at/after the re-add works
+    t.restoreTo(4)
+    assert(t.snapshot().filter($"score" === 99L).count() === 1L)
   }
 
   test("dropColumn is metadata-only; time travel still sees the column") {
@@ -576,31 +611,68 @@ class MiniLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
     intercept[IllegalArgumentException] { t.dropColumn("key") } // last col
   }
 
-  test("a dropped column's name cannot be re-introduced " +
-      "(mergeSchema append and rename target both reject)") {
+  test("re-adding a dropped column gives it a fresh per-era identity: " +
+      "pre-drop files read NULL, post-re-add files read data") {
     val t = MiniLake(spark, dir)
     t.create(kv(1L -> "secret-a", 2L -> "secret-b")
-      .withColumn("extra", lit("x")))
-    t.dropColumn("value")
-    // mergeSchema re-add: pre-drop files still physically carry the
-    // old "value" bytes — re-adding the name would resurrect them
-    val err = intercept[IllegalArgumentException] {
-      t.append(Seq((3L, "fresh")).toDF("key", "value"), mergeSchema = true)
-    }
-    assert(err.getMessage.contains("value"))
-    // rename INTO the dropped name: pre-drop file groups would then
-    // hold two physical sources for one logical column
+      .withColumn("extra", lit("x")))                        // v0
+    t.dropColumn("value")                                    // v1
+    // mergeSchema re-add is ALLOWED — the column is reborn at v2; the
+    // retired "secret-*" bytes must never resurface under it
+    t.append(Seq((3L, "x", "fresh")).toDF("key", "extra", "value"),
+      mergeSchema = true)                                    // v2
+    assert(t.schema.fieldNames.toSeq === Seq("key", "extra", "value"))
+    val snap = t.snapshot().orderBy("key")
+      .select("key", "value").as[(Long, Option[String])].collect().toSeq
+    assert(snap === Seq(1L -> None, 2L -> None, 3L -> Some("fresh")))
+    // CDF: pre-drop insert slices also read NULL for the reborn name
+    val ch = t.readChanges(0, 2)
+      .select("key", "value", "_commit_version")
+      .as[(Long, Option[String], Long)].collect().toSet
+    assert(ch === Set((1L, None, 0L), (2L, None, 0L),
+      (3L, Some("fresh"), 2L)))
+    // a COLD reopen (checkpoint-free here, but fold-cache-free) and a
+    // post-re-add write both behave
+    val fresh = MiniLake(spark, dir)
+    fresh.append(Seq((4L, "x", "newer")).toDF("key", "extra", "value"))
+    assert(fresh.snapshot().filter($"key" <= 2L)
+      .filter($"value".isNotNull).isEmpty)
+    assert(fresh.snapshot().filter($"value" === "newer").count() === 1L)
+    // dropping the REBORN column again and re-adding once more: files
+    // of the FIRST rebirth era (v2/v3 data) now read NULL too
+    fresh.dropColumn("value")                                // v4
+    fresh.append(Seq((5L, "x", "third")).toDF("key", "extra", "value"),
+      mergeSchema = true)                                    // v5
+    val snap2 = fresh.snapshot().orderBy("key")
+      .select("key", "value").as[(Long, Option[String])].collect().toSeq
+    assert(snap2 === Seq(1L -> None, 2L -> None, 3L -> None, 4L -> None,
+      5L -> Some("third")))
+    // rename INTO a dropped name is still refused: pre-drop file
+    // groups would hold two physical sources for one logical column
+    fresh.dropColumn("value")                                // v6
     val err2 = intercept[IllegalArgumentException] {
-      t.renameColumn("extra", "value")
+      fresh.renameColumn("extra", "value")
     }
     assert(err2.getMessage.contains("previously dropped"))
-    // an UNDROPPED name rename still works, and a mergeSchema append
-    // of a genuinely new name still widens
-    t.renameColumn("extra", "extra2")
-    t.append(Seq((4L, "y", 7L)).toDF("key", "extra2", "brand_new"),
-      mergeSchema = true)
-    assert(t.snapshot().columns.toSeq === Seq("key", "extra2", "brand_new"))
-    assert(t.snapshot().count() === 3)
+  }
+
+  test("reborn column carries its fresh identity through a rename " +
+      "and a checkpointed cold reopen") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "old", 2L -> "old2"))                  // v0
+    t.dropColumn("value")                                    // v1
+    t.append(Seq((3L, "new3")).toDF("key", "value"),
+      mergeSchema = true)                                    // v2
+    t.renameColumn("value", "label")                         // v3
+    // push past a checkpoint boundary so the cold open goes through
+    // manifest+parts (reborn must survive serialization)
+    for (i <- 4L to 11L)
+      t.append(Seq((i, s"new$i")).toDF("key", "label"))      // v4..v11
+    val fresh = MiniLake(spark, dir)
+    val got = fresh.snapshot().orderBy("key")
+      .select("key", "label").as[(Long, Option[String])].collect().toSeq
+    assert(got === (Seq(1L -> None, 2L -> None) ++
+      (3L to 11L).map(i => i -> Some(s"new$i"))))
   }
 
   test("checkpointed open ≡ full-fold open across every commit mode") {
