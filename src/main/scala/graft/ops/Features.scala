@@ -755,24 +755,39 @@ object Features {
     corenessHistogram(s, edges)
   }
 
+  /** Broadcast ceiling for the per-round h frame, in NODES: below it
+    * each round ships the node-sized h frame by broadcast (zero
+    * per-round shuffle); above it the loop switches to a join
+    * co-partitioned on the standing nb partitioning, whose per-round
+    * exchanges are all node-side-bounded (h, then the collapsed
+    * (node, h)-histogram) — never edge-sized. At ~16 B/row the
+    * default caps the broadcast near 64 MB, the practical executor
+    * ceiling; `graft.coreness.broadcastMaxNodes` overrides (tests set
+    * 0 to force the join path).
+    */
+  val CorenessBroadcastMaxNodes = 4000000L
+
   /** Coreness histogram of an arbitrary undirected edge list (u, v) —
     * the loop behind [[q198Coreness]], factored so FeatureSpec can
-    * pin the fixpoint against hand-computed cores on synthetic graphs.
+    * pin the fixpoint against hand-computed cores on synthetic graphs
+    * (and pin the broadcast and co-partitioned-join transports equal
+    * across the size switch).
     */
   private[graft] def corenessHistogram(s: SparkSession,
       edges: DataFrame): DataFrame = {
     // hash-partition the edge list by the window/groupBy key ONCE:
     // every round's window and aggregation then run on the standing
     // partitioning with ZERO per-round shuffles — the h frame travels
-    // by broadcast instead (one row per node; the q146 rank-vector
-    // pattern — on a graph too large for that, swap the broadcast for
-    // a join co-partitioned on nb, paying one exchange of h per round,
-    // never of sym). persist(), NOT localCheckpoint: the loop constant
-    // needs its repartition node visible in the plan so
-    // EnsureRequirements can elide the window exchange — checkpointing
-    // would erase outputPartitioning and re-shuffle all of sym every
-    // round (measured: one 2.4 M-row exchange per round reappears).
-    // Lineage only grows on h, which stays checkpointed.
+    // by broadcast (the q146 rank-vector pattern) on graphs whose
+    // node count fits [[CorenessBroadcastMaxNodes]], and by a
+    // co-partitioned join on nb above it (the switch is MEASURED, not
+    // assumed: a multi-GB broadcast × ~40 rounds would be the plan's
+    // binding constraint at 100×). persist(), NOT localCheckpoint:
+    // the loop constant needs its repartition node visible in the
+    // plan so EnsureRequirements can elide the window exchange —
+    // checkpointing would erase outputPartitioning and re-shuffle all
+    // of sym every round (measured: one 2.4 M-row exchange per round
+    // reappears). Lineage only grows on h, which stays checkpointed.
     // partition count follows the input scan's parallelism (floor 8):
     // a fixed small count would serialize the per-round windows on a
     // large corpus, a fixed large one would drown the ≤40 rounds in
@@ -784,6 +799,18 @@ object Features {
       .persist()
     var h = sym.groupBy("node").agg(count(lit(1)).as("h"))
       .localCheckpoint()
+    // transport decision on the MEASURED node count (h is already
+    // materialized, so this count is metadata-cheap)
+    val maxBroadcast = s.conf.getOption("graft.coreness.broadcastMaxNodes")
+      .map(_.toLong).getOrElse(CorenessBroadcastMaxNodes)
+    val useBroadcast = h.count() <= maxBroadcast
+    // the join transport keeps a SECOND standing copy keyed by nb —
+    // the join side that must not re-shuffle per round. Materialized
+    // from the persisted sym (one cheap pass), after which sym itself
+    // is only a memory-bookkeeping entry.
+    val symByNb =
+      if (useBroadcast) sym
+      else sym.repartition(parts, col("nb")).persist()
     var rounds = 0
     // Convergence by TOTAL: the h-index operator is pointwise
     // monotone non-increasing (h¹ = H(neighbor degrees) ≤ degree = h⁰,
@@ -798,8 +825,14 @@ object Features {
     // Ties need no break — the h-index is invariant under any
     // ordering of equal values.
     def step(prev: DataFrame): DataFrame = {
-      val nv = sym.join(
-        broadcast(prev.select(col("node").as("nb"), col("h"))), "nb")
+      val msg = prev.select(col("node").as("nb"), col("h"))
+      val nv =
+        if (useBroadcast) sym.join(broadcast(msg), "nb")
+        // co-partitioned transport: only the node-sized h frame
+        // exchanges (hashed to nb); the edge-sized symByNb side rides
+        // its standing partitioning, and everything downstream is
+        // histogram-sized
+        else symByNb.join(msg.repartition(parts, col("nb")), "nb")
       // collapse neighbor values to a (node, value)-histogram BEFORE
       // the sort: the groupBy shares the standing node partitioning
       // (no exchange) and combines map-side, so the per-round window
@@ -837,6 +870,7 @@ object Features {
       rounds += 2
     }
     sym.unpersist(false)
+    if (!useBroadcast) symByNb.unpersist(false)
     h.groupBy("h").agg(count(lit(1)).as("n_nodes"))
       .select(col("h").as("coreness"), col("n_nodes"))
       .orderBy("coreness")

@@ -112,6 +112,17 @@ class FeatureSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("coreness"), r.getAs[Long]("n_nodes")))
       .toMap
     assert(hist === Map(1L -> 3L, 4L -> 5L), hist)
+    // the co-partitioned-join transport (node count above the
+    // broadcast ceiling — forced here by a 0 ceiling) must reach the
+    // identical fixpoint: the switch changes the message transport,
+    // never the answer
+    spark.conf.set("graft.coreness.broadcastMaxNodes", "0")
+    try {
+      val joined = Features.corenessHistogram(spark, edges).collect()
+        .map(r => (r.getAs[Long]("coreness"), r.getAs[Long]("n_nodes")))
+        .toMap
+      assert(joined === hist, "join transport diverged from broadcast")
+    } finally spark.conf.unset("graft.coreness.broadcastMaxNodes")
   }
 
   test("q155: projection is linear and deterministic across runs") {
