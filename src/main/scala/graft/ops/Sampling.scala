@@ -534,9 +534,15 @@ object Sampling {
     // per-(doc, token) dedup happens INSIDE the row (array_distinct
     // before the explode): doc_id is the table's PK, so cross-row
     // duplicates cannot exist and the corpus-sized distinct shuffle
-    // the previous form paid (~1M rows at sf0.1) disappears — the
-    // token frame builds in one narrow scan, zero exchanges
+    // the previous form paid (~1M rows at sf0.1) disappears.
+    // The repartition BEFORE the explode is load-bearing: the gate
+    // table is one row group, so the scan is ONE task and the heavy
+    // per-doc bigram build would run serially (measured 4.3 s of the
+    // 6.6 s total on one core) — a sub-MB exchange buys 32-way
+    // tokenization. On a production corpus the scan has natural
+    // parallelism and this exchange stays input-partition-count cheap.
     val tokD = documents(s, dir)
+      .repartition(math.max(8, s.sparkContext.defaultParallelism))
       .select(col("doc_id"),
         explode(array_distinct(bigrams)).as("tk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -545,10 +551,14 @@ object Sampling {
     // as a broadcast-sized subplan over the persisted token frame
     // (filter on the picked doc ids). That makes the whole round ONE
     // job — anti-join against the derived cover, map-side-combinable
-    // gain count, TakeOrdered argmax — where the previous form paid a
-    // second eager job per round just to checkpoint the cover
-    // (measured: 17 jobs → 9 at K=8; the loop is scheduler-bound, so
-    // job count IS the wall clock).
+    // gain count, TakeOrdered argmax. (Round-10 re-audit: a
+    // driver-held covered-token set with a LocalRelation broadcast,
+    // and a fused argmax+tokens subquery probe, were BOTH measured —
+    // neither beat this form; the growing driver broadcast and the
+    // doubled uncovered subtree respectively ate the saving. The
+    // remaining per-round cost is the greedy algorithm's own
+    // sequential driver round-trip — the measured floor, recorded in
+    // SCALE.md.)
     val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
     val picks = Seq.newBuilder[(Long, Long, Long, Long)]
     var total = 0L
