@@ -1214,6 +1214,14 @@ final class MiniLake(spark: SparkSession, val path: String,
     * the three CDC metadata columns appended — the S2 surface. An empty
     * range (lo > hi) yields an empty, correctly-schema'd frame.
     */
+  /** Earliest version whose change data is still retained — the
+    * retention boundary checkpoints advance when they prune change
+    * metadata older than the horizon. Reads below it refuse; 0 means
+    * the full feed is available (Delta's earliest-available-CDF-
+    * version answer).
+    */
+  def changeRetentionFloor: Long = state(latestVersion).changeFloor
+
   def readChanges(lo: Long, hi: Long): DataFrame = {
     val sch = schema
     // retention boundary: change metadata below the floor was pruned

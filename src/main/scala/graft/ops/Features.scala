@@ -2586,7 +2586,174 @@ object Features {
       |FROM pt JOIN ci USING (flag)
       |ORDER BY flag""".stripMargin
 
+  /** Kendall τ-b (q251) between the daily order count and the daily
+    * revenue — the rank-correlation robustness check next to Spearman
+    * (q238): τ counts CONCORDANT vs DISCORDANT pairs, so it is exact
+    * in integer space end to end (no midranks, no moments). The pair
+    * frame is CALENDAR-BOUNDED (days², never rows²): ~2.4k days →
+    * ~2.9M pairs at any corpus size — the q221/q244 class, where the
+    * corpus-sized work is one map-side-combinable daily aggregate and
+    * everything downstream is fixed-size. Tie corrections are the
+    * standard τ-b denominator √((n₀−n₁)(n₀−n₂)); the product stays
+    * under 2^53 (pairs² ≈ 8.4e12), so the one sqrt + division are
+    * correctly-rounded IEEE, rounded to 6 dp on both engines. An
+    * all-tied margin (zero denominator) yields NULL explicitly.
+    */
+  def q251KendallTau(s: SparkSession, dir: String): DataFrame = {
+    val daily = orders(s, dir).groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+      .localCheckpoint()
+    // day < day is a bounded nested-loop over the broadcast daily
+    // frame — intentional: the frame is calendar-sized, not data-sized
+    val p = daily.as("a").join(broadcast(daily.as("b")),
+      col("a.day") < col("b.day"))
+    val agg = p.agg(
+      count(lit(1)).as("n0"),
+      sum(when((col("a.x") < col("b.x") && col("a.y") < col("b.y")) ||
+               (col("a.x") > col("b.x") && col("a.y") > col("b.y")),
+        1L).otherwise(0L)).as("c"),
+      sum(when((col("a.x") < col("b.x") && col("a.y") > col("b.y")) ||
+               (col("a.x") > col("b.x") && col("a.y") < col("b.y")),
+        1L).otherwise(0L)).as("d"),
+      sum(when(col("a.x") === col("b.x"), 1L).otherwise(0L)).as("tx"),
+      sum(when(col("a.y") === col("b.y"), 1L).otherwise(0L)).as("ty"))
+    agg.select(col("n0"),
+      col("c").as("concordant"), col("d").as("discordant"),
+      when((col("n0") - col("tx")) * (col("n0") - col("ty")) > 0L,
+        round((col("c") - col("d")).cast("double") /
+          sqrt(((col("n0") - col("tx")) *
+            (col("n0") - col("ty"))).cast("double")), 6))
+        .as("tau_b"))
+  }
+
+  val q251Oracle: String =
+    """WITH daily AS (SELECT o_orderdate AS day,
+      |  CAST(count(*) AS BIGINT) AS x,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS y
+      | FROM orders GROUP BY 1),
+      |p AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+      |  CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+      |    OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |  CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+      |    OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |  CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+      |  CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty
+      | FROM daily a JOIN daily b ON a.day < b.day)
+      |SELECT n0, c AS concordant, d AS discordant,
+      |  CASE WHEN (n0 - tx) * (n0 - ty) > 0
+      |    THEN round(CAST(c - d AS DOUBLE)
+      |      / sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE)), 6)
+      |  END AS tau_b
+      |FROM p""".stripMargin
+
+  /** Mood's median test (q252) — the nonparametric k-sample location
+    * test that needs only counts above/below the GRAND median, the
+    * robust cousin of ANOVA when distributions are heavy-tailed. The
+    * median comes from the BOUNDED value domain (l_quantity ∈ 1..50):
+    * a ≤50-row histogram fixes it exactly as the smallest value whose
+    * cumulative count reaches ⌈N/2⌉ — defined identically in both
+    * engines, no percentile-function semantics to disagree about.
+    * Each group's (above, ≤) split against margins gives the χ²;
+    * expected counts n_g·A/N are exact-integer products under 2^53
+    * before one correctly-rounded division, per-group terms rounded
+    * to 6 dp and DECIMAL-quantized before the order-independent sum.
+    * χ² vs the df=2 critical value 5.991.
+    */
+  def q252MoodMedian(s: SparkSession, dir: String): DataFrame =
+    moodMedianFrom(lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("qty")))
+
+  /** [[q252MoodMedian]] over an explicit `(flag, qty)` frame —
+    * factored so FeatureSpec can pin the SIGNIFICANT arm on a
+    * shifted synthetic sample (the gate data's uniform quantities are
+    * honestly non-significant at every SF).
+    */
+  private[graft] def moodMedianFrom(sample: DataFrame): DataFrame = {
+    // null observations carry no rank information — excluded on both
+    // sides (and the driver median fold must never see a null cell)
+    val qtyCounts = sample.filter(col("qty").isNotNull)
+      .groupBy("flag", "qty")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // ≤ flags × bounded value domain
+    // grand median from the ≤50-row value histogram — bounded driver
+    // state (the per-shard-subtotal class)
+    val hist = qtyCounts.groupBy("qty").agg(sum("n").as("n"))
+      .orderBy("qty").collect()
+    val nTotal = hist.map(_.getLong(1)).sum
+    val medianPos = (nTotal + 1) / 2
+    var acc = 0L
+    val median = hist.iterator.map { r =>
+      acc += r.getLong(1); (r.getLong(0), acc)
+    }.collectFirst { case (q, cum) if cum >= medianPos => q }
+      .getOrElse(0L)
+    val g = qtyCounts.groupBy("flag").agg(
+      sum("n").as("n_g"),
+      sum(when(col("qty") > median, col("n")).otherwise(0L)).as("above"))
+    val m = g.agg(sum("n_g").as("nn"), sum("above").as("aa"))
+    def d(c: Column): Column = c.cast("double")
+    val withExp = g.crossJoin(broadcast(m))
+      .withColumn("ea", d(col("n_g") * col("aa")) / d(col("nn")))
+      .withColumn("eb",
+        d(col("n_g") * (col("nn") - col("aa"))) / d(col("nn")))
+      .withColumn("term", round(
+        (d(col("above")) - col("ea")) * (d(col("above")) - col("ea")) /
+          col("ea") +
+        (d(col("n_g") - col("above")) - col("eb")) *
+          (d(col("n_g") - col("above")) - col("eb")) / col("eb"), 6)
+        .cast("decimal(18,6)"))
+    val chi2 = withExp.agg(
+      sum("term").cast("double").as("chi2"))
+    withExp.crossJoin(broadcast(chi2))
+      .select(col("flag"), lit(median).as("median_qty"), col("n_g"),
+        col("above"), round(col("ea"), 6).as("expected_above"),
+        col("term").cast("double").as("term"),
+        col("chi2"), (col("chi2") > 5.991).as("significant"))
+      .orderBy("flag")
+  }
+
+  val q252Oracle: String =
+    """WITH qc AS (SELECT l_returnflag AS flag,
+      |  CAST(l_quantity AS BIGINT) AS qty, count(*) AS n
+      | FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+      |hist AS (SELECT qty, CAST(sum(n) AS BIGINT) AS n FROM qc
+      |  GROUP BY qty),
+      |cum AS (SELECT qty, CAST(sum(n) OVER (ORDER BY qty
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS c, (SELECT CAST(sum(n) AS BIGINT) FROM hist) AS nt
+      | FROM hist),
+      |med AS (SELECT min(qty) AS median_qty FROM cum
+      |  WHERE c >= (nt + 1) // 2),
+      |g AS (SELECT flag, CAST(sum(n) AS BIGINT) AS n_g,
+      |  CAST(sum(CASE WHEN qty > (SELECT median_qty FROM med)
+      |    THEN n ELSE 0 END) AS BIGINT) AS above
+      | FROM qc GROUP BY flag),
+      |m AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn,
+      |  CAST(sum(above) AS BIGINT) AS aa FROM g),
+      |t AS (SELECT flag, n_g, above,
+      |  CAST(n_g * aa AS DOUBLE) / CAST(nn AS DOUBLE) AS ea,
+      |  CAST(n_g * (nn - aa) AS DOUBLE) / CAST(nn AS DOUBLE) AS eb
+      | FROM g CROSS JOIN m),
+      |terms AS (SELECT flag, n_g, above, ea,
+      |  CAST(round(
+      |    (CAST(above AS DOUBLE) - ea) * (CAST(above AS DOUBLE) - ea)
+      |      / ea +
+      |    (CAST(n_g - above AS DOUBLE) - eb)
+      |      * (CAST(n_g - above AS DOUBLE) - eb) / eb, 6)
+      |    AS DECIMAL(18,6)) AS term
+      | FROM t),
+      |x AS (SELECT CAST(sum(term) AS DOUBLE) AS chi2 FROM terms)
+      |SELECT flag, (SELECT median_qty FROM med) AS median_qty, n_g,
+      |  above, round(ea, 6) AS expected_above,
+      |  CAST(term AS DOUBLE) AS term, chi2, chi2 > 5.991 AS significant
+      |FROM terms CROSS JOIN x
+      |ORDER BY flag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_kendall_tau" -> (q251KendallTau _),
+    "q252_mood_median" -> (q252MoodMedian _),
     "q231_poisson_bootstrap" -> (q231PoissonBootstrap _),
     "q230_pagerank_parts" -> (q230PagerankParts _),
     "q229_psi" -> (q229Psi _),
@@ -2622,6 +2789,8 @@ object Features {
   )
 
   def oracles: Map[String, String] = Map(
+    "q251_kendall_tau" -> q251Oracle,
+    "q252_mood_median" -> q252Oracle,
     "q206_label_propagation" -> q206Oracle,
     "q207_bfs_hops" -> q207Oracle,
     "q170_string_indexer" -> q170Oracle,

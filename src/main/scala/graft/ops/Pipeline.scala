@@ -690,6 +690,87 @@ object Pipeline {
       |  CAST(max(k) AS BIGINT) AS max_k
       |FROM live""".stripMargin
 
+  /** Change-data retention boundary as a gate (q254): with the
+    * retention horizon forced to zero, every checkpoint prunes ALL
+    * change metadata at or before its own wall-clock — so after a
+    * lifecycle crossing one checkpoint, a COLD open must (a) report
+    * the advanced floor, (b) REFUSE a CDF read below it with the
+    * explicit retention error (never a silently partial feed),
+    * (c) still serve the feed at/above the floor, and (d) read
+    * snapshots untouched. The numbers are closed-form, so the oracle
+    * states them. This is the Delta earliest-available-CDF contract
+    * made driver-visible.
+    */
+  def q254ChangeRetention(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_retn").toString
+    import s.implicits._
+    s.conf.set("graft.lake.changeRetentionMillis", "0")
+    try {
+      val t = MiniLake.compact(s, s"$base/ledger")
+      t.create(Seq((0L, 0L)).toDF("k", "cents"))            // v0
+      for (i <- 1L to 11L)
+        t.append(Seq((i, i * 7L)).toDF("k", "cents"))       // v1..v11
+      // the checkpoint at v10 pruned every change ref ≤ v10
+      val fresh = MiniLake(s, s"$base/ledger")
+      val floor = fresh.changeRetentionFloor
+      val refused =
+        try { fresh.readChanges(0, fresh.latestVersion).count(); false }
+        catch { case _: IllegalStateException => true }
+      val nRecent = fresh.readChanges(floor, fresh.latestVersion).count()
+      fresh.snapshot().agg(
+          count(lit(1)).as("n_rows"),
+          sum("cents").cast("long").as("total_cents"))
+        .select(lit(fresh.latestVersion).as("last_version"),
+          lit(floor).as("retention_floor"),
+          lit(refused).as("below_floor_refused"),
+          lit(nRecent).as("n_recent_changes"),
+          col("n_rows"), col("total_cents"))
+    } finally s.conf.unset("graft.lake.changeRetentionMillis")
+  }
+
+  // v0 create + 11 appends → last_version 11; the v10 checkpoint
+  // prunes refs ≤ 10 → floor 11; the feed at [11, 11] is one insert;
+  // cents total = 7·Σ(0..11) = 462
+  val q254Oracle: String =
+    """SELECT CAST(11 AS BIGINT) AS last_version,
+      |  CAST(11 AS BIGINT) AS retention_floor,
+      |  TRUE AS below_floor_refused,
+      |  CAST(1 AS BIGINT) AS n_recent_changes,
+      |  CAST(12 AS BIGINT) AS n_rows,
+      |  CAST(462 AS BIGINT) AS total_cents""".stripMargin
+
+  /** Column re-add with per-era identity as a gate (q255): a lake
+    * table of documents drops its `lang` column (metadata-only
+    * tombstone), then a mergeSchema append RE-ADDS the name with
+    * fresh rows — Delta column mapping's fresh-physical-id semantics.
+    * Pre-drop rows must read NULL for the reborn column (the retired
+    * incarnation's bytes never resurface) while post-re-add rows
+    * carry data; the per-lang report makes both eras visible and the
+    * oracle reconstructs them from the raw table.
+    */
+  def q255ColumnReadd(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_readd").toString
+    val t = MiniLake(s, s"$base/docs")
+    val d = documents(s, dir).select("doc_id", "lang", "n_chars")
+    t.create(d.filter(col("doc_id") < 300))                 // v0
+    t.dropColumn("lang")                                    // v1
+    t.append(d.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+      mergeSchema = true)                                   // v2: reborn
+    MiniLake(s, s"$base/docs").snapshot()
+      .groupBy(coalesce(col("lang"), lit("(retired)")).as("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("lang")
+  }
+
+  val q255Oracle: String =
+    """SELECT CASE WHEN doc_id < 300 THEN '(retired)' ELSE lang END
+      |    AS lang,
+      |  count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE doc_id < 400
+      |GROUP BY 1 ORDER BY lang""".stripMargin
+
   /** GENERATED ALWAYS AS column as the PARTITION key (q234) — the
     * Delta generated-column flagship: the table declares
     * `day = date_format(ts, 'yyyy-MM-dd')` at create time, callers
@@ -1021,6 +1102,8 @@ object Pipeline {
     "q176_shallow_clone" -> (q176ShallowClone _),
     "q177_table_history" -> (q177TableHistory _),
     "q232_checkpoint_lifecycle" -> (q232CheckpointLifecycle _),
+    "q254_change_retention" -> (q254ChangeRetention _),
+    "q255_column_readd" -> (q255ColumnReadd _),
     "q234_generated_partition" -> (q234GeneratedPartition _),
     "q235_symlink_manifest" -> (q235SymlinkManifest _),
     "q250_double_skipping" -> (q250DoubleSkipping _)
@@ -1048,6 +1131,8 @@ object Pipeline {
     "q176_shallow_clone" -> q176Oracle,
     "q177_table_history" -> q177Oracle,
     "q232_checkpoint_lifecycle" -> q232Oracle,
+    "q254_change_retention" -> q254Oracle,
+    "q255_column_readd" -> q255Oracle,
     "q234_generated_partition" -> q234Oracle,
     "q235_symlink_manifest" -> q235Oracle,
     "q250_double_skipping" -> q250Oracle

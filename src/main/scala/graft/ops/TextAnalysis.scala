@@ -1142,7 +1142,87 @@ object TextAnalysis {
       |FROM n CROSS JOIN nov""".stripMargin
   }
 
+  /** Unigram language-model quality filter (q253) — the KenLM-style
+    * perplexity gate every LLM curation pipeline runs (CCNet, Gopher,
+    * RefinedWeb): train add-1-smoothed unigram log-probs on a HELD
+    * reference slice (sources src0–src4), score every other document
+    * by mean token log-prob, and flag documents below the scored-
+    * corpus mean. Exactness: each type's log-prob is one identically-
+    * stated ln rounded to 6 dp and DECIMAL-quantized (the q191 libm
+    * device), per-doc sums are exact decimal, one rounded division
+    * per doc, and the below-mean comparison is decimal-vs-decimal.
+    * Scale: the vocabulary (≪ corpus) broadcasts to the scoring scan
+    * — one corpus pass, map-side-combinable per-doc aggregation; the
+    * flag threshold is a 1-row broadcast.
+    */
+  def q253UnigramLmFilter(s: SparkSession, dir: String): DataFrame = {
+    val trainSrcs = Seq("src0", "src1", "src2", "src3", "src4")
+    val toks = documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("w"))
+    val vocab = toks.filter(col("source").isin(trainSrcs: _*))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val tv = vocab.agg(sum("cnt").as("t"), count(lit(1)).as("v"))
+    val lp = vocab.crossJoin(broadcast(tv))
+      .select(col("w"),
+        round(log((col("cnt") + 1.0) / (col("t") + col("v"))), 6)
+          .cast("decimal(12,6)").as("lp"))
+    val scored = toks.filter(!col("source").isin(trainSrcs: _*))
+      .join(broadcast(lp), Seq("w"), "left")
+      .crossJoin(broadcast(tv))
+      .select(col("doc_id"), col("source"),
+        coalesce(col("lp"),
+          round(log(lit(1.0) / (col("t") + col("v"))), 6)
+            .cast("decimal(12,6)")).as("lp"))
+    val docs = scored.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tok"), sum("lp").as("slp"))
+      .select(col("doc_id"), col("source"),
+        round(col("slp").cast("double") / col("n_tok"), 6)
+          .cast("decimal(12,6)").as("score"))
+    val mu = docs.agg(
+      round(sum(col("score")).cast("double") / count(lit(1)), 6)
+        .cast("decimal(12,6)").as("mu"))
+    docs.crossJoin(broadcast(mu))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("score")).cast("double") / count(lit(1)), 6)
+          .as("mean_logp"),
+        sum(when(col("score") < col("mu"), 1L).otherwise(0L))
+          .as("n_below"))
+      .orderBy("source")
+  }
+
+  val q253Oracle: String =
+    s"""WITH toks AS (SELECT doc_id, source, unnest($tokensSql) AS w
+      |  FROM documents),
+      |vocab AS (SELECT w, count(*) AS cnt FROM toks
+      |  WHERE source IN ('src0','src1','src2','src3','src4')
+      |  GROUP BY w),
+      |tv AS (SELECT CAST(sum(cnt) AS BIGINT) AS t,
+      |  CAST(count(*) AS BIGINT) AS v FROM vocab),
+      |lp AS (SELECT w,
+      |  CAST(round(ln((cnt + 1.0) / (t + v)), 6) AS DECIMAL(12,6)) AS lp
+      | FROM vocab CROSS JOIN tv),
+      |scored AS (SELECT doc_id, source,
+      |  coalesce(lp.lp, (SELECT CAST(round(ln(1.0 / (t + v)), 6)
+      |    AS DECIMAL(12,6)) FROM tv)) AS lp
+      | FROM toks LEFT JOIN lp USING (w)
+      | WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+      |docs AS (SELECT doc_id, source,
+      |  CAST(round(CAST(sum(lp) AS DOUBLE) / count(*), 6)
+      |    AS DECIMAL(12,6)) AS score
+      | FROM scored GROUP BY doc_id, source),
+      |mu AS (SELECT CAST(round(CAST(sum(score) AS DOUBLE) / count(*), 6)
+      |  AS DECIMAL(12,6)) AS mu FROM docs)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(CAST(sum(score) AS DOUBLE) / count(*), 6) AS mean_logp,
+      |  CAST(sum(CASE WHEN score < mu THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_below
+      |FROM docs CROSS JOIN mu
+      |GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_unigram_lm_filter" -> (q253UnigramLmFilter _),
     "q246_zipf_fit" -> (q246ZipfFit _),
     "q247_heaps_growth" -> (q247HeapsGrowth _),
     "q248_novelty_rate" -> (q248NoveltyRate _),
@@ -1165,6 +1245,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q253_unigram_lm_filter" -> q253Oracle,
     "q246_zipf_fit" -> q246Oracle,
     "q247_heaps_growth" -> q247Oracle,
     "q248_novelty_rate" -> q248Oracle,

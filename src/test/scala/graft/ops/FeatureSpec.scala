@@ -125,6 +125,26 @@ class FeatureSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.coreness.broadcastMaxNodes")
   }
 
+  test("q252: Mood's median test fires on shifted groups, stays " +
+      "quiet on identical ones") {
+    import spark.implicits._
+    // group "hi" sits strictly above the grand median, "lo" below —
+    // the maximally significant split
+    val shifted = ((1 to 40).map(i => ("lo", (i % 5 + 1).toLong)) ++
+      (1 to 40).map(i => ("hi", (i % 5 + 10).toLong)))
+      .toDF("flag", "qty")
+    val hot = Features.moodMedianFrom(shifted).collect()
+    assert(hot.forall(_.getAs[Boolean]("significant")), hot.toSeq)
+    assert(hot.map(_.getAs[Long]("median_qty")).distinct.toSeq === Seq(5L))
+    // identical distributions: χ² ≈ 0, not significant
+    val same = ((1 to 40).map(i => ("a", (i % 7 + 1).toLong)) ++
+      (1 to 40).map(i => ("b", (i % 7 + 1).toLong)))
+      .toDF("flag", "qty")
+    val cold = Features.moodMedianFrom(same).collect()
+    assert(cold.forall(!_.getAs[Boolean]("significant")), cold.toSeq)
+    assert(cold.forall(_.getAs[Double]("chi2") === 0.0))
+  }
+
   test("q155: projection is linear and deterministic across runs") {
     val a = Features.q155JlProjection(spark, sf).collect()
     val b = Features.q155JlProjection(spark, sf).collect()
