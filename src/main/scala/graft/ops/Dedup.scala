@@ -145,6 +145,93 @@ object Dedup {
       |WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.3
       |ORDER BY id1, id2""".stripMargin
 
+  /** Shingle-containment near-dup pairs (q260) — Broder's SECOND
+    * resemblance measure: C(A→B) = |S(A)∩S(B)| / |S(A)|, the one
+    * Jaccard (q41) systematically misses when sizes are asymmetric —
+    * a paragraph quoted inside a 100× longer page has Jaccard ≈ 0.01
+    * but containment ≈ 1.0. This is the RefinedWeb/CCNet-style
+    * sub-document dedup decision: drop the CONTAINED side, keep the
+    * container. Same inverted-index shape and economics as q41 (the
+    * only change is the denominator): 8-byte xxhash64 shingle keys on
+    * the exchange, document-frequency cap [[HotShingleMaxDf]]
+    * bounding every posting list, one unordered pair join then BOTH
+    * directions emitted by an explode — never a doc × doc product.
+    * The contained side must carry ≥ [[ContainmentMinShingles]]
+    * shingles (a 2-shingle snippet "contained" everywhere is noise,
+    * and the floor keeps the gate's rows meaningful at every SF).
+    */
+  val ContainmentMinShingles = 5
+  val ContainmentThreshold = 0.9
+
+  def q260Containment(s: SparkSession, dir: String): DataFrame =
+    containmentFrom(documents(s, dir))
+
+  /** [[q260Containment]] over an explicit `(doc_id, text)` frame —
+    * factored so DedupSpec can pin the asymmetric case Jaccard
+    * misses: a short passage verbatim inside a much longer page.
+    */
+  private[graft] def containmentFrom(docs: DataFrame): DataFrame = {
+    val sh0 = shinglesRaw(docs)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
+    val keep = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= HotShingleMaxDf)
+      .select("shingle")
+    val sh = sh0.join(keep, Seq("shingle"), "left_semi")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.as("na"), col("id1") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("id2") === col("nb.doc_id"))
+      .select(col("id1"), col("id2"), col("common"),
+        col("na.n").as("n1"), col("nb.n").as("n2"))
+    // one unordered pair → both directed candidates; filter on the
+    // UNROUNDED ratio exactly like the oracle's WHERE clause
+    val directed = pairs.select(explode(array(
+      struct(col("id1").as("contained"), col("id2").as("container"),
+        col("common"), col("n1").as("n_contained")),
+      struct(col("id2").as("contained"), col("id1").as("container"),
+        col("common"), col("n2").as("n_contained")))).as("d"))
+      .select(col("d.contained"), col("d.container"), col("d.common"),
+        col("d.n_contained"))
+    directed
+      .filter(col("n_contained") >= ContainmentMinShingles &&
+        col("common").cast("double") / col("n_contained") >=
+          ContainmentThreshold)
+      .select(col("contained"), col("container"),
+        round(col("common").cast("double") / col("n_contained"), 4)
+          .as("containment"))
+      .orderBy("contained", "container")
+  }
+
+  val q260Oracle: String =
+    s"""WITH $shinglesSql,
+      |keep AS (SELECT shingle FROM sh GROUP BY shingle
+      |         HAVING count(*) <= $HotShingleMaxDf),
+      |shk AS (SELECT doc_id, shingle FROM sh
+      |        WHERE shingle IN (SELECT shingle FROM keep)),
+      |n AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+      |      FROM shk a JOIN shk b
+      |        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |pp AS (SELECT id1, id2, common, na.n AS n1, nb.n AS n2
+      |      FROM p JOIN n na ON id1 = na.doc_id
+      |      JOIN n nb ON id2 = nb.doc_id),
+      |d AS (SELECT id1 AS contained, id2 AS container, common,
+      |        n1 AS n_contained FROM pp
+      |      UNION ALL
+      |      SELECT id2, id1, common, n2 FROM pp)
+      |SELECT contained, container,
+      |  round(CAST(common AS DOUBLE) / n_contained, 4) AS containment
+      |FROM d
+      |WHERE n_contained >= $ContainmentMinShingles
+      |  AND CAST(common AS DOUBLE) / n_contained >= $ContainmentThreshold
+      |ORDER BY contained, container""".stripMargin
+
   /** MinHash signatures + LSH banding. Each of the 6 hash functions is
     * "min over shingles of md5(seed|shingle)" (lexicographic min of a
     * uniform hex digest == uniform min-hash); signatures fold into 3
@@ -1549,6 +1636,7 @@ object Dedup {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_containment" -> (q260Containment _),
     "q211_sorted_neighborhood" -> (q211SortedNeighborhood _),
     "q202_substring_dedup" -> (q202SubstringDedup _),
     "q180_semdedup" -> (q180SemDedup _),
@@ -1570,6 +1658,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "q260_containment" -> q260Oracle,
     "q211_sorted_neighborhood" -> q211Oracle,
     "q202_substring_dedup" -> q202Oracle,
     "q180_semdedup" -> q180Oracle,

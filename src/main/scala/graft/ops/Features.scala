@@ -206,7 +206,17 @@ object Features {
     * items at any SF), never across orders. All arithmetic is integer
     * counts — bit-exact in any engine.
     */
-  def q154Triangles(s: SparkSession, dir: String): DataFrame = {
+  /** Shared derivation for the triangle-family queries (q154, q259):
+    * distinct co-purchase edges, per-node degrees, and the
+    * degree-ordered oriented edge list. Both frames are
+    * localCheckpoint-cut: they are referenced several times each by
+    * every consumer (wedge sides, closing probe, degree join), and
+    * the expensive within-order pair join must run ONCE (the q130
+    * shingle-table pattern). Returns (degrees(node, deg),
+    * oriented(src, dst, ddst)).
+    */
+  private def coPurchaseGraph(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val li = lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -215,23 +225,35 @@ object Features {
         col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
       .distinct()
+    degreeOriented(edges)
+  }
+
+  /** Degree-ordered orientation of an arbitrary undirected edge list
+    * `(u, v)` with u < v — factored from [[coPurchaseGraph]] so
+    * FeatureSpec can drive [[q259ClusteringCoeff]]'s kernel on
+    * hand-computable graphs.
+    */
+  private[graft] def degreeOriented(
+      edges: DataFrame): (DataFrame, DataFrame) = {
     val deg = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val du = deg.select(col("node").as("u"), col("deg").as("du"))
     val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
     val lt = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    // the oriented edge list is referenced three times (both wedge
-    // sides + the closing probe) and the counts twice more — cut the
-    // plan once so the expensive edge derivation runs ONCE, not per
-    // reference (the q130 shingle-table pattern)
     val oriented = edges.join(du, "u").join(dv, "v")
       .select(
         when(lt, col("u")).otherwise(col("v")).as("src"),
         when(lt, col("v")).otherwise(col("u")).as("dst"),
         when(lt, col("dv")).otherwise(col("du")).as("ddst"))
       .localCheckpoint()
+    (deg, oriented)
+  }
+
+  def q154Triangles(s: SparkSession, dir: String): DataFrame = {
+    val (_, oriented) = coPurchaseGraph(s, dir)
     val wedgeLt = col("e1.ddst") < col("e2.ddst") ||
       (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))
     // the closing probe joins wedges (the BIG side — Θ(Σ out-deg²)
@@ -312,6 +334,125 @@ object Features {
       |  (SELECT count(*) FROM edges) AS n_edges,
       |  n_triangles
       |FROM tri""".stripMargin
+
+  /** Local clustering coefficient (q259) over the q154 co-purchase
+    * graph — the per-NODE refinement of the global triangle count:
+    * cc(v) = 2·t(v) / (deg(v)·(deg(v)−1)), the probability two of
+    * v's neighbors are themselves connected. Reported as the
+    * distribution summary every graph-health readout starts from:
+    * node count, triangle count, mean local cc (Watts–Strogatz) and
+    * global cc (transitivity, 3·T / wedges) — the two deliberately
+    * DIFFERENT statistics people conflate (hub-heavy graphs push them
+    * apart).
+    *
+    * Same scale shape as q154 — degree-ordered orientation bounds the
+    * wedge fan-out by Σ d_out² (d_out ≤ √|E|) — with one necessary
+    * difference: triangle rows here carry all three node ids for the
+    * per-node credit (explode → groupBy), so the wedge rows are three
+    * longs + the packed probe key, not the key alone. The closing
+    * probe still broadcasts below the q154 edge cap (one codegen
+    * stage, no wedge exchange); above it the equi join is exact
+    * without any driver-side state (the Bloom prune demonstrated on
+    * q154 applies unchanged if needed). All arithmetic is integer
+    * counts; per-node cc is one exact-input division rounded to 6 dp
+    * and DECIMAL-quantized before the order-independent mean.
+    */
+  def q259ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val (deg, oriented) = coPurchaseGraph(s, dir)
+    clusteringSummary(s, deg, oriented)
+  }
+
+  /** [[q259ClusteringCoeff]]'s kernel over a pre-derived
+    * (degrees, oriented) pair — factored so FeatureSpec can pin the
+    * closed-form cc values on a clique-plus-pendant graph.
+    */
+  private[graft] def clusteringSummary(
+      s: SparkSession, deg: DataFrame, oriented: DataFrame): DataFrame = {
+    def packed(a: Column, b: Column): Column =
+      shiftleft(a, 32).bitwiseOR(b)
+    val wedgeLt = col("e1.ddst") < col("e2.ddst") ||
+      (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && wedgeLt)
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"),
+        packed(col("e1.dst"), col("e2.dst")).as("bc"))
+    val closing = oriented.select(packed(col("src"), col("dst")).as("bc"))
+    val nEdges = oriented.count()
+    val broadcastEdgeCap = s.conf
+      .getOption("graft.triangles.broadcastEdges").map(_.toLong)
+      .getOrElse(2_000_000L)
+    val tris =
+      if (nEdges <= broadcastEdgeCap) wedges.join(broadcast(closing), "bc")
+      else wedges.join(closing, "bc")
+    val triPerNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    val ncc = deg.filter(col("deg") >= 2)
+      .join(triPerNode, Seq("node"), "left")
+      .select(col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("cc", round(col("tri").cast("double") * 2.0 /
+        (col("deg") * (col("deg") - 1)).cast("double"), 6))
+    ncc.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(((col("deg") * (col("deg") - 1)) / 2).cast("long"))
+        .as("n_wedges"),
+      sum(col("tri")).as("tri3"),
+      sum(col("cc").cast("decimal(18,6)")).as("cc_sum"))
+      .select(col("n_nodes"),
+        (col("tri3") / 3).cast("long").as("n_triangles"),
+        when(col("n_nodes") > 0,
+          round(col("cc_sum").cast("double") /
+            col("n_nodes").cast("double"), 6)).as("avg_cc"),
+        when(col("n_wedges") > 0,
+          round(col("tri3").cast("double") /
+            col("n_wedges").cast("double"), 6)).as("global_cc"))
+  }
+
+  val q259Oracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem),
+      |edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |deg AS (SELECT node, count(*) AS deg FROM (
+      |   SELECT u AS node FROM edges
+      |   UNION ALL SELECT v AS node FROM edges) t GROUP BY node),
+      |eo AS (SELECT CASE WHEN lt THEN u ELSE v END AS src,
+      |    CASE WHEN lt THEN v ELSE u END AS dst,
+      |    CASE WHEN lt THEN dv ELSE du END AS ddst
+      |  FROM (SELECT u, v, du.deg AS du, dv.deg AS dv,
+      |      (du.deg < dv.deg OR (du.deg = dv.deg AND u < v)) AS lt
+      |    FROM edges JOIN deg du ON u = du.node
+      |      JOIN deg dv ON v = dv.node) o),
+      |w AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM eo e1 JOIN eo e2
+      |  ON e1.src = e2.src AND (e1.ddst < e2.ddst OR
+      |     (e1.ddst = e2.ddst AND e1.dst < e2.dst))),
+      |t3 AS (SELECT a, b, c FROM w
+      |  JOIN eo e3 ON w.b = e3.src AND w.c = e3.dst),
+      |tn AS (SELECT node, count(*) AS tri FROM (
+      |   SELECT a AS node FROM t3
+      |   UNION ALL SELECT b FROM t3
+      |   UNION ALL SELECT c FROM t3) x GROUP BY node),
+      |ncc AS (SELECT d.deg, COALESCE(tn.tri, 0) AS tri,
+      |  round(CAST(COALESCE(tn.tri, 0) AS DOUBLE) * 2.0
+      |    / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) AS cc
+      | FROM deg d LEFT JOIN tn ON d.node = tn.node
+      | WHERE d.deg >= 2),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |  CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges,
+      |  CAST(sum(tri) AS BIGINT) AS tri3,
+      |  sum(CAST(cc AS DECIMAL(18,6))) AS cc_sum
+      | FROM ncc)
+      |SELECT n_nodes, tri3 // 3 AS n_triangles,
+      |  CASE WHEN n_nodes > 0 THEN
+      |    round(CAST(cc_sum AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6)
+      |  END AS avg_cc,
+      |  CASE WHEN n_wedges > 0 THEN
+      |    round(CAST(tri3 AS DOUBLE) / CAST(n_wedges AS DOUBLE), 6)
+      |  END AS global_cc
+      |FROM agg""".stripMargin
 
   /** Johnson-Lindenstrauss random projection of the 64-d embeddings to
     * 8 dimensions — the cheap-dimensionality-reduction front of an ANN
@@ -2751,7 +2892,314 @@ object Features {
       |FROM terms CROSS JOIN x
       |ORDER BY flag""".stripMargin
 
+  /** One-way ANOVA F (q256) — the classic k-sample mean comparison
+    * that q236's Welch t covers only for k=2 (and with unequal
+    * variances). Group moments (n, Σx, Σx²) are exact DECIMAL(38,0)
+    * sums over integer cents — one map-side-combinable scan, k rows
+    * out. SSW/SSB per-group terms are then computed in double (exact
+    * long inputs, identical IEEE ops in both engines) and quantized
+    * to DECIMAL(38,4) BEFORE the cross-group sum, so the k-term fold
+    * is order-independent — the q243/q252 discipline. The grand
+    * moments come from summing the group DECIMALS (exact), never a
+    * second corpus scan: the whole statistic costs one pass at any
+    * corpus size, and the F assembly runs on a k-row frame.
+    */
+  def q256AnovaF(s: SparkSession, dir: String): DataFrame =
+    anovaFrom(lineitem(s, dir)
+      .select(col("l_returnflag").as("grp"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents")))
+
+  /** [[q256AnovaF]] over an explicit `(grp, cents)` frame — factored
+    * so FeatureSpec can pin a significant arm on shifted synthetic
+    * groups and the degenerate single-group arm (F undefined → NULL).
+    */
+  private[graft] def anovaFrom(sample: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val g = sample.filter(col("cents").isNotNull)
+      .groupBy("grp").agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("cents"))).as("sx"),
+        sum(dec(col("cents")) * dec(col("cents"))).as("sxx"))
+    def d(name: String): Column = col(name).cast("double")
+    // per-group within/between terms in double, quantized to decimal
+    // so the k-group sum below is order-independent across engines
+    val terms = g.select(col("n"), col("sx"),
+      round(d("sxx") - d("sx") * d("sx") / d("n"), 4)
+        .cast("decimal(38,4)").as("w_term"),
+      round(d("sx") * d("sx") / d("n"), 4)
+        .cast("decimal(38,4)").as("b_part"))
+    val m = terms.agg(
+      count(lit(1)).as("k"),
+      sum(col("n")).as("n_total"),
+      sum(col("sx")).as("s_total"),
+      sum(col("w_term")).as("ssw"),
+      sum(col("b_part")).as("b_parts"))
+    val ssb = d("b_parts") - d("s_total") * d("s_total") / d("n_total")
+    val fRaw = (ssb / (d("k") - 1.0)) /
+      (d("ssw") / (d("n_total") - d("k")))
+    m.select(col("k"), col("n_total"),
+      (col("k") - 1).as("df1"), (col("n_total") - col("k")).as("df2"),
+      when(col("k") > 1 && col("n_total") > col("k"),
+        round(fRaw, 6)).as("f"),
+      when(col("k") > 1 && col("n_total") > col("k"),
+        round(fRaw, 6) > 2.996).as("significant"))
+  }
+
+  val q256Oracle: String =
+    """WITH sample AS (SELECT l_returnflag AS grp,
+      |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      | FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |g AS (SELECT grp, count(*) AS n,
+      |  sum(CAST(cents AS DECIMAL(38,0))) AS sx,
+      |  sum(CAST(cents AS DECIMAL(38,0))
+      |    * CAST(cents AS DECIMAL(38,0))) AS sxx
+      | FROM sample GROUP BY grp),
+      |terms AS (SELECT n, sx,
+      |  CAST(round(CAST(sxx AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      |      / CAST(n AS DOUBLE), 4) AS DECIMAL(38,4)) AS w_term,
+      |  CAST(round(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      |      / CAST(n AS DOUBLE), 4) AS DECIMAL(38,4)) AS b_part
+      | FROM g),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+      |  CAST(sum(n) AS BIGINT) AS n_total,
+      |  sum(sx) AS s_total, sum(w_term) AS ssw, sum(b_part) AS b_parts
+      | FROM terms),
+      |f AS (SELECT k, n_total,
+      |  ((CAST(b_parts AS DOUBLE)
+      |      - CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)
+      |        / CAST(n_total AS DOUBLE))
+      |    / (CAST(k AS DOUBLE) - 1.0))
+      |  / (CAST(ssw AS DOUBLE)
+      |    / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))) AS f_raw
+      | FROM m)
+      |SELECT k, n_total, k - 1 AS df1, n_total - k AS df2,
+      |  CASE WHEN k > 1 AND n_total > k THEN round(f_raw, 6) END AS f,
+      |  CASE WHEN k > 1 AND n_total > k
+      |    THEN round(f_raw, 6) > 2.996 END AS significant
+      |FROM f""".stripMargin
+
+  /** Two-sample effect sizes (q257): Cohen's d (parametric,
+    * pooled-SD standardized mean difference) and Cliff's delta
+    * (nonparametric dominance, P(X>Y) − P(X<Y)) between the A and R
+    * return-flag populations on l_quantity. Significance tests say
+    * WHETHER distributions differ; effect sizes say HOW MUCH — the
+    * pair every A/B readout needs together (q236/q222 give the
+    * former). Cliff's delta is computed EXACTLY from the bounded
+    * value domain (l_quantity ∈ 1..50): two ≤50-row histograms
+    * cross-joined — 2 500 integer-product cells, counts × counts in
+    * DECIMAL(38,0), immune to both corpus size and summation order.
+    * Cohen's d reuses the exact decimal moment machinery. The corpus
+    * pays ONE grouped scan; everything downstream is domain-bounded.
+    */
+  def q257EffectSizes(s: SparkSession, dir: String): DataFrame =
+    effectSizesFrom(lineitem(s, dir)
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select((col("l_returnflag") === "A").as("is_a"),
+        col("l_quantity").cast("long").as("qty")))
+
+  /** [[q257EffectSizes]] over an explicit `(is_a, qty)` frame —
+    * factored so FeatureSpec can pin a large-effect arm on shifted
+    * synthetic samples (the gate's uniform quantities are honestly
+    * negligible-effect at every SF).
+    */
+  private[graft] def effectSizesFrom(sample: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val hist = sample.filter(col("qty").isNotNull)
+      .groupBy("is_a", "qty").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // ≤ 2 × bounded value domain rows
+    val a = hist.filter(col("is_a")).select(col("qty").as("qa"),
+      col("n").as("na"))
+    val b = hist.filter(!col("is_a")).select(col("qty").as("qb"),
+      col("n").as("nb"))
+    val dom = a.crossJoin(b).agg(
+      sum(when(col("qa") > col("qb"),
+        dec(col("na")) * dec(col("nb"))).otherwise(lit(0).cast("decimal(38,0)"))).as("gt"),
+      sum(when(col("qa") < col("qb"),
+        dec(col("na")) * dec(col("nb"))).otherwise(lit(0).cast("decimal(38,0)"))).as("lt"))
+    val g = sample.filter(col("qty").isNotNull).groupBy("is_a").agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("qty"))).as("sx"),
+      sum(dec(col("qty")) * dec(col("qty"))).as("sxx"))
+    val m = g.agg(
+      max(when(col("is_a"), col("n"))).as("n1"),
+      max(when(col("is_a"), col("sx"))).as("sx1"),
+      max(when(col("is_a"), col("sxx"))).as("sxx1"),
+      max(when(!col("is_a"), col("n"))).as("n2"),
+      max(when(!col("is_a"), col("sx"))).as("sx2"),
+      max(when(!col("is_a"), col("sxx"))).as("sxx2"))
+    def d(name: String): Column = col(name).cast("double")
+    val ss1 = d("sxx1") - d("sx1") * d("sx1") / d("n1")
+    val ss2 = d("sxx2") - d("sx2") * d("sx2") / d("n2")
+    val sPooled = sqrt((ss1 + ss2) / (d("n1") + d("n2") - 2.0))
+    val dRaw = (d("sx1") / d("n1") - d("sx2") / d("n2")) / sPooled
+    val deltaRaw = (d("gt") - d("lt")) / (d("n1") * d("n2"))
+    m.crossJoin(dom).select(col("n1"), col("n2"),
+      when(col("n1") + col("n2") > 2, round(dRaw, 6)).as("cohens_d"),
+      when(col("n1") > 0 && col("n2") > 0,
+        round(deltaRaw, 6)).as("cliffs_delta"),
+      when(col("n1") > 0 && col("n2") > 0,
+        when(abs(round(deltaRaw, 6)) < 0.147, "negligible")
+          .when(abs(round(deltaRaw, 6)) < 0.33, "small")
+          .when(abs(round(deltaRaw, 6)) < 0.474, "medium")
+          .otherwise("large")).as("magnitude"))
+  }
+
+  val q257Oracle: String =
+    """WITH sample AS (SELECT l_returnflag = 'A' AS is_a,
+      |  CAST(l_quantity AS BIGINT) AS qty
+      | FROM lineitem
+      | WHERE l_returnflag IN ('A', 'R') AND l_quantity IS NOT NULL),
+      |hist AS (SELECT is_a, qty, count(*) AS n
+      | FROM sample GROUP BY 1, 2),
+      |dom AS (SELECT
+      |  sum(CASE WHEN a.qty > b.qty
+      |    THEN CAST(a.n AS DECIMAL(38,0)) * CAST(b.n AS DECIMAL(38,0))
+      |    ELSE CAST(0 AS DECIMAL(38,0)) END) AS gt,
+      |  sum(CASE WHEN a.qty < b.qty
+      |    THEN CAST(a.n AS DECIMAL(38,0)) * CAST(b.n AS DECIMAL(38,0))
+      |    ELSE CAST(0 AS DECIMAL(38,0)) END) AS lt
+      | FROM (SELECT * FROM hist WHERE is_a) a
+      | CROSS JOIN (SELECT * FROM hist WHERE NOT is_a) b),
+      |g AS (SELECT is_a, count(*) AS n,
+      |  sum(CAST(qty AS DECIMAL(38,0))) AS sx,
+      |  sum(CAST(qty AS DECIMAL(38,0))
+      |    * CAST(qty AS DECIMAL(38,0))) AS sxx
+      | FROM sample GROUP BY is_a),
+      |m AS (SELECT
+      |  CAST(max(CASE WHEN is_a THEN n END) AS BIGINT) AS n1,
+      |  max(CASE WHEN is_a THEN sx END) AS sx1,
+      |  max(CASE WHEN is_a THEN sxx END) AS sxx1,
+      |  CAST(max(CASE WHEN NOT is_a THEN n END) AS BIGINT) AS n2,
+      |  max(CASE WHEN NOT is_a THEN sx END) AS sx2,
+      |  max(CASE WHEN NOT is_a THEN sxx END) AS sxx2
+      | FROM g),
+      |e AS (SELECT n1, n2,
+      |  (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |    - CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |  / sqrt(((CAST(sxx1 AS DOUBLE)
+      |       - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)
+      |         / CAST(n1 AS DOUBLE))
+      |     + (CAST(sxx2 AS DOUBLE)
+      |       - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      |         / CAST(n2 AS DOUBLE)))
+      |    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)) AS d_raw,
+      |  (CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+      |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS delta_raw
+      | FROM m CROSS JOIN dom)
+      |SELECT n1, n2,
+      |  CASE WHEN n1 + n2 > 2 THEN round(d_raw, 6) END AS cohens_d,
+      |  CASE WHEN n1 > 0 AND n2 > 0
+      |    THEN round(delta_raw, 6) END AS cliffs_delta,
+      |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |    CASE WHEN abs(round(delta_raw, 6)) < 0.147 THEN 'negligible'
+      |         WHEN abs(round(delta_raw, 6)) < 0.33 THEN 'small'
+      |         WHEN abs(round(delta_raw, 6)) < 0.474 THEN 'medium'
+      |         ELSE 'large' END END AS magnitude
+      |FROM e""".stripMargin
+
+  /** Theil–Sen robust trend (q258) over the monthly revenue series —
+    * the median-of-pairwise-slopes estimator with a 29% breakdown
+    * point, where OLS (q203) is wrecked by a single corrupted month.
+    * The pair frame is CALENDAR-BOUNDED (months², never rows²): ~84
+    * months → ~3.5k pairs at ANY corpus size — the q251 class, where
+    * the corpus-sized work is one map-side-combinable monthly
+    * aggregate (exact DECIMAL cents) and everything downstream is
+    * fixed-size. Each slope is ONE double division of exact longs
+    * (identical IEEE both engines); the median is the LOWER median
+    * selected by the total order (slope, x_i, x_j) — an order
+    * statistic, no averaging semantics to disagree about. The
+    * intercept re-uses the machinery: lower median of per-month
+    * residuals y − slope·x. Window functions here run on the
+    * months-bounded frame, never the corpus.
+    */
+  def q258TheilSen(s: SparkSession, dir: String): DataFrame =
+    theilSenFrom(orders(s, dir)
+      .groupBy((year(col("o_orderdate")) * 12 +
+        month(col("o_orderdate"))).as("x"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .cast("long").as("y")))
+
+  /** [[q258TheilSen]] over an explicit `(x, y)` series — factored so
+    * FeatureSpec can pin the 29%-breakdown property on a corrupted
+    * synthetic line (the estimator's whole reason to exist, which the
+    * gate's clean revenue series cannot exercise).
+    */
+  private[graft] def theilSenFrom(series: DataFrame): DataFrame = {
+    val monthly = series
+      .localCheckpoint() // calendar-bounded: one row per month
+    val p = monthly.as("a").join(broadcast(monthly.as("b")),
+      col("a.x") < col("b.x"))
+      .select(col("a.x").as("xi"), col("b.x").as("xj"),
+        ((col("b.y") - col("a.y")).cast("double") /
+          (col("b.x") - col("a.x")).cast("double")).as("slope"))
+    val w = Window.orderBy(col("slope"), col("xi"), col("xj"))
+    val nPairs = p.count()
+    if (nPairs == 0) {
+      // degenerate series (≤1 month): defined, empty-safe output
+      return monthly.agg(count(lit(1)).as("n_months"))
+        .select(col("n_months"), lit(0L).as("n_pairs"),
+          lit(null).cast("double").as("slope_per_month"),
+          lit(null).cast("double").as("intercept_cents"),
+          lit(null).cast("string").as("direction"))
+    }
+    val medSlope = p.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === lit((nPairs + 1) / 2))
+      .select(col("slope").as("med_slope"))
+    val resid = monthly.crossJoin(broadcast(medSlope))
+      .select(col("med_slope"),
+        (col("y").cast("double") -
+          col("med_slope") * col("x").cast("double")).as("r"),
+        col("x"))
+    val wr = Window.orderBy(col("r"), col("x"))
+    val nM = monthly.count()
+    val medResid = resid.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === lit((nM + 1) / 2))
+    medResid.select(lit(nM).as("n_months"), lit(nPairs).as("n_pairs"),
+      round(col("med_slope"), 6).as("slope_per_month"),
+      round(col("r"), 2).as("intercept_cents"),
+      when(round(col("med_slope"), 6) > 0, "up")
+        .when(round(col("med_slope"), 6) < 0, "down")
+        .otherwise("flat").as("direction"))
+  }
+
+  val q258Oracle: String =
+    """WITH monthly AS (SELECT
+      |  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+      |    AS x,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS y
+      | FROM orders GROUP BY 1),
+      |p AS (SELECT a.x AS xi, b.x AS xj,
+      |  CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      | FROM monthly a JOIN monthly b ON a.x < b.x),
+      |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM p),
+      |ms AS (SELECT slope AS med_slope FROM (
+      |   SELECT slope, row_number() OVER (ORDER BY slope, xi, xj) AS rn
+      |   FROM p) t
+      | WHERE rn = (SELECT (n_pairs + 1) // 2 FROM cnt)),
+      |resid AS (SELECT med_slope,
+      |  CAST(y AS DOUBLE) - med_slope * CAST(x AS DOUBLE) AS r, x
+      | FROM monthly CROSS JOIN ms),
+      |nm AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM monthly),
+      |mr AS (SELECT med_slope, r FROM (
+      |   SELECT med_slope, r, row_number() OVER (ORDER BY r, x) AS rn
+      |   FROM resid) t
+      | WHERE rn = (SELECT (n_months + 1) // 2 FROM nm))
+      |SELECT (SELECT n_months FROM nm) AS n_months,
+      |  (SELECT n_pairs FROM cnt) AS n_pairs,
+      |  round(med_slope, 6) AS slope_per_month,
+      |  round(r, 2) AS intercept_cents,
+      |  CASE WHEN round(med_slope, 6) > 0 THEN 'up'
+      |       WHEN round(med_slope, 6) < 0 THEN 'down'
+      |       ELSE 'flat' END AS direction
+      |FROM mr""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_anova_f" -> (q256AnovaF _),
+    "q257_effect_sizes" -> (q257EffectSizes _),
+    "q258_theil_sen" -> (q258TheilSen _),
+    "q259_clustering_coeff" -> (q259ClusteringCoeff _),
     "q251_kendall_tau" -> (q251KendallTau _),
     "q252_mood_median" -> (q252MoodMedian _),
     "q231_poisson_bootstrap" -> (q231PoissonBootstrap _),
@@ -2789,6 +3237,10 @@ object Features {
   )
 
   def oracles: Map[String, String] = Map(
+    "q256_anova_f" -> q256Oracle,
+    "q257_effect_sizes" -> q257Oracle,
+    "q258_theil_sen" -> q258Oracle,
+    "q259_clustering_coeff" -> q259Oracle,
     "q251_kendall_tau" -> q251Oracle,
     "q252_mood_median" -> q252Oracle,
     "q206_label_propagation" -> q206Oracle,

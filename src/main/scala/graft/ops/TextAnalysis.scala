@@ -83,6 +83,93 @@ object TextAnalysis {
       |FROM w
       |ORDER BY doc_id""".stripMargin
 
+  /** Character-class entropy profile (q261) — the compression-style
+    * quality proxy next to q31's ratio heuristics: Shannon entropy of
+    * the document's character-CLASS distribution (letter / digit /
+    * space / punctuation / other). Gibberish hex dumps, markup soup,
+    * and digit tables sit at distinctive points of this spectrum
+    * where per-ratio thresholds need five separate knobs; real prose
+    * clusters tightly (the C4/Gopher-rule families use exactly such
+    * distributional signals). Classes, not raw characters, keep the
+    * kernel a fixed set of regexp-strip length differences inside the
+    * scan — one pass, no explode, no per-char shuffle, map-side
+    * combinable — and bound the entropy by ln(5).
+    *
+    * Cross-engine determinism: class counts are exact integers;
+    * each term −(c/L)·ln(c/L) is one division + one ln + one multiply
+    * on identical doubles, summed in FIXED expression order (not an
+    * aggregate); converted to bits by the literal double 1/ln2 and
+    * rounded to 6 dp per doc BEFORE the integer-bin histogram and the
+    * DECIMAL-quantized corpus mean — the q76/q243 discipline.
+    */
+  def q261CharClassEntropy(s: SparkSession, dir: String): DataFrame =
+    charClassEntropyFrom(documents(s, dir))
+
+  /** [[q261CharClassEntropy]] over an explicit `(doc_id, text)` frame
+    * — factored so TextAnalysisSpec can pin the closed-form points:
+    * single-class text at 0 bits, balanced five-class text at
+    * log2(5) ≈ 2.32 bits.
+    */
+  private[graft] def charClassEntropyFrom(docs: DataFrame): DataFrame = {
+    val ln2 = 0.6931471805599453 // round-to-nearest double of ln 2
+    def cls(pattern: String): Column =
+      length(col("text")) - length(regexp_replace(col("text"), pattern, ""))
+    val counted = docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")).as("len"),
+        cls("[A-Za-z]").as("c1"), cls("[0-9]").as("c2"),
+        cls("[ \\t\\n\\r]").as("c3"), cls("[,.!?;:]").as("c4"))
+      .withColumn("c5",
+        col("len") - col("c1") - col("c2") - col("c3") - col("c4"))
+    def term(c: Column): Column = when(c > 0,
+      -(c.cast("double") / col("len").cast("double")) *
+        log(c.cast("double") / col("len").cast("double"))).otherwise(0.0)
+    val perDoc = counted.select(col("doc_id"),
+      round((term(col("c1")) + term(col("c2")) + term(col("c3")) +
+        term(col("c4")) + term(col("c5"))) / lit(ln2), 6).as("ent"))
+    // half-bit bins: prose corpora concentrate between 1 and 2 bits,
+    // so integer bins collapse to one row — half-bits keep the
+    // histogram informative while the boundary stays on the exact
+    // 6-dp-rounded grid
+    perDoc.groupBy(floor(col("ent") * 2).cast("long").as("half_bit_bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("ent").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_entropy_bits"))
+      .orderBy("half_bit_bin")
+  }
+
+  val q261Oracle: String =
+    """WITH counted AS (SELECT doc_id,
+      |  length(text) AS len,
+      |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+      |    AS c1,
+      |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+      |    AS c2,
+      |  length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g'))
+      |    AS c3,
+      |  length(text) - length(regexp_replace(text, '[,.!?;:]', '', 'g'))
+      |    AS c4
+      | FROM documents WHERE length(text) > 0),
+      |full_c AS (SELECT doc_id, len, c1, c2, c3, c4,
+      |  len - c1 - c2 - c3 - c4 AS c5 FROM counted),
+      |perdoc AS (SELECT doc_id, round((
+      |  (CASE WHEN c1 > 0 THEN -(CAST(c1 AS DOUBLE) / len)
+      |    * ln(CAST(c1 AS DOUBLE) / len) ELSE 0.0 END) +
+      |  (CASE WHEN c2 > 0 THEN -(CAST(c2 AS DOUBLE) / len)
+      |    * ln(CAST(c2 AS DOUBLE) / len) ELSE 0.0 END) +
+      |  (CASE WHEN c3 > 0 THEN -(CAST(c3 AS DOUBLE) / len)
+      |    * ln(CAST(c3 AS DOUBLE) / len) ELSE 0.0 END) +
+      |  (CASE WHEN c4 > 0 THEN -(CAST(c4 AS DOUBLE) / len)
+      |    * ln(CAST(c4 AS DOUBLE) / len) ELSE 0.0 END) +
+      |  (CASE WHEN c5 > 0 THEN -(CAST(c5 AS DOUBLE) / len)
+      |    * ln(CAST(c5 AS DOUBLE) / len) ELSE 0.0 END)
+      |  ) / 0.6931471805599453, 6) AS ent FROM full_c)
+      |SELECT CAST(floor(ent * 2) AS BIGINT) AS half_bit_bin,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(CAST(sum(CAST(ent AS DECIMAL(18,6))) AS DOUBLE)
+      |    / count(*), 6) AS avg_entropy_bits
+      |FROM perdoc GROUP BY 1 ORDER BY half_bit_bin""".stripMargin
+
   /** Language identification via stopword-marker voting (n-gram
     * heuristic family): count marker hits per language, pick the
     * arg-max with a fixed tie-break order. Deterministic and
@@ -1222,6 +1309,7 @@ object TextAnalysis {
       |GROUP BY source ORDER BY source""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_char_class_entropy" -> (q261CharClassEntropy _),
     "q253_unigram_lm_filter" -> (q253UnigramLmFilter _),
     "q246_zipf_fit" -> (q246ZipfFit _),
     "q247_heaps_growth" -> (q247HeapsGrowth _),
@@ -1245,6 +1333,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q261_char_class_entropy" -> q261Oracle,
     "q253_unigram_lm_filter" -> q253Oracle,
     "q246_zipf_fit" -> q246Oracle,
     "q247_heaps_growth" -> q247Oracle,

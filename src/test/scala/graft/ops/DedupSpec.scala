@@ -202,4 +202,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got(10L) === ((16L, 1L)))
     assert(got(11L) === ((16L, 1L)))
   }
+
+  // The asymmetric case Jaccard misses by construction: a 12-token
+  // passage quoted verbatim inside a much longer page. Jaccard stays
+  // far below q41's 0.3 bar (10 common shingles / ~100 union) while
+  // containment of the passage in the page is exactly 1.0 — and ONLY
+  // that direction fires (the page is not contained in the passage).
+  test("q260: a quoted passage is contained in its page, not vice " +
+      "versa, and sub-floor snippets never fire") {
+    val passage = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val page = ((1 to 12).map(i => s"tok$i") ++
+      (1 to 90).map(i => s"body$i")).mkString(" ")
+    // a 2-word snippet shared everywhere: below ContainmentMinShingles
+    val snippet = "tok1 tok2"
+    val docs = Seq((1L, passage), (2L, page), (3L, snippet))
+      .toDF("doc_id", "text")
+    val rows = Dedup.containmentFrom(docs).collect()
+      .map(r => (r.getAs[Long]("contained"), r.getAs[Long]("container"),
+        r.getAs[Double]("containment")))
+    assert(rows.toSeq === Seq((1L, 2L, 1.0)))
+  }
 }

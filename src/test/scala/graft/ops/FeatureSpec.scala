@@ -313,4 +313,105 @@ class FeatureSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("d_scaled") === 0L)
     assert(!r2.getAs[Boolean]("significant"))
   }
+
+  // Three groups with separated means: F must fire. Identical groups:
+  // SSB = 0 so F = 0. A single group leaves F undefined (NULL), never
+  // a division blow-up.
+  test("q256 core: ANOVA fires on separated groups, F=0 on identical, " +
+      "NULL on one group") {
+    import spark.implicits._
+    val shifted = ((1 to 30).map(v => ("a", 100L + v % 5)) ++
+      (1 to 30).map(v => ("b", 500L + v % 5)) ++
+      (1 to 30).map(v => ("c", 900L + v % 5))).toDF("grp", "cents")
+    val r = Features.anovaFrom(shifted).collect().head
+    assert(r.getAs[Long]("k") === 3L)
+    assert(r.getAs[Long]("df1") === 2L)
+    assert(r.getAs[Long]("df2") === 87L)
+    assert(r.getAs[Double]("f") > 1000.0)
+    assert(r.getAs[Boolean]("significant"))
+    val same = ((1 to 30).map(v => ("a", 100L + v % 5)) ++
+      (1 to 30).map(v => ("b", 100L + v % 5))).toDF("grp", "cents")
+    val r2 = Features.anovaFrom(same).collect().head
+    assert(r2.getAs[Double]("f") === 0.0)
+    assert(!r2.getAs[Boolean]("significant"))
+    val one = (1 to 30).map(v => ("a", 100L + v)).toDF("grp", "cents")
+    val r3 = Features.anovaFrom(one).collect().head
+    assert(r3.isNullAt(r3.fieldIndex("f")))
+    assert(r3.isNullAt(r3.fieldIndex("significant")))
+  }
+
+  // Fully separated samples: every A value beats every B value, so
+  // Cliff's delta is exactly +1 (pure dominance) and the magnitude is
+  // "large"; Cohen's d is large-positive. Identical samples: both
+  // effect sizes are exactly 0 and "negligible".
+  test("q257 core: separated samples give delta=+1 large; identical " +
+      "give 0 negligible") {
+    import spark.implicits._
+    val sep = ((1 to 25).map(v => (true, 100L + v % 5)) ++
+      (1 to 25).map(v => (false, v.toLong % 5))).toDF("is_a", "qty")
+    val r = Features.effectSizesFrom(sep).collect().head
+    assert(r.getAs[Long]("n1") === 25L)
+    assert(r.getAs[Double]("cliffs_delta") === 1.0)
+    assert(r.getAs[Double]("cohens_d") > 10.0)
+    assert(r.getAs[String]("magnitude") === "large")
+    val same = ((1 to 25).map(v => (true, v.toLong % 7)) ++
+      (1 to 25).map(v => (false, v.toLong % 7))).toDF("is_a", "qty")
+    val r2 = Features.effectSizesFrom(same).collect().head
+    assert(r2.getAs[Double]("cliffs_delta") === 0.0)
+    assert(r2.getAs[Double]("cohens_d") === 0.0)
+    assert(r2.getAs[String]("magnitude") === "negligible")
+  }
+
+  // The 29% breakdown point is the estimator's reason to exist: on a
+  // perfect line the slope/intercept are recovered exactly, and
+  // corrupting ONE point by 10^6x leaves the Theil-Sen slope EXACTLY
+  // unchanged (the median of pairwise slopes steps over the outlier
+  // pairs), where the OLS slope on the same data moves by orders of
+  // magnitude.
+  test("q258 core: exact on a line; one massive outlier cannot move " +
+      "the slope") {
+    import spark.implicits._
+    val line = (1 to 24).map(x => (x.toLong, 3L * x + 5L)).toDF("x", "y")
+    val r = Features.theilSenFrom(line).collect().head
+    assert(r.getAs[Long]("n_months") === 24L)
+    assert(r.getAs[Long]("n_pairs") === 276L)
+    assert(r.getAs[Double]("slope_per_month") === 3.0)
+    assert(r.getAs[Double]("intercept_cents") === 5.0)
+    assert(r.getAs[String]("direction") === "up")
+    val corrupted = (1 to 24).map(x =>
+      (x.toLong, if (x == 12) 1000000000L else 3L * x + 5L))
+      .toDF("x", "y")
+    val r2 = Features.theilSenFrom(corrupted).collect().head
+    assert(r2.getAs[Double]("slope_per_month") === 3.0)
+    // single point: no pairs, defined NULL output
+    val single = Seq((1L, 10L)).toDF("x", "y")
+    val r3 = Features.theilSenFrom(single).collect().head
+    assert(r3.getAs[Long]("n_months") === 1L)
+    assert(r3.getAs[Long]("n_pairs") === 0L)
+    assert(r3.isNullAt(r3.fieldIndex("slope_per_month")))
+  }
+
+  // K4 + pendant edge: closed-form cc — K4 corners not holding the
+  // pendant have cc=1, the pendant anchor has cc=0.5 (3 triangles over
+  // C(4,2)=6 wedges), the degree-1 pendant is excluded. Mean local cc
+  // (0.875) and transitivity (12/15=0.8) must DIFFER — the two
+  // statistics the query deliberately reports side by side. Both
+  // probe transports (broadcast / shuffle) must agree.
+  test("q259: closed-form clustering coefficients on K4 + pendant") {
+    import spark.implicits._
+    val k4 = for (i <- 1 to 4; j <- (i + 1) to 4) yield (i.toLong, j.toLong)
+    val edges = (k4 :+ (4L, 5L)).toDF("u", "v")
+    val (deg, oriented) = Features.degreeOriented(edges)
+    val r = Features.clusteringSummary(spark, deg, oriented).collect().head
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("n_triangles") === 4L)
+    assert(r.getAs[Double]("avg_cc") === 0.875)
+    assert(r.getAs[Double]("global_cc") === 0.8)
+    spark.conf.set("graft.triangles.broadcastEdges", "0")
+    try {
+      val r2 = Features.clusteringSummary(spark, deg, oriented)
+        .collect().head
+      assert(r2 === r, "shuffle transport diverged from broadcast")
+    } finally spark.conf.unset("graft.triangles.broadcastEdges")
+  }
 }

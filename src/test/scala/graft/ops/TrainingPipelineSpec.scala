@@ -254,4 +254,20 @@ class TrainingPipelineSpec extends AnyFunSuite {
     // a 10-word vocab over a ~31-word corpus must leave real OOV mass
     assert(rows.map(_.getAs[Long]("n_oov")).sum > 0L)
   }
+
+  // Closed-form entropy points: a digit-only doc is ONE class →
+  // exactly 0 bits; a doc with all five classes in equal measure is
+  // log2(5) ≈ 2.321928 bits; empty text is excluded, not a crash.
+  test("q261: char-class entropy hits its closed-form endpoints") {
+    import spark.implicits._
+    val balanced = "aB" + "12" + " \t" + ",." + "éü"
+    val docs = Seq((1L, "1234567890"), (2L, balanced), (3L, ""))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.charClassEntropyFrom(docs).collect()
+      .map(r => (r.getAs[Long]("half_bit_bin"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("avg_entropy_bits")))
+    // bin 0 holds the 0-bit digit doc; bin 4 ([2.0, 2.5)) the
+    // balanced 5-class doc; the empty doc appears nowhere
+    assert(rows.toSeq === Seq((0L, 1L, 0.0), (4L, 1L, 2.321928)))
+  }
 }
