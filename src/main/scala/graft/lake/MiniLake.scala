@@ -54,7 +54,8 @@ final class MiniLake(spark: SparkSession, val path: String,
     compact: Boolean = false,
     bucketSpecAtCreate: Option[MiniLake.BucketSpec] = None,
     partitionColsAtCreate: Seq[String] = Seq.empty,
-    generatedColsAtCreate: Seq[(String, String)] = Seq.empty) {
+    generatedColsAtCreate: Seq[(String, String)] = Seq.empty,
+    identityColAtCreate: Option[MiniLake.IdentitySpec] = None) {
   import MiniLake._
 
   // capture the session AQE default at construction — before any
@@ -72,15 +73,17 @@ final class MiniLake(spark: SparkSession, val path: String,
     * times per commit: measurable at 1,000-commit lifecycles.
     */
   @volatile private var createProps: Option[(Option[BucketSpec],
-    Seq[String], Seq[(String, String)])] = None
+    Seq[String], Seq[(String, String)], Option[IdentitySpec])] = None
   private def resolveCreateProps: (Option[BucketSpec], Seq[String],
-      Seq[(String, String)]) =
+      Seq[(String, String)], Option[IdentitySpec]) =
     createProps.getOrElse {
       if (!exists)
-        (bucketSpecAtCreate, partitionColsAtCreate, generatedColsAtCreate)
+        (bucketSpecAtCreate, partitionColsAtCreate, generatedColsAtCreate,
+          identityColAtCreate)
       else {
         val e = readEntry(listVersions.head)
-        val p = (e.bucketSpec, e.partitionCols, e.generatedCols)
+        val p = (e.bucketSpec, e.partitionCols, e.generatedCols,
+          e.identitySpec)
         createProps = Some(p)
         p
       }
@@ -116,6 +119,10 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   private def generatedCols: Seq[(String, String)] = resolveCreateProps._3
 
+  /** GENERATED ALWAYS AS IDENTITY column (Delta identity semantics),
+    * fixed at create time like the other create props. */
+  private def identitySpec: Option[IdentitySpec] = resolveCreateProps._4
+
   /** Compute any ABSENT generated columns on an incoming batch (the
     * write-side half of the contract; supplied values are validated
     * in [[requireCheckConstraints]]'s probe instead).
@@ -124,6 +131,64 @@ final class MiniLake(spark: SparkSession, val path: String,
     generatedCols.foldLeft(df) { case (d, (name, sql)) =>
       if (d.columns.contains(name)) d else d.withColumn(name, expr(sql))
     }
+
+  /** The table's identity high-water mark: the largest identity value
+    * any commit has ever assigned (never reused, even after DELETE —
+    * the Delta `delta.identity.highWaterMark` contract). Recovered on
+    * cold open by a driver-side backward walk of the log that stops
+    * at the FIRST id-stamping entry — on an append-driven table that
+    * is the latest or second-latest commit, so the walk is O(1) in
+    * practice and bounded by the log tail, never the data. Memoized;
+    * assigning writers advance it in-process.
+    */
+  @volatile private var idHwCache: Option[Long] = None
+  private def identityHighWater: Option[Long] = idHwCache.orElse {
+    val found = listVersions.sorted(Ordering[Long].reverse).iterator
+      .map(readEntry).flatMap(_.identityHighWater).nextOption()
+    idHwCache = found
+    found
+  }
+
+  /** Identity assignment is sequenced through the single-writer verbs
+    * (create/append/overwrite) whose committed high water is
+    * unambiguous; the concurrent and merge verbs would need
+    * Delta-style id-range reservation to avoid double-assignment
+    * under races — refused explicitly rather than served wrongly.
+    */
+  private def requireNoIdentity(verb: String): Unit =
+    require(identitySpec.isEmpty,
+      s"$verb is not supported on GENERATED ALWAYS AS IDENTITY table " +
+        s"$path (identity ids are assigned by create/append/overwrite)")
+
+  /** Assign GENERATED ALWAYS AS IDENTITY values to an incoming batch:
+    * ids continue from the high-water mark in create-order steps.
+    * Assignment is the two-phase per-partition-counts → offsets shape
+    * (`zipWithIndex`): no unpartitioned window, no driver
+    * materialization — one extra pass over the BATCH (not the table),
+    * the same price Delta pays to stamp its ranges. Values are
+    * deterministic given the batch's partitioning and row order
+    * (callers wanting reproducible ids sort the batch first); the
+    * ALWAYS contract rejects caller-supplied values outright.
+    * Returns the stamped frame and the new high water.
+    */
+  private def withIdentityAssigned(
+      df: DataFrame): (DataFrame, Option[Long]) = identitySpec match {
+    case None => (df, None)
+    case Some(spec) =>
+      require(!df.columns.contains(spec.name),
+        s"GENERATED ALWAYS AS IDENTITY column '${spec.name}' cannot be " +
+          "user-supplied")
+      val base = identityHighWater.getOrElse(spec.start - spec.step)
+      val sch = df.schema
+        .add(org.apache.spark.sql.types.StructField(spec.name,
+          org.apache.spark.sql.types.LongType, nullable = false))
+      val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ (base + spec.step * (i + 1)))
+      }
+      val n = rdd.count()
+      (spark.createDataFrame(rdd, sch), Some(base + spec.step * n))
+  }
 
   // ---- log ----------------------------------------------------------
 
@@ -634,7 +699,13 @@ final class MiniLake(spark: SparkSession, val path: String,
       generatedCols = Option(m.get("generatedCols"))
         .map(_.asInstanceOf[java.util.List[java.util.List[String]]]
           .asScala.toSeq.map(p => (p.get(0), p.get(1))))
-        .getOrElse(Seq.empty))
+        .getOrElse(Seq.empty),
+      identitySpec = Option(m.get("identityCol")).map(n =>
+        IdentitySpec(n.toString,
+          m.get("identityStart").asInstanceOf[Number].longValue(),
+          m.get("identityStep").asInstanceOf[Number].longValue())),
+      identityHighWater = Option(m.get("identityHighWater"))
+        .map(_.asInstanceOf[Number].longValue()))
   }
 
   /** File-level min/max stats for INT64 and UTF8-string columns, read
@@ -828,7 +899,22 @@ final class MiniLake(spark: SparkSession, val path: String,
       if (tableGen.isEmpty) withRenames
       else withRenames + ("generatedCols" ->
         tableGen.map { case (n, x) => java.util.List.of(n, x) }.asJava)
-    val bytes = mapper.writeValueAsBytes(withGen.asJava)
+    // identity spec is a create-time property stamped like the others
+    // (entry override serves shallow clone, where the dest instance
+    // resolves to empty); the high water rides only id-assigning
+    // commits
+    val tableId = e.identitySpec.orElse(identitySpec)
+    val withIdSpec = tableId match {
+      case Some(is) => withGen ++ Map[String, Object](
+        "identityCol" -> is.name, "identityStart" -> Long.box(is.start),
+        "identityStep" -> Long.box(is.step))
+      case None => withGen
+    }
+    val withIdHw = e.identityHighWater match {
+      case Some(h) => withIdSpec + ("identityHighWater" -> Long.box(h))
+      case None => withIdSpec
+    }
+    val bytes = mapper.writeValueAsBytes(withIdHw.asJava)
     // writer-unique tmp: two committers racing the SAME version must
     // not share a tmp path, or the link winner could publish the
     // loser's bytes written into the common tmp between write and link
@@ -1581,7 +1667,9 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   def create(df: DataFrame, rowHint: Option[Long] = None): Unit = {
     require(!exists, s"table $path already exists")
-    commitInsertOnly(withGenerated(df), mode = "create", rowHint)
+    val (stamped, idHw) = withIdentityAssigned(df)
+    commitInsertOnly(withGenerated(stamped), mode = "create", rowHint,
+      idHw = idHw)
   }
 
   /** Append (S3). With `mergeSchema = true`, Delta's additive schema
@@ -1594,14 +1682,15 @@ final class MiniLake(spark: SparkSession, val path: String,
     * evolution that is feasible on a 100 TB table).
     */
   def append(batch: DataFrame, mergeSchema: Boolean = false): Unit = {
-    val df = withGenerated(batch)
+    val (stamped, idHw) = withIdentityAssigned(batch)
+    val df = withGenerated(stamped)
     if (mergeSchema && exists) {
       val merged = mergedSchemaWith(schema, df.schema, path)
       commitInsertOnly(conformTo(df, merged), mode = "append",
-        rowHint = None)
+        rowHint = None, idHw = idHw)
     } else {
       requireSchemaMatch(df)
-      commitInsertOnly(df, mode = "append", rowHint = None)
+      commitInsertOnly(df, mode = "append", rowHint = None, idHw = idHw)
     }
   }
 
@@ -1620,6 +1709,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   def appendIfAbsent(batch: DataFrame, appId: String,
       txnVersion: Long): Boolean = {
+    requireNoIdentity("appendIfAbsent")
     val df = withGenerated(batch)
     if (lastTxnVersion(appId) >= txnVersion) false
     else {
@@ -1660,6 +1750,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   private[lake] def appendConcurrentImpl(batch: DataFrame,
       maxRetries: Int, beforePublish: () => Unit): Long = {
+    requireNoIdentity("appendConcurrent")
     val df = withGenerated(batch)
     requireSchemaMatch(df)
     // the attempt dir is stamped with the READ version, not the claimed
@@ -1787,13 +1878,18 @@ final class MiniLake(spark: SparkSession, val path: String,
     * (changesMode=insertsFromData) — one write instead of two.
     */
   private def commitInsertOnly(data: DataFrame, mode: String,
-      rowHint: Option[Long]): Unit =
+      rowHint: Option[Long], idHw: Option[Long] = None): Unit =
     withCommitPlanning {
       val v = nextVersion
       val adds = writeData(data, v, rowHint)
       writeEntry(CommitEntry(v, mode, System.currentTimeMillis(),
         data.schema.json, adds, Seq.empty, hasChanges = true,
-        bucketSpec = bucketSpec, changesMode = "insertsFromData"))
+        bucketSpec = bucketSpec, changesMode = "insertsFromData",
+        identityHighWater = idHw))
+      // advance the in-process high water only after the entry is
+      // durably published (a failed commit must not burn ids forward
+      // of what the log proves)
+      idHw.foreach(h => idHwCache = Some(h))
     }
 
   /** A commit's data and change files land in independent directories
@@ -1817,16 +1913,20 @@ final class MiniLake(spark: SparkSession, val path: String,
     // verb (create/append/appendIfAbsent/appendConcurrent/merge)
     // already does, and a raw batch failing on overwrite but passing
     // on append would be an inconsistent write surface
-    val df = withGenerated(batch)
+    // identity keeps counting upward across a full rewrite (replaced
+    // rows never free their ids — the Delta identity contract)
+    val (stamped, idHw) = withIdentityAssigned(batch)
+    val df = withGenerated(stamped)
     val prior = snapshot()
     val changes = prior.withColumn(ChangeType, lit("delete"))
       .unionByName(df.withColumn(ChangeType, lit("insert")))
     commitWithChanges(df, mode = "overwrite", changes = changes,
-      removesAll = true)
+      removesAll = true, idHw = idHw)
   }
 
   private def commitWithChanges(data: DataFrame, mode: String,
-      changes: DataFrame, removesAll: Boolean): Unit =
+      changes: DataFrame, removesAll: Boolean,
+      idHw: Option[Long] = None): Unit =
     withCommitPlanning {
       val v = nextVersion
       val removed = if (removesAll) liveFiles(v - 1) else Seq.empty
@@ -1837,7 +1937,9 @@ final class MiniLake(spark: SparkSession, val path: String,
       val (adds, chg) = inParallel(writeData(data, v), writeChanges(changes, v))
       writeEntry(CommitEntry(v, mode, System.currentTimeMillis(),
         data.schema.json, adds, removed, hasChanges = true,
-        bucketSpec = bucketSpec, changeFiles = chg, dvRemoves = dvRemoved))
+        bucketSpec = bucketSpec, changeFiles = chg, dvRemoves = dvRemoved,
+        identityHighWater = idHw))
+      idHw.foreach(h => idHwCache = Some(h))
     }
 
   /** MERGE (S4): `whenNotMatchedInsertAll` ∪ `whenMatchedDelete`, keyed
@@ -1848,6 +1950,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   def merge(inserts: DataFrame, deletes: DataFrame,
       pks: Seq[String]): (Long, Long) = withCommitPlanning {
+    requireNoIdentity("merge")
     val ins = withGenerated(inserts)
     requireSchemaMatch(ins)
     val target = snapshot()
@@ -1968,6 +2071,7 @@ final class MiniLake(spark: SparkSession, val path: String,
   private[lake] def mergeConcurrentImpl(inserts: DataFrame,
       deletes: DataFrame, pks: Seq[String], maxRetries: Int,
       beforePublish: () => Unit): (Long, Long) = withCommitPlanning {
+    requireNoIdentity("mergeConcurrent")
     requireSchemaMatch(inserts)
     val spec = bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"mergeConcurrent requires a bucketed table ($path is unbucketed): " +
@@ -2095,6 +2199,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   def mergeUpdate(rawSource: DataFrame, pks: Seq[String]): (Long, Long) =
     withCommitPlanning {
+      requireNoIdentity("mergeUpdate")
       // generated columns compute-if-absent on this insert/update
       // surface too (consistency with every other data-carrying verb)
       val source = withGenerated(rawSource)
@@ -2609,7 +2714,13 @@ object MiniLake {
       constraints: Map[String, String] = Map.empty,
       renames: Map[String, String] = Map.empty,
       generatedCols: Seq[(String, String)] = Seq.empty,
-      statsDbl: Map[String, Map[String, (Double, Double)]] = Map.empty)
+      statsDbl: Map[String, Map[String, (Double, Double)]] = Map.empty,
+      identitySpec: Option[IdentitySpec] = None,
+      identityHighWater: Option[Long] = None)
+
+  /** GENERATED ALWAYS AS IDENTITY column: `name` is assigned
+    * `start, start+step, ...`, never reused, never user-supplied. */
+  final case class IdentitySpec(name: String, start: Long, step: Long)
 
   def apply(spark: SparkSession, path: String): MiniLake =
     new MiniLake(spark, path)
@@ -2637,6 +2748,18 @@ object MiniLake {
       partitionCols: Seq[String] = Seq.empty): MiniLake =
     new MiniLake(spark, path, partitionColsAtCreate = partitionCols,
       generatedColsAtCreate = generatedCols)
+
+  /** Variant with a GENERATED ALWAYS AS IDENTITY column (Delta
+    * identity semantics): every insert through create/append/overwrite
+    * assigns `start, start+step, ...` continuing from the table's
+    * high-water mark; ids are never reused (DELETE does not free them)
+    * and never user-supplied. The spec applies at create time and is
+    * recovered from the log on reopen (plain `apply` works too).
+    */
+  def identity(spark: SparkSession, path: String, col: String,
+      start: Long = 1L, step: Long = 1L): MiniLake =
+    new MiniLake(spark, path,
+      identityColAtCreate = Some(IdentitySpec(col, start, step)))
 
   /** Variant with value-partitioned layout (`_p_<col>=<value>` dirs):
     * `snapshotWhere` prunes partitions on the driver before any scan.
@@ -2688,7 +2811,12 @@ object MiniLake {
       // preserves table metadata): without this the clone would
       // accept wrong caller-supplied values unvalidated, breaking
       // the invariant the source enforces
-      generatedCols = src.generatedCols))
+      generatedCols = src.generatedCols,
+      // identity metadata rides too — spec AND high water, so the
+      // clone's own appends keep counting from where the source was
+      // (ids diverge after the clone, like the data itself)
+      identitySpec = src.identitySpec,
+      identityHighWater = src.identityHighWater))
     dest
   }
 

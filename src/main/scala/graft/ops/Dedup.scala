@@ -232,6 +232,57 @@ object Dedup {
       |  AND CAST(common AS DOUBLE) / n_contained >= $ContainmentThreshold
       |ORDER BY contained, container""".stripMargin
 
+  /** Jaro–Winkler fuzzy matching (q264) over part names — the
+    * entity-resolution scorer beside q98's blocked edit distance:
+    * head-weighted, transposition-tolerant, the measure record
+    * linkage (and q191's Fellegi–Sunter weights) standardizes on.
+    * The scorer itself is the codegen'd native Expression
+    * [[graft.functions.StringSimilarity.JaroWinkler]] (a UDF here
+    * would fall out of whole-stage codegen on the hottest loop of an
+    * ER pipeline).
+    *
+    * Scale shape: TWO-key blocking on (first token, p_size) — the
+    * multi-attribute blocking real linkage pipelines use, and the
+    * q98/q147 discipline that keeps the candidate join bounded, never
+    * an all-pairs product. The per-pair kernel is window-bounded
+    * O(len²) on short name strings. Both engines compute their OWN
+    * doubles here (DuckDB's built-in is the oracle), so every pair
+    * score is 4-dp-ROUNDED and DECIMAL-quantized before the
+    * order-independent per-block aggregate — sub-ulp implementation
+    * skew cannot reach the hash, and the kernel is verified
+    * value-for-value against DuckDB in StringSimilaritySpec.
+    */
+  def q264JaroWinklerMatch(s: SparkSession, dir: String): DataFrame = {
+    val p = part(s, dir).select(col("p_partkey").as("k"),
+      col("p_name").as("nm"), col("p_size").as("sz"),
+      split(col("p_name"), " ").getItem(0).as("blk"))
+    p.as("a").join(p.as("b"),
+      col("a.blk") === col("b.blk") && col("a.sz") === col("b.sz") &&
+        col("a.k") < col("b.k"))
+      .select(col("a.blk").as("blk"),
+        round(graft.functions.StringSimilarity.jaro_winkler(
+          col("a.nm"), col("b.nm")), 4).as("jw"))
+      .groupBy("blk")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("jw").cast("decimal(18,4)")).cast("double") /
+          count(lit(1)), 4).as("avg_jw"),
+        min(col("jw")).as("min_jw"), max(col("jw")).as("max_jw"))
+      .orderBy("blk")
+  }
+
+  val q264Oracle: String =
+    """WITH p AS (SELECT p_partkey AS k, p_name AS nm, p_size AS sz,
+      |  split_part(p_name, ' ', 1) AS blk FROM part),
+      |j AS (SELECT a.blk AS blk,
+      |  round(jaro_winkler_similarity(a.nm, b.nm), 4) AS jw
+      | FROM p a JOIN p b
+      |   ON a.blk = b.blk AND a.sz = b.sz AND a.k < b.k)
+      |SELECT blk, count(*) AS n_pairs,
+      |  round(CAST(sum(CAST(jw AS DECIMAL(18,4))) AS DOUBLE)
+      |    / count(*), 4) AS avg_jw,
+      |  min(jw) AS min_jw, max(jw) AS max_jw
+      |FROM j GROUP BY blk ORDER BY blk""".stripMargin
+
   /** MinHash signatures + LSH banding. Each of the 6 hash functions is
     * "min over shingles of md5(seed|shingle)" (lexicographic min of a
     * uniform hex digest == uniform min-hash); signatures fold into 3
@@ -1637,6 +1688,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q260_containment" -> (q260Containment _),
+    "q264_jaro_winkler" -> (q264JaroWinklerMatch _),
     "q211_sorted_neighborhood" -> (q211SortedNeighborhood _),
     "q202_substring_dedup" -> (q202SubstringDedup _),
     "q180_semdedup" -> (q180SemDedup _),
@@ -1659,6 +1711,7 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "q260_containment" -> q260Oracle,
+    "q264_jaro_winkler" -> q264Oracle,
     "q211_sorted_neighborhood" -> q211Oracle,
     "q202_substring_dedup" -> q202Oracle,
     "q180_semdedup" -> q180Oracle,

@@ -32,6 +32,99 @@ object Eval {
     * as an integer (midranks contribute halves) and ONE float division
     * at the end, the q140/q159 fixed-point rule.
     */
+  /** Confusion-matrix metric suite (q268) — the thresholded-classifier
+    * readout next to q165's AUC and q241's PR-AUC (which integrate
+    * over all thresholds): precision / recall / F1, balanced
+    * accuracy, Matthews correlation, and Cohen's kappa at ONE
+    * operating point. MCC and kappa are the two that survive class
+    * imbalance — accuracy and even F1 read healthy on a 99:1 corpus
+    * while MCC collapses to ~0 — so a training-data eval report wants
+    * them side by side. Same deterministic score/label rule as q165
+    * (Knuth-hash score, purchase label), prediction = score ≥ 5000.
+    * One scan to four integer cells; every metric is a couple of
+    * IEEE ops on exact counts with FIXED parenthesization, rounded to
+    * 6 dp — no aggregation-order hazard anywhere.
+    */
+  def q268ConfusionMetrics(s: SparkSession, dir: String): DataFrame = {
+    val scored = events(s, dir).select(
+      ((pmod(col("event_id") * lit(2654435761L), lit(9973L)) +
+        when(col("event_type") === "purchase", lit(3000L))
+          .otherwise(lit(0L))) >= 5000L).as("pred"),
+      (col("event_type") === "purchase").as("label"))
+    val m = scored.agg(
+      sum(when(col("pred") && col("label"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred") && !col("label"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("pred") && col("label"), 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("pred") && !col("label"), 1L).otherwise(0L)).as("tn"))
+    def d(name: String): Column = col(name).cast("double")
+    val n = d("tp") + d("fp") + d("fn") + d("tn")
+    val prec = d("tp") / (d("tp") + d("fp"))
+    val rec = d("tp") / (d("tp") + d("fn"))
+    val tnr = d("tn") / (d("tn") + d("fp"))
+    val mcc = (d("tp") * d("tn") - d("fp") * d("fn")) /
+      sqrt((d("tp") + d("fp")) * (d("tp") + d("fn")) *
+        (d("tn") + d("fp")) * (d("tn") + d("fn")))
+    val po = (d("tp") + d("tn")) / n
+    val pe = ((d("tp") + d("fp")) * (d("tp") + d("fn")) +
+      (d("fn") + d("tn")) * (d("fp") + d("tn"))) / (n * n)
+    m.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      round(prec, 6).as("precision"), round(rec, 6).as("recall"),
+      round(lit(2.0) * prec * rec / (prec + rec), 6).as("f1"),
+      round((rec + tnr) / lit(2.0), 6).as("balanced_accuracy"),
+      round(mcc, 6).as("mcc"),
+      round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
+  val q268Oracle: String =
+    """WITH scored AS (SELECT
+      |  ((event_id * 2654435761) % 9973 +
+      |    CASE WHEN event_type = 'purchase' THEN 3000 ELSE 0 END)
+      |    >= 5000 AS pred,
+      |  event_type = 'purchase' AS label
+      | FROM events),
+      |m AS (SELECT
+      |  CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS tp,
+      |  CAST(sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS fp,
+      |  CAST(sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS fn,
+      |  CAST(sum(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS tn
+      | FROM scored),
+      |e AS (SELECT tp, fp, fn, tn,
+      |  CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)
+      |    + CAST(tn AS DOUBLE) AS n,
+      |  CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+      |    AS prec,
+      |  CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+      |    AS rec,
+      |  CAST(tn AS DOUBLE) / (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+      |    AS tnr
+      | FROM m)
+      |SELECT tp, fp, fn, tn,
+      |  round(prec, 6) AS precision,
+      |  round(rec, 6) AS recall,
+      |  round(2.0 * prec * rec / (prec + rec), 6) AS f1,
+      |  round((rec + tnr) / 2.0, 6) AS balanced_accuracy,
+      |  round((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+      |      - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+      |    / sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+      |      * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+      |      * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+      |      * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))), 6) AS mcc,
+      |  round(((CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE)) / n
+      |    - ((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+      |        * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+      |      + (CAST(fn AS DOUBLE) + CAST(tn AS DOUBLE))
+      |        * (CAST(fp AS DOUBLE) + CAST(tn AS DOUBLE))) / (n * n))
+      |  / (1.0 - ((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+      |        * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+      |      + (CAST(fn AS DOUBLE) + CAST(tn AS DOUBLE))
+      |        * (CAST(fp AS DOUBLE) + CAST(tn AS DOUBLE))) / (n * n)),
+      |    6) AS kappa
+      |FROM e""".stripMargin
+
   def q165Auc(s: SparkSession, dir: String): DataFrame = {
     val scored = events(s, dir).select(
       (pmod(col("event_id") * lit(2654435761L), lit(9973L)) +
@@ -827,6 +920,7 @@ object Eval {
     "q204_decision_stump" -> (q204DecisionStump _),
     "q203_ols_segment" -> (q203OlsSegment _),
     "q165_auc" -> (q165Auc _),
+    "q268_confusion_metrics" -> (q268ConfusionMetrics _),
     "q241_pr_auc" -> (q241PrAuc _),
     "q197_conformal_coverage" -> (q197ConformalCoverage _),
     "q196_propensity_att" -> (q196PropensityAtt _),
@@ -841,6 +935,7 @@ object Eval {
     "q204_decision_stump" -> q204Oracle,
     "q203_ols_segment" -> q203Oracle,
     "q165_auc" -> q165Oracle,
+    "q268_confusion_metrics" -> q268Oracle,
     "q241_pr_auc" -> q241Oracle,
     "q190_calibration" -> q190Oracle,
     "q194_lift_gains" -> q194Oracle,

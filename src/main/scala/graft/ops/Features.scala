@@ -3195,7 +3195,110 @@ object Features {
       |       ELSE 'flat' END AS direction
       |FROM mr""".stripMargin
 
+  /** Holt linear (double-exponential) smoothing (q263) — the
+    * level+trend forecaster between q159's EWMA (level only, finite
+    * window) and q201's seasonal-naive backtest: α=0.3 on the level,
+    * β=0.1 on the trend, one-step-ahead SSE accumulated along the
+    * fit, h-step forecasts l_T + h·b_T.
+    *
+    * The recurrence has infinite memory, so it cannot be a window
+    * aggregate; the series is CALENDAR-BOUNDED (one row per month —
+    * ~84 at any corpus size), so the fold runs on the driver over a
+    * collected frame, the same bounded-driver-state class as the
+    * k-means centroids (`ops/Similarity.scala`) — the corpus-sized
+    * work is the one map-side-combinable monthly aggregate.
+    * Cross-engine determinism: the oracle replays the IDENTICAL
+    * IEEE op sequence in a recursive CTE — same literals (0.3/0.7,
+    * 0.1/0.9), same parenthesization, sequential SSE — on exact-long
+    * inputs, so every intermediate double matches bit for bit (the
+    * q159/q76 discipline); final values rounded via the same
+    * HALF_UP/away-from-zero path both engines use for positive
+    * doubles.
+    */
+  def q263HoltLinear(s: SparkSession, dir: String): DataFrame = {
+    val monthly = orders(s, dir)
+      .groupBy((year(col("o_orderdate")) * 12 +
+        month(col("o_orderdate"))).as("x"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .cast("long").as("y"))
+      .orderBy("x")
+      .collect() // calendar-bounded: one row per month
+    import s.implicits._
+    if (monthly.length < 2) {
+      return Seq((monthly.length.toLong, Option.empty[Double],
+        Option.empty[Double], Option.empty[Double], Option.empty[Double],
+        Option.empty[Double]))
+        .toDF("n_months", "level", "trend", "rmse", "f1", "f3")
+    }
+    val ys = monthly.map(_.getAs[Long]("y").toDouble)
+    var l = ys(0)
+    var b = ys(1) - ys(0)
+    var sse = 0.0
+    var i = 1
+    while (i < ys.length) {
+      val e = ys(i) - (l + b)
+      sse += e * e
+      val lNew = 0.3 * ys(i) + 0.7 * (l + b)
+      b = 0.1 * (lNew - l) + 0.9 * b
+      l = lNew
+      i += 1
+    }
+    val rmse = math.sqrt(sse / (ys.length - 1).toDouble)
+    Seq((ys.length.toLong, l, b, rmse, l + 1.0 * b, l + 3.0 * b))
+      .toDF("n_months", "level", "trend", "rmse", "f1", "f3")
+      .select(col("n_months"), round(col("level"), 2).as("level"),
+        round(col("trend"), 2).as("trend"),
+        round(col("rmse"), 2).as("rmse"),
+        round(col("f1"), 2).as("f1"), round(col("f3"), 2).as("f3"))
+  }
+
+  val q263Oracle: String =
+    """WITH RECURSIVE monthly AS (SELECT
+      |  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+      |    AS x,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS y
+      | FROM orders GROUP BY 1),
+      |idx AS (SELECT row_number() OVER (ORDER BY x) AS i,
+      |  CAST(y AS DOUBLE) AS y FROM monthly),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+      |hw AS (
+      | SELECT CAST(2 AS BIGINT) AS i,
+      |   0.3 * (SELECT y FROM idx WHERE i = 2)
+      |     + 0.7 * ((SELECT y FROM idx WHERE i = 1)
+      |       + ((SELECT y FROM idx WHERE i = 2)
+      |          - (SELECT y FROM idx WHERE i = 1))) AS l,
+      |   0.1 * ((0.3 * (SELECT y FROM idx WHERE i = 2)
+      |     + 0.7 * ((SELECT y FROM idx WHERE i = 1)
+      |       + ((SELECT y FROM idx WHERE i = 2)
+      |          - (SELECT y FROM idx WHERE i = 1))))
+      |     - (SELECT y FROM idx WHERE i = 1))
+      |     + 0.9 * ((SELECT y FROM idx WHERE i = 2)
+      |          - (SELECT y FROM idx WHERE i = 1)) AS b,
+      |   ((SELECT y FROM idx WHERE i = 2)
+      |     - ((SELECT y FROM idx WHERE i = 1)
+      |       + ((SELECT y FROM idx WHERE i = 2)
+      |          - (SELECT y FROM idx WHERE i = 1))))
+      |   * ((SELECT y FROM idx WHERE i = 2)
+      |     - ((SELECT y FROM idx WHERE i = 1)
+      |       + ((SELECT y FROM idx WHERE i = 2)
+      |          - (SELECT y FROM idx WHERE i = 1)))) AS sse
+      | UNION ALL
+      | SELECT hw.i + 1,
+      |   0.3 * idx.y + 0.7 * (hw.l + hw.b),
+      |   0.1 * ((0.3 * idx.y + 0.7 * (hw.l + hw.b)) - hw.l)
+      |     + 0.9 * hw.b,
+      |   hw.sse + (idx.y - (hw.l + hw.b)) * (idx.y - (hw.l + hw.b))
+      | FROM hw JOIN idx ON idx.i = hw.i + 1)
+      |SELECT (SELECT n FROM nn) AS n_months,
+      |  round(l, 2) AS level, round(b, 2) AS trend,
+      |  round(sqrt(sse / CAST((SELECT n FROM nn) - 1 AS DOUBLE)), 2)
+      |    AS rmse,
+      |  round(l + 1.0 * b, 2) AS f1, round(l + 3.0 * b, 2) AS f3
+      |FROM hw WHERE i = (SELECT n FROM nn)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_holt_linear" -> (q263HoltLinear _),
     "q256_anova_f" -> (q256AnovaF _),
     "q257_effect_sizes" -> (q257EffectSizes _),
     "q258_theil_sen" -> (q258TheilSen _),
@@ -3237,6 +3340,7 @@ object Features {
   )
 
   def oracles: Map[String, String] = Map(
+    "q263_holt_linear" -> q263Oracle,
     "q256_anova_f" -> q256Oracle,
     "q257_effect_sizes" -> q257Oracle,
     "q258_theil_sen" -> q258Oracle,

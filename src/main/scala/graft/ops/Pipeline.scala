@@ -771,6 +771,60 @@ object Pipeline {
       |FROM documents WHERE doc_id < 400
       |GROUP BY 1 ORDER BY lang""".stripMargin
 
+  /** GENERATED ALWAYS AS IDENTITY as a gate (q262): a table declared
+    * with `row_id` (START 100 STEP 10) takes three sorted insert
+    * batches — create, append, and an append through a COLD-reopened
+    * handle (high water recovered from the log, not instance state) —
+    * with a row-DELETE between batches 2 and 3. Ids must be assigned
+    * in batch-then-key order, continue across the reopen, and NEVER
+    * be reused after the delete (the burned ids stay burned — the
+    * Delta identity contract). The oracle reconstructs every id in
+    * closed form as 90 + 10·rank over (batch, key) and applies the
+    * same delete, so any reuse, gap error, or reopen miscount breaks
+    * the hash.
+    */
+  def q262IdentityColumn(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_ident").toString
+    val d = orders(s, dir).select("o_orderkey", "o_totalprice")
+    val t = MiniLake.identity(s, s"$base/orders", "row_id",
+      start = 100L, step = 10L)
+    // each batch is globally sorted on the key, so assignment order
+    // (and therefore every id) is deterministic — the documented
+    // caller contract for reproducible identity values
+    t.create(d.filter(col("o_orderkey") < 2000).orderBy("o_orderkey"))
+    t.append(d.filter(col("o_orderkey") >= 2000 &&
+      col("o_orderkey") < 4000).orderBy("o_orderkey"))
+    t.delete(col("o_totalprice") > 200000)
+    // cold reopen: the third batch's ids must continue from the
+    // log-recovered high water, past the deleted rows' burned ids
+    val fresh = MiniLake(s, s"$base/orders")
+    fresh.append(d.filter(col("o_orderkey") >= 4000 &&
+      col("o_orderkey") < 6000).orderBy("o_orderkey"))
+    fresh.snapshot()
+      .groupBy(when(col("o_orderkey") < 2000, 1)
+        .when(col("o_orderkey") < 4000, 2).otherwise(3).as("batch"))
+      .agg(count(lit(1)).as("n"),
+        min("row_id").as("min_id"), max("row_id").as("max_id"),
+        sum("row_id").cast("long").as("sum_id"))
+      .orderBy("batch")
+  }
+
+  val q262Oracle: String =
+    """WITH ins AS (SELECT o_orderkey, o_totalprice,
+      |  CASE WHEN o_orderkey < 2000 THEN 1
+      |       WHEN o_orderkey < 4000 THEN 2 ELSE 3 END AS b
+      | FROM orders WHERE o_orderkey < 6000),
+      |ranked AS (SELECT b, o_totalprice,
+      |  90 + 10 * row_number() OVER (ORDER BY b, o_orderkey) AS row_id
+      | FROM ins),
+      |live AS (SELECT * FROM ranked
+      | WHERE NOT (b <= 2 AND o_totalprice > 200000))
+      |SELECT b AS batch, count(*) AS n,
+      |  CAST(min(row_id) AS BIGINT) AS min_id,
+      |  CAST(max(row_id) AS BIGINT) AS max_id,
+      |  CAST(sum(row_id) AS BIGINT) AS sum_id
+      |FROM live GROUP BY b ORDER BY batch""".stripMargin
+
   /** GENERATED ALWAYS AS column as the PARTITION key (q234) — the
     * Delta generated-column flagship: the table declares
     * `day = date_format(ts, 'yyyy-MM-dd')` at create time, callers
@@ -1104,6 +1158,7 @@ object Pipeline {
     "q232_checkpoint_lifecycle" -> (q232CheckpointLifecycle _),
     "q254_change_retention" -> (q254ChangeRetention _),
     "q255_column_readd" -> (q255ColumnReadd _),
+    "q262_identity_column" -> (q262IdentityColumn _),
     "q234_generated_partition" -> (q234GeneratedPartition _),
     "q235_symlink_manifest" -> (q235SymlinkManifest _),
     "q250_double_skipping" -> (q250DoubleSkipping _)
@@ -1133,6 +1188,7 @@ object Pipeline {
     "q232_checkpoint_lifecycle" -> q232Oracle,
     "q254_change_retention" -> q254Oracle,
     "q255_column_readd" -> q255Oracle,
+    "q262_identity_column" -> q262Oracle,
     "q234_generated_partition" -> q234Oracle,
     "q235_symlink_manifest" -> q235Oracle,
     "q250_double_skipping" -> q250Oracle

@@ -200,6 +200,70 @@ object Privacy {
       |FROM l2
       |ORDER BY level, c_nationkey, c_mktsegment, band""".stripMargin
 
+  /** Entropy l-diversity (q266) — the third leg of the anonymity
+    * triad (q188 k-anonymity, q210 t-closeness): a QI class with k
+    * large can still leak when one sensitive value DOMINATES it, which
+    * distinct-l cannot see. Entropy l-diversity (Machanavajjhala et
+    * al., ICDE 2006) requires H(class) ≥ ln(l): per-class Shannon
+    * entropy of the sensitive-value distribution, compared against
+    * ln 3. QI = (nation, market segment); sensitive = account-balance
+    * band. One grouped scan to (class, value) counts, a second
+    * class-bounded fold; per-value entropy terms are 6-dp-rounded and
+    * DECIMAL-quantized before the order-independent per-class sum
+    * (the q243/q261 discipline — the value count per class varies, so
+    * a raw double aggregate would be summation-order-dependent).
+    */
+  def q266EntropyLDiversity(s: SparkSession, dir: String): DataFrame =
+    entropyLDiversityFrom(customer(s, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000).cast("int").as("sens")))
+
+  /** [[q266EntropyLDiversity]] over an explicit
+    * `(c_nationkey, c_mktsegment, sens)` frame — factored so
+    * PrivacySpec can pin the closed-form endpoints: a uniform
+    * 3-value class sits exactly AT ln 3 (meets), a single-value class
+    * at 0 (fails), and a 90%-dominated class with l_distinct = 3
+    * fails — the leak distinct-l cannot see.
+    */
+  private[graft] def entropyLDiversityFrom(sens: DataFrame): DataFrame = {
+    val lnL = 1.098612 // ln 3 on the same 6-dp grid as the entropy
+    val cells = sens
+      .groupBy("c_nationkey", "c_mktsegment", "sens")
+      .agg(count(lit(1)).as("cnt"))
+    val classes = cells.groupBy("c_nationkey", "c_mktsegment")
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("l_distinct"))
+    val p = col("cnt").cast("double") / col("n").cast("double")
+    cells.join(classes, Seq("c_nationkey", "c_mktsegment"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+        col("l_distinct"),
+        round(-p * log(p), 6).cast("decimal(18,6)").as("term"))
+      .groupBy("c_nationkey", "c_mktsegment", "n", "l_distinct")
+      .agg(round(sum(col("term")).cast("double"), 6).as("entropy"))
+      .withColumn("meets_entropy_l3", col("entropy") >= lnL)
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  val q266Oracle: String =
+    """WITH cells AS (SELECT c_nationkey, c_mktsegment,
+      |  CAST(floor(c_acctbal / 2000) AS INT) AS sens,
+      |  count(*) AS cnt
+      | FROM customer GROUP BY 1, 2, 3),
+      |classes AS (SELECT c_nationkey, c_mktsegment,
+      |  CAST(sum(cnt) AS BIGINT) AS n,
+      |  CAST(count(*) AS BIGINT) AS l_distinct
+      | FROM cells GROUP BY 1, 2),
+      |terms AS (SELECT c.c_nationkey, c.c_mktsegment, k.n, k.l_distinct,
+      |  CAST(round(-(CAST(c.cnt AS DOUBLE) / CAST(k.n AS DOUBLE))
+      |    * ln(CAST(c.cnt AS DOUBLE) / CAST(k.n AS DOUBLE)), 6)
+      |    AS DECIMAL(18,6)) AS term
+      | FROM cells c JOIN classes k USING (c_nationkey, c_mktsegment))
+      |SELECT c_nationkey, c_mktsegment, n, l_distinct,
+      |  round(CAST(sum(term) AS DOUBLE), 6) AS entropy,
+      |  round(CAST(sum(term) AS DOUBLE), 6) >= 1.098612
+      |    AS meets_entropy_l3
+      |FROM terms GROUP BY 1, 2, 3, 4
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   /** DP release budget for [[q189DpCounts]] (Laplace mechanism,
     * Dwork et al. TCC 2006: count queries have sensitivity 1, so
     * noise ~ Laplace(1/ε) makes the release ε-DP).
@@ -339,6 +403,7 @@ object Privacy {
       |FROM emd ORDER BY nation, segment""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_entropy_l_diversity" -> (q266EntropyLDiversity _),
     "q210_t_closeness" -> (q210TCloseness _),
     "q20_hash_ids" -> (q20HashIds _),
     "q21_round_hour" -> (q21RoundHour _),
@@ -350,6 +415,7 @@ object Privacy {
   )
 
   def oracles: Map[String, String] = Map(
+    "q266_entropy_l_diversity" -> q266Oracle,
     "q210_t_closeness" -> q210Oracle,
     "q20_hash_ids" -> q20Oracle,
     "q21_round_hour" -> q21Oracle,

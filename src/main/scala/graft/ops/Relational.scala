@@ -788,6 +788,105 @@ object Relational {
     out
   }
 
+  /** Personalized PageRank (q267) — q146's loop with the teleport
+    * mass CONCENTRATED on one seed node (nation 0) instead of spread
+    * uniformly: the random surfer restarts at the seed, so ranks
+    * become "importance relative to the seed's neighborhood" — the
+    * seeded-similarity primitive under recommendation and
+    * related-entity queries, where global PageRank answers a
+    * different question. Same fixed-point integer discipline as q146
+    * (shares out of 10^6, ranks at 10^12, floor division — bit-exact
+    * in any engine, no overflow at any corpus size), same shape: the
+    * node-sized rank vector broadcasts, only the edge aggregation
+    * shuffles, 3 synchronous iterations unrolled in the oracle.
+    * Dangling mass evaporates exactly as in q146.
+    */
+  def q267PersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val seed = 0L
+    val edgesRaw = lineitem(s, dir)
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val edges = edgesRaw
+      .withColumn("share", expr("(w * 1000000L) div sum(w) OVER " +
+        "(PARTITION BY src)"))
+      .select("src", "dst", "share")
+      .persist()
+    val nodes = nation(s, dir).select(col("n_nationkey").as("node"),
+      col("n_name"))
+    val scale = 1000000000000L
+    val restart = scale * 15L / 100L // ALL teleport mass to the seed
+    // start AT the seed (the standard PPR initialization)
+    var ranks = nodes.select(col("node"),
+      when(col("node") === seed, lit(scale)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(broadcast(ranks), col("src") === col("node"))
+        .select(col("dst"),
+          expr("(r * 17L div 20L) * share div 1000000L").as("c"))
+        .groupBy("dst").agg(sum("c").as("inflow"))
+      ranks = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (when(col("node") === seed, lit(restart)).otherwise(lit(0L)) +
+            coalesce(col("inflow"), lit(0L))).as("r"))
+    }
+    val out = ranks.join(broadcast(nodes), "node")
+      .select(col("n_name").as("nation"), col("r").as("ppr_scaled"))
+      .filter(col("ppr_scaled") > 0L)
+      .orderBy(col("ppr_scaled").desc, col("nation"))
+    edges.unpersist()
+    out
+  }
+
+  val q267Oracle: String =
+    """WITH ew AS MATERIALIZED (
+      |  SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE s_nationkey <> c_nationkey
+      |  GROUP BY 1, 2),
+      |edges AS MATERIALIZED (
+      |  SELECT src, dst,
+      |    (w * 1000000) // sum(w) OVER (PARTITION BY src) AS share
+      |  FROM ew),
+      |r0 AS MATERIALIZED (SELECT n_nationkey AS node,
+      |  CASE WHEN n_nationkey = 0 THEN 1000000000000 ELSE 0 END AS r
+      | FROM nation),
+      |i1 AS MATERIALIZED (SELECT n.n_nationkey AS node,
+      |  CAST(CASE WHEN n.n_nationkey = 0 THEN 150000000000 ELSE 0 END
+      |    + coalesce(sum((r0.r * 17 // 20) * e.share // 1000000), 0)
+      |    AS BIGINT) AS r
+      | FROM nation n
+      | LEFT JOIN edges e ON e.dst = n.n_nationkey
+      | LEFT JOIN r0 ON r0.node = e.src
+      | GROUP BY 1),
+      |i2 AS MATERIALIZED (SELECT n.n_nationkey AS node,
+      |  CAST(CASE WHEN n.n_nationkey = 0 THEN 150000000000 ELSE 0 END
+      |    + coalesce(sum((i1.r * 17 // 20) * e.share // 1000000), 0)
+      |    AS BIGINT) AS r
+      | FROM nation n
+      | LEFT JOIN edges e ON e.dst = n.n_nationkey
+      | LEFT JOIN i1 ON i1.node = e.src
+      | GROUP BY 1),
+      |i3 AS MATERIALIZED (SELECT n.n_nationkey AS node,
+      |  CAST(CASE WHEN n.n_nationkey = 0 THEN 150000000000 ELSE 0 END
+      |    + coalesce(sum((i2.r * 17 // 20) * e.share // 1000000), 0)
+      |    AS BIGINT) AS r
+      | FROM nation n
+      | LEFT JOIN edges e ON e.dst = n.n_nationkey
+      | LEFT JOIN i2 ON i2.node = e.src
+      | GROUP BY 1)
+      |SELECT nn.n_name AS nation, CAST(i3.r AS BIGINT) AS ppr_scaled
+      |FROM i3 JOIN nation nn ON nn.n_nationkey = i3.node
+      |WHERE i3.r > 0
+      |ORDER BY ppr_scaled DESC, nation""".stripMargin
+
   val q146Oracle: String =
     """WITH ew AS MATERIALIZED (
       |  SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
@@ -1139,6 +1238,7 @@ object Relational {
     "q174_argmin_join" -> (q174ArgminJoin _),
     "q148_skyline" -> (q148Skyline _),
     "q146_pagerank_trade" -> (q146PagerankTrade _),
+    "q267_personalized_pagerank" -> (q267PersonalizedPagerank _),
     "q127_trade_flows" -> (q127TradeFlows _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -1176,6 +1276,7 @@ object Relational {
     "q174_argmin_join" -> q174Oracle,
     "q148_skyline" -> q148Oracle,
     "q146_pagerank_trade" -> q146Oracle,
+    "q267_personalized_pagerank" -> q267Oracle,
     "q127_trade_flows" -> q127Oracle,
     "q1_pricing_summary" -> q1Oracle,
     "q3_shipping_priority" -> q3Oracle,

@@ -170,6 +170,59 @@ object TextAnalysis {
       |    / count(*), 6) AS avg_entropy_bits
       |FROM perdoc GROUP BY 1 ORDER BY half_bit_bin""".stripMargin
 
+  /** Sentence segmentation stats (q265) — the document-structure
+    * readout under every readability/chunking heuristic (q72's chunks
+    * and q118's strides cut by tokens; packing sentence-aligned
+    * windows needs THIS): split on terminal-punctuation runs
+    * `[.!?]+`, drop whitespace-only segments, report the corpus
+    * histogram of per-doc sentence counts with pooled
+    * characters-per-sentence. The kernel is array functions inside
+    * the scan (split → transform → filter → aggregate) — one pass, no
+    * explode, no shuffle beyond the bounded histogram — and every
+    * statistic is an exact INTEGER until one final division, so
+    * cross-engine parity carries no float-ordering risk at all.
+    */
+  def q265SentenceStats(s: SparkSession, dir: String): DataFrame =
+    sentenceStatsFrom(documents(s, dir))
+
+  /** [[q265SentenceStats]] over an explicit `(doc_id, text)` frame —
+    * factored so TrainingPipelineSpec can pin segmentation edges
+    * (terminal runs, no-terminal docs, whitespace-only segments).
+    */
+  private[graft] def sentenceStatsFrom(docs: DataFrame): DataFrame = {
+    val segs = filter(
+      transform(split(col("text"), "[.!?]+"), x => trim(x)),
+      x => x =!= "")
+    val perDoc = docs
+      .select(size(segs).as("n_sentences"),
+        aggregate(segs, lit(0L), (acc, x) => acc + length(x))
+          .as("chars"))
+      .filter(col("n_sentences") > 0)
+    perDoc.groupBy("n_sentences")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("chars")).cast("double") /
+          sum(col("n_sentences").cast("long")).cast("double"), 4)
+          .as("avg_sentence_chars"))
+      .orderBy("n_sentences")
+  }
+
+  val q265Oracle: String =
+    """WITH segs AS (SELECT
+      |  list_filter(list_transform(
+      |    regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+      |    x -> x <> '') AS ss
+      | FROM documents),
+      |perdoc AS (SELECT CAST(len(ss) AS INT) AS n_sentences,
+      |  CAST(coalesce(list_sum(list_transform(ss, x -> length(x))), 0)
+      |    AS BIGINT) AS chars
+      | FROM segs WHERE len(ss) > 0)
+      |SELECT n_sentences, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(CAST(sum(chars) AS DOUBLE)
+      |    / CAST(sum(CAST(n_sentences AS BIGINT)) AS DOUBLE), 4)
+      |    AS avg_sentence_chars
+      |FROM perdoc GROUP BY n_sentences
+      |ORDER BY n_sentences""".stripMargin
+
   /** Language identification via stopword-marker voting (n-gram
     * heuristic family): count marker hits per language, pick the
     * arg-max with a fixed tie-break order. Deterministic and
@@ -1310,6 +1363,7 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q261_char_class_entropy" -> (q261CharClassEntropy _),
+    "q265_sentence_stats" -> (q265SentenceStats _),
     "q253_unigram_lm_filter" -> (q253UnigramLmFilter _),
     "q246_zipf_fit" -> (q246ZipfFit _),
     "q247_heaps_growth" -> (q247HeapsGrowth _),
@@ -1334,6 +1388,7 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "q261_char_class_entropy" -> q261Oracle,
+    "q265_sentence_stats" -> q265Oracle,
     "q253_unigram_lm_filter" -> q253Oracle,
     "q246_zipf_fit" -> q246Oracle,
     "q247_heaps_growth" -> q247Oracle,

@@ -413,4 +413,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)     // CI join broadcasts
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q256/q257: moment statistics stay one-scan aggregates — no " +
+      "window, no UDF; the effect-size histogram cross is the only " +
+      "(domain-bounded) nested loop") {
+    val p256 = planOf(graft.ops.Features.q256AnovaF(spark, sf))
+    assert(!p256.contains("Window"), p256)
+    assert(!p256.contains("BatchEvalPython") && !p256.contains("UDF"), p256)
+    assert(!p256.contains("CartesianProduct"), p256)
+    val p257 = planOf(graft.ops.Features.q257EffectSizes(spark, sf))
+    assert(!p257.contains("Window"), p257)
+    // the ≤50×50 histogram cross join is intentional and bounded by
+    // the value DOMAIN, not the corpus — it must be the broadcast
+    // nested loop, never a shuffled cartesian
+    assert(!p257.contains("CartesianProduct"), p257)
+  }
+
+  test("q260: containment join runs on shingle-hash keys, never a " +
+      "doc-by-doc product, and the directed explode adds no join") {
+    val plan = planOf(graft.ops.Dedup.q260Containment(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Generate explode"), plan)
+  }
+
+  test("q261: the entropy profile is one scan into one aggregate — " +
+      "no explode, no per-char shuffle, no UDF") {
+    val plan = planOf(
+      graft.ops.TextAnalysis.q261CharClassEntropy(spark, sf))
+    assert(!plan.contains("Generate"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q264: fuzzy matching joins on block keys (no cross product) " +
+      "and the scorer is the native expression, not a UDF") {
+    val plan = planOf(graft.ops.Dedup.q264JaroWinklerMatch(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"), plan)
+    assert(plan.contains("jarowinkler") || plan.contains("JaroWinkler"),
+      plan)
+  }
 }

@@ -270,4 +270,27 @@ class TrainingPipelineSpec extends AnyFunSuite {
     // balanced 5-class doc; the empty doc appears nowhere
     assert(rows.toSeq === Seq((0L, 1L, 0.0), (4L, 1L, 2.321928)))
   }
+
+  // Segmentation edges: terminal runs ("!?") count once, a doc with
+  // no terminal at all is ONE sentence, and pure-punctuation docs
+  // (all segments whitespace-only) are excluded rather than divided
+  // by zero. Char counts are post-trim.
+  test("q265: sentence segmentation handles runs, missing terminals, " +
+      "and punctuation-only docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "One. Two! Three?"),   // 3 sentences: 3+3+5 chars
+      (2L, "no terminal here"),   // 1 sentence: 16 chars
+      (3L, "Hey!? Really!?"),     // runs collapse: 2 sentences: 3+6
+      (4L, "..!!"),               // excluded: no non-empty segment
+      (5L, "Also three chars.")   // 1 sentence: 16 chars
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.sentenceStatsFrom(docs).collect()
+      .map(r => (r.getAs[Int]("n_sentences"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("avg_sentence_chars")))
+    assert(rows.toSeq === Seq(
+      (1, 2L, 16.0),          // docs 2 and 5: (16+16)/2
+      (2, 1L, 4.5),           // doc 3: (3+6)/2
+      (3, 1L, 3.6667)))       // doc 1: (3+3+5)/3, 4-dp rounded
+  }
 }
