@@ -1874,6 +1874,57 @@ final class MiniLake(spark: SparkSession, val path: String,
       }
     }
 
+  /** Partition-scoped overwrite — Delta's `replaceWhere`: atomically
+    * swap the CONTENTS of the partitions `keep` selects for `batch`,
+    * leaving every other partition's files untouched in place. The
+    * idiomatic daily-restatement verb: correcting one day of a
+    * 1000-day table removes+adds that day's files only, where a full
+    * [[overwrite]] rewrites 100 TB to fix 1 GB.
+    *
+    * Delta's constraint check is enforced: every incoming row must
+    * fall INSIDE the replaced partition set (checked driver-side over
+    * the batch's DISTINCT partition tuples — bounded by partitions
+    * touched, never rows), otherwise the commit is refused before any
+    * write. CDF publishes the row-level story: one `delete` preimage
+    * per replaced live row (read through deletion vectors) and one
+    * `insert` per incoming row. Returns (#inserted, #deleted).
+    */
+  def replacePartitions(keep: Map[String, String] => Boolean,
+      batch: DataFrame): (Long, Long) = withCommitPlanning {
+    require(partitionCols.nonEmpty,
+      s"replacePartitions requires a partitioned table ($path has no " +
+        "partition columns)")
+    requireNoIdentity("replacePartitions")
+    val df = withGenerated(batch)
+    requireSchemaMatch(df)
+    val tuples = df
+      .select(partitionCols.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+    tuples.foreach { r =>
+      val m = partitionCols.zipWithIndex.map { case (c, i) =>
+        c -> r.getString(i) }.toMap
+      require(keep(m),
+        s"replacePartitions: batch rows in partition $m fall outside " +
+          "the replaced set (Delta replaceWhere constraint)")
+    }
+    val v = nextVersion
+    val doomed = liveFiles(v - 1).filter(f => keep(partValuesOf(f)))
+    val prior =
+      if (doomed.isEmpty) emptyDf(spark, schema)
+      else readFiles(doomed, v - 1)
+    val nDel = prior.count()
+    val nIns = df.count()
+    val changes = prior.withColumn(ChangeType, lit("delete"))
+      .unionByName(df.withColumn(ChangeType, lit("insert")))
+    val (adds, chg) = inParallel(
+      writeData(df, v, rowHint = Some(nIns)),
+      writeChanges(changes, v, rowHint = Some(nDel + nIns)))
+    writeEntry(CommitEntry(v, "overwrite", System.currentTimeMillis(),
+      df.schema.json, adds, doomed, hasChanges = true,
+      bucketSpec = bucketSpec, changeFiles = chg))
+    (nIns, nDel)
+  }
+
   /** Insert-only commit: the data files double as the change feed
     * (changesMode=insertsFromData) — one write instead of two.
     */

@@ -3297,7 +3297,102 @@ object Features {
       |  round(l + 1.0 * b, 2) AS f1, round(l + 3.0 * b, 2) AS f3
       |FROM hw WHERE i = (SELECT n FROM nn)""".stripMargin
 
+  /** Seasonal-strength diagnostics (q270) — the decomposition readout
+    * beside q221's ACF: how much of the daily-revenue variance is
+    * explained by the WEEKLY cycle vs the YEARLY cycle, as the ANOVA
+    * variance ratio η² = 1 − SSW/SST over day-of-week and
+    * month-of-year groupings (Hyndman's seasonal-strength measure
+    * with the group-mean seasonal component). Two bounded group
+    * frames (7 and 12 rows) from ONE calendar-bounded daily aggregate;
+    * exact DECIMAL moments with the q256 quantize-before-fold
+    * discipline; SST from the pooled group moments, never a second
+    * corpus scan.
+    */
+  def q270SeasonalStrength(s: SparkSession, dir: String): DataFrame = {
+    val daily = orders(s, dir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .cast("long").as("y"))
+      .localCheckpoint() // calendar-bounded
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def d(name: String): Column = col(name).cast("double")
+    def eta2For(key: Column): DataFrame = {
+      val g = daily.groupBy(key.as("g")).agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("y"))).as("sx"),
+        sum(dec(col("y")) * dec(col("y"))).as("sxx"))
+      g.select(col("n"), col("sx"), col("sxx"),
+        round(d("sxx") - d("sx") * d("sx") / d("n"), 4)
+          .cast("decimal(38,4)").as("w_term"))
+        .agg(sum(col("n")).as("n_days"),
+          sum(col("sx")).as("s_tot"), sum(col("sxx")).as("ss_tot"),
+          sum(col("w_term")).as("ssw"))
+        .select(col("n_days"),
+          (d("ss_tot") - d("s_tot") * d("s_tot") / d("n_days"))
+            .as("sst"), d("ssw").as("ssw"))
+        .select(col("n_days"),
+          when(col("sst") > 0,
+            round(lit(1.0) - col("ssw") / col("sst"), 6)).as("eta2"))
+    }
+    val weekly = eta2For(dayofweek(col("day")))
+      .select(col("n_days"), col("eta2").as("eta2_weekly"))
+    val yearly = eta2For(month(col("day")))
+      .select(col("eta2").as("eta2_monthly"))
+    weekly.crossJoin(yearly)
+      .withColumn("dominant",
+        when(col("eta2_weekly").isNull || col("eta2_monthly").isNull,
+          lit(null).cast("string"))
+          .when(col("eta2_weekly") > col("eta2_monthly"), "weekly")
+          .when(col("eta2_monthly") > col("eta2_weekly"), "monthly")
+          .otherwise("tie"))
+  }
+
+  val q270Oracle: String =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS y
+      | FROM orders GROUP BY 1),
+      |gw AS (SELECT dayofweek(day) AS g, count(*) AS n,
+      |  sum(CAST(y AS DECIMAL(38,0))) AS sx,
+      |  sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxx
+      | FROM daily GROUP BY 1),
+      |tw AS (SELECT n, sx, sxx,
+      |  CAST(round(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+      |    * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4)
+      |    AS DECIMAL(38,4)) AS w_term FROM gw),
+      |aw AS (SELECT CAST(sum(n) AS BIGINT) AS n_days,
+      |  CAST(sum(sx) AS DOUBLE) AS s_tot,
+      |  CAST(sum(sxx) AS DOUBLE) AS ss_tot,
+      |  CAST(sum(w_term) AS DOUBLE) AS ssw FROM tw),
+      |ew AS (SELECT n_days,
+      |  CASE WHEN ss_tot - s_tot * s_tot / CAST(n_days AS DOUBLE) > 0
+      |    THEN round(1.0 - ssw / (ss_tot - s_tot * s_tot
+      |      / CAST(n_days AS DOUBLE)), 6) END AS eta2_weekly FROM aw),
+      |gm AS (SELECT month(day) AS g, count(*) AS n,
+      |  sum(CAST(y AS DECIMAL(38,0))) AS sx,
+      |  sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxx
+      | FROM daily GROUP BY 1),
+      |tm AS (SELECT n, sx, sxx,
+      |  CAST(round(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+      |    * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4)
+      |    AS DECIMAL(38,4)) AS w_term FROM gm),
+      |am AS (SELECT CAST(sum(n) AS BIGINT) AS n_days,
+      |  CAST(sum(sx) AS DOUBLE) AS s_tot,
+      |  CAST(sum(sxx) AS DOUBLE) AS ss_tot,
+      |  CAST(sum(w_term) AS DOUBLE) AS ssw FROM tm),
+      |em AS (SELECT
+      |  CASE WHEN ss_tot - s_tot * s_tot / CAST(n_days AS DOUBLE) > 0
+      |    THEN round(1.0 - ssw / (ss_tot - s_tot * s_tot
+      |      / CAST(n_days AS DOUBLE)), 6) END AS eta2_monthly FROM am)
+      |SELECT n_days, eta2_weekly, eta2_monthly,
+      |  CASE WHEN eta2_weekly IS NULL OR eta2_monthly IS NULL THEN NULL
+      |       WHEN eta2_weekly > eta2_monthly THEN 'weekly'
+      |       WHEN eta2_monthly > eta2_weekly THEN 'monthly'
+      |       ELSE 'tie' END AS dominant
+      |FROM ew CROSS JOIN em""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_seasonal_strength" -> (q270SeasonalStrength _),
     "q263_holt_linear" -> (q263HoltLinear _),
     "q256_anova_f" -> (q256AnovaF _),
     "q257_effect_sizes" -> (q257EffectSizes _),
@@ -3340,6 +3435,7 @@ object Features {
   )
 
   def oracles: Map[String, String] = Map(
+    "q270_seasonal_strength" -> q270Oracle,
     "q263_holt_linear" -> q263Oracle,
     "q256_anova_f" -> q256Oracle,
     "q257_effect_sizes" -> q257Oracle,

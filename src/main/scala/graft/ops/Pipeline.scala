@@ -864,6 +864,81 @@ object Pipeline {
       |GROUP BY day
       |ORDER BY day""".stripMargin
 
+  /** Partition-scoped overwrite as a gate (q272) — Delta
+    * `replaceWhere`: two days of a day-partitioned events table are
+    * atomically RESTATED (values doubled, odd event_ids dropped —
+    * fewer rows out than in, so the delete/insert asymmetry is
+    * visible), other days' files untouched in place. The Delta
+    * constraint check is probed too: a batch carrying a row OUTSIDE
+    * the replaced set must be refused before any write. Read-back
+    * goes through a COLD reopen and the partition-pruned
+    * `snapshotWhere`, so pruning over the restated layout is
+    * load-bearing for the oracle match.
+    */
+  def q272ReplaceWhere(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_replw").toString
+    val t = MiniLake.generated(s, s"$base/events",
+      generatedCols = Seq("day" -> "date_format(ts, 'yyyy-MM-dd')"),
+      partitionCols = Seq("day"))
+    val e = events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts").cast("timestamp").as("ts"))
+    t.create(e)
+    val day = date_format(col("ts"), "yyyy-MM-dd")
+    val inSet = (p: Map[String, String]) =>
+      p("day") >= "2024-01-05" && p("day") <= "2024-01-06"
+    val corrected = e
+      .filter(day.between("2024-01-05", "2024-01-06") &&
+        col("event_id") % 2 === 0)
+      .withColumn("value", col("value") * 2)
+    val (nIns, nDel) = t.replacePartitions(inSet, corrected)
+    // Delta's replaceWhere constraint: out-of-set rows are refused
+    val refused =
+      try {
+        t.replacePartitions(inSet,
+          e.filter(day === "2024-01-07").limit(5))
+        false
+      } catch { case _: IllegalArgumentException => true }
+    val fresh = MiniLake(s, s"$base/events")
+    fresh.snapshotWhere(p =>
+        p("day") >= "2024-01-04" && p("day") <= "2024-01-07")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).cast("decimal(18,2)")
+          .cast("double").as("total_value"))
+      .select(col("day"), col("n"), col("total_value"),
+        lit(nIns).as("n_inserted"), lit(nDel).as("n_deleted"),
+        lit(refused).as("outside_refused"))
+      .orderBy("day")
+  }
+
+  val q272Oracle: String =
+    """WITH e AS (SELECT event_id, value,
+      |  strftime(ts, '%Y-%m-%d') AS day FROM events),
+      |restated AS (
+      |  SELECT day, value FROM e
+      |  WHERE day NOT BETWEEN '2024-01-05' AND '2024-01-06'
+      |  UNION ALL
+      |  SELECT day, value * 2 AS value FROM e
+      |  WHERE day BETWEEN '2024-01-05' AND '2024-01-06'
+      |    AND event_id % 2 = 0),
+      |meta AS (SELECT
+      |  CAST(sum(CASE WHEN day BETWEEN '2024-01-05' AND '2024-01-06'
+      |    AND event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_inserted,
+      |  CAST(sum(CASE WHEN day BETWEEN '2024-01-05' AND '2024-01-06'
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+      | FROM e)
+      |SELECT day, count(*) AS n,
+      |  CAST(CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS DOUBLE)
+      |    AS total_value,
+      |  (SELECT n_inserted FROM meta) AS n_inserted,
+      |  (SELECT n_deleted FROM meta) AS n_deleted,
+      |  TRUE AS outside_refused
+      |FROM restated
+      |WHERE day BETWEEN '2024-01-04' AND '2024-01-07'
+      |GROUP BY day ORDER BY day""".stripMargin
+
   /** Symlink-format manifest interop (q235) — Delta's
     * `GENERATE symlink_format_manifest` verb: after a lifecycle whose
     * delete REWROTE the live set (so stale pre-delete files still sit
@@ -1159,6 +1234,7 @@ object Pipeline {
     "q254_change_retention" -> (q254ChangeRetention _),
     "q255_column_readd" -> (q255ColumnReadd _),
     "q262_identity_column" -> (q262IdentityColumn _),
+    "q272_replace_where" -> (q272ReplaceWhere _),
     "q234_generated_partition" -> (q234GeneratedPartition _),
     "q235_symlink_manifest" -> (q235SymlinkManifest _),
     "q250_double_skipping" -> (q250DoubleSkipping _)
@@ -1189,6 +1265,7 @@ object Pipeline {
     "q254_change_retention" -> q254Oracle,
     "q255_column_readd" -> q255Oracle,
     "q262_identity_column" -> q262Oracle,
+    "q272_replace_where" -> q272Oracle,
     "q234_generated_partition" -> q234Oracle,
     "q235_symlink_manifest" -> q235Oracle,
     "q250_double_skipping" -> q250Oracle

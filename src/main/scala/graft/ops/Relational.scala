@@ -887,6 +887,87 @@ object Relational {
       |WHERE i3.r > 0
       |ORDER BY ppr_scaled DESC, nation""".stripMargin
 
+  /** Harmonic centrality at radius 4 (q269) over the directed nation
+    * trade graph — the closeness-family centrality that stays defined
+    * on DISCONNECTED graphs (unreachable nodes contribute 0 instead
+    * of poisoning the mean): C_H(v) = Σ_{u≠v, d(v,u)≤4} 1/d(v,u),
+    * truncated at radius 4 (the standard bounded-radius practice; the
+    * trade graph's diameter is ≤ 3 at every SF so the cap is not
+    * binding). Complements q146/q267 (flow-based) and q207 (single-
+    * source BFS) with an all-sources distance readout.
+    *
+    * Everything after the one corpus-scale edge aggregate runs on the
+    * NODE-BOUNDED frame (≤ 25² distance rows): 3 synchronous
+    * frontier-relaxation rounds of join + min. The harmonic sum is
+    * EXACT INTEGER arithmetic in twelfths — 12/d for d ∈ 1..4 —
+    * so no float enters the gate at all.
+    */
+  def q269HarmonicCentrality(s: SparkSession, dir: String): DataFrame = {
+    val edges = lineitem(s, dir)
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint() // node-bounded: ≤ 25×24 rows
+    var dist = edges.select(col("src"), col("dst").as("node"),
+      lit(1).as("d"))
+    for (h <- 2 to 4) {
+      val frontier = dist.filter(col("d") === h - 1)
+        .select(col("src"), col("node").as("mid"))
+        .join(edges.select(col("src").as("mid"), col("dst").as("node")),
+          "mid")
+        .filter(col("src") =!= col("node"))
+        .select(col("src"), col("node"), lit(h).as("d"))
+      dist = dist.unionByName(frontier)
+        .groupBy("src", "node").agg(min("d").as("d"))
+    }
+    val nodes = nation(s, dir).select(col("n_nationkey").as("src"),
+      col("n_name"))
+    dist.groupBy("src")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("12 div d")).as("harmonic12"))
+      .join(broadcast(nodes), "src")
+      .select(col("n_name").as("nation"), col("n_reached"),
+        col("harmonic12"))
+      .orderBy(col("harmonic12").desc, col("nation"))
+  }
+
+  val q269Oracle: String =
+    """WITH edges AS MATERIALIZED (
+      |  SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE s_nationkey <> c_nationkey),
+      |d1 AS (SELECT src, dst AS node, 1 AS d FROM edges),
+      |f2 AS (SELECT p.src, e.dst AS node, 2 AS d
+      |  FROM d1 p JOIN edges e ON p.node = e.src
+      |  WHERE p.src <> e.dst),
+      |m2 AS (SELECT src, node, min(d) AS d FROM (
+      |  SELECT * FROM d1 UNION ALL SELECT * FROM f2) t
+      | GROUP BY 1, 2),
+      |f3 AS (SELECT p.src, e.dst AS node, 3 AS d
+      |  FROM m2 p JOIN edges e ON p.node = e.src
+      |  WHERE p.d = 2 AND p.src <> e.dst),
+      |m3 AS (SELECT src, node, min(d) AS d FROM (
+      |  SELECT * FROM m2 UNION ALL SELECT * FROM f3) t
+      | GROUP BY 1, 2),
+      |f4 AS (SELECT p.src, e.dst AS node, 4 AS d
+      |  FROM m3 p JOIN edges e ON p.node = e.src
+      |  WHERE p.d = 3 AND p.src <> e.dst),
+      |m4 AS (SELECT src, node, min(d) AS d FROM (
+      |  SELECT * FROM m3 UNION ALL SELECT * FROM f4) t
+      | GROUP BY 1, 2)
+      |SELECT n.n_name AS nation,
+      |  CAST(count(*) AS BIGINT) AS n_reached,
+      |  CAST(sum(12 // d) AS BIGINT) AS harmonic12
+      |FROM m4 JOIN nation n ON n.n_nationkey = m4.src
+      |GROUP BY n.n_name
+      |ORDER BY harmonic12 DESC, nation""".stripMargin
+
   val q146Oracle: String =
     """WITH ew AS MATERIALIZED (
       |  SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
@@ -1239,6 +1320,7 @@ object Relational {
     "q148_skyline" -> (q148Skyline _),
     "q146_pagerank_trade" -> (q146PagerankTrade _),
     "q267_personalized_pagerank" -> (q267PersonalizedPagerank _),
+    "q269_harmonic_centrality" -> (q269HarmonicCentrality _),
     "q127_trade_flows" -> (q127TradeFlows _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -1277,6 +1359,7 @@ object Relational {
     "q148_skyline" -> q148Oracle,
     "q146_pagerank_trade" -> q146Oracle,
     "q267_personalized_pagerank" -> q267Oracle,
+    "q269_harmonic_centrality" -> q269Oracle,
     "q127_trade_flows" -> q127Oracle,
     "q1_pricing_summary" -> q1Oracle,
     "q3_shipping_priority" -> q3Oracle,

@@ -223,6 +223,74 @@ object TextAnalysis {
       |FROM perdoc GROUP BY n_sentences
       |ORDER BY n_sentences""".stripMargin
 
+  /** Flesch–Kincaid grade level (q271) — THE readability score
+    * corpus-quality reports quote, completing the quality family
+    * (q31 ratios, q253 LM perplexity, q261 entropy): grade =
+    * 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59 with the
+    * standard vowel-RUN syllable heuristic. All three counts are
+    * EXACT integers computed by the marker-count trick inside the
+    * scan — replace each target run with one `#`, then
+    * count = len(collapsed) − len(stripped) — so no tokenizer edge
+    * cases (split semantics, trailing empties) can diverge between
+    * engines; the only floats are the final fixed-order grade
+    * formula, 4-dp-rounded per doc and DECIMAL-quantized into the
+    * corpus mean. Sentences reuse q265's terminal-run rule.
+    */
+  def q271FleschKincaid(s: SparkSession, dir: String): DataFrame =
+    fleschKincaidFrom(documents(s, dir))
+
+  /** [[q271FleschKincaid]] over an explicit `(doc_id, text)` frame —
+    * factored so TrainingPipelineSpec can pin a hand-counted grade.
+    */
+  private[graft] def fleschKincaidFrom(docs: DataFrame): DataFrame = {
+    // runs(pattern) = number of maximal runs of `pattern` chars:
+    // len(each run collapsed to '#') − len(runs removed)
+    def runs(pattern: String): Column =
+      length(regexp_replace(col("text"), pattern, "#")) -
+        length(regexp_replace(col("text"), pattern, ""))
+    val counted = docs.select(col("doc_id"),
+      runs("[^ \\t\\n\\r]+").as("words"),
+      runs("[aeiouyAEIOUY]+").as("syllables"),
+      size(filter(transform(split(col("text"), "[.!?]+"), x => trim(x)),
+        x => x =!= "")).as("sentences"))
+      .filter(col("words") > 0 && col("sentences") > 0)
+    val perDoc = counted.select(
+      round(lit(0.39) * (col("words").cast("double") /
+          col("sentences").cast("double")) +
+        lit(11.8) * (col("syllables").cast("double") /
+          col("words").cast("double")) - lit(15.59), 4).as("fk"))
+    perDoc.agg(count(lit(1)).as("n_docs"),
+      round(sum(col("fk").cast("decimal(18,4)")).cast("double") /
+        count(lit(1)), 4).as("avg_grade"),
+      sum(when(col("fk") > 12.0, 1L).otherwise(0L)).as("n_college_plus"),
+      min(col("fk")).as("min_grade"), max(col("fk")).as("max_grade"))
+  }
+
+  val q271Oracle: String =
+    """WITH counted AS (SELECT doc_id,
+      |  length(regexp_replace(text, '[^ \t\n\r]+', '#', 'g'))
+      |    - length(regexp_replace(text, '[^ \t\n\r]+', '', 'g'))
+      |    AS words,
+      |  length(regexp_replace(text, '[aeiouyAEIOUY]+', '#', 'g'))
+      |    - length(regexp_replace(text, '[aeiouyAEIOUY]+', '', 'g'))
+      |    AS syllables,
+      |  len(list_filter(list_transform(
+      |    regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+      |    x -> x <> '')) AS sentences
+      | FROM documents),
+      |perdoc AS (SELECT
+      |  round(0.39 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+      |    + 11.8 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+      |    - 15.59, 4) AS fk
+      | FROM counted WHERE words > 0 AND sentences > 0)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(CAST(sum(CAST(fk AS DECIMAL(18,4))) AS DOUBLE)
+      |    / count(*), 4) AS avg_grade,
+      |  CAST(sum(CASE WHEN fk > 12.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_college_plus,
+      |  min(fk) AS min_grade, max(fk) AS max_grade
+      |FROM perdoc""".stripMargin
+
   /** Language identification via stopword-marker voting (n-gram
     * heuristic family): count marker hits per language, pick the
     * arg-max with a fixed tie-break order. Deterministic and
@@ -1364,6 +1432,7 @@ object TextAnalysis {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q261_char_class_entropy" -> (q261CharClassEntropy _),
     "q265_sentence_stats" -> (q265SentenceStats _),
+    "q271_flesch_kincaid" -> (q271FleschKincaid _),
     "q253_unigram_lm_filter" -> (q253UnigramLmFilter _),
     "q246_zipf_fit" -> (q246ZipfFit _),
     "q247_heaps_growth" -> (q247HeapsGrowth _),
@@ -1389,6 +1458,7 @@ object TextAnalysis {
   def oracles: Map[String, String] = Map(
     "q261_char_class_entropy" -> q261Oracle,
     "q265_sentence_stats" -> q265Oracle,
+    "q271_flesch_kincaid" -> q271Oracle,
     "q253_unigram_lm_filter" -> q253Oracle,
     "q246_zipf_fit" -> q246Oracle,
     "q247_heaps_growth" -> q247Oracle,

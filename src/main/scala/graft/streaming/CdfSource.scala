@@ -61,7 +61,8 @@ final class MiniLakeCdfSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new MiniLakeCdfSource(lakeFor(sqlContext, parameters),
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      parameters.get("maxCommitsPerBatch").map(_.toLong))
 }
 
 /** Driver gates for the streaming change-feed source. */
@@ -193,18 +194,82 @@ object CdfStream {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q233_stream_cdc_silver" -> (q233StreamCdcSilver _),
-    "q240_stream_ivm" -> (q240StreamIvm _)
+    "q240_stream_ivm" -> (q240StreamIvm _),
+    "q273_stream_rate_limit" -> (q273StreamRateLimit _)
   )
 
   def oracles: Map[String, String] = Map(
     // the stream-maintained silver must equal the batch-CDC silver
     "q233_stream_cdc_silver" -> graft.ops.Pipeline.q19Oracle,
-    "q240_stream_ivm" -> q240Oracle
+    "q240_stream_ivm" -> q240Oracle,
+    "q273_stream_rate_limit" -> q273Oracle
   )
+
+  /** q273: rate-limited backlog drain — `maxCommitsPerBatch` is the
+    * `maxFilesPerTrigger` analogue for the CDF source: a table with a
+    * 6-commit backlog, streamed with a 2-commit admission cap, must
+    * drain in exactly THREE bounded micro-batches (never one
+    * table-sized batch whose shuffle/state has to fit at once — the
+    * difference between a bounded-memory catch-up and an OOM on a
+    * 100 TB backlog). The gate records each micro-batch's row count
+    * and distinct commit versions; all three are closed form.
+    */
+  def q273StreamRateLimit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = graft.Scratch.dir("graft_ratelimit").toString
+    val t = MiniLake.compact(s, s"$base/ledger")
+    t.create(Seq((0L, 0L), (1L, 11L), (2L, 22L)).toDF("k", "cents"))
+    for (i <- 1L to 5L)
+      t.append(Seq((10 * i, 100 * i), (10 * i + 1, 100 * i + 1))
+        .toDF("k", "cents"))                                // v1..v5
+    val seen =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val q = s.readStream
+      .format(classOf[MiniLakeCdfSourceProvider].getName)
+      .option("path", s"$base/ledger")
+      .option("maxCommitsPerBatch", "2")
+      .load()
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val vs = batch.agg(count(lit(1)),
+          countDistinct(col(MiniLake.CommitVersion))).collect().head
+        seen.add((id, vs.getLong(0), vs.getLong(1)))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    scala.jdk.CollectionConverters.CollectionHasAsScala(seen)
+      .asScala.toSeq.sortBy(_._1)
+      .toDF("batch_id", "n_rows", "n_versions")
+  }
+
+  private val q273Oracle: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT), CAST(5 AS BIGINT), CAST(2 AS BIGINT)),
+      |  (CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(2 AS BIGINT)),
+      |  (CAST(2 AS BIGINT), CAST(4 AS BIGINT), CAST(2 AS BIGINT)))
+      |  AS t(batch_id, n_rows, n_versions)
+      |ORDER BY batch_id""".stripMargin
 }
 
-final class MiniLakeCdfSource(lake: MiniLake, startingVersion: Long)
+final class MiniLakeCdfSource(lake: MiniLake, startingVersion: Long,
+    maxCommitsPerBatch: Option[Long] = None)
     extends Source {
+
+  require(maxCommitsPerBatch.forall(_ > 0),
+    s"maxCommitsPerBatch must be positive, got $maxCommitsPerBatch")
+
+  /** Highest version this source has already offered/served — the
+    * admission cursor for rate limiting (the `maxFilesPerTrigger`
+    * analogue: a backlogged table is drained in bounded micro-batches
+    * instead of one table-sized batch whose state/shuffle must fit at
+    * once). Recovered forward by [[getBatch]] on restart (the V1
+    * engine replays the WAL range through getBatch before the first
+    * new trigger); until then a restarted capped stream may offer one
+    * already-committed range, which readChanges serves as the empty
+    * schema'd no-op (C4) — progress then resumes from the committed
+    * position, never regressing data.
+    */
+  @volatile private var admitted: Long = startingVersion - 1
 
   /** The table schema this stream was PLANNED against, pinned at
     * source construction: the V1 engine binds downstream operators to
@@ -227,10 +292,14 @@ final class MiniLakeCdfSource(lake: MiniLake, startingVersion: Long)
       s"unexpected offset type: $other")
   }
 
-  /** Latest committed version — one `_log` listing, no data touched. */
+  /** Latest committed version — one `_log` listing, no data touched —
+    * capped to `admitted + maxCommitsPerBatch` when rate-limited.
+    */
   override def getOffset: Option[Offset] = {
     val v = lake.latestVersion
-    if (v < startingVersion) None else Some(LongOffset(v))
+    if (v < startingVersion) None
+    else Some(LongOffset(maxCommitsPerBatch
+      .fold(v)(k => math.min(v, admitted + k))))
   }
 
   /** Changes of versions (start, end] — exactly the batch CDF read,
@@ -240,6 +309,10 @@ final class MiniLakeCdfSource(lake: MiniLake, startingVersion: Long)
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val lo = start.map(versionOf(_) + 1).getOrElse(startingVersion)
     val hi = versionOf(end)
+    // advance the admission cursor past everything the engine has
+    // already committed (lo − 1) or is about to (hi) — monotone, so a
+    // restart can only catch up, never re-admit served versions
+    admitted = math.max(admitted, math.max(hi, lo - 1))
     // fail FAST when the table no longer reads under the pinned
     // schema: readChanges conforms every slice to the CURRENT table
     // schema, so a mid-stream evolution would otherwise hand the V1

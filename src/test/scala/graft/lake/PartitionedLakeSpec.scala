@@ -151,4 +151,39 @@ class PartitionedLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(t.snapshot().select("id").as[Long].collect().sorted.toSeq ===
       Seq(1L, 3L))
   }
+
+  test("replacePartitions swaps one day atomically: other days' files " +
+      "untouched, CDF exact, time travel intact, out-of-set refused") {
+    val t = MiniLake.partitioned(spark, dir, Seq("day"))
+    t.create(days(("2024-01-01", 1L, "a"), ("2024-01-01", 2L, "b"),
+      ("2024-01-02", 3L, "c")))                                  // v0
+    val untouchedBefore = t.snapshotWhere(p =>
+      p("day") == "2024-01-02").inputFiles.toSet
+    val (nIns, nDel) = t.replacePartitions(
+      p => p("day") == "2024-01-01",
+      days(("2024-01-01", 9L, "z")))                             // v1
+    assert((nIns, nDel) === ((1L, 2L)))
+    // replaced day carries only the new row; the other day's FILES
+    // (not just rows) are byte-identical in place
+    assert(t.snapshot().orderBy("id")
+      .as[(String, Long, String)].collect().toSeq ===
+      Seq(("2024-01-02", 3L, "c"), ("2024-01-01", 9L, "z")).sortBy(_._2))
+    val untouchedAfter = t.snapshotWhere(p =>
+      p("day") == "2024-01-02").inputFiles.toSet
+    assert(untouchedAfter === untouchedBefore)
+    // CDF: two deletes (the replaced rows) + one insert, at v1
+    val chg = t.readChanges(1, 1)
+      .select("_change_type", "id").as[(String, Long)].collect().sorted
+    assert(chg.toSeq === Seq(("delete", 1L), ("delete", 2L),
+      ("insert", 9L)))
+    // time travel reads the pre-replace day
+    assert(t.snapshot(asOf = 0).filter(col("day") === "2024-01-01")
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    // the Delta replaceWhere constraint: out-of-set rows refuse
+    val ex = intercept[IllegalArgumentException] {
+      t.replacePartitions(p => p("day") == "2024-01-01",
+        days(("2024-01-02", 7L, "x")))
+    }
+    assert(ex.getMessage.contains("outside the replaced set"))
+  }
 }

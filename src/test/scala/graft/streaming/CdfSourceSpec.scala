@@ -173,4 +173,43 @@ class CdfSourceSpec extends AnyFunSuite with BeforeAndAfterEach {
       assert(rootMessages(err).exists(_.contains("schema changed")))
     } finally q.stop()
   }
+
+  test("maxCommitsPerBatch drains a backlog in bounded micro-batches " +
+      "with the same total content as the uncapped stream") {
+    val t = MiniLake.compact(spark, dir)
+    t.create(kv(1L -> "a"))                                    // v0
+    for (i <- 2L to 7L) t.append(kv(i -> s"v$i"))              // v1..v6
+    val batches =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val ckpt = Files.createTempDirectory("cdfcap").toString
+    val q = spark.readStream
+      .format(classOf[MiniLakeCdfSourceProvider].getName)
+      .option("path", dir)
+      .option("maxCommitsPerBatch", "3")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          val r = b.agg(count(lit(1)),
+            countDistinct(col(MiniLake.CommitVersion))).collect().head
+          batches.synchronized { batches += ((id, r.getLong(0),
+            r.getLong(1))) }
+          ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // 7 commits at cap 3 → ceil(7/3) = 3 micro-batches of ≤ 3 versions
+    assert(batches.map(_._3).toSeq === Seq(3L, 3L, 1L), batches)
+    // nothing lost, nothing duplicated: total rows = the batch read
+    assert(batches.map(_._2).sum === t.readChanges(0, 6).count())
+  }
+
+  test("maxCommitsPerBatch rejects non-positive values") {
+    val t = MiniLake.compact(spark, dir)
+    t.create(kv(1L -> "a"))
+    val ex = intercept[Exception] {
+      new MiniLakeCdfSource(t, 0L, Some(0L))
+    }
+    assert(ex.getMessage.contains("must be positive"))
+  }
 }
