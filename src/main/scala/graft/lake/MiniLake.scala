@@ -141,6 +141,41 @@ final class MiniLake(spark: SparkSession, val path: String,
     * practice and bounded by the log tail, never the data. Memoized;
     * assigning writers advance it in-process.
     */
+  /** The table's effective reader protocol: every entry is stamped
+    * with the running max of the features used so far (the Delta
+    * protocol action persists in the log and every checkpoint), so
+    * the LATEST entry always carries the effective requirement —
+    * an O(1) driver read, never a log walk.
+    */
+  @volatile private var protoCache: Option[Int] = None
+  def protocolVersion: Long = currentMinReader.toLong
+  private def currentMinReader: Int = protoCache.getOrElse {
+    val p =
+      if (!exists) 1
+      else readEntry(listVersions.max).minReader
+    protoCache = Some(p)
+    p
+  }
+
+  /** Refuse reads (and therefore writes — a writer that cannot read
+    * the log cannot safely commit against it) when the table's
+    * protocol exceeds this build's [[MiniLake.SupportedReaderVersion]]
+    * (or the test-override conf) — the Delta upgrade contract.
+    */
+  private def requireReadable(): Unit = {
+    val supported = spark.conf
+      .getOption("graft.lake.maxSupportedReader").map(_.toInt)
+      .getOrElse(SupportedReaderVersion)
+    val needed = currentMinReader
+    if (needed > supported)
+      throw new IllegalStateException(
+        s"table $path requires reader protocol version $needed " +
+          s"(this reader supports $supported): upgrade the reader — " +
+          "refusing is the only safe answer (ignoring newer features " +
+          "like deletion vectors or column mapping would read wrong " +
+          "data)")
+  }
+
   @volatile private var idHwCache: Option[Long] = None
   private def identityHighWater: Option[Long] = idHwCache.orElse {
     val found = listVersions.sorted(Ordering[Long].reverse).iterator
@@ -294,6 +329,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   private[lake] def state(asOf: Long): FoldState = {
     if (asOf < 0) return FoldState.empty
+    requireReadable()
     stateCache.getOrElse(asOf, {
       val cachedBase = stateCache.keys.filter(_ < asOf)
         .maxOption.map(stateCache(_))
@@ -705,7 +741,9 @@ final class MiniLake(spark: SparkSession, val path: String,
           m.get("identityStart").asInstanceOf[Number].longValue(),
           m.get("identityStep").asInstanceOf[Number].longValue())),
       identityHighWater = Option(m.get("identityHighWater"))
-        .map(_.asInstanceOf[Number].longValue()))
+        .map(_.asInstanceOf[Number].longValue()),
+      minReader = Option(m.get("minReader"))
+        .map(_.asInstanceOf[Number].intValue()).getOrElse(1))
   }
 
   /** File-level min/max stats for INT64 and UTF8-string columns, read
@@ -914,7 +952,19 @@ final class MiniLake(spark: SparkSession, val path: String,
       case Some(h) => withIdSpec + ("identityHighWater" -> Long.box(h))
       case None => withIdSpec
     }
-    val bytes = mapper.writeValueAsBytes(withIdHw.asJava)
+    // protocol stamping: the running max of features ever used —
+    // deletion vectors need reader 2, column mapping (rename/drop,
+    // and re-add which only follows a drop) needs reader 3
+    val derivedProto =
+      if (e.renames.nonEmpty || e.mode == "drop") 3
+      else if (e.dvAdds.nonEmpty) 2
+      else 1
+    val stampedProto =
+      math.max(math.max(derivedProto, e.minReader), currentMinReader)
+    val withProto =
+      if (stampedProto <= 1) withIdHw
+      else withIdHw + ("minReader" -> Int.box(stampedProto))
+    val bytes = mapper.writeValueAsBytes(withProto.asJava)
     // writer-unique tmp: two committers racing the SAME version must
     // not share a tmp path, or the link winner could publish the
     // loser's bytes written into the common tmp between write and link
@@ -923,6 +973,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     Files.write(tmp, bytes)
     try Files.createLink(logDir.resolve(s"${e.version}.json"), tmp)
     finally Files.deleteIfExists(tmp)
+    protoCache = Some(stampedProto)
     maybeCheckpoint(e.version)
   }
 
@@ -2767,7 +2818,18 @@ object MiniLake {
       generatedCols: Seq[(String, String)] = Seq.empty,
       statsDbl: Map[String, Map[String, (Double, Double)]] = Map.empty,
       identitySpec: Option[IdentitySpec] = None,
-      identityHighWater: Option[Long] = None)
+      identityHighWater: Option[Long] = None,
+      minReader: Int = 1)
+
+  /** Highest reader protocol this build understands (Delta's
+    * minReaderVersion contract): 1 = plain log, 2 = deletion vectors,
+    * 3 = column mapping (rename/drop/re-add). Tables whose log
+    * requires more are REFUSED with an upgrade error instead of being
+    * read wrongly — an old reader silently ignoring deletion vectors
+    * would resurrect deleted rows. Tests force an old reader via the
+    * session conf `graft.lake.maxSupportedReader`.
+    */
+  val SupportedReaderVersion = 3
 
   /** GENERATED ALWAYS AS IDENTITY column: `name` is assigned
     * `start, start+step, ...`, never reused, never user-supplied. */
@@ -2843,12 +2905,23 @@ object MiniLake {
     val dest = new MiniLake(spark, destPath)
     require(!dest.exists, s"destination $destPath already exists")
     val v = src.latestVersion
+    // Column-mapped sources (rename history, or a reborn column after
+    // a drop) are REFUSED: the per-era physical-name resolution lives
+    // in the SOURCE's log — a metadata-only clone referencing the old
+    // files without that chain would silently read NULL for renamed
+    // columns (and resurrect pre-drop bytes for reborn ones). Refusing
+    // is the safe answer until the clone entry carries the era map.
+    val srcState = src.state(v)
+    require(srcState.renames.isEmpty && srcState.reborn.isEmpty,
+      s"shallow clone of $srcPath is not supported: the source has " +
+        "column-mapping history (renames or re-added columns) whose " +
+        "per-era physical names live only in the source log; " +
+        "materialize a copy instead")
     val entry = src.readEntry(v)
     val live = src.liveFiles(v).toSet
     // carry the source's skipping index for the referenced files —
     // re-reading 100 TB worth of footers to rebuild it would defeat
     // the metadata-only point
-    val srcState = src.state(v)
     val stats = srcState.stats.filter(f => live(f._1))
     val statsStr = srcState.statsStr.filter(f => live(f._1))
     val statsDbl = srcState.statsDbl.filter(f => live(f._1))

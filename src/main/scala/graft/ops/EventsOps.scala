@@ -785,6 +785,137 @@ object EventsOps {
       |  AND CURRENT ROW)
       |ORDER BY day""".stripMargin
 
+  /** Log-rank test (q274) — the two-sample COMPARISON q192's
+    * Kaplan–Meier curves ask for next: does cohort A (even user ids)
+    * reach first purchase on a different schedule than cohort B?
+    * Mantel–Haenszel form: at each event day t,
+    * E₁(t) = d_t·n₁(t)/n(t) and
+    * V(t) = d_t·(n₁/n)·(1−n₁/n)·(n−d)/(n−1);
+    * χ² = (ΣO₁ − ΣE₁)²/ΣV against the df=1 bar 3.841. Risk sets are
+    * exact integers from the same censoring construction as q192; the
+    * per-day E/V terms are a few IEEE ops on exact counts, 6-dp
+    * rounded and DECIMAL-quantized before the order-independent sums;
+    * the cumulative risk-set windows run over the day-bounded life
+    * table, never raw events.
+    */
+  def q274LogRank(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("us"))
+    val t0 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("us").as("t0"))
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .join(t0, "user_id").filter(col("us") >= col("t0"))
+      .groupBy("user_id").agg(min("us").as("tp"))
+    val horizon = broadcast(ev.agg(max("us").as("tmax")))
+    val perUser = t0.join(firstP, Seq("user_id"), "left")
+      .crossJoin(horizon)
+      .select(
+        when(col("tp").isNotNull,
+          expr("(tp - t0) DIV 86400000000"))
+          .otherwise(expr("(tmax - t0) DIV 86400000000")).as("day"),
+        col("tp").isNotNull.as("is_event"),
+        (col("user_id") % 2 === 0).as("g1"))
+    val sizes = broadcast(perUser.agg(
+      sum(when(col("g1"), 1L).otherwise(0L)).as("n1_total"),
+      count(lit(1)).as("n_total")))
+    val lt = perUser.groupBy("day")
+      .agg(
+        sum(when(col("g1") && col("is_event"), 1L).otherwise(0L))
+          .as("d1"),
+        sum(when(col("is_event"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("g1"), 1L).otherwise(0L)).as("rm1"),
+        count(lit(1)).as("rm"))
+      .crossJoin(sizes)
+    val before = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // bounded frame: one life-table row per duration day
+    val risk = lt
+      .withColumn("n1", col("n1_total") -
+        coalesce(sum("rm1").over(before), lit(0L)))
+      .withColumn("n", col("n_total") -
+        coalesce(sum("rm").over(before), lit(0L)))
+      .filter(col("d") > 0 && col("n") > 1)
+    val p1 = col("n1").cast("double") / col("n").cast("double")
+    val terms = risk.select(col("d1"),
+      round(col("d").cast("double") * p1, 6)
+        .cast("decimal(18,6)").as("e1"),
+      round(col("d").cast("double") * p1 * (lit(1.0) - p1) *
+        (col("n") - col("d")).cast("double") /
+        (col("n") - 1).cast("double"), 6)
+        .cast("decimal(18,6)").as("v"))
+    val agg = terms.agg(sum("d1").as("o1"),
+      sum("e1").cast("double").as("e1"),
+      sum("v").cast("double").as("v"))
+    agg.crossJoin(sizes).select(
+      col("n1_total"), (col("n_total") - col("n1_total")).as("n2_total"),
+      col("o1"), round(col("e1"), 4).as("e1"),
+      when(col("v") > 0, round(
+        (col("o1").cast("double") - col("e1")) *
+          (col("o1").cast("double") - col("e1")) / col("v"), 4))
+        .as("chi2"),
+      when(col("v") > 0, round(
+        (col("o1").cast("double") - col("e1")) *
+          (col("o1").cast("double") - col("e1")) / col("v"), 4) > 3.841)
+        .as("significant"))
+  }
+
+  val q274Oracle: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |t0 AS (SELECT user_id, min(us) AS t0 FROM ev
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |fp AS (SELECT e.user_id, min(e.us) AS tp
+      |  FROM ev e JOIN t0 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.us >= t0.t0 GROUP BY 1),
+      |hz AS (SELECT max(us) AS tmax FROM ev),
+      |pu AS (SELECT
+      |    CASE WHEN fp.tp IS NOT NULL THEN (fp.tp - t0.t0) // 86400000000
+      |         ELSE (hz.tmax - t0.t0) // 86400000000 END AS day,
+      |    fp.tp IS NOT NULL AS is_event,
+      |    t0.user_id % 2 = 0 AS g1
+      |  FROM t0 LEFT JOIN fp USING (user_id) CROSS JOIN hz),
+      |sz AS (SELECT
+      |    CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n1_total,
+      |    CAST(count(*) AS BIGINT) AS n_total FROM pu),
+      |lt AS (SELECT day,
+      |    CAST(sum(CASE WHEN g1 AND is_event THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d1,
+      |    CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS d,
+      |    CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS rm1,
+      |    CAST(count(*) AS BIGINT) AS rm
+      |  FROM pu GROUP BY 1),
+      |risk AS (SELECT day, d1, d,
+      |    n1_total - coalesce(sum(rm1) OVER
+      |      (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+      |       AND 1 PRECEDING), 0) AS n1,
+      |    n_total - coalesce(sum(rm) OVER
+      |      (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+      |       AND 1 PRECEDING), 0) AS n
+      |  FROM lt CROSS JOIN sz),
+      |terms AS (SELECT d1,
+      |    CAST(round(CAST(d AS DOUBLE)
+      |      * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+      |      AS DECIMAL(18,6)) AS e1,
+      |    CAST(round(CAST(d AS DOUBLE)
+      |      * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6)
+      |      AS DECIMAL(18,6)) AS v
+      |  FROM risk WHERE d > 0 AND n > 1),
+      |agg AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+      |    CAST(sum(e1) AS DOUBLE) AS e1,
+      |    CAST(sum(v) AS DOUBLE) AS v FROM terms)
+      |SELECT n1_total, n_total - n1_total AS n2_total, o1,
+      |  round(e1, 4) AS e1,
+      |  CASE WHEN v > 0 THEN round((CAST(o1 AS DOUBLE) - e1)
+      |    * (CAST(o1 AS DOUBLE) - e1) / v, 4) END AS chi2,
+      |  CASE WHEN v > 0 THEN round((CAST(o1 AS DOUBLE) - e1)
+      |    * (CAST(o1 AS DOUBLE) - e1) / v, 4) > 3.841 END
+      |    AS significant
+      |FROM agg CROSS JOIN sz""".stripMargin
+
   /** Walk-forward forecast backtest — the evaluation harness q6's
     * forecast is missing: at each cutoff day, two models forecast the
     * next 7 days of event volume from data STRICTLY at-or-before the
@@ -929,6 +1060,7 @@ object EventsOps {
     "q143_retention_cohorts" -> (q143RetentionCohorts _),
     "q201_backtest_forecast" -> (q201BacktestForecast _),
     "q192_kaplan_meier" -> (q192KaplanMeier _),
+    "q274_log_rank" -> (q274LogRank _),
     "q144_last_touch" -> (q144LastTouch _),
     "q114_gap_fill" -> (q114GapFill _),
     "q117_rolling_active" -> (q117RollingActive _),
@@ -949,6 +1081,7 @@ object EventsOps {
     "q249_fano_factor" -> q249Oracle,
     "q143_retention_cohorts" -> q143Oracle,
     "q192_kaplan_meier" -> q192Oracle,
+    "q274_log_rank" -> q274Oracle,
     "q201_backtest_forecast" -> q201Oracle,
     "q144_last_touch" -> q144Oracle,
     "q114_gap_fill" -> q114Oracle,

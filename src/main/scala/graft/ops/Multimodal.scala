@@ -172,15 +172,117 @@ object Multimodal {
       |FROM m
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Perceptual-hash media near-dup (q276) — the image-dedup shape
+    * every multimodal corpus needs (exact byte hashing misses
+    * re-encodes; embedding dedup needs a model): a 64-bit
+    * dHash-family fingerprint per payload (bit i compares two sampled
+    * bytes — on a REAL pipeline the sampler runs over the decoded,
+    * resized raster; here it runs over the stubbed byte "raster", so
+    * it is shift-sensitive, which exact byte dups still collapse
+    * through), then the q67 SimHash discipline: 4×16-bit band
+    * bucketing (pigeonhole: ≤3 differing bits leave one band intact),
+    * candidates meet on a band equi join — never payload×payload —
+    * and the EXACT Hamming distance is verified per candidate.
+    * Output is the Hamming-distance histogram over candidates
+    * (near-dups land in bucket 0), so the gate is informative at
+    * every SF. Bytes compare as fixed-width hex pairs — lexicographic
+    * on uppercase hex == numeric on bytes — identical in both
+    * engines; everything else is exact integers.
+    */
+  def q276MediaNearDup(s: SparkSession, dir: String): DataFrame = {
+    val m = mediaTable(s, dir).toDF()
+      .select(col("doc_id"), hex(col("payload")).as("h"),
+        length(col("payload")).as("nb"))
+      .filter(col("nb") >= 65) // need 65 distinct sample positions
+    val fp = m.select(col("doc_id"), expr(
+      "array_join(transform(sequence(1, 64), i -> " +
+        "CASE WHEN substr(h, CAST(1 + 2 * (((i - 1) * (nb - 1)) DIV 64)" +
+        " AS INT), 2) > substr(h, CAST(1 + 2 * ((i * (nb - 1)) DIV 64)" +
+        " AS INT), 2) THEN '1' ELSE '0' END), '')").as("f"))
+    // collapse identical fingerprints FIRST (production runs exact
+    // dedup before near-dup): a payload duplicated d times would
+    // otherwise form d-sized band cliques — candidate pairs grow d²
+    // while the information content doesn't. Groups carry their size,
+    // so every underlying doc pair is still COUNTED (n1·n2 across
+    // groups, C(n,2) within), just never enumerated.
+    val groups = fp.groupBy("f").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // referenced by both join sides
+    val exactDups = groups.filter(col("n") >= 2)
+      .agg(sum(expr("(n * (n - 1)) DIV 2")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+      .select(lit(-1L).as("hamming_bucket"), col("n_pairs"),
+        lit(0L).as("min_hamming"))
+    val keyed = groups.select(col("f"), col("n"),
+      explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("band", expr("substr(f, 1 + b * 16, 16)"))
+    val cand = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.b") === col("b.b") && col("a.band") === col("b.band") &&
+          col("a.f") < col("b.f"))
+      .select(col("a.f").as("f1"), col("b.f").as("f2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .distinct()
+    val near = cand
+      .withColumn("hamming", expr(
+        "64 - aggregate(transform(sequence(1, 64), i -> " +
+          "CASE WHEN substr(f1, i, 1) = substr(f2, i, 1) THEN 1 " +
+          "ELSE 0 END), 0, (acc, x) -> acc + x)"))
+      .groupBy(expr("hamming DIV 8").cast("long").as("hamming_bucket"))
+      .agg(sum(col("n1") * col("n2")).as("n_pairs"),
+        min("hamming").cast("long").as("min_hamming"))
+    exactDups.unionByName(near).orderBy("hamming_bucket")
+  }
+
+  val q276Oracle: String =
+    """WITH m AS (SELECT doc_id, hex(encode(text)) AS h,
+      |  octet_length(encode(text)) AS nb FROM documents
+      | WHERE octet_length(encode(text)) >= 65),
+      |fp AS (SELECT doc_id,
+      |  list_reduce(list_transform(range(1, 65), i ->
+      |    CASE WHEN substr(h,
+      |        CAST(1 + 2 * (((i - 1) * (nb - 1)) // 64) AS BIGINT), 2)
+      |      > substr(h,
+      |        CAST(1 + 2 * ((i * (nb - 1)) // 64) AS BIGINT), 2)
+      |    THEN '1' ELSE '0' END), (a, b) -> a || b) AS f
+      | FROM m),
+      |grp AS (SELECT f, CAST(count(*) AS BIGINT) AS n FROM fp
+      | GROUP BY f),
+      |exact AS (SELECT CAST(-1 AS BIGINT) AS hamming_bucket,
+      |  CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS n_pairs,
+      |  CAST(0 AS BIGINT) AS min_hamming
+      | FROM grp WHERE n >= 2
+      | HAVING sum((n * (n - 1)) // 2) > 0),
+      |bands AS (SELECT f, n, unnest(range(0, 4)) AS b FROM grp),
+      |keyed AS (SELECT f, n, b,
+      |  substr(f, CAST(1 + b * 16 AS BIGINT), 16) AS band FROM bands),
+      |cand AS (SELECT DISTINCT a.f AS f1, b.f AS f2,
+      |    a.n AS n1, b.n AS n2
+      |  FROM keyed a JOIN keyed b
+      |  ON a.b = b.b AND a.band = b.band AND a.f < b.f),
+      |ham AS (SELECT n1, n2,
+      |  CAST(64 - list_sum(list_transform(range(1, 65), i ->
+      |    CASE WHEN substr(f1, CAST(i AS BIGINT), 1)
+      |           = substr(f2, CAST(i AS BIGINT), 1)
+      |    THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+      | FROM cand),
+      |near AS (SELECT CAST(hamming // 8 AS BIGINT) AS hamming_bucket,
+      |  CAST(sum(n1 * n2) AS BIGINT) AS n_pairs,
+      |  CAST(min(hamming) AS BIGINT) AS min_hamming
+      | FROM ham GROUP BY 1)
+      |SELECT * FROM exact UNION ALL SELECT * FROM near
+      |ORDER BY hamming_bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_media_features" -> (q47MediaFeatures _),
     "q68_media_resize" -> (q68MediaResize _),
-    "q69_frame_sample" -> (q69FrameSample _)
+    "q69_frame_sample" -> (q69FrameSample _),
+    "q276_media_near_dup" -> (q276MediaNearDup _)
   )
 
   def oracles: Map[String, String] = Map(
     "q47_media_features" -> q47Oracle,
     "q68_media_resize" -> q68Oracle,
-    "q69_frame_sample" -> q69Oracle
+    "q69_frame_sample" -> q69Oracle,
+    "q276_media_near_dup" -> q276Oracle
   )
 }

@@ -939,6 +939,53 @@ object Pipeline {
       |WHERE day BETWEEN '2024-01-04' AND '2024-01-07'
       |GROUP BY day ORDER BY day""".stripMargin
 
+  /** Reader protocol versioning as a gate (q275) — the Delta
+    * minReaderVersion contract: a table's log is stamped with the
+    * running max of the features it uses (plain log = 1, deletion
+    * vectors = 2, column mapping = 3), and a reader that supports
+    * LESS must refuse with an upgrade error instead of reading wrong
+    * data (an old reader ignoring deletion vectors would resurrect
+    * deleted rows; ignoring column mapping would resurrect dropped
+    * bytes). The gate walks a lifecycle through all three protocol
+    * levels, then probes refusal at simulated reader capabilities 1
+    * and 2 (session-conf override) and full readability at 3 — every
+    * flag closed form.
+    */
+  def q275ProtocolVersion(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_proto").toString
+    import s.implicits._
+    val t = MiniLake.compact(s, s"$base/ledger")
+    t.create(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "cents"))
+    val p0 = t.protocolVersion                         // 1: plain log
+    t.deleteVectored(col("k") === 2L)
+    val p1 = t.protocolVersion                         // 2: DVs
+    t.renameColumn("cents", "pennies")
+    val p2 = t.protocolVersion                         // 3: col mapping
+    def refusedAt(cap: Int): Boolean = {
+      s.conf.set("graft.lake.maxSupportedReader", cap.toString)
+      try { MiniLake(s, s"$base/ledger").snapshot().count(); false }
+      catch { case _: IllegalStateException => true }
+      finally s.conf.unset("graft.lake.maxSupportedReader")
+    }
+    val r1 = refusedAt(1)
+    val r2 = refusedAt(2)
+    val fresh = MiniLake(s, s"$base/ledger") // full reader: works
+    fresh.snapshot().agg(count(lit(1)).as("n_rows"),
+        sum("pennies").cast("long").as("total"))
+      .select(lit(p0).as("proto_create"), lit(p1).as("proto_after_dv"),
+        lit(p2).as("proto_after_rename"),
+        lit(r1).as("refused_at_1"), lit(r2).as("refused_at_2"),
+        col("n_rows"), col("total"))
+  }
+
+  val q275Oracle: String =
+    """SELECT CAST(1 AS BIGINT) AS proto_create,
+      |  CAST(2 AS BIGINT) AS proto_after_dv,
+      |  CAST(3 AS BIGINT) AS proto_after_rename,
+      |  TRUE AS refused_at_1, TRUE AS refused_at_2,
+      |  CAST(2 AS BIGINT) AS n_rows,
+      |  CAST(40 AS BIGINT) AS total""".stripMargin
+
   /** Symlink-format manifest interop (q235) — Delta's
     * `GENERATE symlink_format_manifest` verb: after a lifecycle whose
     * delete REWROTE the live set (so stale pre-delete files still sit
@@ -1235,6 +1282,7 @@ object Pipeline {
     "q255_column_readd" -> (q255ColumnReadd _),
     "q262_identity_column" -> (q262IdentityColumn _),
     "q272_replace_where" -> (q272ReplaceWhere _),
+    "q275_protocol_version" -> (q275ProtocolVersion _),
     "q234_generated_partition" -> (q234GeneratedPartition _),
     "q235_symlink_manifest" -> (q235SymlinkManifest _),
     "q250_double_skipping" -> (q250DoubleSkipping _)
@@ -1266,6 +1314,7 @@ object Pipeline {
     "q255_column_readd" -> q255Oracle,
     "q262_identity_column" -> q262Oracle,
     "q272_replace_where" -> q272Oracle,
+    "q275_protocol_version" -> q275Oracle,
     "q234_generated_partition" -> q234Oracle,
     "q235_symlink_manifest" -> q235Oracle,
     "q250_double_skipping" -> q250Oracle
