@@ -743,7 +743,10 @@ final class MiniLake(spark: SparkSession, val path: String,
       identityHighWater = Option(m.get("identityHighWater"))
         .map(_.asInstanceOf[Number].longValue()),
       minReader = Option(m.get("minReader"))
-        .map(_.asInstanceOf[Number].intValue()).getOrElse(1))
+        .map(_.asInstanceOf[Number].intValue()).getOrElse(1),
+      addDefaults = Option(m.get("addDefaults"))
+        .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap)
+        .getOrElse(Map.empty))
   }
 
   /** File-level min/max stats for INT64 and UTF8-string columns, read
@@ -964,7 +967,14 @@ final class MiniLake(spark: SparkSession, val path: String,
     val withProto =
       if (stampedProto <= 1) withIdHw
       else withIdHw + ("minReader" -> Int.box(stampedProto))
-    val bytes = mapper.writeValueAsBytes(withProto.asJava)
+    // cumulative default-column map rides every entry (latest entry =
+    // full map, O(1) cold-open recovery — the protocol-stamp pattern)
+    val tableDefaults =
+      if (e.addDefaults.nonEmpty) e.addDefaults else defaultsEncoded
+    val withDefaults =
+      if (tableDefaults.isEmpty) withProto
+      else withProto + ("addDefaults" -> tableDefaults.asJava)
+    val bytes = mapper.writeValueAsBytes(withDefaults.asJava)
     // writer-unique tmp: two committers racing the SAME version must
     // not share a tmp path, or the link winner could publish the
     // loser's bytes written into the common tmp between write and link
@@ -974,6 +984,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     try Files.createLink(logDir.resolve(s"${e.version}.json"), tmp)
     finally Files.deleteIfExists(tmp)
     protoCache = Some(stampedProto)
+    defaultsCache = Some(tableDefaults)
     maybeCheckpoint(e.version)
   }
 
@@ -991,6 +1002,26 @@ final class MiniLake(spark: SparkSession, val path: String,
     }.toDF("version", "operation", "timestamp_ms", "n_files_added",
       "n_files_removed", "n_dvs_added", "n_dvs_removed", "has_changes")
   }
+
+  /** Resolve a wall-clock instant to a version — Delta's
+    * `TIMESTAMP AS OF`: the LATEST version committed at or before
+    * `tsMillis`. Commit timestamps are non-decreasing by
+    * construction (single-writer publish order); an instant before
+    * the first commit is an explicit error, exactly as Delta raises.
+    * Driver-side entry-timestamp walk — metadata-sized.
+    */
+  def versionAt(tsMillis: Long): Long = {
+    val vs = listVersions
+    require(vs.nonEmpty, s"table $path does not exist")
+    val hits = vs.filter(v => readEntry(v).timestampMs <= tsMillis)
+    require(hits.nonEmpty,
+      s"no version of $path committed at or before timestamp " +
+        s"$tsMillis (earliest is ${readEntry(vs.head).timestampMs})")
+    hits.max
+  }
+
+  /** `TIMESTAMP AS OF` read: [[snapshot]] at [[versionAt]]. */
+  def snapshotAt(tsMillis: Long): DataFrame = snapshot(versionAt(tsMillis))
 
   def schemaAt(v: Long): StructType =
     DataType.fromJson(readEntry(v).schemaJson).asInstanceOf[StructType]
@@ -1050,6 +1081,59 @@ final class MiniLake(spark: SparkSession, val path: String,
     * stop pruning for old files (conservatively kept — sound) while
     * post-rename files prune under the new name.
     */
+  /** ALTER TABLE ADD COLUMN with an INITIAL DEFAULT (Iceberg's
+    * initial-default / the useful half of Delta's default columns):
+    * a metadata-only commit — zero data rewritten — after which
+    *  - files written BEFORE the add read `defaultSql` for the new
+    *    column (schema-on-read, resolved per file era exactly like
+    *    renames), and
+    *  - batches written AFTER the add either carry the column
+    *    (stored values win — including genuine NULLs, which read back
+    *    as NULL, never as the default) or omit it (the default is
+    *    MATERIALIZED at write, the Delta write-default behavior).
+    * The change feed is deliberately different: CDF serves the
+    * as-written row image, so pre-add versions show NULL there — the
+    * feed is history, the snapshot is the current-schema read.
+    */
+  def addColumn(name: String, typeDdl: String,
+      defaultSql: String): Unit = withCommitPlanning {
+    val v = nextVersion
+    require(v > 0, s"table $path does not exist")
+    val sch = schema
+    require(!sch.fieldNames.contains(name), s"column exists: $name")
+    require(!droppedNames(v - 1).contains(name),
+      s"cannot add '$name': the name was previously dropped and old " +
+        "files still carry its physical column")
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+    val newSch = StructType(sch.fields :+
+      org.apache.spark.sql.types.StructField(name, dt, nullable = true))
+    writeEntry(CommitEntry(v, "add-column", System.currentTimeMillis(),
+      newSch.json, Seq.empty, Seq.empty, hasChanges = false,
+      bucketSpec = bucketSpec,
+      addDefaults = defaultsEncoded + (name -> s"$v|$defaultSql")))
+  }
+
+  /** Cumulative default-column map, encoded `name -> "addVersion|sql"`
+    * — stamped on every entry (like the protocol version), so the
+    * LATEST entry always carries the full map: O(1) recovery on cold
+    * open, never a log walk.
+    */
+  @volatile private var defaultsCache: Option[Map[String, String]] = None
+  private def defaultsEncoded: Map[String, String] =
+    defaultsCache.getOrElse {
+      val d = if (!exists) Map.empty[String, String]
+        else readEntry(listVersions.max).addDefaults
+      defaultsCache = Some(d)
+      d
+    }
+
+  /** Decoded (addVersion, column, defaultSql), add order. */
+  private def columnDefaults: Seq[(Long, String, String)] =
+    defaultsEncoded.toSeq.map { case (c, enc) =>
+      val cut = enc.indexOf('|')
+      (enc.substring(0, cut).toLong, c, enc.substring(cut + 1))
+    }.sortBy(_._1)
+
   def renameColumn(from: String, to: String): Unit = withCommitPlanning {
     val v = nextVersion
     require(v > 0, s"table $path does not exist")
@@ -1143,7 +1227,18 @@ final class MiniLake(spark: SparkSession, val path: String,
     val sch = schemaAt(asOf)
     val chain = renameChain(asOf)
     val reborn = state(asOf).reborn
-    if (chain.isEmpty && reborn.isEmpty)
+    // initial defaults visible at asOf, with each defaulted column's
+    // name folded FORWARD through renames committed after its add (so
+    // the fill lands on the current logical name), and names that are
+    // no longer in the schema (dropped later) excluded
+    val defs = columnDefaults.filter(_._1 <= asOf)
+      .map { case (av, c, sql) =>
+        val cur = chain.foldLeft(c) { case (n, (rv, f, t)) =>
+          if (rv > av && f == n) t else n }
+        (av, cur, sql)
+      }
+      .filter { case (_, c, _) => sch.fieldNames.contains(c) }
+    if (chain.isEmpty && reborn.isEmpty && defs.isEmpty)
       applyDvs(spark.read.schema(sch).parquet(files: _*), asOf, keepPos)
     else {
       val target =
@@ -1161,8 +1256,32 @@ final class MiniLake(spark: SparkSession, val path: String,
         val cleansed = reborn.foldLeft(renamed) { case (d, (c, rv)) =>
           if (rv > w && d.columns.contains(c)) d.drop(c) else d
         }
-        MiniLake.conformTo(cleansed, target)
+        // files from eras BEFORE an add-column read its INITIAL
+        // DEFAULT (files from later eras store real values — genuine
+        // NULLs included, which must stay NULL)
+        val defaulted = defs.foldLeft(cleansed) { case (d, (av, c, sql)) =>
+          if (av > w && !d.columns.contains(c))
+            d.withColumn(c,
+              expr(sql).cast(sch(sch.fieldIndex(c)).dataType))
+          else d
+        }
+        MiniLake.conformTo(defaulted, target)
       }.reduce(_ unionByName _)
+    }
+  }
+
+  /** Materialize any ABSENT defaulted columns on an incoming batch
+    * (the write-side half of the initial-default contract, mirroring
+    * [[withGenerated]]). */
+  private def withDefaults(df: DataFrame): DataFrame = {
+    if (!exists) return df
+    val sch = schema
+    val chain = renameChain(latestVersion)
+    columnDefaults.foldLeft(df) { case (d, (av, c0, sql)) =>
+      val c = chain.foldLeft(c0) { case (n, (rv, f, t)) =>
+        if (rv > av && f == n) t else n }
+      if (!sch.fieldNames.contains(c) || d.columns.contains(c)) d
+      else d.withColumn(c, expr(sql).cast(sch(sch.fieldIndex(c)).dataType))
     }
   }
 
@@ -1734,7 +1853,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   def append(batch: DataFrame, mergeSchema: Boolean = false): Unit = {
     val (stamped, idHw) = withIdentityAssigned(batch)
-    val df = withGenerated(stamped)
+    val df = withDefaults(withGenerated(stamped))
     if (mergeSchema && exists) {
       val merged = mergedSchemaWith(schema, df.schema, path)
       commitInsertOnly(conformTo(df, merged), mode = "append",
@@ -2018,7 +2137,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     // identity keeps counting upward across a full rewrite (replaced
     // rows never free their ids — the Delta identity contract)
     val (stamped, idHw) = withIdentityAssigned(batch)
-    val df = withGenerated(stamped)
+    val df = withDefaults(withGenerated(stamped))
     val prior = snapshot()
     val changes = prior.withColumn(ChangeType, lit("delete"))
       .unionByName(df.withColumn(ChangeType, lit("insert")))
@@ -2819,7 +2938,8 @@ object MiniLake {
       statsDbl: Map[String, Map[String, (Double, Double)]] = Map.empty,
       identitySpec: Option[IdentitySpec] = None,
       identityHighWater: Option[Long] = None,
-      minReader: Int = 1)
+      minReader: Int = 1,
+      addDefaults: Map[String, String] = Map.empty)
 
   /** Highest reader protocol this build understands (Delta's
     * minReaderVersion contract): 1 = plain log, 2 = deletion vectors,

@@ -986,6 +986,96 @@ object Pipeline {
       |  CAST(2 AS BIGINT) AS n_rows,
       |  CAST(40 AS BIGINT) AS total""".stripMargin
 
+  /** Timestamp time travel as a gate (q277) — Delta's
+    * `TIMESTAMP AS OF`: an instant resolves to the LATEST version
+    * committed at or before it (commit stamps are non-decreasing by
+    * publish order), an instant before the first commit is an
+    * explicit error, and the resolved snapshot is exactly the
+    * version-addressed one. The gate spaces three commits a few tens
+    * of ms apart (distinct stamps guaranteed), then reads each
+    * commit's own recorded stamp back through [[MiniLake.history]] —
+    * every resolution and row count is closed form.
+    */
+  def q277TimestampTravel(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_tstravel").toString
+    import s.implicits._
+    val t = MiniLake.compact(s, s"$base/ledger")
+    t.create(Seq((1L, 10L)).toDF("k", "cents"))            // v0
+    Thread.sleep(25)
+    t.append(Seq((2L, 20L)).toDF("k", "cents"))            // v1
+    Thread.sleep(25)
+    t.append(Seq((3L, 30L)).toDF("k", "cents"))            // v2
+    val ts = t.history.select("version", "timestamp_ms")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v0 = t.versionAt(ts(0L))
+    val v1 = t.versionAt(ts(1L))
+    // an instant BETWEEN commits resolves backward, like Delta
+    val vMid = t.versionAt(ts(2L) - 1)
+    val v2 = t.versionAt(ts(2L))
+    val beforeRefused =
+      try { t.versionAt(ts(0L) - 1); false }
+      catch { case _: IllegalArgumentException => true }
+    val nAt1 = t.snapshotAt(ts(1L)).count()
+    t.snapshot().agg(count(lit(1)).as("n_now"),
+        sum("cents").cast("long").as("total_now"))
+      .select(lit(v0).as("v_at_ts0"), lit(v1).as("v_at_ts1"),
+        lit(vMid).as("v_between_1_2"), lit(v2).as("v_at_ts2"),
+        lit(beforeRefused).as("before_first_refused"),
+        lit(nAt1).as("n_rows_at_ts1"), col("n_now"), col("total_now"))
+  }
+
+  val q277Oracle: String =
+    """SELECT CAST(0 AS BIGINT) AS v_at_ts0,
+      |  CAST(1 AS BIGINT) AS v_at_ts1,
+      |  CAST(1 AS BIGINT) AS v_between_1_2,
+      |  CAST(2 AS BIGINT) AS v_at_ts2,
+      |  TRUE AS before_first_refused,
+      |  CAST(2 AS BIGINT) AS n_rows_at_ts1,
+      |  CAST(3 AS BIGINT) AS n_now,
+      |  CAST(60 AS BIGINT) AS total_now""".stripMargin
+
+  /** ADD COLUMN with INITIAL DEFAULT as a gate (q278) — Iceberg's
+    * initial-default semantics plus the Delta write-default: a
+    * metadata-only add (zero data rewritten) after which THREE eras
+    * coexist and must read correctly through one snapshot:
+    * pre-add rows read the initial default ('unrated'), a post-add
+    * batch with EXPLICIT values keeps them — including genuine NULLs,
+    * which must stay NULL, never the default — and a post-add batch
+    * OMITTING the column gets the default materialized at write. The
+    * gate reads through a COLD reopen (the cumulative default map is
+    * recovered from the latest entry, O(1)); the oracle reconstructs
+    * all three eras from the raw table.
+    */
+  def q278DefaultColumn(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_defcol").toString
+    val t = MiniLake(s, s"$base/docs")
+    val d = documents(s, dir).select("doc_id", "lang", "n_chars")
+    t.create(d.filter(col("doc_id") < 300))                   // v0
+    t.addColumn("quality_tier", "STRING", "'unrated'")        // v1
+    t.append(d.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+      .withColumn("quality_tier",
+        when(col("lang") === "en", "gold")))                  // v2
+    val fresh = MiniLake(s, s"$base/docs")
+    fresh.append(d.filter(col("doc_id") >= 400 &&
+      col("doc_id") < 450))                                   // v3: omits
+    fresh.snapshot()
+      .groupBy(coalesce(col("quality_tier"), lit("(null)")).as("tier"))
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("tier")
+  }
+
+  val q278Oracle: String =
+    """SELECT CASE
+      |    WHEN doc_id < 300 THEN 'unrated'
+      |    WHEN doc_id < 400 AND lang = 'en' THEN 'gold'
+      |    WHEN doc_id < 400 THEN '(null)'
+      |    ELSE 'unrated' END AS tier,
+      |  count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE doc_id < 450
+      |GROUP BY 1 ORDER BY tier""".stripMargin
+
   /** Symlink-format manifest interop (q235) — Delta's
     * `GENERATE symlink_format_manifest` verb: after a lifecycle whose
     * delete REWROTE the live set (so stale pre-delete files still sit
@@ -1283,6 +1373,8 @@ object Pipeline {
     "q262_identity_column" -> (q262IdentityColumn _),
     "q272_replace_where" -> (q272ReplaceWhere _),
     "q275_protocol_version" -> (q275ProtocolVersion _),
+    "q277_timestamp_travel" -> (q277TimestampTravel _),
+    "q278_default_column" -> (q278DefaultColumn _),
     "q234_generated_partition" -> (q234GeneratedPartition _),
     "q235_symlink_manifest" -> (q235SymlinkManifest _),
     "q250_double_skipping" -> (q250DoubleSkipping _)
@@ -1315,6 +1407,8 @@ object Pipeline {
     "q262_identity_column" -> q262Oracle,
     "q272_replace_where" -> q272Oracle,
     "q275_protocol_version" -> q275Oracle,
+    "q277_timestamp_travel" -> q277Oracle,
+    "q278_default_column" -> q278Oracle,
     "q234_generated_partition" -> q234Oracle,
     "q235_symlink_manifest" -> q235Oracle,
     "q250_double_skipping" -> q250Oracle
