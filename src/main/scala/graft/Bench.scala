@@ -102,6 +102,20 @@ object Bench {
     // finite in the JSON, small enough that the retime loop still
     // retries it when budget allows
     val failPenalty = 120.0
+    // Load sentinel: time one fixed cheap query before the first timed
+    // pass and again after the last, and report both in the JSON. The
+    // shared host stalls in bursts (round 10's driver artifact read
+    // 330 s for a 176 s suite purely from neighbor load); a run whose
+    // sentinel drifted is self-labeling as contaminated rather than
+    // needing a forensic re-run to explain.
+    val sentinelName = SparkEntry.queries.keys.toSeq.sorted.headOption
+    def timeSentinel(): Double = sentinelName.map { n =>
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(n)(spark, sfDir).count() } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }.getOrElse(0.0)
+    timeSentinel() // warm the sentinel's own codegen so start/end compare like-for-like
+    val sentinelStart = timeSentinel()
     val results = scala.collection.mutable.Map.empty[String, Double]
     // queries whose RECORDED sample is the penalty, not a real timing —
     // emitted as a separate "failed" list so JSON consumers can tell
@@ -127,11 +141,14 @@ object Bench {
         }
       }
     }
+    val sentinelEnd = timeSentinel()
     // The harness that records this line keeps only a short tail of the
-    // build output; a full-name, full-precision per-query map for ~80
-    // queries (~3 KB) overflows it and the line is lost. Keep the
-    // printed line compact — short "qNN" keys, millisecond precision —
-    // and write the full-name map to bench_full.json next to the repo.
+    // build output; round 10 proved that even abbreviated per-query
+    // keys (~4 KB at 264 queries) overflow the capture and the line
+    // parses to null — the whole round's perf signal lost. The printed
+    // line therefore carries ONLY the totals/subtotals/sentinel (a few
+    // hundred bytes, O(1) in query count); the per-query map lives in
+    // bench_full.json, written before the line prints.
     def ms(v: Double): String = f"$v%.3f"
     def shortKey(k: String): String = k.takeWhile(_ != '_')
     // Protocol-split subtotals: the DuckDB oracle answers lake-
@@ -142,7 +159,7 @@ object Bench {
     val lakeProtocolQs = Set(19, 54, 74, 80, 84, 90, 91, 100, 101, 109,
       110, 113, 125, 138, 145, 163, 164, 175, 176, 177, 187, 199, 208,
       223, 226, 227, 232, 234, 235, 250, 254, 255, 262, 272, 275,
-      277, 278)
+      277, 278, 279, 280)
     val streamingQs = Set(48, 51, 58, 62, 63, 64, 88, 99, 102, 116, 131,
       161, 168, 171, 200, 233, 240, 273)
     def category(k: String): String = {
@@ -156,19 +173,18 @@ object Bench {
     val catJson = Seq("compute", "lake_protocol", "streaming")
       .map(c => "\"" + c + "\":" + ms(catTotals.getOrElse(c, 0.0)))
       .mkString("{", ",", "}")
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + shortKey(k) + "\":" + ms(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val fullQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sentinelJson =
+      s"""{"query":"${sentinelName.map(shortKey).getOrElse("")}","start_sec":${ms(sentinelStart)},"end_sec":${ms(sentinelEnd)}}"""
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"subtotals":$catJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"subtotals":$catJson,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"subtotals":$catJson,"queries":$fullQs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"subtotals":$catJson,"sentinel":$sentinelJson,"queries":$fullQs,"sf":"$sfDir"}""")
     spark.stop()
     // last line of program output so it survives the tail capture
     println(line)

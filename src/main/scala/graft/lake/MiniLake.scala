@@ -176,53 +176,116 @@ final class MiniLake(spark: SparkSession, val path: String,
           "data)")
   }
 
-  @volatile private var idHwCache: Option[Long] = None
-  private def identityHighWater: Option[Long] = idHwCache.orElse {
-    val found = listVersions.sorted(Ordering[Long].reverse).iterator
-      .map(readEntry).flatMap(_.identityHighWater).nextOption()
-    idHwCache = found
-    found
+  /** (as-of version, high water). The cache is validated against the
+    * CURRENT latest version on every read: an instance whose table
+    * advanced underneath it (another instance's appendConcurrent
+    * reservation, another process's append) must re-read the winner's
+    * mark — a forever-cache here would silently re-assign the other
+    * writer's id range. Self-healing under races: a stale pair simply
+    * misses and rescans.
+    */
+  @volatile private var idHwCache: Option[(Long, Long)] = None
+  private def identityHighWater: Option[Long] = {
+    val latest = latestVersion
+    idHwCache match {
+      case Some((v, hw)) if v == latest => Some(hw)
+      case _ =>
+        val found = listVersions.sorted(Ordering[Long].reverse).iterator
+          .map(readEntry).flatMap(_.identityHighWater).nextOption()
+        found.foreach(h => idHwCache = Some((latest, h)))
+        found
+    }
   }
 
   /** Identity assignment is sequenced through the single-writer verbs
-    * (create/append/overwrite) whose committed high water is
-    * unambiguous; the concurrent and merge verbs would need
-    * Delta-style id-range reservation to avoid double-assignment
-    * under races — refused explicitly rather than served wrongly.
+    * (create/append/overwrite/merge) whose committed high water is
+    * unambiguous, and through [[appendConcurrent]] via Delta-style
+    * id-range RESERVATION (a metadata-only commit claims the range
+    * before the data write — see [[reserveIdentityRange]]). The
+    * remaining multi-writer verbs (mergeConcurrent, appendIfAbsent,
+    * replacePartitions, mergeUpdate) would each need their own
+    * reservation discipline — refused explicitly rather than served
+    * wrongly.
     */
   private def requireNoIdentity(verb: String): Unit =
     require(identitySpec.isEmpty,
       s"$verb is not supported on GENERATED ALWAYS AS IDENTITY table " +
-        s"$path (identity ids are assigned by create/append/overwrite)")
+        s"$path (identity ids are assigned by create/append/overwrite/" +
+        "merge/appendConcurrent)")
 
-  /** Assign GENERATED ALWAYS AS IDENTITY values to an incoming batch:
-    * ids continue from the high-water mark in create-order steps.
-    * Assignment is the two-phase per-partition-counts → offsets shape
-    * (`zipWithIndex`): no unpartitioned window, no driver
-    * materialization — one extra pass over the BATCH (not the table),
-    * the same price Delta pays to stamp its ranges. Values are
-    * deterministic given the batch's partitioning and row order
-    * (callers wanting reproducible ids sort the batch first); the
-    * ALWAYS contract rejects caller-supplied values outright.
+  /** Stamp `df` with identity values `base+step, base+2·step, …` — the
+    * two-phase per-partition-counts → offsets shape (`zipWithIndex`):
+    * no unpartitioned window, no driver materialization — one extra
+    * pass over the BATCH (not the table). Values are deterministic
+    * given the batch's partitioning and row order (callers wanting
+    * reproducible ids sort the batch first); `expectN` guards a
+    * reservation-backed caller against a non-deterministic batch
+    * re-evaluating to a different count and overrunning its range.
     * Returns the stamped frame and the new high water.
     */
+  private def assignIdentityFrom(df: DataFrame, spec: MiniLake.IdentitySpec,
+      base: Long, expectN: Option[Long] = None): (DataFrame, Long) = {
+    require(!df.columns.contains(spec.name),
+      s"GENERATED ALWAYS AS IDENTITY column '${spec.name}' cannot be " +
+        "user-supplied")
+    val sch = df.schema
+      .add(org.apache.spark.sql.types.StructField(spec.name,
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(
+        r.toSeq :+ (base + spec.step * (i + 1)))
+    }
+    val n = rdd.count()
+    expectN.foreach(e => require(n == e,
+      s"identity batch re-evaluated to a different row count ($e -> " +
+        s"$n) for $path; persist a deterministic batch"))
+    (spark.createDataFrame(rdd, sch), base + spec.step * n)
+  }
+
+  /** Assign GENERATED ALWAYS AS IDENTITY values continuing from the
+    * table's high-water mark (single-writer verbs). */
   private def withIdentityAssigned(
       df: DataFrame): (DataFrame, Option[Long]) = identitySpec match {
     case None => (df, None)
     case Some(spec) =>
-      require(!df.columns.contains(spec.name),
-        s"GENERATED ALWAYS AS IDENTITY column '${spec.name}' cannot be " +
-          "user-supplied")
       val base = identityHighWater.getOrElse(spec.start - spec.step)
-      val sch = df.schema
-        .add(org.apache.spark.sql.types.StructField(spec.name,
-          org.apache.spark.sql.types.LongType, nullable = false))
-      val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(
-          r.toSeq :+ (base + spec.step * (i + 1)))
+      val (stamped, hw) = assignIdentityFrom(df, spec, base)
+      (stamped, Some(hw))
+  }
+
+  /** Durably claim an id range of `n` steps for a concurrent writer —
+    * the Delta identity reservation: a METADATA-ONLY commit whose
+    * entry advances the high-water mark by `n·step` before any data
+    * is written. The version hard-link is the arbitration — two
+    * racing reservations collide on the version number and the loser
+    * re-reads the winner's advanced mark, so no two writers can ever
+    * hold overlapping ranges. A writer that dies after reserving
+    * burns its range (ids are never reused — the same contract DELETE
+    * already has). Returns the claimed base (exclusive).
+    */
+  private def reserveIdentityRange(spec: MiniLake.IdentitySpec, n: Long,
+      maxRetries: Int): Long = {
+    var attempt = 0
+    while (true) {
+      val base = identityHighWater.getOrElse(spec.start - spec.step)
+      val v = nextVersion
+      try {
+        writeEntry(CommitEntry(v, "id-reserve", System.currentTimeMillis(),
+          schema.json, Seq.empty, Seq.empty, hasChanges = false,
+          bucketSpec = bucketSpec,
+          identityHighWater = Some(base + spec.step * n)))
+        idHwCache = Some((v, base + spec.step * n))
+        return base
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          require(attempt <= maxRetries,
+            s"identity reservation on $path lost $maxRetries commit " +
+              "races, giving up")
+          idHwCache = None // re-read the winner's advanced mark
       }
-      val n = rdd.count()
-      (spark.createDataFrame(rdd, sch), Some(base + spec.step * n))
+    }
+    -1L // unreachable
   }
 
   // ---- log ----------------------------------------------------------
@@ -291,9 +354,10 @@ final class MiniLake(spark: SparkSession, val path: String,
         case "dropConstraint" => s.constraints -- e.constraints.keySet
         case _                => s.constraints
       },
-      renames = s.renames ++
+      renames = s.renames ++ e.cloneRenames ++
         e.renames.toSeq.map { case (f, t) => (e.version, f, t) },
-      dropped = (s.dropped ++ droppedNow) -- rebornNow.keySet,
+      dropped =
+        (s.dropped ++ e.cloneDropped ++ droppedNow) -- rebornNow.keySet,
       txnMax = e.txn.fold(s.txnMax) { case (app, tv) =>
         s.txnMax + (app -> math.max(tv, s.txnMax.getOrElse(app, -1L)))
       },
@@ -317,7 +381,8 @@ final class MiniLake(spark: SparkSession, val path: String,
           s.legacyVersions :+ e.version
         else s.legacyVersions,
       changeFloor = s.changeFloor,
-      reborn = rebornRenamed ++ rebornNow)
+      reborn = rebornRenamed ++ rebornNow ++ e.cloneReborn,
+      eraSchemas = s.eraSchemas ++ e.cloneEraSchemas)
   }
 
   /** The folded log state as of `asOf`: basis = the largest already-
@@ -498,6 +563,10 @@ final class MiniLake(spark: SparkSession, val path: String,
         reborn = Option(m.get("reborn"))
           .map(_.asInstanceOf[java.util.Map[String, Number]].asScala
             .map { case (k, rv) => k -> rv.longValue() }.toMap)
+          .getOrElse(Map.empty),
+        eraSchemas = Option(m.get("eraSchemas"))
+          .map(_.asInstanceOf[java.util.Map[String, String]].asScala
+            .map { case (w, j) => w.toLong -> j }.toMap)
           .getOrElse(Map.empty)))
     } catch { case _: Exception => None }
 
@@ -616,6 +685,9 @@ final class MiniLake(spark: SparkSession, val path: String,
           "reborn" -> s.reborn.map { case (k, rv) =>
             k -> Long.box(rv)
           }.asJava,
+          "eraSchemas" -> s.eraSchemas.map { case (w, j) =>
+            w.toString -> j
+          }.asJava,
           "partFiles" -> partNames.asJava)
         val mtmp = ckptDir.resolve(s".$v.manifest.$nonce.json.tmp")
         Files.write(mtmp, mapper.writeValueAsBytes(manifest.asJava))
@@ -672,8 +744,15 @@ final class MiniLake(spark: SparkSession, val path: String,
     entryCache.getOrElseUpdate(v, readEntryUncached(v))
 
   private def readEntryUncached(v: Long): CommitEntry = {
+    val entryPath = logDir.resolve(s"$v.json")
+    if (!Files.exists(entryPath))
+      throw new IllegalArgumentException(
+        s"no version $v in the log of $path (versions " +
+          s"${listVersions.headOption.getOrElse(-1L)}.." +
+          s"${latestVersion} exist; a shallow clone's history begins " +
+          "at its source's clone-point version)")
     val m = mapper.readValue(
-      Files.readAllBytes(logDir.resolve(s"$v.json")), classOf[java.util.Map[String, Object]])
+      Files.readAllBytes(entryPath), classOf[java.util.Map[String, Object]])
     CommitEntry(
       version = m.get("version").asInstanceOf[Number].longValue(),
       mode = m.get("mode").toString,
@@ -746,6 +825,24 @@ final class MiniLake(spark: SparkSession, val path: String,
         .map(_.asInstanceOf[Number].intValue()).getOrElse(1),
       addDefaults = Option(m.get("addDefaults"))
         .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap)
+        .getOrElse(Map.empty),
+      cloneRenames = Option(m.get("cloneRenames"))
+        .map(_.asInstanceOf[java.util.List[java.util.List[Object]]]
+          .asScala.toSeq.map { r =>
+            (r.get(0).asInstanceOf[Number].longValue(),
+              r.get(1).toString, r.get(2).toString)
+          })
+        .getOrElse(Seq.empty),
+      cloneReborn = Option(m.get("cloneReborn"))
+        .map(_.asInstanceOf[java.util.Map[String, Number]].asScala
+          .map { case (c, rv) => c -> rv.longValue() }.toMap)
+        .getOrElse(Map.empty),
+      cloneDropped = Option(m.get("cloneDropped"))
+        .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
+        .getOrElse(Seq.empty),
+      cloneEraSchemas = Option(m.get("cloneEraSchemas"))
+        .map(_.asInstanceOf[java.util.Map[String, String]].asScala
+          .map { case (w, j) => w.toLong -> j }.toMap)
         .getOrElse(Map.empty))
   }
 
@@ -957,11 +1054,22 @@ final class MiniLake(spark: SparkSession, val path: String,
     }
     // protocol stamping: the running max of features ever used —
     // deletion vectors need reader 2, column mapping (rename/drop,
-    // and re-add which only follows a drop) needs reader 3
-    val derivedProto =
-      if (e.renames.nonEmpty || e.mode == "drop") 3
-      else if (e.dvAdds.nonEmpty) 2
-      else 1
+    // and re-add which only follows a drop) needs reader 3, initial
+    // defaults need reader 4. Defaults are READER-affecting (pre-add
+    // files are filled at read time from addDefaults): a build that
+    // predates the feature would ignore the key and silently read
+    // NULL for pre-add rows — exactly the skew minReader exists to
+    // refuse — so the add-column commit must stamp the new level, not
+    // ride at 1. Only the commit INTRODUCING a default stamps 4
+    // (e.addDefaults nonEmpty: add-column and clone-carry entries);
+    // later commits inherit it through currentMinReader.
+    val derivedProto = Seq(
+      if (e.addDefaults.nonEmpty) 4 else 1,
+      if (e.renames.nonEmpty || e.mode == "drop" ||
+        e.cloneRenames.nonEmpty || e.cloneReborn.nonEmpty ||
+        e.cloneDropped.nonEmpty || e.cloneEraSchemas.nonEmpty) 3
+      else 1,
+      if (e.dvAdds.nonEmpty) 2 else 1).max
     val stampedProto =
       math.max(math.max(derivedProto, e.minReader), currentMinReader)
     val withProto =
@@ -974,7 +1082,27 @@ final class MiniLake(spark: SparkSession, val path: String,
     val withDefaults =
       if (tableDefaults.isEmpty) withProto
       else withProto + ("addDefaults" -> tableDefaults.asJava)
-    val bytes = mapper.writeValueAsBytes(withDefaults.asJava)
+    // clone-seeded column-mapping state rides the clone entry only;
+    // the FOLD carries it forward (and checkpoints persist the folded
+    // state), so later entries never repeat it
+    val withCloneMap = {
+      val a =
+        if (e.cloneRenames.isEmpty) withDefaults
+        else withDefaults + ("cloneRenames" -> e.cloneRenames.map {
+          case (rv, f, t) => java.util.List.of[Object](Long.box(rv), f, t)
+        }.asJava)
+      val b =
+        if (e.cloneReborn.isEmpty) a
+        else a + ("cloneReborn" -> e.cloneReborn.map { case (c, rv) =>
+          c -> Long.box(rv) }.asJava)
+      val c =
+        if (e.cloneDropped.isEmpty) b
+        else b + ("cloneDropped" -> e.cloneDropped.asJava)
+      if (e.cloneEraSchemas.isEmpty) c
+      else c + ("cloneEraSchemas" -> e.cloneEraSchemas.map {
+        case (w, j) => w.toString -> j }.asJava)
+    }
+    val bytes = mapper.writeValueAsBytes(withCloneMap.asJava)
     // writer-unique tmp: two committers racing the SAME version must
     // not share a tmp path, or the link winner could publish the
     // loser's bytes written into the common tmp between write and link
@@ -1238,15 +1366,22 @@ final class MiniLake(spark: SparkSession, val path: String,
         (av, cur, sql)
       }
       .filter { case (_, c, _) => sch.fieldNames.contains(c) }
-    if (chain.isEmpty && reborn.isEmpty && defs.isEmpty)
+    val eras = state(asOf).eraSchemas
+    if (chain.isEmpty && reborn.isEmpty && defs.isEmpty && eras.isEmpty)
       applyDvs(spark.read.schema(sch).parquet(files: _*), asOf, keepPos)
     else {
       val target =
         if (!keepPos) sch
         else StructType(sch.fields ++ MiniLake.DvSchema.fields)
+      // a cloned file's era is a SOURCE commit absent from this log:
+      // its physical schema rides the clone entry (eraSchemas); eras
+      // committed in this table's own log resolve as before
+      def eraSchemaOf(w: Long): StructType = eras.get(w)
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
+        .getOrElse(schemaAt(w))
       files.groupBy(writeVersionOf).toSeq.sortBy(_._1).map { case (w, fs) =>
         val scanned = applyDvs(
-          spark.read.schema(schemaAt(w)).parquet(fs: _*), asOf, keepPos)
+          spark.read.schema(eraSchemaOf(w)).parquet(fs: _*), asOf, keepPos)
         val renamed = chain.filter(_._1 > w).foldLeft(scanned) {
           case (d, (_, f, t)) => d.withColumnRenamed(f, t)
         }
@@ -1855,7 +1990,9 @@ final class MiniLake(spark: SparkSession, val path: String,
     val (stamped, idHw) = withIdentityAssigned(batch)
     val df = withDefaults(withGenerated(stamped))
     if (mergeSchema && exists) {
-      val merged = mergedSchemaWith(schema, df.schema, path)
+      val frozen = bucketSpec.toSeq.flatMap(_.pks).toSet ++
+        generatedCols.map(_._1) ++ identitySpec.map(_.name)
+      val merged = mergedSchemaWith(schema, df.schema, path, frozen)
       commitInsertOnly(conformTo(df, merged), mode = "append",
         rowHint = None, idHw = idHw)
     } else {
@@ -1920,8 +2057,23 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   private[lake] def appendConcurrentImpl(batch: DataFrame,
       maxRetries: Int, beforePublish: () => Unit): Long = {
-    requireNoIdentity("appendConcurrent")
-    val df = withGenerated(batch)
+    // Identity under concurrency rides an id-range RESERVATION: count
+    // the batch (persisted first, so the count is stable), durably
+    // claim [hwm+step, hwm+n·step] in a metadata-only commit, then
+    // stamp from the claimed base. Two racing writers collide on the
+    // reservation version, not on the ids; the expensive distributed
+    // data write happens exactly once per writer either way.
+    var persisted: Option[DataFrame] = None
+    val df = identitySpec match {
+      case None => withGenerated(batch)
+      case Some(spec) =>
+        val g = withGenerated(batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persisted = Some(g)
+        val n = g.rdd.count()
+        val base = reserveIdentityRange(spec, n, maxRetries)
+        assignIdentityFrom(g, spec, base, expectN = Some(n))._1
+    }
     requireSchemaMatch(df)
     // the attempt dir is stamped with the READ version, not the claimed
     // one: the version segment is the file's schema ERA for rename-
@@ -1934,6 +2086,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     val adds = withCommitPlanning {
       writeData(df, -1L, None, Some(attemptDir("data", readV)))
     }
+    persisted.foreach(_.unpersist()) // data is on disk; cache done
     beforePublish()
     var attempt = 0
     while (true) {
@@ -2086,12 +2239,36 @@ final class MiniLake(spark: SparkSession, val path: String,
     val nIns = df.count()
     val changes = prior.withColumn(ChangeType, lit("delete"))
       .unionByName(df.withColumn(ChangeType, lit("insert")))
+    // retire DV sidecars whose EVERY target row points into the
+    // replaced partitions — without this they stay in liveDvFiles
+    // forever (vacuum-protected, carried through every checkpoint): a
+    // state/space leak, though reads stay correct since the target
+    // files are gone. Metadata-sized: distinct (sidecar, target)
+    // pairs, bounded by DV churn since the last materialize, never
+    // rows. A sidecar with any surviving target stays live (its rows
+    // for doomed files are inert — same as compactPartitions).
+    val liveDvs = liveDvFiles(v - 1)
+    val dvRemoved: Seq[String] =
+      if (liveDvs.isEmpty || doomed.isEmpty) Seq.empty
+      else {
+        val doomedSet = doomed.map(MiniLake.localPath).toSet
+        val byDv = spark.read.schema(MiniLake.DvSchema)
+          .parquet(liveDvs: _*)
+          .select(col("_metadata.file_path").as("_dv_sidecar"),
+            col(DvFileCol))
+          .distinct().collect()
+          .groupBy(r => MiniLake.localPath(r.getString(0)))
+        liveDvs.filter { dvf =>
+          byDv.get(MiniLake.localPath(dvf))
+            .exists(_.forall(r => doomedSet(MiniLake.localPath(r.getString(1)))))
+        }
+      }
     val (adds, chg) = inParallel(
       writeData(df, v, rowHint = Some(nIns)),
       writeChanges(changes, v, rowHint = Some(nDel + nIns)))
     writeEntry(CommitEntry(v, "overwrite", System.currentTimeMillis(),
       df.schema.json, adds, doomed, hasChanges = true,
-      bucketSpec = bucketSpec, changeFiles = chg))
+      bucketSpec = bucketSpec, changeFiles = chg, dvRemoves = dvRemoved))
     (nIns, nDel)
   }
 
@@ -2110,7 +2287,7 @@ final class MiniLake(spark: SparkSession, val path: String,
       // advance the in-process high water only after the entry is
       // durably published (a failed commit must not burn ids forward
       // of what the log proves)
-      idHw.foreach(h => idHwCache = Some(h))
+      idHw.foreach(h => idHwCache = Some((v, h)))
     }
 
   /** A commit's data and change files land in independent directories
@@ -2160,7 +2337,7 @@ final class MiniLake(spark: SparkSession, val path: String,
         data.schema.json, adds, removed, hasChanges = true,
         bucketSpec = bucketSpec, changeFiles = chg, dvRemoves = dvRemoved,
         identityHighWater = idHw))
-      idHw.foreach(h => idHwCache = Some(h))
+      idHw.foreach(h => idHwCache = Some((v, h)))
     }
 
   /** MERGE (S4): `whenNotMatchedInsertAll` ∪ `whenMatchedDelete`, keyed
@@ -2171,9 +2348,24 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   def merge(inserts: DataFrame, deletes: DataFrame,
       pks: Seq[String]): (Long, Long) = withCommitPlanning {
-    requireNoIdentity("merge")
+    // identity: insert-side rows get ids assigned AFTER the
+    // not-matched anti-join (only rows that actually insert consume
+    // ids), continuing from the high-water mark — merge is a
+    // single-writer verb like append, so no reservation is needed.
+    // Merging ON the identity column itself is impossible by
+    // construction (ALWAYS forbids caller-supplied values, so incoming
+    // rows cannot name a PK to match) — refused explicitly.
+    identitySpec.foreach { spec =>
+      require(!pks.contains(spec.name),
+        s"cannot merge on GENERATED ALWAYS AS IDENTITY column " +
+          s"'${spec.name}' of $path: incoming rows can never supply it")
+      require(!inserts.columns.contains(spec.name) &&
+        !deletes.columns.contains(spec.name),
+        s"GENERATED ALWAYS AS IDENTITY column '${spec.name}' cannot " +
+          "be user-supplied")
+    }
     val ins = withGenerated(inserts)
-    requireSchemaMatch(ins)
+    requireSchemaMatchExceptIdentity(ins)
     val target = snapshot()
     // A statically-empty side (pure-insert or pure-delete batches —
     // the common CDC shapes) skips its joins entirely: each skipped
@@ -2192,10 +2384,15 @@ final class MiniLake(spark: SparkSession, val path: String,
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept =
       if (emptyDel) target else target.join(delKeys, pks, "left_anti")
-    val toInsert =
+    // identity tables anti-join and count WITHOUT the id column (the
+    // batch can't carry it), then stamp ids on exactly the rows that
+    // insert — reordered to the table layout afterwards
+    val insCols = target.columns.filterNot(c =>
+      identitySpec.exists(_.name == c))
+    val toInsertRaw =
       if (emptyIns) emptyDf(spark, target.schema)
       else ins.join(kept.select(pks.map(col): _*), pks, "left_anti")
-        .select(target.columns.map(col).toSeq: _*)
+        .select(insCols.map(col).toSeq: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // The deltas are batch-sized (not table-sized), so persisting them
@@ -2213,7 +2410,17 @@ final class MiniLake(spark: SparkSession, val path: String,
         toDelete.select(delBucket).rdd.map(_.getLong(0))
           .countByValue().toMap
       }
-    val nIns = if (emptyIns) 0L else toInsert.rdd.count()
+    val nIns = if (emptyIns) 0L else toInsertRaw.rdd.count()
+    val (toInsert, idHw) = identitySpec match {
+      case Some(spec) if !emptyIns =>
+        val base = identityHighWater.getOrElse(spec.start - spec.step)
+        val (stamped, hw) =
+          assignIdentityFrom(toInsertRaw, spec, base, expectN = Some(nIns))
+        (stamped.select(target.columns.map(col).toSeq: _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          Some(hw))
+      case _ => (toInsertRaw, None)
+    }
     val nDel = delByBucket.values.sum
     val affected = delByBucket.keySet
     val v = nextVersion
@@ -2242,17 +2449,21 @@ final class MiniLake(spark: SparkSession, val path: String,
           rowHint = Some(nIns + nDel)))
       writeEntry(CommitEntry(v, "merge", System.currentTimeMillis(),
         target.schema.json, adds, removed, hasChanges = true,
-        bucketSpec = bucketSpec, changeFiles = chg))
+        bucketSpec = bucketSpec, changeFiles = chg,
+        identityHighWater = idHw))
     } else {
       // pure insert: append-only commit, no rewrite of existing files;
       // the added files double as the change feed
       val adds = writeData(toInsert, v, rowHint = Some(nIns))
       writeEntry(CommitEntry(v, "merge", System.currentTimeMillis(),
         target.schema.json, adds, Seq.empty, hasChanges = true,
-        bucketSpec = bucketSpec, changesMode = "insertsFromData"))
+        bucketSpec = bucketSpec, changesMode = "insertsFromData",
+        identityHighWater = idHw))
     }
+    idHw.foreach(h => idHwCache = Some((v, h)))
     toDelete.unpersist()
-    toInsert.unpersist()
+    toInsertRaw.unpersist()
+    if (!(toInsert eq toInsertRaw)) toInsert.unpersist()
     (nIns, nDel)
   }
 
@@ -2755,6 +2966,25 @@ final class MiniLake(spark: SparkSession, val path: String,
         s"schema mismatch for $path:\n expected $expected\n got      $got")
     }
   }
+
+  /** [[requireSchemaMatch]] minus the identity column: an incoming
+    * merge batch can never carry the ALWAYS-generated id, so it must
+    * match the table's DATA columns exactly.
+    */
+  private def requireSchemaMatchExceptIdentity(df: DataFrame): Unit =
+    identitySpec match {
+      case None => requireSchemaMatch(df)
+      case Some(spec) =>
+        if (exists) {
+          val expected = schema.fields.filterNot(_.name == spec.name)
+            .map(f => (f.name, f.dataType)).toSeq
+          val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+          require(expected == got,
+            s"schema mismatch for $path (identity column " +
+              s"'${spec.name}' excluded):\n expected $expected\n " +
+              s"got      $got")
+        }
+    }
 }
 
 object MiniLake {
@@ -2843,12 +3073,18 @@ object MiniLake {
       listedChanges: Seq[ChangeRef],
       legacyVersions: Seq[Long],
       changeFloor: Long,
-      reborn: Map[String, Long])
+      reborn: Map[String, Long],
+      // physical schema of foreign eras (write version → schemaJson):
+      // seeded by a clone entry for source eras whose files the clone
+      // references but whose log entries it does not have — the only
+      // eras [[readFiles]] cannot resolve from this table's own log
+      eraSchemas: Map[Long, String] = Map.empty)
 
   private[lake] object FoldState {
     val empty: FoldState = FoldState(-1L, "", Seq.empty, Seq.empty,
       Map.empty, Seq.empty, Set.empty, Map.empty, Map.empty, Map.empty,
-      Map.empty, Seq.empty, Seq.empty, Seq.empty, 0L, Map.empty)
+      Map.empty, Seq.empty, Seq.empty, Seq.empty, 0L, Map.empty,
+      Map.empty)
   }
 
   /** The session's AQE setting as first observed OUTSIDE any commit —
@@ -2939,17 +3175,32 @@ object MiniLake {
       identitySpec: Option[IdentitySpec] = None,
       identityHighWater: Option[Long] = None,
       minReader: Int = 1,
-      addDefaults: Map[String, String] = Map.empty)
+      addDefaults: Map[String, String] = Map.empty,
+      // Clone-seeded column-mapping state (set only on mode="clone"
+      // entries of column-mapped sources): the source's rename chain,
+      // reborn map, tombstoned names, and the physical schema of each
+      // source ERA that still owns live files. Versions are SOURCE
+      // commit numbers — coherent in the clone's log because the clone
+      // entry takes the source's clone-point version as its own, so
+      // every source-era artifact sorts strictly before every
+      // clone-era commit and the cloned file paths' v=N segments
+      // resolve unchanged.
+      cloneRenames: Seq[(Long, String, String)] = Seq.empty,
+      cloneReborn: Map[String, Long] = Map.empty,
+      cloneDropped: Seq[String] = Seq.empty,
+      cloneEraSchemas: Map[Long, String] = Map.empty)
 
   /** Highest reader protocol this build understands (Delta's
     * minReaderVersion contract): 1 = plain log, 2 = deletion vectors,
-    * 3 = column mapping (rename/drop/re-add). Tables whose log
-    * requires more are REFUSED with an upgrade error instead of being
-    * read wrongly — an old reader silently ignoring deletion vectors
-    * would resurrect deleted rows. Tests force an old reader via the
-    * session conf `graft.lake.maxSupportedReader`.
+    * 3 = column mapping (rename/drop/re-add), 4 = initial-default
+    * columns. Tables whose log requires more are REFUSED with an
+    * upgrade error instead of being read wrongly — an old reader
+    * silently ignoring deletion vectors would resurrect deleted rows;
+    * one ignoring addDefaults would read NULL where the declared
+    * default belongs. Tests force an old reader via the session conf
+    * `graft.lake.maxSupportedReader`.
     */
-  val SupportedReaderVersion = 3
+  val SupportedReaderVersion = 4
 
   /** GENERATED ALWAYS AS IDENTITY column: `name` is assigned
     * `start, start+step, ...`, never reused, never user-supplied. */
@@ -2990,9 +3241,14 @@ object MiniLake {
     * recovered from the log on reopen (plain `apply` works too).
     */
   def identity(spark: SparkSession, path: String, col: String,
-      start: Long = 1L, step: Long = 1L): MiniLake =
+      start: Long = 1L, step: Long = 1L): MiniLake = {
+    // Delta requires a nonzero IDENTITY increment: step 0 would assign
+    // `start` to every row and never advance the high-water mark,
+    // silently violating the never-reused uniqueness contract
+    require(step != 0L, s"identity column $col requires a nonzero step")
     new MiniLake(spark, path,
       identityColAtCreate = Some(IdentitySpec(col, start, step)))
+  }
 
   /** Variant with value-partitioned layout (`_p_<col>=<value>` dirs):
     * `snapshotWhere` prunes partitions on the driver before any scan.
@@ -3025,18 +3281,7 @@ object MiniLake {
     val dest = new MiniLake(spark, destPath)
     require(!dest.exists, s"destination $destPath already exists")
     val v = src.latestVersion
-    // Column-mapped sources (rename history, or a reborn column after
-    // a drop) are REFUSED: the per-era physical-name resolution lives
-    // in the SOURCE's log — a metadata-only clone referencing the old
-    // files without that chain would silently read NULL for renamed
-    // columns (and resurrect pre-drop bytes for reborn ones). Refusing
-    // is the safe answer until the clone entry carries the era map.
     val srcState = src.state(v)
-    require(srcState.renames.isEmpty && srcState.reborn.isEmpty,
-      s"shallow clone of $srcPath is not supported: the source has " +
-        "column-mapping history (renames or re-added columns) whose " +
-        "per-era physical names live only in the source log; " +
-        "materialize a copy instead")
     val entry = src.readEntry(v)
     val live = src.liveFiles(v).toSet
     // carry the source's skipping index for the referenced files —
@@ -3045,7 +3290,34 @@ object MiniLake {
     val stats = srcState.stats.filter(f => live(f._1))
     val statsStr = srcState.statsStr.filter(f => live(f._1))
     val statsDbl = srcState.statsDbl.filter(f => live(f._1))
-    dest.writeEntry(CommitEntry(0L, "clone", System.currentTimeMillis(),
+    // Column-mapped or defaulted sources (rename history, reborn
+    // columns, initial defaults): the per-era resolution state lives
+    // in the SOURCE's log, so the clone entry must carry it — the
+    // rename chain, reborn map, tombstones, the cumulative default
+    // map, and the physical schema of every source era that still
+    // owns live files (cloned paths keep their source v=N segments,
+    // but those versions have no entry in the clone's log to resolve
+    // a schema from). All of it is in SOURCE version numbers, which
+    // stay coherent because the clone entry takes the clone-point
+    // version as its own (below) — every source-era artifact sorts
+    // strictly before every clone-era commit. A chained clone
+    // composes: the source's own inherited eraSchemas win for eras
+    // below ITS clone point.
+    val mapped = srcState.renames.nonEmpty || srcState.reborn.nonEmpty ||
+      srcState.dropped.nonEmpty || src.defaultsEncoded.nonEmpty ||
+      srcState.eraSchemas.nonEmpty
+    val eras: Map[Long, String] =
+      if (!mapped) Map.empty
+      else src.liveFiles(v).map(src.writeVersionOf).distinct.map(w =>
+        w -> srcState.eraSchemas.getOrElse(w, src.schemaAt(w).json)).toMap
+    // The clone's FIRST commit takes the source's clone-point version
+    // (not 0): era-relative reads — rename `chain.filter(_._1 > w)`,
+    // reborn `rv > w`, default `addVersion > w` — compare source
+    // versions against file write versions, and the clone's own later
+    // commits (version > clone point) must never sort BELOW a source
+    // era. History and time travel simply begin at the clone point,
+    // like a Delta clone whose history begins at the clone commit.
+    dest.writeEntry(CommitEntry(v, "clone", System.currentTimeMillis(),
       src.schemaAt(v).json, src.liveFiles(v), Seq.empty,
       hasChanges = false, bucketSpec = entry.bucketSpec,
       partitionCols = entry.partitionCols,
@@ -3060,7 +3332,19 @@ object MiniLake {
       // clone's own appends keep counting from where the source was
       // (ids diverge after the clone, like the data itself)
       identitySpec = src.identitySpec,
-      identityHighWater = src.identityHighWater))
+      identityHighWater = src.identityHighWater,
+      // the source's protocol floor rides the entry: a clone of a
+      // column-mapped source is itself column-mapped from birth
+      minReader = src.protocolVersion.toInt,
+      // initial-default map: without it, pre-addColumn files in the
+      // clone would silently read NULL where the declared default
+      // belongs — the same silent-wrong-read this clone path exists
+      // to prevent
+      addDefaults = src.defaultsEncoded,
+      cloneRenames = srcState.renames,
+      cloneReborn = srcState.reborn,
+      cloneDropped = srcState.dropped.toSeq.sorted,
+      cloneEraSchemas = eras))
     dest
   }
 
@@ -3088,19 +3372,61 @@ object MiniLake {
       case _ => false
     }
 
-  /** Additive schema merge (mergeSchema append): existing fields keep
-    * their order and type (a shared name with a different type is an
-    * error — no implicit type evolution), fields only in `incoming`
-    * append as nullable.
+  /** Lossless type-widening lattice (Delta 4.x / Iceberg type
+    * promotion): every value of `from` is exactly representable in
+    * `to`, so a read-time upcast can never lose or change data.
+    * Deliberately excludes int→float/double (not exact above 2^24/2^53
+    * in general for the PAIRED types — long→double loses precision)
+    * except the always-exact integral chain and float→double.
+    */
+  private[lake] def widens(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.LongType) => true
+      case (org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.LongType) => true
+      case (org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType) => true
+      case (org.apache.spark.sql.types.FloatType,
+        org.apache.spark.sql.types.DoubleType) => true
+      case _ => false
+    }
+
+  /** Schema merge for mergeSchema append: fields only in `incoming`
+    * append as nullable; a shared name keeps the WIDER of the two
+    * types when the pair is on the lossless widening lattice
+    * (INT→BIGINT, FLOAT→DOUBLE — Delta/Iceberg type evolution), and
+    * is an error otherwise. `frozen` names (bucket PKs, generated,
+    * identity columns) refuse ANY type change: widening a bucket key
+    * would silently change its hash layout (Spark hashes int and long
+    * differently), breaking merge co-location — the one place a
+    * "harmless" upcast corrupts physical structure.
     */
   private[lake] def mergedSchemaWith(existing: StructType,
-      incoming: StructType, path: String): StructType = {
+      incoming: StructType, path: String,
+      frozen: Set[String] = Set.empty): StructType = {
     val byName = incoming.fields.map(f => f.name -> f).toMap
-    existing.fields.foreach { f =>
-      byName.get(f.name).foreach { g =>
-        require(g.dataType == f.dataType,
-          s"mergeSchema cannot change ${f.name}: " +
-            s"${f.dataType} -> ${g.dataType} for $path")
+    val kept = existing.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(g) if g.dataType == f.dataType => f
+        case Some(g) =>
+          require(!frozen.contains(f.name),
+            s"mergeSchema cannot change ${f.name}: " +
+              s"${f.dataType} -> ${g.dataType} for $path (bucketing/" +
+              "generated/identity columns refuse type evolution)")
+          if (widens(f.dataType, g.dataType)) f.copy(dataType = g.dataType)
+          else {
+            // incoming narrower than the table: keep the table type,
+            // the batch upcasts at write (conformTo)
+            require(widens(g.dataType, f.dataType),
+              s"mergeSchema cannot change ${f.name}: " +
+                s"${f.dataType} -> ${g.dataType} for $path")
+            f
+          }
+        case None => f
       }
     }
     val existingNames = existing.fieldNames.toSet
@@ -3110,17 +3436,24 @@ object MiniLake {
     // older files — the retired incarnation's bytes can never
     // resurface (Delta column mapping's fresh-physical-id semantics,
     // resolved per era instead of per file)
-    StructType(existing.fields ++ added.map(_.copy(nullable = true)))
+    StructType(kept ++ added.map(_.copy(nullable = true)))
   }
 
-  /** Project `df` onto `sch`: present columns pass through, missing
+  /** Project `df` onto `sch`: present columns pass through (upcast
+    * when their type differs — the read-time half of type widening:
+    * pre-widening eras scan under their own narrow schema and conform
+    * here; only lattice-approved pairs ever reach this, because
+    * writes are gated by requireSchemaMatch/mergedSchemaWith), missing
     * columns null-fill with the target type.
     */
   private[graft] def conformTo(df: DataFrame, sch: StructType): DataFrame = {
-    val have = df.columns.toSet
+    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
     df.select(sch.fields.toSeq.map { f =>
-      if (have.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      have.get(f.name) match {
+        case Some(dt) if dt == f.dataType => col(f.name)
+        case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }: _*)
   }
 
@@ -3144,6 +3477,12 @@ object MiniLake {
   private[lake] def usingStream[A, B](s: java.util.stream.Stream[A])(
       f: Iterator[A] => B): B =
     try f(s.iterator.asScala) finally s.close()
+
+  /** Local filesystem path of `p` whether spelled as a plain path
+    * (the log's file lists) or a `file:` URI (`_metadata.file_path`).
+    */
+  private[lake] def localPath(p: String): String =
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
 
   private[lake] def parquetFilesIn(dir: Path): Seq[String] =
     usingStream(Files.walk(dir))(_.filter(p =>

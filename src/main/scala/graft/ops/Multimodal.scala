@@ -179,8 +179,11 @@ object Multimodal {
     * bytes — on a REAL pipeline the sampler runs over the decoded,
     * resized raster; here it runs over the stubbed byte "raster", so
     * it is shift-sensitive, which exact byte dups still collapse
-    * through), then the q67 SimHash discipline: 4×16-bit band
-    * bucketing (pigeonhole: ≤3 differing bits leave one band intact),
+    * through), then the q67 SimHash discipline: band bucketing at the
+    * RULE-CHOSEN width ([[phashWidthBits]]: 16-bit/4 bands while the
+    * print count fits 2^14, 32-bit/2 bands above — the same rule in
+    * both engines, so the gate exercises whichever regime the corpus
+    * lands in; pigeonhole: B−1 differing bits leave one band intact),
     * candidates meet on a band equi join — never payload×payload —
     * and the EXACT Hamming distance is verified per candidate.
     * Output is the Hamming-distance histogram over candidates
@@ -207,14 +210,48 @@ object Multimodal {
     // groups, C(n,2) within), just never enumerated.
     val groups = fp.groupBy("f").agg(count(lit(1)).as("n"))
       .localCheckpoint() // referenced by both join sides
+    // band width by the SIZING RULE on the measured print count (the
+    // count is metadata-cheap on the just-checkpointed frame); the
+    // oracle applies the identical rule, so the gate exercises
+    // whichever width the corpus actually lands in — 16-bit at gate
+    // SFs, 32-bit on the 10× scale corpus
+    mediaNearDupHistogram(groups, phashWidthBits(groups.count()))
+  }
+
+  /** Band width for an n-print corpus — the q67 SimHash sizing rule
+    * applied to the 64-bit perceptual hash. Each of the B = 64/w
+    * bands contributes ≈ C(n,2)/2^w ACCIDENTAL collisions between
+    * random prints; keeping total candidates O(n) (linear in corpus,
+    * never band-space-filling) needs 2^w ≳ n, i.e. w ≥ log₂ n + 2.
+    * Snapped to the divisors of 64 that keep ≥ 2 bands: 16-bit while
+    * n ≤ 2^14, else 32-bit. Wider bands trade pigeonhole radius
+    * (B − 1 differing bits guaranteed caught) for occupancy — at 10⁸
+    * prints the 32-bit/Hamming≤1 regime is the one that scales, and
+    * radius>1 recall comes from multiple INDEPENDENT hash rotations,
+    * not wider cliques.
+    */
+  private[graft] def phashWidthBits(nPrints: Long): Int =
+    if (nPrints <= (1L << 14)) 16 else 32
+
+  /** Hamming-distance histogram over banded candidates of a collapsed
+    * fingerprint-group frame `groups` = (f: 64-char bitstring,
+    * n: multiplicity), parametric in band width — factored so
+    * MultimodalSpec can pin 16-bit and 32-bit bands to identical
+    * answers on a constructed set where both radii cover the truth.
+    */
+  private[graft] def mediaNearDupHistogram(groups: DataFrame,
+      widthBits: Int): DataFrame = {
+    require(64 % widthBits == 0 && 64 / widthBits >= 2,
+      s"band width must divide 64 into >= 2 bands, got $widthBits")
+    val bands = 64 / widthBits
     val exactDups = groups.filter(col("n") >= 2)
       .agg(sum(expr("(n * (n - 1)) DIV 2")).as("n_pairs"))
       .filter(col("n_pairs") > 0)
       .select(lit(-1L).as("hamming_bucket"), col("n_pairs"),
         lit(0L).as("min_hamming"))
     val keyed = groups.select(col("f"), col("n"),
-      explode(sequence(lit(0), lit(3))).as("b"))
-      .withColumn("band", expr("substr(f, 1 + b * 16, 16)"))
+      explode(sequence(lit(0), lit(bands - 1))).as("b"))
+      .withColumn("band", expr(s"substr(f, 1 + b * $widthBits, $widthBits)"))
     val cand = keyed.as("a")
       .join(keyed.as("b"),
         col("a.b") === col("b.b") && col("a.band") === col("b.band") &&
@@ -252,9 +289,13 @@ object Multimodal {
       |  CAST(0 AS BIGINT) AS min_hamming
       | FROM grp WHERE n >= 2
       | HAVING sum((n * (n - 1)) // 2) > 0),
-      |bands AS (SELECT f, n, unnest(range(0, 4)) AS b FROM grp),
+      |w AS (SELECT CASE WHEN count(*) <= 16384 THEN 16 ELSE 32 END
+      |  AS wb FROM grp),
+      |bands AS (SELECT f, n,
+      |  unnest(range(0, 64 // (SELECT wb FROM w))) AS b FROM grp),
       |keyed AS (SELECT f, n, b,
-      |  substr(f, CAST(1 + b * 16 AS BIGINT), 16) AS band FROM bands),
+      |  substr(f, CAST(1 + b * (SELECT wb FROM w) AS BIGINT),
+      |    (SELECT wb FROM w)) AS band FROM bands),
       |cand AS (SELECT DISTINCT a.f AS f1, b.f AS f2,
       |    a.n AS n1, b.n AS n2
       |  FROM keyed a JOIN keyed b

@@ -551,7 +551,11 @@ object Pipeline {
     * on the CLONE; source and clone must report independently — the
     * clone sees its edits, the source stays bit-identical to its
     * pre-clone state. This is the clone-prod/experiment/diff/drop
-    * workflow a 100 TB migration rehearsal runs.
+    * workflow a 100 TB migration rehearsal runs. The source is
+    * RENAMED before the clone (column-mapped): the clone entry
+    * carries the rename chain + per-era physical schemas, so the
+    * cloned pre-rename files must read their bytes under the new
+    * logical name — never NULL — through the clone's own DV-delete.
     */
   def q176ShallowClone(s: SparkSession, dir: String): DataFrame = {
     val base = graft.Scratch.dir("graft_clone").toString
@@ -560,13 +564,16 @@ object Pipeline {
       .select(col("o_orderkey"), col("o_orderstatus"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
       .filter(col("o_orderkey") % 2 === 0))
+    // column-map the source BEFORE cloning: every cloned data file is
+    // now a pre-rename era whose physical column is still "cents"
+    t.renameColumn("cents", "pennies")
     val c = MiniLake.shallowClone(s, s"$base/orders", s"$base/orders_c")
     c.deleteVectored(col("o_orderstatus") === "F")
     c.append(s.createDataFrame(
       java.util.List.of[org.apache.spark.sql.Row](
         org.apache.spark.sql.Row(-1L, "X", 100L)), c.schema))
     def report(side: String, lake: MiniLake) = lake.snapshot()
-      .agg(count(lit(1)).as("n_rows"), sum("cents").as("total_cents"))
+      .agg(count(lit(1)).as("n_rows"), sum("pennies").as("total_cents"))
       .select(lit(side).as("side"), col("n_rows"), col("total_cents"))
     report("clone", c).unionByName(report("source", t)).orderBy("side")
   }
@@ -825,6 +832,59 @@ object Pipeline {
       |  CAST(sum(row_id) AS BIGINT) AS sum_id
       |FROM live GROUP BY b ORDER BY batch""".stripMargin
 
+  /** Identity under CONCURRENT append (q280) — Delta's id-range
+    * reservation: each racing writer durably claims
+    * `[hwm+step, hwm+n·step]` in a metadata-only commit BEFORE its
+    * distributed data write, so version-claim arbitration (not luck)
+    * guarantees no two writers ever hold overlapping ranges. Three
+    * writers race disjoint order slices; a single-writer MERGE then
+    * continues the sequence, assigning ids only to rows that actually
+    * insert (a re-inserted PK is an idempotent no-op and consumes
+    * nothing). The per-row id→order mapping is scheduling-dependent,
+    * but the AGGREGATES are closed form: contiguous coverage 1..N
+    * regardless of interleaving, so count/distinct/min/max/sum are
+    * all exact — that order-independence is itself the property under
+    * test.
+    */
+  def q280IdentityConcurrent(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_identcc").toString
+    val d = orders(s, dir).select("o_orderkey", "o_totalprice")
+    val t = MiniLake.identity(s, s"$base/orders", "row_id")
+    t.create(d.filter(col("o_orderkey") % 4 === 0).orderBy("o_orderkey"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (1 to 3).map { w =>
+      Future {
+        MiniLake(s, s"$base/orders").appendConcurrent(
+          d.filter(col("o_orderkey") % 4 === w).orderBy("o_orderkey"))
+      }
+    }
+    Await.result(Future.sequence(writers), Duration.Inf)
+    // merge after the races: 2 fresh rows insert (ids N+1, N+2 in
+    // sort order), 1 existing PK re-inserts as a no-op (consumes no id)
+    val extra = s.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(-2L, 0.0),
+        org.apache.spark.sql.Row(-1L, 0.0),
+        org.apache.spark.sql.Row(4L, 0.0)),
+      d.schema).orderBy("o_orderkey")
+    val fresh = MiniLake(s, s"$base/orders")
+    fresh.merge(inserts = extra,
+      deletes = MiniLake.emptyDf(s, d.schema), pks = Seq("o_orderkey"))
+    fresh.snapshot().agg(count(lit(1)).as("n_rows"),
+      countDistinct(col("row_id")).as("n_distinct_ids"),
+      min("row_id").as("min_id"), max("row_id").as("max_id"),
+      sum("row_id").cast("long").as("sum_id"))
+  }
+
+  val q280Oracle: String =
+    """WITH c AS (SELECT count(*) + 2 AS n FROM orders)
+      |SELECT n AS n_rows, n AS n_distinct_ids,
+      |  CAST(1 AS BIGINT) AS min_id, n AS max_id,
+      |  CAST(n * (n + 1) / 2 AS BIGINT) AS sum_id
+      |FROM c""".stripMargin
+
   /** GENERATED ALWAYS AS column as the PARTITION key (q234) — the
     * Delta generated-column flagship: the table declares
     * `day = date_format(ts, 'yyyy-MM-dd')` at create time, callers
@@ -946,10 +1006,12 @@ object Pipeline {
     * LESS must refuse with an upgrade error instead of reading wrong
     * data (an old reader ignoring deletion vectors would resurrect
     * deleted rows; ignoring column mapping would resurrect dropped
-    * bytes). The gate walks a lifecycle through all three protocol
-    * levels, then probes refusal at simulated reader capabilities 1
-    * and 2 (session-conf override) and full readability at 3 — every
-    * flag closed form.
+    * bytes; ignoring initial defaults would read NULL where the
+    * declared default belongs — defaults are READER-affecting because
+    * pre-add files are filled at read time). The gate walks a
+    * lifecycle through all four protocol levels, then probes refusal
+    * at simulated reader capabilities 1, 2 and 3 (session-conf
+    * override) and full readability at 4 — every flag closed form.
     */
   def q275ProtocolVersion(s: SparkSession, dir: String): DataFrame = {
     val base = graft.Scratch.dir("graft_proto").toString
@@ -961,6 +1023,8 @@ object Pipeline {
     val p1 = t.protocolVersion                         // 2: DVs
     t.renameColumn("cents", "pennies")
     val p2 = t.protocolVersion                         // 3: col mapping
+    t.addColumn("tier", "STRING", "'base'")
+    val p3 = t.protocolVersion                         // 4: defaults
     def refusedAt(cap: Int): Boolean = {
       s.conf.set("graft.lake.maxSupportedReader", cap.toString)
       try { MiniLake(s, s"$base/ledger").snapshot().count(); false }
@@ -969,22 +1033,29 @@ object Pipeline {
     }
     val r1 = refusedAt(1)
     val r2 = refusedAt(2)
+    val r3 = refusedAt(3)
     val fresh = MiniLake(s, s"$base/ledger") // full reader: works
     fresh.snapshot().agg(count(lit(1)).as("n_rows"),
-        sum("pennies").cast("long").as("total"))
+        sum("pennies").cast("long").as("total"),
+        count(when(col("tier") === "base", 1)).as("n_defaulted"))
       .select(lit(p0).as("proto_create"), lit(p1).as("proto_after_dv"),
         lit(p2).as("proto_after_rename"),
+        lit(p3).as("proto_after_default"),
         lit(r1).as("refused_at_1"), lit(r2).as("refused_at_2"),
-        col("n_rows"), col("total"))
+        lit(r3).as("refused_at_3"),
+        col("n_rows"), col("total"), col("n_defaulted"))
   }
 
   val q275Oracle: String =
     """SELECT CAST(1 AS BIGINT) AS proto_create,
       |  CAST(2 AS BIGINT) AS proto_after_dv,
       |  CAST(3 AS BIGINT) AS proto_after_rename,
+      |  CAST(4 AS BIGINT) AS proto_after_default,
       |  TRUE AS refused_at_1, TRUE AS refused_at_2,
+      |  TRUE AS refused_at_3,
       |  CAST(2 AS BIGINT) AS n_rows,
-      |  CAST(40 AS BIGINT) AS total""".stripMargin
+      |  CAST(40 AS BIGINT) AS total,
+      |  CAST(2 AS BIGINT) AS n_defaulted""".stripMargin
 
   /** Timestamp time travel as a gate (q277) — Delta's
     * `TIMESTAMP AS OF`: an instant resolves to the LATEST version
@@ -1075,6 +1146,59 @@ object Pipeline {
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents WHERE doc_id < 450
       |GROUP BY 1 ORDER BY tier""".stripMargin
+
+  /** Type widening as a gate (q279) — Delta 4.x / Iceberg type
+    * promotion on mergeSchema append: INT→BIGINT lands as a METADATA
+    * commit (zero data rewritten; the 100 TB argument is the same as
+    * rename's — evolving a type must not rewrite history), after
+    * which THREE write shapes coexist and must read exactly through
+    * one snapshot: pre-widening INT files upcast at read, the
+    * widening BIGINT batch stores wide values, and a still-narrow
+    * producer's later INT batch upcasts at write. Probes: the widened
+    * schema, the pre-widen era schema via time travel metadata, a
+    * COLD-reopen aggregate over all eras, and the CDF read across the
+    * boundary (old change slices conform to the wide schema). Oracle
+    * reconstructs every era from the raw table in closed form.
+    */
+  def q279TypeWidening(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_widen").toString
+    val t = MiniLake(s, s"$base/items")
+    val li = lineitem(s, dir).select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("item_id"),
+      col("l_quantity").cast("int").as("qty"))
+    t.create(li.filter(col("item_id") % 3 === 0))            // v0: INT era
+    t.append(li.filter(col("item_id") % 3 === 1)
+        .withColumn("qty", col("qty").cast("long") * 100000000L),
+      mergeSchema = true)                                    // v1: BIGINT
+    t.append(li.filter(col("item_id") % 3 === 2),
+      mergeSchema = true)                                    // v2: narrow in
+    val widened = t.schema("qty").dataType ==
+      org.apache.spark.sql.types.LongType
+    val narrowAtV0 = t.schemaAt(0)("qty").dataType ==
+      org.apache.spark.sql.types.IntegerType
+    val cdfTotal = t.readChanges(0, 2)
+      .agg(coalesce(sum("qty").cast("long"), lit(0L))).head.getLong(0)
+    val fresh = MiniLake(s, s"$base/items")                  // cold reopen
+    fresh.snapshot().agg(count(lit(1)).as("n_rows"),
+        sum("qty").cast("long").as("total_qty"),
+        max("qty").cast("long").as("max_qty"))
+      .select(lit(widened).as("widened"),
+        lit(narrowAtV0).as("narrow_at_v0"),
+        col("n_rows"), col("total_qty"), col("max_qty"),
+        lit(cdfTotal).as("cdf_total"))
+  }
+
+  val q279Oracle: String =
+    """WITH it AS (SELECT l_orderkey * 10 + l_linenumber AS item_id,
+      |  CAST(l_quantity AS INT) AS qty FROM lineitem),
+      |w AS (SELECT CASE WHEN item_id % 3 = 1
+      |  THEN CAST(qty AS BIGINT) * 100000000
+      |  ELSE CAST(qty AS BIGINT) END AS q FROM it)
+      |SELECT TRUE AS widened, TRUE AS narrow_at_v0,
+      |  count(*) AS n_rows, CAST(sum(q) AS BIGINT) AS total_qty,
+      |  CAST(max(q) AS BIGINT) AS max_qty,
+      |  CAST(sum(q) AS BIGINT) AS cdf_total
+      |FROM w""".stripMargin
 
   /** Symlink-format manifest interop (q235) — Delta's
     * `GENERATE symlink_format_manifest` verb: after a lifecycle whose
@@ -1375,6 +1499,8 @@ object Pipeline {
     "q275_protocol_version" -> (q275ProtocolVersion _),
     "q277_timestamp_travel" -> (q277TimestampTravel _),
     "q278_default_column" -> (q278DefaultColumn _),
+    "q279_type_widening" -> (q279TypeWidening _),
+    "q280_identity_concurrent" -> (q280IdentityConcurrent _),
     "q234_generated_partition" -> (q234GeneratedPartition _),
     "q235_symlink_manifest" -> (q235SymlinkManifest _),
     "q250_double_skipping" -> (q250DoubleSkipping _)
@@ -1409,6 +1535,8 @@ object Pipeline {
     "q275_protocol_version" -> q275Oracle,
     "q277_timestamp_travel" -> q277Oracle,
     "q278_default_column" -> q278Oracle,
+    "q279_type_widening" -> q279Oracle,
+    "q280_identity_concurrent" -> q280Oracle,
     "q234_generated_partition" -> q234Oracle,
     "q235_symlink_manifest" -> q235Oracle,
     "q250_double_skipping" -> q250Oracle

@@ -307,12 +307,30 @@ final class MiniLakeCdfSource(lake: MiniLake, startingVersion: Long,
     * sibling (CdfSourceSpec pins this; gate q233 hash-checks it).
     */
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val lo = start.map(versionOf(_) + 1).getOrElse(startingVersion)
+    val lo0 = start.map(versionOf(_) + 1).getOrElse(startingVersion)
     val hi = versionOf(end)
+    // Never RE-serve a version this instance already admitted: if a
+    // restarted capped stream's first offer ever landed BELOW the
+    // engine's WAL-committed offset (admitted resets to
+    // startingVersion−1 on restart), the engine would run an inverted
+    // empty batch, COMMIT its lower offset, and then ask for
+    // (lowOffset, latest] — re-serving versions the pre-restart run
+    // already delivered. The clamp floors the served range at the
+    // cursor, turning that hypothetical re-ask into the schema'd
+    // no-op. On this engine it is a provable identity (Spark's V1
+    // recovery replays the WAL range through getBatch before the
+    // first new trigger, so admitted is seeded to the committed
+    // position before any capped offer — CdfSourceSpec's
+    // "admission cursor" restart test pins this); the clamp makes the
+    // never-redeliver contract hold by construction rather than by
+    // engine version. Legit same-process serving is strictly
+    // advancing (each range served once), so the clamp never
+    // suppresses undelivered data.
+    val lo = math.max(lo0, admitted + 1)
     // advance the admission cursor past everything the engine has
-    // already committed (lo − 1) or is about to (hi) — monotone, so a
+    // already committed (lo0 − 1) or is about to (hi) — monotone, so a
     // restart can only catch up, never re-admit served versions
-    admitted = math.max(admitted, math.max(hi, lo - 1))
+    admitted = math.max(admitted, math.max(hi, lo0 - 1))
     // fail FAST when the table no longer reads under the pinned
     // schema: readChanges conforms every slice to the CURRENT table
     // schema, so a mid-stream evolution would otherwise hand the V1

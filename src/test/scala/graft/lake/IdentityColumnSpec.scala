@@ -74,17 +74,66 @@ class IdentityColumnSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(ex.getMessage.contains("cannot be user-supplied"))
   }
 
-  test("merge/concurrent verbs refuse identity tables explicitly") {
+  test("remaining multi-writer verbs refuse identity tables " +
+      "explicitly (no reservation discipline yet)") {
     val t = MiniLake.identity(spark, dir, "row_id")
     t.create(kv(1L -> "a").orderBy("key"))
-    val exM = intercept[IllegalArgumentException] {
-      t.merge(kv(2L -> "b"), kv(), Seq("key"))
+    val exU = intercept[IllegalArgumentException] {
+      t.mergeUpdate(kv(1L -> "A"), Seq("key"))
     }
-    assert(exM.getMessage.contains("not supported"))
-    val exC = intercept[IllegalArgumentException] {
-      t.appendConcurrent(kv(2L -> "b"))
+    assert(exU.getMessage.contains("not supported"))
+    val exA = intercept[IllegalArgumentException] {
+      t.appendIfAbsent(kv(2L -> "b"), "app", 1L)
     }
-    assert(exC.getMessage.contains("not supported"))
+    assert(exA.getMessage.contains("not supported"))
+  }
+
+  test("merge assigns ids only to rows that actually INSERT, " +
+      "continuing from the high water; delete preimages keep ids") {
+    val t = MiniLake.identity(spark, dir, "row_id")
+    t.create(kv(1L -> "a", 2L -> "b", 3L -> "c").orderBy("key")) // 1..3
+    // key 2 re-inserted (idempotent no-op: consumes NO id), key 4 new
+    val (nIns, nDel) = t.merge(
+      inserts = kv(2L -> "b2", 4L -> "d").orderBy("key"),
+      deletes = kv(3L -> "c"), pks = Seq("key"))
+    assert((nIns, nDel) === ((1L, 1L)))
+    assert(ids(t) === Map(1L -> 1L, 2L -> 2L, 4L -> 4L))
+    // the change feed carries assigned ids on inserts and the doomed
+    // row's id on the delete preimage
+    val ch = t.readChanges(1, 1).select("key", "row_id", "_change_type")
+      .as[(Long, Long, String)].collect().toSet
+    assert(ch === Set((4L, 4L, "insert"), (3L, 3L, "delete")))
+    // merging ON the identity column is refused (inserts can't name it)
+    val ex = intercept[IllegalArgumentException] {
+      t.merge(kv(9L -> "z"), kv(), Seq("row_id", "key"))
+    }
+    assert(ex.getMessage.contains("can never supply it"))
+  }
+
+  test("appendConcurrent reserves id ranges: 4 racing writers, no " +
+      "duplicate or reused id, contiguous coverage") {
+    val t = MiniLake.identity(spark, dir, "row_id")
+    t.create(kv(0L -> "seed").orderBy("key"))                  // id 1
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (1 to 4).map { w =>
+      Future {
+        val rows = (1 to 25).map(i => (w * 100L + i) -> s"w$w-$i")
+        MiniLake(spark, dir).appendConcurrent(kv(rows: _*).orderBy("key"))
+      }
+    }
+    Await.result(Future.sequence(writers), Duration.Inf)
+    val assigned = t.snapshot().select("row_id").as[Long].collect()
+    assert(assigned.length === 101)
+    // every id exactly once, and — because each reservation claims a
+    // contiguous block sized to its batch — coverage is exactly 1..101
+    assert(assigned.distinct.length === 101)
+    assert(assigned.sorted.toSeq === (1L to 101L))
+    // the recovered high water continues past all reservations
+    t.append(kv(999L -> "tail").orderBy("key"))
+    assert(t.snapshot().filter(col("key") === 999L)
+      .select("row_id").as[Long].head() === 102L)
   }
 
   test("shallow clone carries the identity spec AND high water") {

@@ -145,6 +145,97 @@ class MergeUpdateCloneSpec extends AnyFunSuite with BeforeAndAfterEach {
     MiniLake.deleteRecursively(cdir)
   }
 
+  test("clone of a RENAMED source reads pre-rename bytes under the " +
+      "new name across eras; source and clone then diverge") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a", 2L -> "b"))                  // v0: era 'value'
+    t.renameColumn("value", "payload")                  // v1
+    t.append(Seq(3L -> "c").toDF("key", "payload"))     // v2: era 'payload'
+    val cdir = dir + "_rnclone"
+    val c = MiniLake.shallowClone(spark, dir, cdir)
+    // clone history begins at the source's clone-point version
+    assert(c.latestVersion === 2L)
+    assert(c.snapshot().orderBy("key").as[(Long, String)]
+      .collect().toSeq === Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(c.schema.fieldNames.toSeq === Seq("key", "payload"))
+    // a COLD reopen resolves the carried chain from the log alone
+    assert(MiniLake(spark, cdir).snapshot().orderBy("key")
+      .as[(Long, String)].collect().toSeq ===
+      Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+    // the clone renames again independently: both rename hops fold
+    // forward for pre-rename eras; the source keeps its name
+    c.renameColumn("payload", "body")
+    c.append(Seq(4L -> "d").toDF("key", "body"))
+    assert(c.snapshot().orderBy("key").select("body").as[String]
+      .collect().toSeq === Seq("a", "b", "c", "d"))
+    assert(t.schema.fieldNames.toSeq === Seq("key", "payload"))
+    // time travel below the clone point is an explicit error
+    val ex = intercept[IllegalArgumentException] { c.snapshot(asOf = 0) }
+    assert(ex.getMessage.contains("clone-point"))
+    MiniLake.deleteRecursively(cdir)
+  }
+
+  test("clone of a source with a REBORN column nulls the dropped " +
+      "incarnation's bytes for pre-rebirth eras") {
+    val t = MiniLake(spark, dir)
+    t.create(Seq((1L, "a", "old1"), (2L, "b", "old2"))
+      .toDF("key", "value", "tag"))                     // v0: tag v1 era
+    t.dropColumn("tag")                                 // v1
+    t.append(Seq((3L, "c", "new3")).toDF("key", "value", "tag"),
+      mergeSchema = true)                               // v2: tag reborn
+    val cdir = dir + "_rbclone"
+    val c = MiniLake.shallowClone(spark, dir, cdir)
+    val rows = c.snapshot().orderBy("key")
+      .as[(Long, String, Option[String])].collect().toSeq
+    // pre-rebirth files must NOT resurrect old1/old2
+    assert(rows === Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some("new3"))))
+    // the tombstone carried: renaming INTO a name whose physical
+    // bytes old cloned files still hold is refused on the clone too
+    c.dropColumn("tag")
+    val ex = intercept[IllegalArgumentException] {
+      c.renameColumn("value", "tag")
+    }
+    assert(ex.getMessage.contains("previously dropped"))
+    MiniLake.deleteRecursively(cdir)
+  }
+
+  test("clone carries the initial-default map: pre-add files read " +
+      "the declared default, not NULL (cold reopen too)") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a"))                             // v0: pre-add era
+    t.addColumn("tier", "STRING", "'base'")             // v1
+    t.append(Seq((2L, "b", "gold")).toDF("key", "value", "tier")) // v2
+    val cdir = dir + "_defclone"
+    val c = MiniLake.shallowClone(spark, dir, cdir)
+    assert(c.snapshot().orderBy("key")
+      .as[(Long, String, String)].collect().toSeq ===
+      Seq((1L, "a", "base"), (2L, "b", "gold")))
+    // default materializes on the clone's own omitting appends too
+    val fresh = MiniLake(spark, cdir)
+    fresh.append(kv(3L -> "c"))
+    assert(fresh.snapshot().orderBy("key").select("tier").as[String]
+      .collect().toSeq === Seq("base", "gold", "base"))
+    MiniLake.deleteRecursively(cdir)
+  }
+
+  test("a chained clone of a column-mapped clone composes the era " +
+      "state") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a"))                             // v0
+    t.renameColumn("value", "payload")                  // v1
+    val c1dir = dir + "_c1"
+    val c1 = MiniLake.shallowClone(spark, dir, c1dir)
+    c1.append(Seq(2L -> "b").toDF("key", "payload"))    // clone era
+    c1.renameColumn("payload", "body")
+    val c2dir = dir + "_c2"
+    val c2 = MiniLake.shallowClone(spark, c1dir, c2dir)
+    assert(c2.snapshot().orderBy("key").select("body").as[String]
+      .collect().toSeq === Seq("a", "b"))
+    MiniLake.deleteRecursively(c1dir)
+    MiniLake.deleteRecursively(c2dir)
+  }
+
   test("overwrite and mergeUpdate compute absent generated columns") {
     val t = MiniLake.generated(spark, dir,
       generatedCols = Seq("value_len" -> "length(value)"))

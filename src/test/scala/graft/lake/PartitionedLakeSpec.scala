@@ -186,4 +186,29 @@ class PartitionedLakeSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
     assert(ex.getMessage.contains("outside the replaced set"))
   }
+
+  test("replacePartitions retires DV sidecars whose every target is " +
+      "replaced, keeps sidecars with surviving targets") {
+    val t = MiniLake.partitioned(spark, dir, Seq("day"))
+    t.create(days(("2024-01-01", 1L, "a"), ("2024-01-01", 2L, "b"),
+      ("2024-01-02", 3L, "c"), ("2024-01-02", 4L, "d")))        // v0
+    // one DV commit per day → each sidecar targets only that day's file
+    t.deleteVectored(col("id") === 2L)                          // v1
+    t.deleteVectored(col("id") === 4L)                          // v2
+    assert(t.state(t.latestVersion).liveDvFiles.size === 2)
+    // replacing day 1 removes its data files → its DV sidecar is dead
+    // state and must retire with the commit; day 2's stays live (its
+    // target file survives and the vectored delete must keep applying)
+    t.replacePartitions(p => p("day") == "2024-01-01",
+      days(("2024-01-01", 9L, "z")))                            // v3
+    assert(t.state(t.latestVersion).liveDvFiles.size === 1)
+    assert(t.snapshot().select("id").as[Long].collect().sorted.toSeq ===
+      Seq(3L, 9L))
+    // replacing day 2 retires the last sidecar
+    t.replacePartitions(p => p("day") == "2024-01-02",
+      days(("2024-01-02", 8L, "y")))                            // v4
+    assert(t.state(t.latestVersion).liveDvFiles.isEmpty)
+    assert(t.snapshot().select("id").as[Long].collect().sorted.toSeq ===
+      Seq(8L, 9L))
+  }
 }

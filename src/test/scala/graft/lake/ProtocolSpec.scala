@@ -44,6 +44,27 @@ class ProtocolSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(MiniLake(spark, dir).protocolVersion === 3L)
   }
 
+  test("initial-default add-column stamps reader protocol 4: a " +
+      "pre-defaults reader must refuse, not silently read NULL for " +
+      "pre-add rows") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a", 2L -> "b"))
+    assert(t.protocolVersion === 1L)
+    // defaults are reader-affecting: pre-add files are FILLED AT READ
+    // time from addDefaults, so a build that predates the feature
+    // would ignore the key and read NULL where 'x' belongs — the very
+    // skew minReader exists to refuse
+    t.addColumn("tag", "STRING", "'x'")
+    assert(t.protocolVersion === 4L)
+    spark.conf.set("graft.lake.maxSupportedReader", "3")
+    val old = MiniLake(spark, dir)
+    val ex = intercept[IllegalStateException] { old.snapshot().count() }
+    assert(ex.getMessage.contains("requires reader protocol version 4"))
+    spark.conf.unset("graft.lake.maxSupportedReader")
+    assert(MiniLake(spark, dir).snapshot()
+      .filter(col("tag") === "x").count() === 2L)
+  }
+
   test("an under-capable reader refuses reads AND writes with the " +
       "upgrade error") {
     val t = MiniLake(spark, dir)
@@ -60,8 +81,8 @@ class ProtocolSpec extends AnyFunSuite with BeforeAndAfterEach {
   }
 
   test("clone protocol reflects the CLONE's own log: DVs carry (2); " +
-      "a column-mapped source is refused rather than silently " +
-      "NULL-read") {
+      "a column-mapped source clones at 3 and reads era-correct " +
+      "values, never NULL") {
     val t = MiniLake(spark, dir)
     t.create(kv(1L -> "a", 2L -> "b"))
     t.deleteVectored(col("key") === 2L)      // source: protocol 2
@@ -74,15 +95,21 @@ class ProtocolSpec extends AnyFunSuite with BeforeAndAfterEach {
         Seq("a"))
     } finally MiniLake.deleteRecursively(cloneDir)
     // a renamed source's per-era physical names live only in ITS log:
-    // a metadata-only clone would read NULL for the renamed column —
-    // the clone must refuse, not corrupt
+    // the clone entry carries the rename chain + era schemas, stamps
+    // protocol 3, and reads the pre-rename bytes under the new name
     t.renameColumn("value", "payload")       // source: protocol 3
     val cloneDir2 = Files.createTempDirectory("protoclone2").toString + "/c"
     try {
-      val ex = intercept[IllegalArgumentException] {
-        MiniLake.shallowClone(spark, dir, cloneDir2)
+      val c2 = MiniLake.shallowClone(spark, dir, cloneDir2)
+      assert(c2.protocolVersion === 3L)
+      assert(c2.snapshot().select("payload").as[String].collect().toSeq
+        === Seq("a"))
+      // an under-capable reader refuses the clone like the source
+      spark.conf.set("graft.lake.maxSupportedReader", "2")
+      intercept[IllegalStateException] {
+        MiniLake(spark, cloneDir2).snapshot().count()
       }
-      assert(ex.getMessage.contains("column-mapping history"))
+      spark.conf.unset("graft.lake.maxSupportedReader")
     } finally MiniLake.deleteRecursively(cloneDir2)
   }
 }

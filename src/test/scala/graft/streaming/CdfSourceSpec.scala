@@ -204,6 +204,45 @@ class CdfSourceSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(batches.map(_._2).sum === t.readChanges(0, 6).count())
   }
 
+  test("rate-limited checkpointed restart never redelivers committed " +
+      "versions (admission cursor must not regress the WAL)") {
+    val t = MiniLake.compact(spark, dir)
+    t.create(kv(1L -> "a"))                                    // v0
+    for (i <- 2L to 5L) t.append(kv(i -> s"v$i"))              // v1..v4
+    val ckpt = Files.createTempDirectory("cdfcap_rs").toString
+    def run(): Seq[(Long, Long)] = {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val q = spark.readStream
+        .format(classOf[MiniLakeCdfSourceProvider].getName)
+        .option("path", dir)
+        .option("maxCommitsPerBatch", "2")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            seen.synchronized {
+              seen ++= b.select("key", MiniLake.CommitVersion).collect()
+                .map(r => (r.getLong(0), r.getLong(1)))
+            }
+            ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      seen.toSeq
+    }
+    assert(run().map(_._2).distinct.sorted === Seq(0L, 1L, 2L, 3L, 4L))
+    // append a backlog LARGER than the cap and restart with the same
+    // checkpoint: the first capped offer lands below the WAL-committed
+    // offset — versions the first run already delivered must NOT come
+    // back, only the new backlog (in capped batches)
+    for (i <- 6L to 9L) t.append(kv(i -> s"v$i"))              // v5..v8
+    val second = run()
+    assert(second.map(_._2).distinct.sorted === Seq(5L, 6L, 7L, 8L),
+      s"redelivered committed versions: $second")
+    // idle restart delivers nothing
+    assert(run() === Seq.empty)
+  }
+
   test("maxCommitsPerBatch rejects non-positive values") {
     val t = MiniLake.compact(spark, dir)
     t.create(kv(1L -> "a"))
