@@ -914,8 +914,136 @@ object Features {
     * (and pin the broadcast and co-partitioned-join transports equal
     * across the size switch).
     */
+  /** Edge ceiling for the SINGLE-TASK coreness path: below it the
+    * whole fixpoint runs as exact Matula–Beck bucket peeling inside
+    * one `mapPartitions` task — one Spark job instead of ~40 rounds ×
+    * (broadcast build + window + checkpoint + sum) whose SCHEDULING is
+    * the measured floor at gate scale (profiled: every stride/
+    * partition variant of the distributed loop converges to ~9-10 s
+    * at sf0.1 because ~80 tiny jobs cost ~0.2 s each; the peel is one
+    * O(E) task). At 4M edges the task holds two long arrays + a CSR
+    * int array ≈ 100 MB — comfortably inside one executor core's
+    * share, the same envelope q154's edge-cap switch uses. Above the
+    * cap the distributed h-index loop below runs unchanged (it is the
+    * 100 TB path, and the 10× scale corpus exceeds the cap, so
+    * SCALE.md keeps measuring the distributed shape).
+    * `graft.coreness.localMaxEdges` overrides (tests set 0 to force
+    * the distributed loop; FeatureSpec pins both paths equal).
+    */
+  val CorenessLocalMaxEdges = 4000000L
+
+  /** Exact coreness histogram by Batagelj–Zaveršnik bucket peeling in
+    * one task — the sub-[[CorenessLocalMaxEdges]] arm of
+    * [[corenessHistogram]]. The iterated h-index the distributed loop
+    * computes CONVERGES to coreness (Lü et al. 2016), so the two arms
+    * agree exactly; the peel just reaches the fixpoint in one O(E)
+    * pass instead of ~40 scheduled rounds.
+    */
+  private def corenessLocalHistogram(s: SparkSession,
+      edges: DataFrame): DataFrame = {
+    import s.implicits._
+    val hist = edges.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val us = new scala.collection.mutable.ArrayBuffer[Long]()
+        val vs = new scala.collection.mutable.ArrayBuffer[Long]()
+        val idx = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+        var n = 0
+        def id(x: Long): Int = {
+          val got = idx.get(x)
+          if (got == null) { idx.put(x, n); n += 1; n - 1 }
+          else got.intValue()
+        }
+        it.foreach { case (u, v) => us += u; vs += v }
+        val m = us.length
+        val eu = new Array[Int](m); val ev = new Array[Int](m)
+        var i = 0
+        while (i < m) { eu(i) = id(us(i)); ev(i) = id(vs(i)); i += 1 }
+        // CSR adjacency
+        val deg = new Array[Int](n)
+        i = 0
+        while (i < m) { deg(eu(i)) += 1; deg(ev(i)) += 1; i += 1 }
+        val off = new Array[Int](n + 1)
+        i = 0
+        while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+        val adj = new Array[Int](2 * m)
+        val cur = java.util.Arrays.copyOf(off, n)
+        i = 0
+        while (i < m) {
+          adj(cur(eu(i))) = ev(i); cur(eu(i)) += 1
+          adj(cur(ev(i))) = eu(i); cur(ev(i)) += 1
+          i += 1
+        }
+        // bucket-sorted peel: process vertices in increasing current
+        // degree; a vertex's degree at removal is its coreness
+        val maxDeg = if (n == 0) 0 else deg.max
+        val bin = new Array[Int](maxDeg + 2)
+        i = 0
+        while (i < n) { bin(deg(i) + 1) += 1; i += 1 }
+        i = 1
+        while (i <= maxDeg + 1) { bin(i) += bin(i - 1); i += 1 }
+        val pos = new Array[Int](n)   // vertex -> index in vert
+        val vert = new Array[Int](n)  // sorted by current degree
+        val binStart = java.util.Arrays.copyOf(bin, maxDeg + 2)
+        i = 0
+        while (i < n) {
+          pos(i) = binStart(deg(i)); vert(pos(i)) = i
+          binStart(deg(i)) += 1; i += 1
+        }
+        val core = new Array[Int](n)
+        i = 0
+        while (i < n) {
+          val v = vert(i)
+          core(v) = deg(v)
+          var j = off(v)
+          while (j < off(v + 1)) {
+            val u = adj(j)
+            if (deg(u) > deg(v)) {
+              // swap u to the front of its degree bucket, then shrink
+              val du = deg(u); val pu = pos(u)
+              val pw = bin(du); val w = vert(pw)
+              if (u != w) {
+                pos(u) = pw; vert(pw) = u
+                pos(w) = pu; vert(pu) = w
+              }
+              bin(du) += 1
+              deg(u) -= 1
+            }
+            j += 1
+          }
+          i += 1
+        }
+        val counts = new java.util.HashMap[Int, Long]()
+        i = 0
+        while (i < n) { counts.merge(core(i), 1L, (a, b) => a + b); i += 1 }
+        import scala.jdk.CollectionConverters._
+        counts.asScala.iterator.map { case (c, k) => (c.toLong, k) }
+      }
+      .toDF("coreness", "n_nodes")
+    hist.orderBy("coreness")
+  }
+
   private[graft] def corenessHistogram(s: SparkSession,
       edges: DataFrame): DataFrame = {
+    // size-based arm switch, MEASURED not assumed (the q154/q198-
+    // transport discipline): one edge count (persisted, reused by the
+    // distributed arm's sym build) picks single-task exact peeling at
+    // gate scale or the iterated-h-index loop at cluster scale
+    val localCap = s.conf.getOption("graft.coreness.localMaxEdges")
+      .map(_.toLong).getOrElse(CorenessLocalMaxEdges)
+    if (localCap > 0) {
+      val e = edges.persist()
+      val m = e.count()
+      if (m <= localCap) {
+        val out = corenessLocalHistogram(s, e)
+        val rows = out.collect() // histogram-sized (max-coreness rows)
+        e.unpersist(false)
+        return s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), out.schema)
+      }
+      e.unpersist(false)
+    }
     // hash-partition the edge list by the window/groupBy key ONCE:
     // every round's window and aggregation then run on the standing
     // partitioning with ZERO per-round shuffles — the h frame travels

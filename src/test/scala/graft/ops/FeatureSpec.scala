@@ -108,21 +108,51 @@ class FeatureSpec extends AnyFunSuite {
     val clique = for (i <- 1 to 5; j <- (i + 1) to 5) yield (i.toLong, j.toLong)
     val path = Seq((5L, 6L), (6L, 7L), (7L, 8L))
     val edges = (clique ++ path).toDF("u", "v")
+    // default path at this size: single-task exact peeling
     val hist = Features.corenessHistogram(spark, edges).collect()
       .map(r => (r.getAs[Long]("coreness"), r.getAs[Long]("n_nodes")))
       .toMap
     assert(hist === Map(1L -> 3L, 4L -> 5L), hist)
-    // the co-partitioned-join transport (node count above the
-    // broadcast ceiling — forced here by a 0 ceiling) must reach the
-    // identical fixpoint: the switch changes the message transport,
-    // never the answer
-    spark.conf.set("graft.coreness.broadcastMaxNodes", "0")
+    // the DISTRIBUTED h-index loop (forced by a 0 local cap) must
+    // reach the identical fixpoint — iterated h-index converges to
+    // coreness, so the arm switch changes the execution, never the
+    // answer; and within it, the co-partitioned-join transport
+    // (forced by a 0 broadcast ceiling) must agree too
+    spark.conf.set("graft.coreness.localMaxEdges", "0")
     try {
-      val joined = Features.corenessHistogram(spark, edges).collect()
+      val looped = Features.corenessHistogram(spark, edges).collect()
         .map(r => (r.getAs[Long]("coreness"), r.getAs[Long]("n_nodes")))
         .toMap
-      assert(joined === hist, "join transport diverged from broadcast")
-    } finally spark.conf.unset("graft.coreness.broadcastMaxNodes")
+      assert(looped === hist, "distributed loop diverged from peel")
+      spark.conf.set("graft.coreness.broadcastMaxNodes", "0")
+      try {
+        val joined = Features.corenessHistogram(spark, edges).collect()
+          .map(r => (r.getAs[Long]("coreness"), r.getAs[Long]("n_nodes")))
+          .toMap
+        assert(joined === hist, "join transport diverged from broadcast")
+      } finally spark.conf.unset("graft.coreness.broadcastMaxNodes")
+    } finally spark.conf.unset("graft.coreness.localMaxEdges")
+  }
+
+  test("q198: local peel equals the distributed loop on a random-ish " +
+      "synthetic graph (arm-switch equivalence at a non-toy size)") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: 400 nodes, edges from a
+    // quadratic-residue pattern — dense core + sparse fringe
+    val edges = (0 until 4000).map { i =>
+      val u = (i * i * 7 + i) % 400
+      val v = (i * 13 + 5) % 400
+      (math.min(u, v).toLong, math.max(u, v).toLong)
+    }.filter(e => e._1 != e._2).distinct.toDF("u", "v")
+    val local = Features.corenessHistogram(spark, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    spark.conf.set("graft.coreness.localMaxEdges", "0")
+    try {
+      val dist = Features.corenessHistogram(spark, edges).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(local === dist)
+      assert(local.values.sum === 400L) // every node reported once
+    } finally spark.conf.unset("graft.coreness.localMaxEdges")
   }
 
   test("q252: Mood's median test fires on shifted groups, stays " +

@@ -67,11 +67,13 @@ object CorenessProfile {
     }
 
     def loop(label: String, stride: Int, extraCount: Boolean,
-        step: DataFrame => (DataFrame => DataFrame)): Unit = {
+        step: DataFrame => (DataFrame => DataFrame),
+        forceParts: Int = 0): Unit = {
       for (r <- 1 to reps) {
         val t0 = System.nanoTime()
         val e = edges()
-        val parts = math.max(8, e.rdd.getNumPartitions)
+        val parts = if (forceParts > 0) forceParts
+          else math.max(8, e.rdd.getNumPartitions)
         val sym = e.select(col("u").as("node"), col("v").as("nb"))
           .union(e.select(col("v").as("node"), col("u").as("nb")))
           .repartition(parts, col("node"))
@@ -84,7 +86,7 @@ object CorenessProfile {
         var changed = true
         var rounds = 0
         while (changed && rounds < 1000) {
-          h = (if (stride == 2) st(st(h)) else st(h)).localCheckpoint()
+          h = Iterator.iterate(h)(st).drop(stride).next().localCheckpoint()
           val s2 = h.agg(coalesce(sum("h"), lit(0L))).head().getLong(0)
           changed = s2 != prevSum
           prevSum = s2
@@ -97,11 +99,15 @@ object CorenessProfile {
       }
     }
 
-    loop("r9:rowNumber-stride1", 1, extraCount = false, stepRowNumber _)
-    loop("hist-stride1", 1, extraCount = false, stepHistogram _)
-    loop("hist-stride2", 2, extraCount = false, stepHistogram _)
-    loop("hist-stride2+count", 2, extraCount = true, stepHistogram _)
-    loop("rowNumber-stride2", 2, extraCount = false, stepRowNumber _)
+    // warm all codegen paths once, then measure in noise-separating
+    // interleaved order
+    loop("warm", 2, extraCount = true, stepHistogram _)
+    loop("hist-stride4-p8", 4, extraCount = true, stepHistogram _, 8)
+    loop("hist-stride2-p32", 2, extraCount = true, stepHistogram _, 32)
+    loop("hist-stride2-p8", 2, extraCount = true, stepHistogram _, 8)
+    loop("hist-stride4", 4, extraCount = true, stepHistogram _)
+    loop("hist-stride3", 3, extraCount = true, stepHistogram _)
+    loop("hist-stride2", 2, extraCount = true, stepHistogram _)
     spark.stop()
   }
 }
