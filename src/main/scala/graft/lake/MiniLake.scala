@@ -1151,6 +1151,29 @@ final class MiniLake(spark: SparkSession, val path: String,
   /** `TIMESTAMP AS OF` read: [[snapshot]] at [[versionAt]]. */
   def snapshotAt(tsMillis: Long): DataFrame = snapshot(versionAt(tsMillis))
 
+  /** CDF from a TIMESTAMP — Delta's `startingTimestamp` semantics,
+    * the mirror image of [[versionAt]]'s backward resolution: the
+    * starting version is the FIRST commit stamped AT OR AFTER
+    * `tsMillis` (commit stamps are non-decreasing by publish order),
+    * so "changes since 9am" never silently includes the 8:59 commit.
+    * An instant after the latest commit is an explicit error (Delta's
+    * timestampGreaterThanLatestCommit), never an empty feed — an
+    * empty answer to "what changed since X" must mean "nothing", not
+    * "you asked past the end of history".
+    */
+  def readChangesSince(tsMillis: Long): DataFrame = {
+    val vs = listVersions
+    require(vs.nonEmpty, s"table $path does not exist")
+    vs.find(v => readEntry(v).timestampMs >= tsMillis) match {
+      case Some(v) => readChanges(v, latestVersion)
+      case None => throw new IllegalArgumentException(
+        s"no version of $path committed at or after timestamp " +
+          s"$tsMillis (latest is ${readEntry(vs.last).timestampMs}); " +
+          "a CDF start past the end of history is an error, not an " +
+          "empty feed")
+    }
+  }
+
   def schemaAt(v: Long): StructType =
     DataType.fromJson(readEntry(v).schemaJson).asInstanceOf[StructType]
 
@@ -2064,10 +2087,13 @@ final class MiniLake(spark: SparkSession, val path: String,
     // reservation version, not on the ids; the expensive distributed
     // data write happens exactly once per writer either way.
     var persisted: Option[DataFrame] = None
+    // write-defaults materialize on every insert path (append parity):
+    // an omitting batch must not fail the schema match just because it
+    // arrived through the concurrent verb
     val df = identitySpec match {
-      case None => withGenerated(batch)
+      case None => withDefaults(withGenerated(batch))
       case Some(spec) =>
-        val g = withGenerated(batch)
+        val g = withDefaults(withGenerated(batch))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         persisted = Some(g)
         val n = g.rdd.count()
@@ -2715,7 +2741,22 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   val DefaultVacuumRetainMillis: Long = 7L * 24 * 60 * 60 * 1000
 
-  def vacuum(retainMillis: Long = DefaultVacuumRetainMillis): Unit = {
+  def vacuum(retainMillis: Long = DefaultVacuumRetainMillis): Unit =
+    reclaimableFiles(retainMillis).foreach(p =>
+      Files.delete(Paths.get(p)))
+
+  /** VACUUM ... DRY RUN (Delta's audit verb): the exact file list
+    * [[vacuum]] would reclaim at this retention, WITHOUT deleting
+    * anything — the look-before-an-irreversible-delete step every
+    * retention runbook wants (vacuum is the one MiniLake operation
+    * that cannot be undone by time travel: it removes bytes, not log
+    * state). Metadata + one directory walk, no data read.
+    */
+  def vacuumDryRun(
+      retainMillis: Long = DefaultVacuumRetainMillis): Seq[String] =
+    reclaimableFiles(retainMillis)
+
+  private def reclaimableFiles(retainMillis: Long): Seq[String] = {
     val st = state(latestVersion)
     val live = st.liveFiles.toSet
     // data files of insert-only commits double as that commit's change
@@ -2734,8 +2775,9 @@ final class MiniLake(spark: SparkSession, val path: String,
     val liveDvs = st.liveDvFiles.toSet
     val protectedFiles = live ++ changeBacked ++ listedChanges ++ liveDvs
     val cutoff = System.currentTimeMillis() - retainMillis
-    Seq("data", "changes", "dv").map(root.resolve).foreach { d =>
-      if (Files.isDirectory(d)) {
+    Seq("data", "changes", "dv").map(root.resolve).flatMap { d =>
+      if (!Files.isDirectory(d)) Seq.empty[String]
+      else {
         // legacy layout: entries without a changeFiles list own their
         // whole changes/v=<v> directory — leave those subtrees alone
         val legacyDirs = st.legacyVersions
@@ -2745,7 +2787,7 @@ final class MiniLake(spark: SparkSession, val path: String,
           .filterNot(p => protectedFiles.contains(p.toString))
           .filterNot(p => legacyDirs.exists(p.startsWith))
           .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-          .foreach(Files.delete))
+          .map(_.toString).toSeq)
       }
     }
   }
@@ -2843,6 +2885,117 @@ final class MiniLake(spark: SparkSession, val path: String,
     }
     doomed.unpersist()
     nDel
+  }
+
+  /** [[deleteVectored]] under OPTIMISTIC CONCURRENCY — row-level
+    * concurrent DELETEs, Delta's WriteSerializable conflict rules
+    * specialized to the DV path (mergeConcurrent covers rewrite
+    * commits; this covers sidecar commits). The doomed (file,
+    * position) sidecar and the CDF preimages are computed and written
+    * ONCE against the snapshot at entry; then the log publish races.
+    * On losing, every winner committed since the read version is
+    * examined:
+    *  - a blind append / create / identity reservation with an
+    *    unchanged schema cannot invalidate recorded positions
+    *    (positions are per-file and published files are immutable) —
+    *    retry the publish. WriteSerializable semantics: the winner's
+    *    new rows are NOT re-evaluated against this delete's predicate
+    *    (Delta draws the same line for DELETE vs blind append);
+    *  - a concurrent DV delete whose sidecar targets a DISJOINT file
+    *    set cannot overlap a position — stacked DVs compose — retry;
+    *  - anything else (rewrites/removes, a DV delete sharing a target
+    *    file — its positions might overlap ours and CDF would
+    *    double-publish preimages — schema changes, renames, DV
+    *    retirements) invalidates the snapshot this delete was
+    *    computed from: throw ConcurrentModificationException and the
+    *    caller re-runs against fresh state, exactly Delta's
+    *    ConcurrentDeleteDeleteException contract.
+    */
+  def deleteVectoredConcurrent(pred: Column,
+      maxRetries: Int = 32): Long =
+    deleteVectoredConcurrentImpl(pred, maxRetries, () => ())
+
+  /** Test seam: `beforePublish` runs after the sidecar write, before
+    * the first publish attempt — the window a conflicting winner can
+    * land in deterministically. */
+  private[lake] def deleteVectoredConcurrentImpl(pred: Column,
+      maxRetries: Int, beforePublish: () => Unit): Long =
+      withCommitPlanning {
+    val readV = latestVersion
+    val files = liveFiles(readV)
+    val sch = schema
+    val matched = coalesce(pred, lit(false))
+    if (files.isEmpty) return 0L
+    val base = readFiles(files, readV, keepPos = true)
+    val doomed = base.filter(matched)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDel = doomed.rdd.count()
+    val myTargets: Set[String] =
+      if (nDel == 0) Set.empty
+      else doomed.select(col(DvFileCol)).distinct()
+        .collect().map(r => MiniLake.localPath(r.getString(0))).toSet
+    val (dvFiles, chg) =
+      if (nDel == 0) (Seq.empty[String], Seq.empty[String])
+      else {
+        val dvDir = attemptDir("dv", readV)
+        inParallel(
+          {
+            doomed.select(col(DvFileCol), col(DvPosCol))
+              .coalesce(filesFor(nDel)).write.parquet(dvDir.toString)
+            parquetFilesIn(dvDir)
+          },
+          writeChanges(doomed.drop(DvFileCol, DvPosCol)
+            .withColumn(ChangeType, lit("delete")), readV,
+            rowHint = Some(nDel)))
+      }
+    doomed.unpersist()
+    beforePublish()
+    def winnerSafe(e: CommitEntry): Boolean = {
+      val schemaUnchanged = e.schemaJson == sch.json
+      val blindAdd = e.removes.isEmpty && e.dvAdds.isEmpty &&
+        e.dvRemoves.isEmpty && e.renames.isEmpty && schemaUnchanged
+      if (blindAdd) true
+      else if (e.removes.isEmpty && e.dvRemoves.isEmpty &&
+        e.renames.isEmpty && schemaUnchanged && e.dvAdds.nonEmpty) {
+        // DV-delete winner: safe iff its sidecar's target files are
+        // disjoint from ours (metadata-sized read of a small sidecar)
+        val theirs = spark.read.schema(MiniLake.DvSchema)
+          .parquet(e.dvAdds: _*).select(col(DvFileCol)).distinct()
+          .collect().map(r => MiniLake.localPath(r.getString(0))).toSet
+        theirs.intersect(myTargets).isEmpty
+      } else false
+    }
+    var attempt = 0
+    while (true) {
+      val v = nextVersion
+      // every commit that landed after our snapshot must commute with
+      // this delete — checked BEFORE each publish attempt (a winner
+      // landing after the check necessarily takes the version this
+      // writer is about to claim, forcing a collision and the next
+      // iteration's re-check — the mergeConcurrent discipline)
+      listVersions.filter(_ > readV).foreach { w =>
+        val e = readEntry(w)
+        if (!winnerSafe(e))
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent ${e.mode} at version $w of $path " +
+              "invalidated this delete's snapshot (rewrite, " +
+              "shared DV target file, or schema change): re-run " +
+              "against fresh state")
+      }
+      try {
+        writeEntry(CommitEntry(v, "delete-dv", System.currentTimeMillis(),
+          sch.json, Seq.empty, Seq.empty, hasChanges = nDel > 0,
+          bucketSpec = bucketSpec, changeFiles = chg, dvAdds = dvFiles))
+        return nDel
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          require(attempt <= maxRetries,
+            s"deleteVectoredConcurrent on $path lost $maxRetries " +
+              "commit races, giving up")
+      }
+    }
+    -1L // unreachable
   }
 
   /** Fold live deletion vectors into clean data files (Delta's

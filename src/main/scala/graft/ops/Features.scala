@@ -2930,6 +2930,113 @@ object Features {
     * to 6 dp and DECIMAL-quantized before the order-independent sum.
     * χ² vs the df=2 critical value 5.991.
     */
+  /** Robust location/dispersion suite (q285) — median, MAD,
+    * 5%-winsorized mean, 5%-trimmed mean of order quantities, all
+    * EXACT from one bounded-domain value histogram (the q252
+    * machinery: l_quantity lives on ≤50 integer values, so the
+    * histogram is ≤50 rows of driver state at ANY corpus size and
+    * every order statistic is an exact integer — no percentile
+    * interpolation semantics to disagree about between engines).
+    * Lower-median convention (position ⌈n/2⌉) throughout; trimming is
+    * COUNT-based (⌊n/20⌋ from each end, partial buckets taken
+    * exactly); winsorizing is VALUE-based at the P5/P95 order
+    * statistics. The robust row completes the stats family: q236/q256
+    * compare means, q252 locations, q257 effect sizes — this is the
+    * outlier-immune summary a data-quality dashboard actually prints.
+    */
+  def q285RobustStats(s: SparkSession, dir: String): DataFrame = {
+    val hist = lineitem(s, dir)
+      .filter(col("l_quantity").isNotNull) // nulls carry no location
+      .select(col("l_quantity").cast("long").as("q"))
+      .groupBy("q").agg(count(lit(1)).as("n"))
+      .orderBy("q").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nt = hist.map(_._2).sum
+    val st = hist.map { case (q, n) => q * n }.sum
+    def atPos(h: Seq[(Long, Long)], pos: Long): Long = {
+      var acc = 0L; var res = 0L; var found = false
+      h.foreach { case (q, n) =>
+        acc += n
+        if (!found && acc >= pos) { res = q; found = true }
+      }
+      res
+    }
+    val median = atPos(hist, (nt + 1) / 2)
+    val madHist = hist.groupBy { case (q, _) => math.abs(q - median) }
+      .view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val mad = atPos(madHist, (nt + 1) / 2)
+    val lo = atPos(hist, (nt * 5 + 99) / 100)
+    val hi = atPos(hist, (nt * 95 + 99) / 100)
+    val winsSum = hist.map { case (q, n) =>
+      math.max(lo, math.min(hi, q)) * n }.sum
+    val k = nt / 20
+    var cum = 0L
+    val lowSum = hist.map { case (q, n) =>
+      cum += n
+      q * math.min(n, math.max(0L, k - (cum - n)))
+    }.sum
+    cum = 0L
+    val highSum = hist.map { case (q, n) =>
+      cum += n
+      q * math.min(n, math.max(0L, k - (nt - cum)))
+    }.sum
+    import s.implicits._
+    // rounding through the PLAN's round() so both engines apply their
+    // established (gate-proven matching) rounding to the same double
+    Seq((nt, median, mad, lo, hi,
+      winsSum.toDouble / nt,
+      (st - lowSum - highSum).toDouble / (nt - 2 * k)))
+      .toDF("n_rows", "median", "mad", "p5", "p95",
+        "winsor_mean", "trimmed_mean")
+      .select(col("n_rows"), col("median"), col("mad"), col("p5"),
+        col("p95"), round(col("winsor_mean"), 6).as("winsor_mean"),
+        round(col("trimmed_mean"), 6).as("trimmed_mean"))
+  }
+
+  val q285Oracle: String =
+    """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem
+      |  WHERE l_quantity IS NOT NULL),
+      |h AS (SELECT q, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY q),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+      |  CAST(sum(q * n) AS BIGINT) AS st FROM h),
+      |c AS (SELECT q, n,
+      |  CAST(sum(n) OVER (ORDER BY q) AS BIGINT) AS cum FROM h),
+      |med AS (SELECT min(q) AS m FROM c
+      |  WHERE cum >= (SELECT (nt + 1) // 2 FROM tot)),
+      |ha AS (SELECT abs(q - (SELECT m FROM med)) AS a,
+      |  CAST(sum(n) AS BIGINT) AS n FROM h GROUP BY 1),
+      |ca AS (SELECT a, n,
+      |  CAST(sum(n) OVER (ORDER BY a) AS BIGINT) AS cum FROM ha),
+      |mad AS (SELECT min(a) AS mad FROM ca
+      |  WHERE cum >= (SELECT (nt + 1) // 2 FROM tot)),
+      |p5 AS (SELECT min(q) AS lo FROM c
+      |  WHERE cum >= (SELECT (nt * 5 + 99) // 100 FROM tot)),
+      |p95 AS (SELECT min(q) AS hi FROM c
+      |  WHERE cum >= (SELECT (nt * 95 + 99) // 100 FROM tot)),
+      |wins AS (SELECT CAST(sum(
+      |    greatest((SELECT lo FROM p5),
+      |      least((SELECT hi FROM p95), q)) * n) AS BIGINT) AS ws
+      |  FROM h),
+      |kk AS (SELECT nt // 20 AS k FROM tot),
+      |lows AS (SELECT CAST(sum(q * least(n,
+      |    greatest(0, (SELECT k FROM kk) - (cum - n)))) AS BIGINT)
+      |  AS lowsum FROM c),
+      |highs AS (SELECT CAST(sum(q * least(n,
+      |    greatest(0, (SELECT k FROM kk) -
+      |      ((SELECT nt FROM tot) - cum)))) AS BIGINT)
+      |  AS highsum FROM c)
+      |SELECT (SELECT nt FROM tot) AS n_rows,
+      |  (SELECT m FROM med) AS median,
+      |  (SELECT mad FROM mad) AS mad,
+      |  (SELECT lo FROM p5) AS p5,
+      |  (SELECT hi FROM p95) AS p95,
+      |  round(CAST((SELECT ws FROM wins) AS DOUBLE) /
+      |    (SELECT nt FROM tot), 6) AS winsor_mean,
+      |  round(CAST((SELECT st FROM tot) - (SELECT lowsum FROM lows) -
+      |      (SELECT highsum FROM highs) AS DOUBLE) /
+      |    ((SELECT nt FROM tot) - 2 * (SELECT k FROM kk)), 6)
+      |    AS trimmed_mean""".stripMargin
+
   def q252MoodMedian(s: SparkSession, dir: String): DataFrame =
     moodMedianFrom(lineitem(s, dir)
       .select(col("l_returnflag").as("flag"),
@@ -3521,6 +3628,7 @@ object Features {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q270_seasonal_strength" -> (q270SeasonalStrength _),
+    "q285_robust_stats" -> (q285RobustStats _),
     "q263_holt_linear" -> (q263HoltLinear _),
     "q256_anova_f" -> (q256AnovaF _),
     "q257_effect_sizes" -> (q257EffectSizes _),
@@ -3563,6 +3671,7 @@ object Features {
   )
 
   def oracles: Map[String, String] = Map(
+    "q285_robust_stats" -> q285Oracle,
     "q270_seasonal_strength" -> q270Oracle,
     "q263_holt_linear" -> q263Oracle,
     "q256_anova_f" -> q256Oracle,

@@ -1200,6 +1200,158 @@ object Pipeline {
       |  CAST(sum(q) AS BIGINT) AS cdf_total
       |FROM w""".stripMargin
 
+  /** VACUUM DRY RUN as a gate (q283) — Delta's audit verb for the one
+    * operation time travel cannot undo: a lifecycle that strands
+    * exactly one reclaimable file (the overwrite's data file — the
+    * create/append files are insertsFromData change feed and stay
+    * protected, the change files are entry-listed and stay protected),
+    * then (a) DRY RUN lists it WITHOUT deleting — every listed file
+    * still on disk, reads unchanged — and (b) the real vacuum removes
+    * exactly the listed set and nothing else, reads still unchanged.
+    * All flags and the post-vacuum aggregate are closed form.
+    */
+  def q283VacuumDryRun(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_vacdry").toString
+    val t = MiniLake.compact(s, s"$base/orders")
+    val o = orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    t.create(o.filter(col("o_orderkey") % 2 === 0))       // v0: f0 (CDF)
+    t.overwrite(o.filter(col("o_orderkey") % 2 === 0))    // v1: f1
+    t.append(o.filter(col("o_orderkey") % 2 === 1))       // v2: f2 (CDF)
+    t.delete(col("o_orderstatus") === "F")                // v3: f3; f1,f2 stale
+    val dry = t.vacuumDryRun(retainMillis = 0L)
+    val dryDeletedNothing = dry.forall(p =>
+      Files.exists(java.nio.file.Paths.get(p)))
+    val rowsAfterDry = t.snapshot().count()
+    t.vacuum(retainMillis = 0L)
+    val vacuumedExactly = dry.forall(p =>
+      !Files.exists(java.nio.file.Paths.get(p)))
+    val fresh = MiniLake(s, s"$base/orders")               // cold reopen
+    fresh.snapshot().agg(count(lit(1)).as("n_rows"),
+        sum("cents").cast("long").as("total_cents"))
+      .select(lit(dry.size.toLong).as("n_reclaimable"),
+        lit(dryDeletedNothing).as("dry_run_deleted_nothing"),
+        lit(vacuumedExactly).as("vacuum_removed_exactly_listed"),
+        lit(rowsAfterDry).as("n_rows_after_dry"),
+        col("n_rows"), col("total_cents"))
+  }
+
+  val q283Oracle: String =
+    """WITH base AS (SELECT o_orderstatus,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+      |SELECT CAST(1 AS BIGINT) AS n_reclaimable,
+      |  TRUE AS dry_run_deleted_nothing,
+      |  TRUE AS vacuum_removed_exactly_listed,
+      |  CAST((SELECT count(*) FROM base WHERE o_orderstatus <> 'F')
+      |    AS BIGINT) AS n_rows_after_dry,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM base WHERE o_orderstatus <> 'F'""".stripMargin
+
+  /** Concurrent row-level DELETE (q284) — [[MiniLake.
+    * deleteVectoredConcurrent]]: three writers race merge-on-read
+    * deletes confined to disjoint partitions (disjoint deletion-vector
+    * target files → Delta's WriteSerializable rules let every sidecar
+    * publish without invalidation; DeletionVectorSpec covers the
+    * conflicting arms deterministically through the test seam). The
+    * union of the three deletes and each version's CDF preimages are
+    * closed form regardless of commit interleaving — that
+    * order-independence is the property under test, the same way q280
+    * gates identity reservations.
+    */
+  def q284ConcurrentDvDelete(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_dvcc").toString
+    val t = MiniLake.partitioned(s, s"$base/orders",
+      Seq("o_orderstatus"))
+    val o = orders(s, dir).select(col("o_orderkey"),
+      col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    t.create(o)                                              // v0
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = Seq("F", "O", "P").map { st =>
+      Future {
+        MiniLake(s, s"$base/orders").deleteVectoredConcurrent(
+          col("o_orderstatus") === st && col("o_orderkey") % 2 === 0)
+      }
+    }
+    val deleted = Await.result(Future.sequence(writers), Duration.Inf)
+    val fresh = MiniLake(s, s"$base/orders")
+    val cdfDeletes = fresh.readChanges(1, fresh.latestVersion)
+      .filter(col(MiniLake.ChangeType) === "delete")
+      .agg(count(lit(1)).cast("long"),
+        countDistinct(col(MiniLake.CommitVersion)).cast("long"))
+      .head()
+    fresh.snapshot().agg(count(lit(1)).as("n_rows"),
+        sum("cents").cast("long").as("total_cents"))
+      .select(col("n_rows"), col("total_cents"),
+        lit(deleted.sum).as("n_deleted_returned"),
+        lit(cdfDeletes.getLong(0)).as("n_deleted_cdf"),
+        lit(cdfDeletes.getLong(1)).as("n_delete_versions"))
+  }
+
+  val q284Oracle: String =
+    """WITH base AS (SELECT o_orderkey,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+      |SELECT
+      |  CAST((SELECT count(*) FROM base WHERE o_orderkey % 2 = 1)
+      |    AS BIGINT) AS n_rows,
+      |  CAST((SELECT sum(cents) FROM base WHERE o_orderkey % 2 = 1)
+      |    AS BIGINT) AS total_cents,
+      |  CAST((SELECT count(*) FROM base WHERE o_orderkey % 2 = 0)
+      |    AS BIGINT) AS n_deleted_returned,
+      |  CAST((SELECT count(*) FROM base WHERE o_orderkey % 2 = 0)
+      |    AS BIGINT) AS n_deleted_cdf,
+      |  CAST(3 AS BIGINT) AS n_delete_versions""".stripMargin
+
+  /** Timestamp-addressed CDF (q287) — Delta's `startingTimestamp`,
+    * completing q277's TIMESTAMP AS OF pair: snapshots resolve an
+    * instant BACKWARD (latest commit at or before), change feeds
+    * resolve FORWARD (first commit at or after) — "changes since 9am"
+    * must not include the 8:59 commit, and an instant between commits
+    * starts at the next one. An instant past the latest commit is an
+    * explicit error, never an empty feed. The gate spaces three
+    * commits, reads the feed from each recorded stamp, from a
+    * between-commit instant, and probes the past-the-end refusal —
+    * every count closed form.
+    */
+  def q287ChangesSince(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_cdfts").toString
+    import s.implicits._
+    val t = MiniLake.compact(s, s"$base/ledger")
+    t.create(Seq((1L, 10L)).toDF("k", "cents"))            // v0
+    Thread.sleep(25)
+    t.append(Seq((2L, 20L), (3L, 30L)).toDF("k", "cents")) // v1
+    Thread.sleep(25)
+    t.append(Seq((4L, 40L)).toDF("k", "cents"))            // v2
+    val ts = t.history.select("version", "timestamp_ms")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def nSince(ms: Long): Long = t.readChangesSince(ms).count()
+    val sinceV0 = nSince(ts(0L))          // all 4 inserts
+    val sinceV1 = nSince(ts(1L))          // 3 (v1's two + v2's one)
+    val betweenV1V2 = nSince(ts(1L) + 1)  // starts at v2 → 1
+    val sinceV2 = nSince(ts(2L))          // 1
+    val pastEndRefused =
+      try { t.readChangesSince(ts(2L) + 1); false }
+      catch { case _: IllegalArgumentException => true }
+    t.snapshot().agg(count(lit(1)).as("n_rows"),
+        sum("cents").cast("long").as("total_cents"))
+      .select(lit(sinceV0).as("n_since_v0"), lit(sinceV1).as("n_since_v1"),
+        lit(betweenV1V2).as("n_between_1_2"), lit(sinceV2).as("n_since_v2"),
+        lit(pastEndRefused).as("past_end_refused"),
+        col("n_rows"), col("total_cents"))
+  }
+
+  val q287Oracle: String =
+    """SELECT CAST(4 AS BIGINT) AS n_since_v0,
+      |  CAST(3 AS BIGINT) AS n_since_v1,
+      |  CAST(1 AS BIGINT) AS n_between_1_2,
+      |  CAST(1 AS BIGINT) AS n_since_v2,
+      |  TRUE AS past_end_refused,
+      |  CAST(4 AS BIGINT) AS n_rows,
+      |  CAST(100 AS BIGINT) AS total_cents""".stripMargin
+
   /** Symlink-format manifest interop (q235) — Delta's
     * `GENERATE symlink_format_manifest` verb: after a lifecycle whose
     * delete REWROTE the live set (so stale pre-delete files still sit
@@ -1501,6 +1653,9 @@ object Pipeline {
     "q278_default_column" -> (q278DefaultColumn _),
     "q279_type_widening" -> (q279TypeWidening _),
     "q280_identity_concurrent" -> (q280IdentityConcurrent _),
+    "q283_vacuum_dry_run" -> (q283VacuumDryRun _),
+    "q284_concurrent_dv_delete" -> (q284ConcurrentDvDelete _),
+    "q287_changes_since" -> (q287ChangesSince _),
     "q234_generated_partition" -> (q234GeneratedPartition _),
     "q235_symlink_manifest" -> (q235SymlinkManifest _),
     "q250_double_skipping" -> (q250DoubleSkipping _)
@@ -1537,6 +1692,9 @@ object Pipeline {
     "q278_default_column" -> q278Oracle,
     "q279_type_widening" -> q279Oracle,
     "q280_identity_concurrent" -> q280Oracle,
+    "q283_vacuum_dry_run" -> q283Oracle,
+    "q284_concurrent_dv_delete" -> q284Oracle,
+    "q287_changes_since" -> q287Oracle,
     "q234_generated_partition" -> q234Oracle,
     "q235_symlink_manifest" -> q235Oracle,
     "q250_double_skipping" -> q250Oracle

@@ -713,7 +713,72 @@ object Sampling {
       |ORDER BY lang, source""".stripMargin
   }
 
+  /** UniMax language-budget allocation (q282) — Chung et al. 2023,
+    * the SEQUENTIAL water-filling alternative to q217's temperature
+    * mixture: sort languages ASCENDING by corpus size; each takes
+    * min(C·sᵢ, remaining ÷ languages-left) — so no language exceeds C
+    * epochs, small corpora are never starved by a temperature
+    * exponent, and every budget token freed by a capped language
+    * flows to the still-unallocated ones. Budget here = 3/4 of the
+    * corpus total with cap C = 1 epoch — chosen so BOTH arms bind on
+    * the synthetic corpus at every SF (language proportions are
+    * construction-constant): the small languages hit the epoch cap,
+    * the large ones split the freed budget.
+    *
+    * Execution shape: per-language token totals are ONE distributed
+    * map-side-combinable aggregate; the fold itself runs on the
+    * driver over ≤ #languages rows (the q263 bounded-driver-state
+    * class — at 100 TB the language list is still dozens), all in
+    * EXACT integer arithmetic (floor divisions, no IEEE anywhere);
+    * the oracle replays the identical fold as a recursive CTE.
+    */
+  def q282UnimaxAllocation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cap = 1L
+    val sizes = documents(s, dir)
+      .groupBy("lang")
+      .agg(sum(size(graft.functions.Text.tokens(col("text"))))
+        .cast("long").as("tokens"))
+      .filter(col("tokens") > 0)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (lang, n) => (n, lang) } // ties broken by lang
+    val total = sizes.map(_._2).sum
+    var remaining = total * 3 / 4
+    val k = sizes.length
+    val rows = sizes.zipWithIndex.map { case ((lang, n), i) =>
+      val fair = remaining / (k - i)      // even split of what's left
+      val alloc = math.min(cap * n, fair)
+      remaining -= alloc
+      (lang, n, alloc, alloc * 1000000L / n)
+    }
+    rows.toSeq.toDF("lang", "corpus_tokens", "alloc_tokens",
+      "epochs_micro").orderBy("lang")
+  }
+
+  val q282Oracle: String = {
+    val tokensSql = graft.functions.Text.tokensSql
+    s"""WITH RECURSIVE sizes AS (SELECT lang,
+      |  CAST(sum(len($tokensSql)) AS BIGINT) AS s
+      | FROM documents GROUP BY lang HAVING sum(len($tokensSql)) > 0),
+      |ordered AS (SELECT lang, s,
+      |  CAST(row_number() OVER (ORDER BY s, lang) AS BIGINT) AS i,
+      |  CAST(count(*) OVER () AS BIGINT) AS k FROM sizes),
+      |tot AS (SELECT CAST(sum(s) * 3 // 4 AS BIGINT) AS n FROM sizes),
+      |step AS (
+      |  SELECT CAST(0 AS BIGINT) AS i, (SELECT n FROM tot) AS r,
+      |    CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS s,
+      |    CAST(NULL AS BIGINT) AS a
+      |  UNION ALL
+      |  SELECT o.i, step.r - least(o.s, step.r // (o.k - o.i + 1)),
+      |    o.lang, o.s, least(o.s, step.r // (o.k - o.i + 1))
+      |  FROM step JOIN ordered o ON o.i = step.i + 1)
+      |SELECT lang, s AS corpus_tokens, a AS alloc_tokens,
+      |  a * 1000000 // s AS epochs_micro
+      |FROM step WHERE i >= 1 ORDER BY lang""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q282_unimax_allocation" -> (q282UnimaxAllocation _),
     "q217_temperature_mix" -> (q217TemperatureMix _),
     "q216_coverage_select" -> (q216CoverageSelect _),
     "q214_dsir_resample" -> (q214DsirResample _),
@@ -727,6 +792,7 @@ object Sampling {
   )
 
   def oracles: Map[String, String] = Map(
+    "q282_unimax_allocation" -> q282Oracle,
     "q214_dsir_resample" -> q214Oracle,
     "q216_coverage_select" -> q216Oracle,
     "q217_temperature_mix" -> q217Oracle,

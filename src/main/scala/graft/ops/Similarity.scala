@@ -823,9 +823,134 @@ object Similarity {
       |ORDER BY qid""".stripMargin
   }
 
+  /** Int8 scalar-quantization distortion report (q286) — the storage
+    * decision every embedding corpus makes (float32 → int8 cuts the
+    * ANN index 4×; FAISS SQ8 / Milvus SQ8 territory): symmetric
+    * per-corpus scale = max |component| (an exact max, order-immune),
+    * code = round(x/scale·127), and the report quantifies what the
+    * compression costs — mean/max absolute reconstruction error and
+    * the saturated-code count. Per-component error terms are 9-dp
+    * rounded and DECIMAL-quantized INSIDE the per-vector fold (the
+    * q253 discipline), so corpus sums are exact decimal; max is
+    * order-immune by nature. One scan; the scale is a 1-row
+    * broadcast. At 100 TB nothing changes: two passes over the
+    * embedding column, no shuffle beyond the 1-row aggregates.
+    */
+  def q286ScalarQuantization(s: SparkSession, dir: String): DataFrame = {
+    val vecs = vecsDouble(s, dir)
+    val scaleRow = vecs.select(max(expr(
+      "aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+      .as("scale"))
+    val coded = vecs.crossJoin(broadcast(scaleRow))
+      .select(col("vec_id"), col("scale"), col("v"),
+        expr("transform(v, x -> CAST(round(x / scale * 127.0, 0) " +
+          "AS BIGINT))").as("c"))
+    val per = coded.select(col("vec_id"), col("scale"),
+      expr("aggregate(sequence(1, size(v)), CAST(0 AS DECIMAL(28,9)), " +
+        "(acc, i) -> CAST(acc + CAST(round(abs(v[i-1] - c[i-1] * scale " +
+        "/ 127.0), 9) AS DECIMAL(28,9)) AS DECIMAL(28,9)))").as("errsum"),
+      expr("aggregate(sequence(1, size(v)), CAST(0.0 AS DOUBLE), " +
+        "(a, i) -> greatest(a, abs(v[i-1] - c[i-1] * scale / 127.0)))")
+        .as("maxerr"),
+      expr("size(filter(c, x -> abs(x) = 127))").cast("long").as("sat"),
+      size(col("v")).cast("long").as("d"))
+    per.agg(count(lit(1)).as("n_vecs"),
+      round(max("scale"), 6).as("scale"),
+      round(sum("errsum").cast("double") / sum("d"), 6)
+        .as("mean_abs_err"),
+      round(max("maxerr"), 6).as("max_abs_err"),
+      sum("sat").cast("long").as("n_saturated"))
+  }
+
+  val q286Oracle: String =
+    """WITH e AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      | FROM embeddings WHERE embedding IS NOT NULL),
+      |sc AS (SELECT max(list_reduce(list_transform(v, x -> abs(x)),
+      |  (a, b) -> greatest(a, b))) AS scale FROM e),
+      |q AS (SELECT vec_id, v, scale,
+      |  list_transform(v, x -> CAST(round(x / scale
+      |    * 127.0) AS BIGINT)) AS c FROM e CROSS JOIN sc),
+      |er AS (SELECT vec_id, scale,
+      |  list_sum(list_transform(range(1, len(v) + 1), i ->
+      |    CAST(round(abs(v[i] - c[i] * scale / 127.0), 9)
+      |      AS DECIMAL(28,9)))) AS errsum,
+      |  list_reduce(list_transform(range(1, len(v) + 1), i ->
+      |    abs(v[i] - c[i] * scale / 127.0)),
+      |    (a, b) -> greatest(a, b)) AS maxerr,
+      |  len(list_filter(c, x -> abs(x) = 127)) AS sat,
+      |  len(v) AS d FROM q)
+      |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+      |  round(max(scale), 6) AS scale,
+      |  round(CAST(sum(errsum) AS DOUBLE) / sum(d), 6) AS mean_abs_err,
+      |  round(max(maxerr), 6) AS max_abs_err,
+      |  CAST(sum(sat) AS BIGINT) AS n_saturated
+      |FROM er""".stripMargin
+
+  /** Matryoshka truncation overlap (q288) — the MRL question
+    * (Kusupati et al. 2022): how much of the exact top-10 neighbor
+    * set survives when vectors are truncated to their first half
+    * (the storage/latency trade adaptive-retrieval systems take)?
+    * Both rankings are EXACT brute force over the same broadcast grid
+    * as q45 (query side bounded, 6-dp-rounded sims, vec_id
+    * tie-break), so the overlap histogram is deterministic — no
+    * recall estimate, a measurement. The testdata's synthetic
+    * embeddings carry no MRL training, so overlap is honestly
+    * partial — exactly what the report is for.
+    */
+  def q288MatryoshkaOverlap(s: SparkSession, dir: String): DataFrame = {
+    val vecs = vecsDouble(s, dir)
+    val queries = vecs.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val corpus = vecs.filter(col("vec_id") >= 50)
+    val sims = queries.join(corpus.hint("broadcast"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine_similarity(col("qv"), col("v")), 6).as("sim_full"),
+        round(cosine_similarity(slice(col("qv"), 1, 32),
+          slice(col("v"), 1, 32)), 6).as("sim_half"))
+    val wF = Window.partitionBy("qid")
+      .orderBy(col("sim_full").desc, col("vec_id"))
+    val wH = Window.partitionBy("qid")
+      .orderBy(col("sim_half").desc, col("vec_id"))
+    val ranked = sims
+      .withColumn("rf", row_number().over(wF).cast("long"))
+      .withColumn("rh", row_number().over(wH).cast("long"))
+    ranked.groupBy("qid")
+      .agg(sum(when(col("rf") <= 10 && col("rh") <= 10, 1L)
+        .otherwise(0L)).as("overlap10"))
+      .groupBy("overlap10")
+      .agg(count(lit(1)).as("n_queries"))
+      .orderBy("overlap10")
+  }
+
+  val q288Oracle: String =
+    """WITH e AS (SELECT vec_id,
+      |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      | FROM embeddings WHERE embedding IS NOT NULL),
+      |sims AS (
+      | SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+      |   round(list_cosine_similarity(q.v, c.v), 6) AS sim_full,
+      |   round(list_cosine_similarity(q.v[1:32], c.v[1:32]), 6)
+      |     AS sim_half
+      | FROM e q JOIN e c ON q.vec_id < 50 AND c.vec_id >= 50),
+      |ranked AS (
+      | SELECT *, row_number() OVER (PARTITION BY qid
+      |     ORDER BY sim_full DESC, vec_id) AS rf,
+      |   row_number() OVER (PARTITION BY qid
+      |     ORDER BY sim_half DESC, vec_id) AS rh
+      | FROM sims),
+      |ov AS (SELECT qid,
+      |  CAST(sum(CASE WHEN rf <= 10 AND rh <= 10 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS overlap10
+      | FROM ranked GROUP BY qid)
+      |SELECT overlap10, count(*) AS n_queries
+      |FROM ov GROUP BY overlap10 ORDER BY overlap10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_embedding_near_dup" -> (q44EmbeddingNearDup _),
     "q45_cosine_topk" -> (q45CosineTopK _),
+    "q286_scalar_quantization" -> (q286ScalarQuantization _),
+    "q288_matryoshka_overlap" -> (q288MatryoshkaOverlap _),
     "q213_ndcg_at_k" -> (q213NdcgAtK _),
     "q46_ann_lsh" -> (q46AnnLsh _),
     "q55_ann_ivf" -> (q55AnnIvf _),
@@ -837,6 +962,8 @@ object Similarity {
   def oracles: Map[String, String] = Map(
     "q44_embedding_near_dup" -> q44Oracle,
     "q45_cosine_topk" -> q45Oracle,
+    "q286_scalar_quantization" -> q286Oracle,
+    "q288_matryoshka_overlap" -> q288Oracle,
     "q213_ndcg_at_k" -> q213Oracle,
     "q46_ann_lsh" -> witnessOracle,
     "q55_ann_ivf" -> witnessOracle,

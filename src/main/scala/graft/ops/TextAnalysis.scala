@@ -1400,6 +1400,116 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Bigram-LM quality filter (q281) — the order-2 upgrade of q253's
+    * KenLM-shaped unigram gate (CCNet/Gopher score with n-gram LMs;
+    * the discipline is identical at any order, only the context
+    * grows): conditional add-1 log-probs
+    * ln((c₂(w₁,w₂)+1)/(c₁(w₁)+V)) trained on the same held reference
+    * slice (src0–src4), every other document scored by its MEAN
+    * bigram log-prob, flagged below the scored-corpus mean. Catches
+    * the word-salad failure unigram perplexity is blind to: a doc of
+    * in-vocabulary words in impossible orders scores high at order 1
+    * and collapses at order 2.
+    *
+    * Determinism discipline (q253's): ln is rounded 6-dp and
+    * DECIMAL-quantized PER TYPE (per distinct bigram / per fallback
+    * context) before any per-doc sum, so document scores are exact
+    * decimal sums — order-independent across engines. 100 TB shape:
+    * the bigram table is vocabulary-bounded (Heaps-bounded types²,
+    * not token-stream-sized) and travels by broadcast like q253's
+    * unigram table; the only corpus-scale pass is the pair explode
+    * inside each scan task (map-side combinable groupBys).
+    */
+  def q281BigramLmFilter(s: SparkSession, dir: String): DataFrame = {
+    val trainSrcs = Seq("src0", "src1", "src2", "src3", "src4")
+    val base = documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.Text.tokens(col("text")).as("tk"))
+    val d2 = base.filter(size(col("tk")) >= 2)
+    val prs = d2.select(col("doc_id"), col("source"),
+      explode(expr("transform(sequence(1, size(tk) - 1), i -> " +
+        "named_struct('w1', tk[i-1], 'bg', " +
+        "concat(tk[i-1], ' ', tk[i])))")).as("p"))
+      .select(col("doc_id"), col("source"),
+        col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val train = prs.filter(col("source").isin(trainSrcs: _*))
+    val c2 = train.groupBy("w1", "bg").agg(count(lit(1)).as("c2"))
+    // context counts and V from the train UNIGRAM stream (all
+    // positions, all train docs — including one-token docs that
+    // contribute no bigram)
+    val uni = base.filter(col("source").isin(trainSrcs: _*))
+      .select(explode(col("tk")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = uni.agg(count(lit(1)).as("v"))
+    val lp = c2.join(broadcast(uni), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("bg"),
+        round(log((col("c2") + 1.0) /
+          (coalesce(col("c1"), lit(0L)) + col("v"))), 6)
+          .cast("decimal(12,6)").as("lp"))
+    val scored = prs.filter(!col("source").isin(trainSrcs: _*))
+      .join(broadcast(lp), Seq("bg"), "left")
+      .join(broadcast(uni), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("source"),
+        coalesce(col("lp"),
+          round(log(lit(1.0) / (coalesce(col("c1"), lit(0L)) + col("v"))),
+            6).cast("decimal(12,6)")).as("lp"))
+    val docs = scored.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bg"), sum("lp").as("slp"))
+      .select(col("doc_id"), col("source"),
+        round(col("slp").cast("double") / col("n_bg"), 6)
+          .cast("decimal(12,6)").as("score"))
+    val mu = docs.agg(
+      round(sum(col("score")).cast("double") / count(lit(1)), 6)
+        .cast("decimal(12,6)").as("mu"))
+    docs.crossJoin(broadcast(mu))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("score")).cast("double") / count(lit(1)), 6)
+          .as("mean_logp2"),
+        sum(when(col("score") < col("mu"), 1L).otherwise(0L))
+          .as("n_below"))
+      .orderBy("source")
+  }
+
+  val q281Oracle: String =
+    s"""WITH base AS (SELECT doc_id, source, $tokensSql AS tk
+      |  FROM documents),
+      |d2 AS (SELECT * FROM base WHERE len(tk) >= 2),
+      |idx AS (SELECT doc_id, source, tk,
+      |  unnest(range(1, len(tk))) AS j FROM d2),
+      |prs AS (SELECT doc_id, source, tk[j] AS w1,
+      |  tk[j] || ' ' || tk[j + 1] AS bg FROM idx),
+      |train AS (SELECT * FROM prs
+      |  WHERE source IN ('src0','src1','src2','src3','src4')),
+      |c2 AS (SELECT w1, bg, count(*) AS c2 FROM train GROUP BY w1, bg),
+      |uni AS (SELECT unnest(tk) AS w1 FROM base
+      |  WHERE source IN ('src0','src1','src2','src3','src4')),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY w1),
+      |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+      |lp AS (SELECT bg,
+      |  CAST(round(ln((c2 + 1.0) / (coalesce(c1, 0) + v)), 6)
+      |    AS DECIMAL(12,6)) AS lp
+      | FROM c2 LEFT JOIN c1 USING (w1) CROSS JOIN v),
+      |scored AS (SELECT doc_id, source,
+      |  coalesce(lp.lp, CAST(round(ln(1.0 / (coalesce(c1.c1, 0) +
+      |    (SELECT v FROM v))), 6) AS DECIMAL(12,6))) AS lp
+      | FROM prs LEFT JOIN lp USING (bg) LEFT JOIN c1 USING (w1)
+      | WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+      |docs AS (SELECT doc_id, source,
+      |  CAST(round(CAST(sum(lp) AS DOUBLE) / count(*), 6)
+      |    AS DECIMAL(12,6)) AS score
+      | FROM scored GROUP BY doc_id, source),
+      |mu AS (SELECT CAST(round(CAST(sum(score) AS DOUBLE) / count(*), 6)
+      |  AS DECIMAL(12,6)) AS mu FROM docs)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(CAST(sum(score) AS DOUBLE) / count(*), 6) AS mean_logp2,
+      |  CAST(sum(CASE WHEN score < mu THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_below
+      |FROM docs CROSS JOIN mu
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val q253Oracle: String =
     s"""WITH toks AS (SELECT doc_id, source, unnest($tokensSql) AS w
       |  FROM documents),
@@ -1434,6 +1544,7 @@ object TextAnalysis {
     "q265_sentence_stats" -> (q265SentenceStats _),
     "q271_flesch_kincaid" -> (q271FleschKincaid _),
     "q253_unigram_lm_filter" -> (q253UnigramLmFilter _),
+    "q281_bigram_lm_filter" -> (q281BigramLmFilter _),
     "q246_zipf_fit" -> (q246ZipfFit _),
     "q247_heaps_growth" -> (q247HeapsGrowth _),
     "q248_novelty_rate" -> (q248NoveltyRate _),
@@ -1460,6 +1571,7 @@ object TextAnalysis {
     "q265_sentence_stats" -> q265Oracle,
     "q271_flesch_kincaid" -> q271Oracle,
     "q253_unigram_lm_filter" -> q253Oracle,
+    "q281_bigram_lm_filter" -> q281Oracle,
     "q246_zipf_fit" -> q246Oracle,
     "q247_heaps_growth" -> q247Oracle,
     "q248_novelty_rate" -> q248Oracle,

@@ -453,4 +453,31 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("jarowinkler") || plan.contains("JaroWinkler"),
       plan)
   }
+
+  test("q281: bigram scoring joins ride broadcasts of the " +
+      "vocabulary-bounded LM tables — no corpus-side shuffle join, " +
+      "no UDF, no window") {
+    val plan = planOf(
+      graft.ops.TextAnalysis.q281BigramLmFilter(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q282: the UniMax aggregate is one scan with partial " +
+      "aggregation — no join, no window, no explode on the fold side") {
+    // the fold itself is driver-side over <= #languages rows; the
+    // distributed part must stay a single map-side-combinable agg
+    val plan = graft.Tables.documents(spark, sf)
+      .groupBy("lang")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size(
+          graft.functions.Text.tokens(
+            org.apache.spark.sql.functions.col("text")))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }

@@ -70,6 +70,16 @@ class DefaultColumnSpec extends AnyFunSuite with BeforeAndAfterEach {
       Seq((1L, true)))
   }
 
+  test("appendConcurrent materializes write-defaults like append " +
+      "(an omitting batch must not fail the schema match)") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a"))
+    t.addColumn("tier", "STRING", "'base'")
+    t.appendConcurrent(kv(2L -> "b")) // omits tier
+    assert(t.snapshot().orderBy("key").select("tier")
+      .as[String].collect().toSeq === Seq("base", "base"))
+  }
+
   test("adding a previously-dropped name is refused (tombstone)") {
     val t = MiniLake(spark, dir)
     t.create(Seq((1L, "a", "x")).toDF("key", "value", "old"))

@@ -142,4 +142,76 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterEach {
     t.vacuum(retainMillis = 0)
     assert(t.snapshot().count() === 5)
   }
+
+  test("vacuumDryRun lists without deleting; vacuum then removes " +
+      "exactly the listed set") {
+    val t = MiniLake.compact(spark, dir)
+    t.create(kv(1L -> "a", 2L -> "b"))
+    t.overwrite(kv(3L -> "c"))   // strands the overwrite's predecessor
+    t.append(kv(4L -> "d"))
+    t.delete(col("key") === 3L)  // COW: strands overwrite+append files
+    val dry = t.vacuumDryRun(retainMillis = 0)
+    assert(dry.nonEmpty)
+    assert(dry.forall(p => Files.exists(Paths.get(p))),
+      "dry run must not delete")
+    val before = t.snapshot().orderBy("key").collect().toSeq
+    t.vacuum(retainMillis = 0)
+    assert(dry.forall(p => !Files.exists(Paths.get(p))),
+      "vacuum must remove every dry-run-listed file")
+    assert(t.snapshot().orderBy("key").collect().toSeq === before)
+    // idempotent: nothing left to reclaim
+    assert(t.vacuumDryRun(retainMillis = 0).isEmpty)
+  }
+
+  test("concurrent DV delete: a blind-append winner is safe " +
+      "(WriteSerializable) — the delete retries and both land") {
+    val t = MiniLake.compact(spark, dir)
+    t.create(kv(1L -> "a", 2L -> "b", 3L -> "c"))
+    val n = t.deleteVectoredConcurrentImpl(col("key") === 2L, 8, () => {
+      MiniLake(spark, dir).append(kv(9L -> "z"))
+    })
+    assert(n === 1L)
+    assert(t.snapshot().select("key").as[Long].collect().sorted.toSeq
+      === Seq(1L, 3L, 9L))
+  }
+
+  test("concurrent DV delete: a disjoint-file DV winner is safe — " +
+      "stacked sidecars compose") {
+    val t = MiniLake.partitioned(spark, dir, Seq("value"))
+    t.create(kv(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "b"))
+    val n = t.deleteVectoredConcurrentImpl(
+      col("value") === "a" && col("key") === 1L, 8, () => {
+        // the winner vectors a row OUT OF THE OTHER PARTITION's file
+        MiniLake(spark, dir).deleteVectored(
+          col("value") === "b" && col("key") === 3L)
+      })
+    assert(n === 1L)
+    assert(t.snapshot().select("key").as[Long].collect().sorted.toSeq
+      === Seq(2L, 4L))
+  }
+
+  test("concurrent DV delete: a winner sharing a target FILE " +
+      "conflicts (positions could overlap; CDF would double-publish)") {
+    val t = MiniLake.compact(spark, dir) // one file: targets must meet
+    t.create(kv(1L -> "a", 2L -> "b", 3L -> "c"))
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      t.deleteVectoredConcurrentImpl(col("key") === 2L, 8, () => {
+        MiniLake(spark, dir).deleteVectored(col("key") === 3L)
+      })
+    }
+    assert(ex.getMessage.contains("invalidated"))
+  }
+
+  test("concurrent DV delete: a rewrite winner conflicts (the " +
+      "recorded positions died with the rewritten files)") {
+    val t = MiniLake.compact(spark, dir)
+    t.create(kv(1L -> "a", 2L -> "b"))
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      t.deleteVectoredConcurrentImpl(col("key") === 2L, 8, () => {
+        MiniLake(spark, dir).update(col("key") === 1L,
+          Map("value" -> lit("A")))
+      })
+    }
+    assert(ex.getMessage.contains("invalidated"))
+  }
 }
