@@ -1116,6 +1116,30 @@ final class MiniLake(spark: SparkSession, val path: String,
     maybeCheckpoint(e.version)
   }
 
+  /** DESCRIBE DETAIL parity (Delta's table-inspection verb beside
+    * [[history]]'s commit trail): ONE metadata row — location, current
+    * version, commit/file/DV counts, layout (partition columns,
+    * bucket spec), reader protocol, column list. Log-only (no data
+    * scan), which is what makes it usable on a 100 TB table from a
+    * notebook. File SIZES are deliberately absent: they vary with
+    * compression/layout and would make no two engines' answers
+    * comparable — counts and structure are the portable facts.
+    */
+  def detail: DataFrame = {
+    import spark.implicits._
+    require(exists, s"table $path does not exist")
+    val st = state(latestVersion)
+    Seq((path, latestVersion, listVersions.size.toLong,
+      st.liveFiles.size.toLong, st.liveDvFiles.size.toLong,
+      partitionCols.mkString(","),
+      bucketSpec.map(b => s"${b.pks.mkString(",")}:${b.numBuckets}")
+        .getOrElse(""),
+      protocolVersion, schema.fieldNames.mkString(",")))
+      .toDF("location", "version", "num_commits", "num_files",
+        "num_dv_files", "partition_columns", "bucket_spec",
+        "min_reader_version", "columns")
+  }
+
   /** DESCRIBE HISTORY parity (S6 surface, full form): one row per
     * commit — version, operation, timestamp, file/DV deltas, whether
     * CDF rows were published. Metadata-only (reads the log, never the

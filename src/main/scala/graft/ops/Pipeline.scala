@@ -1352,6 +1352,41 @@ object Pipeline {
       |  CAST(4 AS BIGINT) AS n_rows,
       |  CAST(100 AS BIGINT) AS total_cents""".stripMargin
 
+  /** DESCRIBE DETAIL as a gate (q291) — Delta's table-inspection verb
+    * beside q177's history: a scripted lifecycle on a compact
+    * (layout-deterministic) lake probed at two points; every count
+    * and structural fact is closed form. Sizes are deliberately not
+    * reported (compression-dependent); counts and structure are the
+    * portable facts an operator dashboards.
+    */
+  def q291DescribeDetail(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_detail").toString
+    import s.implicits._
+    val t = MiniLake.compact(s, s"$base/ledger")
+    t.create(Seq((1L, 10L), (2L, 20L)).toDF("k", "cents"))   // v0: 1 file
+    t.append(Seq((3L, 30L)).toDF("k", "cents"))              // v1: 2 files
+    val d1 = t.detail.select("version", "num_commits", "num_files",
+      "num_dv_files", "min_reader_version", "columns")
+    t.deleteVectored(col("k") === 2L)                        // v2: +1 DV
+    t.renameColumn("cents", "pennies")                       // v3: proto 3
+    val fresh = MiniLake(s, s"$base/ledger")                 // cold reopen
+    val d2 = fresh.detail.select("version", "num_commits", "num_files",
+      "num_dv_files", "min_reader_version", "columns")
+    d1.withColumn("probe", lit("mid"))
+      .unionByName(d2.withColumn("probe", lit("end")))
+      .orderBy("probe")
+  }
+
+  val q291Oracle: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(3 AS BIGINT), CAST(4 AS BIGINT), CAST(2 AS BIGINT),
+      |   CAST(1 AS BIGINT), CAST(3 AS BIGINT), 'k,pennies', 'end'),
+      |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+      |   CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'k,cents', 'mid'))
+      |  AS t(version, num_commits, num_files, num_dv_files,
+      |    min_reader_version, columns, probe)
+      |ORDER BY probe""".stripMargin
+
   /** Symlink-format manifest interop (q235) — Delta's
     * `GENERATE symlink_format_manifest` verb: after a lifecycle whose
     * delete REWROTE the live set (so stale pre-delete files still sit
@@ -1656,6 +1691,7 @@ object Pipeline {
     "q283_vacuum_dry_run" -> (q283VacuumDryRun _),
     "q284_concurrent_dv_delete" -> (q284ConcurrentDvDelete _),
     "q287_changes_since" -> (q287ChangesSince _),
+    "q291_describe_detail" -> (q291DescribeDetail _),
     "q234_generated_partition" -> (q234GeneratedPartition _),
     "q235_symlink_manifest" -> (q235SymlinkManifest _),
     "q250_double_skipping" -> (q250DoubleSkipping _)
@@ -1695,6 +1731,7 @@ object Pipeline {
     "q283_vacuum_dry_run" -> q283Oracle,
     "q284_concurrent_dv_delete" -> q284Oracle,
     "q287_changes_since" -> q287Oracle,
+    "q291_describe_detail" -> q291Oracle,
     "q234_generated_partition" -> q234Oracle,
     "q235_symlink_manifest" -> q235Oracle,
     "q250_double_skipping" -> q250Oracle

@@ -1400,6 +1400,109 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Blocklist phrase scrubbing (q289) — the fixed-phrase removal
+    * step every corpus pipeline runs before training (toxicity /
+    * boilerplate / PII blocklists; the FlashText use case): chained
+    * EXACT-substring replacement (never regex — regex dialects
+    * diverge between engines and blow up on adversarial patterns;
+    * fixed-string replace is linear and identical everywhere), with a
+    * per-source audit of occurrences per phrase (the
+    * (len − len(replaced))/len(phrase) counting identity — exact
+    * integers) and total characters removed. One narrow scan,
+    * map-side-combinable aggregate; at 100 TB a large blocklist
+    * compiles to one Aho–Corasick pass inside the same scan shape —
+    * the audit columns don't change.
+    */
+  def q289BlocklistScrub(s: SparkSession, dir: String): DataFrame = {
+    val phrases = Seq("batch batch", "slow join", "spark")
+    val scrubbed = phrases.foldLeft(col("text")) { (c, p) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(p), "")
+    }
+    // counting via the length identity avoids a second pass per phrase
+    def occurrences(p: String): Column =
+      ((length(col("text")) -
+        length(regexp_replace(col("text"),
+          java.util.regex.Pattern.quote(p), ""))) / p.length).cast("long")
+    documents(s, dir)
+      .select(col("source"), col("text"),
+        occurrences("batch batch").as("n_p1"),
+        occurrences("slow join").as("n_p2"),
+        occurrences("spark").as("n_p3"),
+        (length(col("text")) - length(scrubbed)).cast("long")
+          .as("chars_removed"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("chars_removed") > 0, 1L).otherwise(0L))
+          .as("n_docs_affected"),
+        sum("n_p1").as("n_batch_batch"),
+        sum("n_p2").as("n_slow_join"),
+        sum("n_p3").as("n_spark"),
+        sum("chars_removed").as("chars_removed"))
+      .orderBy("source")
+  }
+
+  val q289Oracle: String =
+    """WITH d AS (SELECT source, text,
+      |  replace(replace(replace(text, 'batch batch', ''),
+      |    'slow join', ''), 'spark', '') AS scrubbed,
+      |  (length(text) - length(replace(text, 'batch batch', '')))
+      |    // length('batch batch') AS n_p1,
+      |  (length(text) - length(replace(text, 'slow join', '')))
+      |    // length('slow join') AS n_p2,
+      |  (length(text) - length(replace(text, 'spark', '')))
+      |    // length('spark') AS n_p3
+      | FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN length(text) > length(scrubbed)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_affected,
+      |  CAST(sum(n_p1) AS BIGINT) AS n_batch_batch,
+      |  CAST(sum(n_p2) AS BIGINT) AS n_slow_join,
+      |  CAST(sum(n_p3) AS BIGINT) AS n_spark,
+      |  CAST(sum(length(text) - length(scrubbed)) AS BIGINT)
+      |    AS chars_removed
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  /** Seeded per-epoch shuffle (q290) — multi-epoch training wants a
+    * DIFFERENT, REPRODUCIBLE document order each epoch (same order
+    * every re-run and every engine, no RNG state, stable under
+    * re-partitioning): rank by md5(epoch ':' doc_id) — the q59/q78
+    * hash device with the epoch folded into the key. The gate proves
+    * the property that matters: each epoch is a complete permutation
+    * (every doc exactly once) whose ORDER differs between epochs
+    * (order checksums Σ rank·doc_id differ) while membership is
+    * identical. One window per epoch, partitioned by epoch — at
+    * 100 TB this is the per-shard rank inside hash shards (q93), same
+    * keys, same math.
+    */
+  def q290EpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch")
+      .orderBy(md5(concat(col("epoch").cast("string"), lit(":"),
+        col("doc_id").cast("string")).cast("binary")), col("doc_id"))
+    documents(s, dir)
+      .select(col("doc_id"), explode(sequence(lit(1), lit(2))).as("epoch"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy("epoch")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("doc_id")).as("n_distinct"),
+        (sum(col("rk") * col("doc_id")) % 1000000007L).as("order_checksum"),
+        min(when(col("rk") === 1L, col("doc_id"))).as("first_doc"))
+      .orderBy("epoch")
+  }
+
+  val q290Oracle: String =
+    """WITH e AS (SELECT doc_id, unnest(range(1, 3)) AS epoch
+      |  FROM documents),
+      |r AS (SELECT epoch, doc_id,
+      |  CAST(row_number() OVER (PARTITION BY epoch
+      |    ORDER BY md5(epoch || ':' || doc_id), doc_id) AS BIGINT)
+      |    AS rk FROM e)
+      |SELECT epoch, count(*) AS n_docs,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+      |  CAST(sum(rk * doc_id) % 1000000007 AS BIGINT) AS order_checksum,
+      |  min(CASE WHEN rk = 1 THEN doc_id END) AS first_doc
+      |FROM r GROUP BY epoch ORDER BY epoch""".stripMargin
+
   /** Bigram-LM quality filter (q281) — the order-2 upgrade of q253's
     * KenLM-shaped unigram gate (CCNet/Gopher score with n-gram LMs;
     * the discipline is identical at any order, only the context
@@ -1545,6 +1648,8 @@ object TextAnalysis {
     "q271_flesch_kincaid" -> (q271FleschKincaid _),
     "q253_unigram_lm_filter" -> (q253UnigramLmFilter _),
     "q281_bigram_lm_filter" -> (q281BigramLmFilter _),
+    "q289_blocklist_scrub" -> (q289BlocklistScrub _),
+    "q290_epoch_shuffle" -> (q290EpochShuffle _),
     "q246_zipf_fit" -> (q246ZipfFit _),
     "q247_heaps_growth" -> (q247HeapsGrowth _),
     "q248_novelty_rate" -> (q248NoveltyRate _),
@@ -1572,6 +1677,8 @@ object TextAnalysis {
     "q271_flesch_kincaid" -> q271Oracle,
     "q253_unigram_lm_filter" -> q253Oracle,
     "q281_bigram_lm_filter" -> q281Oracle,
+    "q289_blocklist_scrub" -> q289Oracle,
+    "q290_epoch_shuffle" -> q290Oracle,
     "q246_zipf_fit" -> q246Oracle,
     "q247_heaps_growth" -> q247Oracle,
     "q248_novelty_rate" -> q248Oracle,
