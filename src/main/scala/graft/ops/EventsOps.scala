@@ -101,6 +101,73 @@ object EventsOps {
       |FROM events GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Bottom-k (KMV) distinct sketch + synchronized sample (q292) —
+    * the third cardinality sketch beside HLL (q50) and CMS (q136),
+    * and the one that is FULLY oracle-exact: hash the values with
+    * md5 and keep the k smallest — the k-th smallest hash, read as a
+    * uniform [0,1) via its first 8 hex digits, estimates
+    * D ≈ (k−1)·2³²/u_k (the KMV estimator, Bar-Yossef et al. 2002),
+    * and the kept rows double as a uniform distinct-value SAMPLE any
+    * two engines agree on row-for-row (same hashes, same order).
+    * Unlike HLL, the whole sketch is engine-deterministic, so the
+    * gate pins the ESTIMATE itself — not just an error witness.
+    * Fewer than k distinct values ⇒ the sketch IS the exact count
+    * (the standard KMV small-cardinality arm; the gate data exercises
+    * both arms across its SFs). Plan shape: the min-k is
+    * TakeOrderedAndProject (distributed top-k, no global sort); the
+    * 8-hex→int fold is plain integer arithmetic in both engines. At
+    * 100 TB the same bottom-k folds per partition and merges min-k —
+    * never more than k hashes per task.
+    */
+  def q292BottomkSketch(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val withH = events(s, dir).select(col("user_id"))
+      .filter(col("user_id").isNotNull) // null hashes sort differently
+      .distinct()                       // across engines — excluded
+      .select(col("user_id"),
+        md5(col("user_id").cast("string").cast("binary")).as("h"))
+    val bottom = withH.orderBy("h").limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy("h")).cast("long")) // ≤ k rows: window is tiny
+    val nKept = bottom.count()
+    val est: Double =
+      if (nKept < k) nKept.toDouble
+      else {
+        val hk = bottom.filter(col("rk") === k)
+          .select(col("h")).head().getString(0)
+        val uk = java.lang.Long.parseLong(hk.substring(0, 8), 16)
+        (k - 1).toDouble * 4294967296.0 / uk
+      }
+    bottom.filter(col("rk") <= 5)
+      .select(col("rk"), col("user_id"),
+        lit(nKept < k).as("exact_arm"),
+        round(lit(est), 2).as("kmv_estimate"))
+      .orderBy("rk")
+  }
+
+  val q292Oracle: String =
+    """WITH h AS (SELECT DISTINCT user_id,
+      |  md5(CAST(user_id AS VARCHAR)) AS h FROM events
+      |  WHERE user_id IS NOT NULL),
+      |bottom AS (SELECT user_id, h,
+      |  CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rk
+      | FROM h ORDER BY h LIMIT 256),
+      |n AS (SELECT count(*) AS nk FROM bottom),
+      |uk AS (SELECT list_reduce(
+      |    list_transform(range(1, 9), i ->
+      |      strpos('0123456789abcdef', substr(h, CAST(i AS INT), 1))
+      |        - 1),
+      |    (a, b) -> a * 16 + b) AS u
+      | FROM bottom WHERE rk = 256)
+      |SELECT rk, user_id,
+      |  (SELECT nk FROM n) < 256 AS exact_arm,
+      |  round(CASE WHEN (SELECT nk FROM n) < 256
+      |    THEN CAST((SELECT nk FROM n) AS DOUBLE)
+      |    ELSE 255 * 4294967296.0 / (SELECT u FROM uk) END, 2)
+      |    AS kmv_estimate
+      |FROM bottom WHERE rk <= 5
+      |ORDER BY rk""".stripMargin
+
   /** Sketch-based percentiles gated the q50 way: `approx_percentile`
     * (Greenwald-Khanna summaries — rank error bounded by 1/accuracy
     * REGARDLESS of merge order, so the booleans are stable) next to
@@ -1066,6 +1133,7 @@ object EventsOps {
     "q117_rolling_active" -> (q117RollingActive _),
     "q49_asof_join" -> (q49AsofJoin _),
     "q50_approx_distinct" -> (q50ApproxDistinct _),
+    "q292_bottomk_sketch" -> (q292BottomkSketch _),
     "q120_approx_pct" -> (q120ApproxPctWitness _),
     "q122_markov_transitions" -> (q122MarkovTransitions _),
     "q126_scd2" -> (q126Scd2 _),
@@ -1088,6 +1156,7 @@ object EventsOps {
     "q117_rolling_active" -> q117Oracle,
     "q49_asof_join" -> q49Oracle,
     "q50_approx_distinct" -> q50Oracle,
+    "q292_bottomk_sketch" -> q292Oracle,
     "q120_approx_pct" -> q120Oracle,
     "q122_markov_transitions" -> q122Oracle,
     "q126_scd2" -> q126Oracle,

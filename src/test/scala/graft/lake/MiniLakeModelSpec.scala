@@ -105,6 +105,28 @@ class MiniLakeModelSpec extends AnyFunSuite {
     }
   }
 
+  test("random op sequences on a COLUMN-MAPPED table (rename chain + " +
+      "default tombstone laid down before the sequence; clones become " +
+      "clones of mapped sources)") {
+    // the logical schema stays (key, value) so the model is unchanged,
+    // but every read now resolves era-0 files through a two-hop rename
+    // chain, the cumulative-default map carries a dropped column's
+    // tombstone, and every mid-sequence shallow clone exercises the
+    // carried cloneRenames/cloneDropped/addDefaults state under the
+    // full op mix — the round-11 clone-of-mapped-source machinery
+    // fuzzed rather than single-op-tested
+    (0 until fuzzRuns.getOrElse(2)).foreach { run =>
+      runFuzz(run, seedBase = 5555L,
+        mkTable = d => MiniLake(spark, d), toDf = df,
+        afterCreate = t => {
+          t.renameColumn("value", "tmp_v")
+          t.renameColumn("tmp_v", "value")
+          t.addColumn("tag", "STRING", "'x'")
+          t.dropColumn("tag")
+        })
+    }
+  }
+
   test("clone survives source overwrite + vacuum under retention") {
     // the clone-source-vacuum race: a shallow clone references the
     // SOURCE's data files by path; when the source later rewrites
@@ -143,7 +165,8 @@ class MiniLakeModelSpec extends AnyFunSuite {
       mkTable: String => MiniLake,
       toDf: Map[Long, String] => org.apache.spark.sql.DataFrame,
       partitioned: Boolean = false,
-      finalCheck: (MiniLake, Map[Long, String]) => Unit = (_, _) => ())
+      finalCheck: (MiniLake, Map[Long, String]) => Unit = (_, _) => (),
+      afterCreate: MiniLake => Unit = _ => ())
       : Unit = {
     def df(rows: Map[Long, String]): org.apache.spark.sql.DataFrame =
       toDf(rows)
@@ -154,6 +177,7 @@ class MiniLakeModelSpec extends AnyFunSuite {
       val t = mkTable(dir)
       var model = Map(1L -> "seed")
       t.create(df(model))
+      afterCreate(t)
       // journal of (change_type, key) multiset across all versions
       val journal = scala.collection.mutable.ArrayBuffer[(String, Long)]()
       journal ++= model.keys.map(("insert", _))
