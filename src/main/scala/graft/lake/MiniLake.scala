@@ -197,21 +197,29 @@ final class MiniLake(spark: SparkSession, val path: String,
     }
   }
 
-  /** Identity assignment is sequenced through the single-writer verbs
-    * (create/append/overwrite/merge) whose committed high water is
-    * unambiguous, and through [[appendConcurrent]] via Delta-style
-    * id-range RESERVATION (a metadata-only commit claims the range
-    * before the data write — see [[reserveIdentityRange]]). The
-    * remaining multi-writer verbs (mergeConcurrent, appendIfAbsent,
-    * replacePartitions, mergeUpdate) would each need their own
-    * reservation discipline — refused explicitly rather than served
-    * wrongly.
+  /** High water derived ONLY from entries at or below `asOf` — the
+    * race-free variant for writers that pin their commit version
+    * FIRST (reserveIdentityRange, appendIfAbsent): a base computed
+    * from versions ≤ v-1 paired with a version-v hard link means any
+    * interleaved commit forces a FileAlreadyExistsException collision
+    * and a retry with a fresh base, so no writer can ever publish a
+    * stale (overlapping or regressing) mark. Same bounded backward
+    * walk as [[identityHighWater]].
     */
-  private def requireNoIdentity(verb: String): Unit =
-    require(identitySpec.isEmpty,
-      s"$verb is not supported on GENERATED ALWAYS AS IDENTITY table " +
-        s"$path (identity ids are assigned by create/append/overwrite/" +
-        "merge/appendConcurrent)")
+  private def identityHighWaterAt(asOf: Long): Option[Long] =
+    listVersions.filter(_ <= asOf).sorted(Ordering[Long].reverse).iterator
+      .map(readEntry).flatMap(_.identityHighWater).nextOption()
+
+  /** Identity assignment is sequenced through the single-writer verbs
+    * (create/append/overwrite/merge/mergeUpdate/replacePartitions)
+    * whose committed high water is unambiguous, through
+    * [[appendConcurrent]] and [[mergeConcurrent]] via Delta-style
+    * id-range RESERVATION (a metadata-only commit claims the range
+    * before the data write — see [[reserveIdentityRange]]), and
+    * through [[appendIfAbsent]] by riding the SAME atomic entry as
+    * the (appId, txnVersion) marker, so a replayed sink skips the
+    * data and the ids together.
+    */
 
   /** Stamp `df` with identity values `base+step, base+2·step, …` — the
     * two-phase per-partition-counts → offsets shape (`zipWithIndex`):
@@ -226,8 +234,12 @@ final class MiniLake(spark: SparkSession, val path: String,
   private def assignIdentityFrom(df: DataFrame, spec: MiniLake.IdentitySpec,
       base: Long, expectN: Option[Long] = None): (DataFrame, Long) = {
     require(!df.columns.contains(spec.name),
-      s"GENERATED ALWAYS AS IDENTITY column '${spec.name}' cannot be " +
-        "user-supplied")
+      s"GENERATED${if (spec.always) " ALWAYS" else ""} AS IDENTITY " +
+        s"column '${spec.name}' cannot be user-supplied" +
+        (if (spec.always) ""
+         else " through this verb (BY DEFAULT accepts explicit values " +
+           "via create/append/overwrite/appendConcurrent/appendIfAbsent/" +
+           "replacePartitions; merge verbs always generate)"))
     val sch = df.schema
       .add(org.apache.spark.sql.types.StructField(spec.name,
         org.apache.spark.sql.types.LongType, nullable = false))
@@ -242,15 +254,45 @@ final class MiniLake(spark: SparkSession, val path: String,
     (spark.createDataFrame(rdd, sch), base + spec.step * n)
   }
 
-  /** Assign GENERATED ALWAYS AS IDENTITY values continuing from the
-    * table's high-water mark (single-writer verbs). */
-  private def withIdentityAssigned(
-      df: DataFrame): (DataFrame, Option[Long]) = identitySpec match {
-    case None => (df, None)
-    case Some(spec) =>
-      val base = identityHighWater.getOrElse(spec.start - spec.step)
-      val (stamped, hw) = assignIdentityFrom(df, spec, base)
-      (stamped, Some(hw))
+  /** Assign GENERATED AS IDENTITY values continuing from the table's
+    * high-water mark (single-writer verbs; `pinnedAsOf` lets a
+    * version-pinning caller derive the base race-free from entries
+    * ≤ that version — see [[identityHighWaterAt]]). A BY DEFAULT
+    * batch CARRYING the column keeps its explicit values (nulls
+    * refused) and the commit advances the high water PAST the
+    * largest supplied value, aligned to the declared sequence grid,
+    * so later generated ids can never collide with a backfill —
+    * the Delta GENERATED BY DEFAULT contract. ALWAYS keeps rejecting
+    * caller-supplied values unchanged.
+    */
+  private def withIdentityAssigned(df: DataFrame,
+      pinnedAsOf: Option[Long] = None): (DataFrame, Option[Long]) = {
+    def curHw(spec: MiniLake.IdentitySpec): Long =
+      pinnedAsOf.fold(identityHighWater)(identityHighWaterAt)
+        .getOrElse(spec.start - spec.step)
+    identitySpec match {
+      case None => (df, None)
+      case Some(spec) if df.columns.contains(spec.name) =>
+        require(!spec.always,
+          s"GENERATED ALWAYS AS IDENTITY column '${spec.name}' cannot " +
+            "be user-supplied")
+        val row = df.agg(
+          count(when(col(spec.name).isNull, 1)).as("nulls"),
+          max(col(spec.name).cast("long")).as("mx"),
+          min(col(spec.name).cast("long")).as("mn")).head
+        require(row.getLong(0) == 0L,
+          s"identity column '${spec.name}' of $path cannot be NULL " +
+            "(omit the column to generate values)")
+        if (row.isNullAt(1)) (df, None) // empty batch: nothing advances
+        else {
+          val supplied =
+            if (spec.step > 0) row.getLong(1) else row.getLong(2)
+          (df, Some(MiniLake.advancePast(spec, curHw(spec), supplied)))
+        }
+      case Some(spec) =>
+        val (stamped, hw) = assignIdentityFrom(df, spec, curHw(spec))
+        (stamped, Some(hw))
+    }
   }
 
   /** Durably claim an id range of `n` steps for a concurrent writer —
@@ -267,8 +309,15 @@ final class MiniLake(spark: SparkSession, val path: String,
       maxRetries: Int): Long = {
     var attempt = 0
     while (true) {
-      val base = identityHighWater.getOrElse(spec.start - spec.step)
+      // pin the version FIRST, then derive the base ONLY from entries
+      // ≤ v-1 (the deleteVectoredConcurrent discipline): a concurrent
+      // reservation landing between the two reads would otherwise go
+      // undetected — this writer would publish at winner's version + 1
+      // with a stale base, handing two writers overlapping id ranges.
+      // With v pinned, any interleaved commit takes v itself, the
+      // hard link below collides, and the retry re-derives base fresh.
       val v = nextVersion
+      val base = identityHighWaterAt(v - 1).getOrElse(spec.start - spec.step)
       try {
         writeEntry(CommitEntry(v, "id-reserve", System.currentTimeMillis(),
           schema.json, Seq.empty, Seq.empty, hasChanges = false,
@@ -283,6 +332,49 @@ final class MiniLake(spark: SparkSession, val path: String,
             s"identity reservation on $path lost $maxRetries commit " +
               "races, giving up")
           idHwCache = None // re-read the winner's advanced mark
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** SYNC IDENTITY (Delta's `ALTER TABLE ... SYNC IDENTITY`): re-seat
+    * the high-water mark from the DATA — one aggregate over the
+    * current snapshot, then a metadata-only commit. Monotone UP only:
+    * a deleted max row does NOT lower the mark (ids are never reused —
+    * the same contract DELETE already has), the safe half of Delta's
+    * semantics. The verb exists for values that arrived outside this
+    * writer's own bookkeeping — a restore across a BY DEFAULT
+    * backfill, a clone lineage whose source re-seated, an external
+    * tool appending files. Returns the (possibly unchanged) mark.
+    */
+  def syncIdentity(): Long = withCommitPlanning {
+    val spec = identitySpec.getOrElse(throw new IllegalArgumentException(
+      s"$path has no identity column to sync"))
+    val row = snapshot().agg(
+      max(col(spec.name).cast("long")).as("mx"),
+      min(col(spec.name).cast("long")).as("mn")).head
+    var attempt = 0
+    while (true) {
+      // same pin-v-first discipline as reserveIdentityRange: the mark
+      // folds forward from entries ≤ v-1 and the hard link arbitrates
+      val v = nextVersion
+      val cur = identityHighWaterAt(v - 1).getOrElse(spec.start - spec.step)
+      val hw =
+        if (row.isNullAt(0)) cur
+        else MiniLake.advancePast(spec, cur,
+          if (spec.step > 0) row.getLong(0) else row.getLong(1))
+      try {
+        writeEntry(CommitEntry(v, "id-sync", System.currentTimeMillis(),
+          schema.json, Seq.empty, Seq.empty, hasChanges = false,
+          bucketSpec = bucketSpec, identityHighWater = Some(hw)))
+        idHwCache = Some((v, hw))
+        return hw
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          require(attempt <= 32,
+            s"SYNC IDENTITY on $path lost 32 commit races, giving up")
+          idHwCache = None
       }
     }
     -1L // unreachable
@@ -818,7 +910,9 @@ final class MiniLake(spark: SparkSession, val path: String,
       identitySpec = Option(m.get("identityCol")).map(n =>
         IdentitySpec(n.toString,
           m.get("identityStart").asInstanceOf[Number].longValue(),
-          m.get("identityStep").asInstanceOf[Number].longValue())),
+          m.get("identityStep").asInstanceOf[Number].longValue(),
+          always = Option(m.get("identityAlways"))
+            .forall(_.asInstanceOf[java.lang.Boolean].booleanValue()))),
       identityHighWater = Option(m.get("identityHighWater"))
         .map(_.asInstanceOf[Number].longValue()),
       minReader = Option(m.get("minReader"))
@@ -1043,9 +1137,14 @@ final class MiniLake(spark: SparkSession, val path: String,
     // commits
     val tableId = e.identitySpec.orElse(identitySpec)
     val withIdSpec = tableId match {
-      case Some(is) => withGen ++ Map[String, Object](
-        "identityCol" -> is.name, "identityStart" -> Long.box(is.start),
-        "identityStep" -> Long.box(is.step))
+      case Some(is) =>
+        val m0 = withGen ++ Map[String, Object](
+          "identityCol" -> is.name, "identityStart" -> Long.box(is.start),
+          "identityStep" -> Long.box(is.step))
+        // absent key = ALWAYS (the original contract), so pre-BY-DEFAULT
+        // logs parse unchanged
+        if (is.always) m0
+        else m0 + ("identityAlways" -> java.lang.Boolean.FALSE)
       case None => withGen
     }
     val withIdHw = e.identityHighWater match {
@@ -1197,6 +1296,40 @@ final class MiniLake(spark: SparkSession, val path: String,
           "empty feed")
     }
   }
+
+  /** CDF bounded by timestamps on BOTH ends — the `endingTimestamp`
+    * half completing [[readChangesSince]]: the start resolves FORWARD
+    * (first commit at or after `tsLo`, error past the end of history,
+    * same as the one-sided verb), the end resolves BACKWARD (last
+    * commit at or before `tsHi`, error before the first commit —
+    * [[versionAt]]'s rule, so "changes until 5:00" never includes the
+    * 5:01 commit). A window that lands strictly BETWEEN two commits
+    * contains no commit and yields the schema'd EMPTY feed — "nothing
+    * changed in that window" is a real answer, unlike a start past
+    * the end of history. Driver-side: two metadata walks, then the
+    * ordinary version-range read.
+    */
+  def readChangesBetween(tsLo: Long, tsHi: Long): DataFrame = {
+    require(tsLo <= tsHi,
+      s"inverted CDF window for $path: startingTimestamp $tsLo is " +
+        s"after endingTimestamp $tsHi")
+    val vs = listVersions
+    require(vs.nonEmpty, s"table $path does not exist")
+    val hiV = versionAt(tsHi) // refuses tsHi before the first commit
+    vs.find(v => readEntry(v).timestampMs >= tsLo) match {
+      case Some(loV) if loV <= hiV => readChanges(loV, hiV)
+      case _ =>
+        // no commit inside [tsLo, tsHi]: schema'd empty feed
+        MiniLake.emptyDf(spark,
+          MiniLake.changeSchema(schemaAt(latestVersion)))
+    }
+  }
+
+  /** RESTORE TIMESTAMP AS OF — [[restoreTo]] at [[versionAt]]'s
+    * backward resolution, the verb completing the timestamp-addressing
+    * surface (snapshotAt / readChangesSince / readChangesBetween). */
+  def restoreToTimestamp(tsMillis: Long): Unit =
+    restoreTo(versionAt(tsMillis))
 
   def schemaAt(v: Long): StructType =
     DataType.fromJson(readEntry(v).schemaJson).asInstanceOf[StructType]
@@ -2037,11 +2170,22 @@ final class MiniLake(spark: SparkSession, val path: String,
     val (stamped, idHw) = withIdentityAssigned(batch)
     val df = withDefaults(withGenerated(stamped))
     if (mergeSchema && exists) {
+      val prior = schema
       val frozen = bucketSpec.toSeq.flatMap(_.pks).toSet ++
         generatedCols.map(_._1) ++ identitySpec.map(_.name)
-      val merged = mergedSchemaWith(schema, df.schema, path, frozen)
+      val merged = mergedSchemaWith(prior, df.schema, path, frozen)
+      // type widening is READER-affecting (pre-widen narrow-physical
+      // files must be upcast under the wide schema), so the widening
+      // commit stamps its own protocol level like DVs/mapping/defaults
+      // do — mirroring Delta's typeWidening reader feature. A build
+      // predating the feature would rely on its parquet reader
+      // happening to upcast; refusing is the honest contract.
+      val priorTypes = prior.fields.map(f => f.name -> f.dataType).toMap
+      val widened = merged.fields.exists(f =>
+        priorTypes.get(f.name).exists(_ != f.dataType))
       commitInsertOnly(conformTo(df, merged), mode = "append",
-        rowHint = None, idHw = idHw)
+        rowHint = None, idHw = idHw,
+        minReader = if (widened) 5 else 1)
     } else {
       requireSchemaMatch(df)
       commitInsertOnly(df, mode = "append", rowHint = None, idHw = idHw)
@@ -2063,18 +2207,28 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   def appendIfAbsent(batch: DataFrame, appId: String,
       txnVersion: Long): Boolean = {
-    requireNoIdentity("appendIfAbsent")
-    val df = withGenerated(batch)
     if (lastTxnVersion(appId) >= txnVersion) false
     else {
-      requireSchemaMatch(df)
       withCommitPlanning {
+        // identity rides the SAME atomic entry as the (appId,
+        // txnVersion) marker: a sink that crashed between write and
+        // bookkeeping replays, the marker check above skips the data
+        // AND the ids together — nothing is double-assigned and no id
+        // is burned by a replay. Race-safe by the pin-v-first
+        // discipline: the base derives only from entries ≤ v-1, so a
+        // winner landing before the publish collides on the hard link
+        // and the whole verb fails cleanly — the caller's replay is
+        // idempotent by construction (that is the verb's contract).
         val v = nextVersion
+        val (stamped, idHw) = withIdentityAssigned(batch, Some(v - 1))
+        val df = withGenerated(stamped)
+        requireSchemaMatch(df)
         val adds = writeData(df, v, None)
         writeEntry(CommitEntry(v, "append", System.currentTimeMillis(),
           df.schema.json, adds, Seq.empty, hasChanges = true,
           bucketSpec = bucketSpec, changesMode = "insertsFromData",
-          txn = Some(appId -> txnVersion)))
+          txn = Some(appId -> txnVersion), identityHighWater = idHw))
+        idHw.foreach(h => idHwCache = Some((v, h)))
       }
       true
     }
@@ -2111,11 +2265,34 @@ final class MiniLake(spark: SparkSession, val path: String,
     // reservation version, not on the ids; the expensive distributed
     // data write happens exactly once per writer either way.
     var persisted: Option[DataFrame] = None
+    // BY DEFAULT batch carrying explicit ids: no reservation (the
+    // values are the caller's), but the winning entry must advance
+    // the high water past max(supplied) — computed INSIDE the publish
+    // loop from entries ≤ v-1, because an absolute mark derived from
+    // stale state could REGRESS a racing generator's higher mark and
+    // re-expose its range
+    var suppliedExtreme: Option[Long] = None
     // write-defaults materialize on every insert path (append parity):
     // an omitting batch must not fail the schema match just because it
     // arrived through the concurrent verb
     val df = identitySpec match {
       case None => withDefaults(withGenerated(batch))
+      case Some(spec) if batch.columns.contains(spec.name) =>
+        require(!spec.always,
+          s"GENERATED ALWAYS AS IDENTITY column '${spec.name}' cannot " +
+            "be user-supplied")
+        val g = withDefaults(withGenerated(batch))
+        val row = g.agg(
+          count(when(col(spec.name).isNull, 1)).as("nulls"),
+          max(col(spec.name).cast("long")).as("mx"),
+          min(col(spec.name).cast("long")).as("mn")).head
+        require(row.getLong(0) == 0L,
+          s"identity column '${spec.name}' of $path cannot be NULL " +
+            "(omit the column to generate values)")
+        if (!row.isNullAt(1))
+          suppliedExtreme =
+            Some(if (spec.step > 0) row.getLong(1) else row.getLong(2))
+        g
       case Some(spec) =>
         val g = withDefaults(withGenerated(batch))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2152,10 +2329,16 @@ final class MiniLake(spark: SparkSession, val path: String,
       // claim, forcing a collision and the next iteration's re-check.
       requireSchemaMatch(df)
       val v = nextVersion
+      val idHw = suppliedExtreme.flatMap(sup => identitySpec.map(spec =>
+        MiniLake.advancePast(spec,
+          identityHighWaterAt(v - 1).getOrElse(spec.start - spec.step),
+          sup)))
       try {
         writeEntry(CommitEntry(v, "append", System.currentTimeMillis(),
           df.schema.json, adds, Seq.empty, hasChanges = true,
-          bucketSpec = bucketSpec, changesMode = "insertsFromData"))
+          bucketSpec = bucketSpec, changesMode = "insertsFromData",
+          identityHighWater = idHw))
+        idHw.foreach(h => idHwCache = Some((v, h)))
         return v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -2267,8 +2450,11 @@ final class MiniLake(spark: SparkSession, val path: String,
     require(partitionCols.nonEmpty,
       s"replacePartitions requires a partitioned table ($path has no " +
         "partition columns)")
-    requireNoIdentity("replacePartitions")
-    val df = withGenerated(batch)
+    // identity keeps counting upward across the partition rewrite
+    // (replaced rows never free their ids — the same contract
+    // overwrite has); BY DEFAULT batches may carry explicit ids
+    val (stamped, idHw) = withIdentityAssigned(batch)
+    val df = withGenerated(stamped)
     requireSchemaMatch(df)
     val tuples = df
       .select(partitionCols.map(c => col(c).cast("string")): _*)
@@ -2302,15 +2488,38 @@ final class MiniLake(spark: SparkSession, val path: String,
       if (liveDvs.isEmpty || doomed.isEmpty) Seq.empty
       else {
         val doomedSet = doomed.map(MiniLake.localPath).toSet
-        val byDv = spark.read.schema(MiniLake.DvSchema)
-          .parquet(liveDvs: _*)
-          .select(col("_metadata.file_path").as("_dv_sidecar"),
-            col(DvFileCol))
-          .distinct().collect()
-          .groupBy(r => MiniLake.localPath(r.getString(0)))
-        liveDvs.filter { dvf =>
-          byDv.get(MiniLake.localPath(dvf))
-            .exists(_.forall(r => doomedSet(MiniLake.localPath(r.getString(1)))))
+        // driver-side footer pre-filter: a sidecar whose [min,max]
+        // target range contains NO doomed path cannot target the
+        // replaced partitions at all — skip its row-level scan, and
+        // when no sidecar survives skip the Spark job entirely. This
+        // keeps DV-light workloads' replacePartitions free of the
+        // full-sidecar scan (one footer read per live sidecar,
+        // metadata-sized, same machinery as collectFileStats). Stored
+        // target paths may be file: URIs, so both spellings probe the
+        // range; missing stats stay conservative (scan).
+        val conf = spark.sparkContext.hadoopConfiguration
+        val candidates = liveDvs.filter { dvf =>
+          MiniLake.dvTargetRange(conf, dvf) match {
+            case Some((lo, hi)) => doomedSet.exists { d =>
+              (lo <= d && d <= hi) ||
+                { val u = "file:" + d; lo <= u && u <= hi }
+            }
+            case None => true
+          }
+        }
+        if (candidates.isEmpty) Seq.empty
+        else {
+          val byDv = spark.read.schema(MiniLake.DvSchema)
+            .parquet(candidates: _*)
+            .select(col("_metadata.file_path").as("_dv_sidecar"),
+              col(DvFileCol))
+            .distinct().collect()
+            .groupBy(r => MiniLake.localPath(r.getString(0)))
+          candidates.filter { dvf =>
+            byDv.get(MiniLake.localPath(dvf))
+              .exists(_.forall(r =>
+                doomedSet(MiniLake.localPath(r.getString(1)))))
+          }
         }
       }
     val (adds, chg) = inParallel(
@@ -2318,7 +2527,9 @@ final class MiniLake(spark: SparkSession, val path: String,
       writeChanges(changes, v, rowHint = Some(nDel + nIns)))
     writeEntry(CommitEntry(v, "overwrite", System.currentTimeMillis(),
       df.schema.json, adds, doomed, hasChanges = true,
-      bucketSpec = bucketSpec, changeFiles = chg, dvRemoves = dvRemoved))
+      bucketSpec = bucketSpec, changeFiles = chg, dvRemoves = dvRemoved,
+      identityHighWater = idHw))
+    idHw.foreach(h => idHwCache = Some((v, h)))
     (nIns, nDel)
   }
 
@@ -2326,14 +2537,15 @@ final class MiniLake(spark: SparkSession, val path: String,
     * (changesMode=insertsFromData) — one write instead of two.
     */
   private def commitInsertOnly(data: DataFrame, mode: String,
-      rowHint: Option[Long], idHw: Option[Long] = None): Unit =
+      rowHint: Option[Long], idHw: Option[Long] = None,
+      minReader: Int = 1): Unit =
     withCommitPlanning {
       val v = nextVersion
       val adds = writeData(data, v, rowHint)
       writeEntry(CommitEntry(v, mode, System.currentTimeMillis(),
         data.schema.json, adds, Seq.empty, hasChanges = true,
         bucketSpec = bucketSpec, changesMode = "insertsFromData",
-        identityHighWater = idHw))
+        identityHighWater = idHw, minReader = minReader))
       // advance the in-process high water only after the entry is
       // durably published (a failed commit must not burn ids forward
       // of what the log proves)
@@ -2407,12 +2619,13 @@ final class MiniLake(spark: SparkSession, val path: String,
     // rows cannot name a PK to match) — refused explicitly.
     identitySpec.foreach { spec =>
       require(!pks.contains(spec.name),
-        s"cannot merge on GENERATED ALWAYS AS IDENTITY column " +
+        s"cannot merge on GENERATED AS IDENTITY column " +
           s"'${spec.name}' of $path: incoming rows can never supply it")
       require(!inserts.columns.contains(spec.name) &&
         !deletes.columns.contains(spec.name),
-        s"GENERATED ALWAYS AS IDENTITY column '${spec.name}' cannot " +
-          "be user-supplied")
+        s"GENERATED AS IDENTITY column '${spec.name}' cannot " +
+          "be user-supplied to merge (the insert side always generates, " +
+          "even BY DEFAULT)")
     }
     val ins = withGenerated(inserts)
     requireSchemaMatchExceptIdentity(ins)
@@ -2553,8 +2766,24 @@ final class MiniLake(spark: SparkSession, val path: String,
   private[lake] def mergeConcurrentImpl(inserts: DataFrame,
       deletes: DataFrame, pks: Seq[String], maxRetries: Int,
       beforePublish: () => Unit): (Long, Long) = withCommitPlanning {
-    requireNoIdentity("mergeConcurrent")
-    requireSchemaMatch(inserts)
+    // identity under concurrent MERGE rides the same id-range
+    // reservation appendConcurrent uses (Delta's discipline): count
+    // the rows that actually insert, durably claim the range in a
+    // metadata-only commit, stamp, then race the publish. The merge
+    // verbs never accept caller-supplied ids (even BY DEFAULT) —
+    // incoming rows can't name the id column as a PK, so explicit
+    // values have no matching role here.
+    identitySpec.foreach { spec =>
+      require(!pks.contains(spec.name),
+        s"cannot merge on GENERATED AS IDENTITY column '${spec.name}' " +
+          s"of $path: incoming rows can never supply it")
+      require(!inserts.columns.contains(spec.name) &&
+        !deletes.columns.contains(spec.name),
+        s"GENERATED AS IDENTITY column '${spec.name}' cannot be " +
+          "user-supplied to mergeConcurrent (the insert side always " +
+          "generates)")
+    }
+    requireSchemaMatchExceptIdentity(inserts)
     val spec = bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"mergeConcurrent requires a bucketed table ($path is unbucketed): " +
         "bucket scope is what makes concurrent rewrites provably disjoint"))
@@ -2570,19 +2799,37 @@ final class MiniLake(spark: SparkSession, val path: String,
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept =
       if (emptyDel) target else target.join(delKeys, pks, "left_anti")
-    val toInsert =
+    // identity tables anti-join and count WITHOUT the id column (the
+    // batch can't carry it), then stamp ids on exactly the rows that
+    // insert — after the range is reserved below
+    val insCols = target.columns.filterNot(c =>
+      identitySpec.exists(_.name == c))
+    val toInsertRaw =
       if (emptyIns) emptyDf(spark, target.schema)
       else inserts.join(kept.select(pks.map(col): _*), pks, "left_anti")
-        .select(target.columns.map(col).toSeq: _*)
+        .select(insCols.map(col).toSeq: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def byBucket(df: DataFrame, statically: Boolean): Map[Long, Long] =
       if (statically) Map.empty
       else df.select(bucketExpr(spec).cast("long")).rdd
         .map(_.getLong(0)).countByValue().toMap
     val delByBucket = byBucket(toDelete, emptyDel)
-    val insByBucket = byBucket(toInsert, emptyIns)
+    val insByBucket = byBucket(toInsertRaw, emptyIns)
     val nDel = delByBucket.values.sum
     val nIns = insByBucket.values.sum
+    // reservation happens BEFORE the data write (the Delta ordering:
+    // the claimed range is durable before any data references it);
+    // two racing merges collide on the reservation version, never on
+    // the ids
+    val toInsert = identitySpec match {
+      case Some(idSpec) if nIns > 0 =>
+        val base = reserveIdentityRange(idSpec, nIns, maxRetries)
+        assignIdentityFrom(toInsertRaw, idSpec, base,
+          expectN = Some(nIns))._1
+          .select(target.columns.map(col).toSeq: _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case _ => toInsertRaw
+    }
     // the read/write footprint: buckets this merge rewrote (deletes)
     // plus buckets whose ABSENCE check justified an insert — a winner
     // inserting the same PK would land in one of these
@@ -2611,7 +2858,8 @@ final class MiniLake(spark: SparkSession, val path: String,
         (a, Seq.empty[String], Seq.empty[String], "insertsFromData")
       }
     toDelete.unpersist()
-    toInsert.unpersist()
+    toInsertRaw.unpersist()
+    if (!(toInsert eq toInsertRaw)) toInsert.unpersist()
     beforePublish()
 
     def requireCompatible(e: CommitEntry): Unit = {
@@ -2620,8 +2868,13 @@ final class MiniLake(spark: SparkSession, val path: String,
           s"merge on $path (read version $readV, buckets " +
             s"${affected.toSeq.sorted.mkString("{", ",", "}")}) conflicts " +
             s"with concurrent ${e.mode} at version ${e.version}: $why")
-      if (e.mode != "append" && e.mode != "merge")
-        conflict("only blind appends and bucket-disjoint merges commute")
+      // id-reserve / id-sync are metadata-only marks (no files, no
+      // schema change) — they commute with every rewrite; our own
+      // reservation above is one of them
+      if (e.mode != "append" && e.mode != "merge" &&
+        e.mode != "id-reserve" && e.mode != "id-sync")
+        conflict("only blind appends, bucket-disjoint merges, and " +
+          "identity marks commute")
       if (e.schemaJson != mySchemaJson) conflict("schema changed")
       if (e.renames.nonEmpty) conflict("column rename")
       if (e.dvAdds.nonEmpty || e.dvRemoves.nonEmpty)
@@ -2681,24 +2934,56 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   def mergeUpdate(rawSource: DataFrame, pks: Seq[String]): (Long, Long) =
     withCommitPlanning {
-      requireNoIdentity("mergeUpdate")
+      // identity: matched rows KEEP their ids (the update replaces
+      // only non-key payload — ids are immutable once assigned, the
+      // Delta contract), inserts generate from the high water.
+      // Caller-supplied ids are refused even BY DEFAULT: the merge
+      // verbs' insert side always generates.
+      identitySpec.foreach { spec =>
+        require(!pks.contains(spec.name),
+          s"cannot merge on GENERATED AS IDENTITY column " +
+            s"'${spec.name}' of $path: incoming rows can never supply it")
+        require(!rawSource.columns.contains(spec.name),
+          s"GENERATED AS IDENTITY column '${spec.name}' cannot be " +
+            "user-supplied to mergeUpdate (matched rows keep their " +
+            "ids; inserts generate)")
+      }
       // generated columns compute-if-absent on this insert/update
       // surface too (consistency with every other data-carrying verb)
       val source = withGenerated(rawSource)
-      requireSchemaMatch(source)
+      requireSchemaMatchExceptIdentity(source)
       val target = snapshot()
       val srcKeys = source.select(pks.map(col): _*).distinct()
       val pre = target.join(srcKeys, pks, "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val untouched = target.join(srcKeys, pks, "left_anti")
-      val post = source.join(target.select(pks.map(col): _*), pks,
-        "left_semi")
+      // the postimage re-attaches the target's id by PK (1:1 — both
+      // sides PK-unique per the verb's contract), so an updated row's
+      // id survives the rewrite bit-for-bit
+      val postRaw = identitySpec match {
+        case Some(spec) =>
+          source.join(target.select((pks :+ spec.name).map(col): _*),
+            pks, "inner")
+        case None =>
+          source.join(target.select(pks.map(col): _*), pks, "left_semi")
+      }
+      val post = postRaw.select(target.columns.map(col).toSeq: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val inserts = source.join(target.select(pks.map(col): _*), pks,
+      val insertsRaw = source.join(target.select(pks.map(col): _*), pks,
         "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nUpd = post.rdd.count()
-      val nIns = inserts.rdd.count()
+      val nIns = insertsRaw.rdd.count()
+      val (inserts, idHw) = identitySpec match {
+        case Some(spec) if nIns > 0 =>
+          val base = identityHighWater.getOrElse(spec.start - spec.step)
+          val (stamp, hw) = assignIdentityFrom(insertsRaw, spec, base,
+            expectN = Some(nIns))
+          (stamp.select(target.columns.map(col).toSeq: _*)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+            Some(hw))
+        case _ => (insertsRaw, None)
+      }
       val v = nextVersion
       val newData = untouched.unionByName(post).unionByName(inserts)
       val changes = pre.withColumn(ChangeType, lit("update_preimage"))
@@ -2710,8 +2995,10 @@ final class MiniLake(spark: SparkSession, val path: String,
       writeEntry(CommitEntry(v, "merge-update", System.currentTimeMillis(),
         target.schema.json, adds, liveFiles(v - 1), hasChanges = true,
         bucketSpec = bucketSpec, changeFiles = chg,
-        dvRemoves = liveDvFiles(v - 1)))
-      pre.unpersist(); post.unpersist(); inserts.unpersist()
+        dvRemoves = liveDvFiles(v - 1), identityHighWater = idHw))
+      idHw.foreach(h => idHwCache = Some((v, h)))
+      pre.unpersist(); post.unpersist(); insertsRaw.unpersist()
+      if (!(inserts eq insertsRaw)) inserts.unpersist()
       (nUpd, nIns)
     }
 
@@ -2725,6 +3012,11 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   def update(pred: Column, assignments: Map[String, Column],
       trackChanges: Boolean = true): Unit = withCommitPlanning {
+    // identity values are immutable once assigned (both ALWAYS and
+    // BY DEFAULT — Delta refuses UPDATE SET on identity columns)
+    identitySpec.foreach(spec => require(!assignments.contains(spec.name),
+      s"GENERATED AS IDENTITY column '${spec.name}' of $path cannot " +
+        "be updated"))
     val target = snapshot()
     // null-safe predicate split: a NULL predicate means "not matched"
     // (Delta UPDATE semantics) — a plain `!pred` filter would drop
@@ -3370,18 +3662,50 @@ object MiniLake {
   /** Highest reader protocol this build understands (Delta's
     * minReaderVersion contract): 1 = plain log, 2 = deletion vectors,
     * 3 = column mapping (rename/drop/re-add), 4 = initial-default
-    * columns. Tables whose log requires more are REFUSED with an
-    * upgrade error instead of being read wrongly — an old reader
-    * silently ignoring deletion vectors would resurrect deleted rows;
-    * one ignoring addDefaults would read NULL where the declared
-    * default belongs. Tests force an old reader via the session conf
-    * `graft.lake.maxSupportedReader`.
+    * columns, 5 = type widening (pre-widen narrow-physical files
+    * upcast at read under the wide schema). Tables whose log requires
+    * more are REFUSED with an upgrade error instead of being read
+    * wrongly — an old reader silently ignoring deletion vectors would
+    * resurrect deleted rows; one ignoring addDefaults would read NULL
+    * where the declared default belongs; one ignoring widening would
+    * depend on its parquet reader happening to upcast. Tests force an
+    * old reader via the session conf `graft.lake.maxSupportedReader`.
     */
-  val SupportedReaderVersion = 4
+  val SupportedReaderVersion = 5
 
-  /** GENERATED ALWAYS AS IDENTITY column: `name` is assigned
-    * `start, start+step, ...`, never reused, never user-supplied. */
-  final case class IdentitySpec(name: String, start: Long, step: Long)
+  /** GENERATED AS IDENTITY column: `name` is assigned
+    * `start, start+step, ...`, never reused. `always = true` (Delta's
+    * GENERATED ALWAYS) refuses caller-supplied values; `always = false`
+    * (GENERATED BY DEFAULT) accepts them and advances the high water
+    * past the largest supplied value. */
+  final case class IdentitySpec(name: String, start: Long, step: Long,
+      always: Boolean = true)
+
+  /** Smallest value of the identity sequence `{start + k·step, k ≥ 0}`
+    * at or beyond `supplied` (in the direction of `step`), floored at
+    * the current mark `cur` — the BY DEFAULT high-water advance and
+    * SYNC IDENTITY's alignment rule: generated ids resume strictly
+    * PAST every explicitly supplied value and stay ON the declared
+    * grid. Monotone: never moves the mark backward (ids are never
+    * reused, the same contract DELETE has).
+    */
+  private[lake] def advancePast(spec: IdentitySpec, cur: Long,
+      supplied: Long): Long = {
+    def ceilDiv(a: Long, b: Long): Long = Math.floorDiv(a + b - 1, b)
+    if (spec.step > 0) {
+      if (supplied <= cur) cur
+      else {
+        val k = math.max(0L, ceilDiv(supplied - spec.start, spec.step))
+        math.max(cur, spec.start + k * spec.step)
+      }
+    } else {
+      if (supplied >= cur) cur
+      else {
+        val k = math.max(0L, ceilDiv(spec.start - supplied, -spec.step))
+        math.min(cur, spec.start + k * spec.step)
+      }
+    }
+  }
 
   def apply(spark: SparkSession, path: String): MiniLake =
     new MiniLake(spark, path)
@@ -3424,6 +3748,37 @@ object MiniLake {
     // silently violating the never-reused uniqueness contract
     require(step != 0L, s"identity column $col requires a nonzero step")
     new MiniLake(spark, path,
+      identityColAtCreate = Some(IdentitySpec(col, start, step)))
+  }
+
+  /** Variant with a GENERATED BY DEFAULT AS IDENTITY column — the
+    * migration-friendly sibling of [[identity]]: a batch OMITTING the
+    * column gets generated values exactly like ALWAYS; a batch
+    * CARRYING it keeps its explicit values (the backfill shape) and
+    * the commit advances the high-water mark past the largest
+    * supplied value, aligned to the declared `start`/`step` grid, so
+    * generated ids can never collide with a backfill. Pair with
+    * [[MiniLake!.syncIdentity]] to re-seat the mark from the data.
+    */
+  def identityByDefault(spark: SparkSession, path: String, col: String,
+      start: Long = 1L, step: Long = 1L): MiniLake = {
+    require(step != 0L, s"identity column $col requires a nonzero step")
+    new MiniLake(spark, path,
+      identityColAtCreate = Some(IdentitySpec(col, start, step,
+        always = false)))
+  }
+
+  /** Bucketed layout + GENERATED AS IDENTITY — the multi-writer MERGE
+    * shape: [[MiniLake!.mergeConcurrent]] needs the bucket scope for
+    * provably disjoint rewrites, and identity rides the same id-range
+    * reservation [[MiniLake!.appendConcurrent]] uses.
+    */
+  def bucketedIdentity(spark: SparkSession, path: String,
+      pks: Seq[String], numBuckets: Int, col: String,
+      start: Long = 1L, step: Long = 1L): MiniLake = {
+    require(step != 0L, s"identity column $col requires a nonzero step")
+    new MiniLake(spark, path,
+      bucketSpecAtCreate = Some(BucketSpec(pks, numBuckets)),
       identityColAtCreate = Some(IdentitySpec(col, start, step)))
   }
 
@@ -3628,7 +3983,17 @@ object MiniLake {
     df.select(sch.fields.toSeq.map { f =>
       have.get(f.name) match {
         case Some(dt) if dt == f.dataType => col(f.name)
-        case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+        case Some(dt) =>
+          // only lattice pairs may reach this cast (writes are gated
+          // by requireSchemaMatch/mergedSchemaWith) — an off-lattice
+          // pair arriving through a future code path or a corrupted
+          // log schema must fail loudly here, not silently
+          // null/truncate values
+          require(widens(dt, f.dataType) || widens(f.dataType, dt),
+            s"conformTo: refusing non-widening cast ${f.name}: " +
+              s"$dt -> ${f.dataType} (off the lossless lattice; a " +
+              "silent cast would corrupt values)")
+          col(f.name).cast(f.dataType).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
       }
     }: _*)
@@ -3660,6 +4025,47 @@ object MiniLake {
     */
   private[lake] def localPath(p: String): String =
     if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+
+  /** Driver-side [min,max] of the DV target-file column, read from a
+    * sidecar's parquet footer (no Spark job) — the pre-filter
+    * [[MiniLake!.replacePartitions]] uses to skip row-level sidecar
+    * scans that cannot intersect the replaced set. None when stats
+    * are unavailable (callers stay conservative and scan).
+    */
+  private[lake] def dvTargetRange(
+      conf: org.apache.hadoop.conf.Configuration,
+      sidecar: String): Option[(String, String)] =
+    try {
+      val md = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        conf, new org.apache.hadoop.fs.Path(sidecar),
+        org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      var acc: Option[(String, String)] = None
+      var statless = false
+      md.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          if (c.getPath.toDotString == DvFileCol) {
+            val st = c.getStatistics
+            if (st == null || !st.hasNonNullValue) statless = true
+            else {
+              val mn = st.genericGetMin
+                .asInstanceOf[org.apache.parquet.io.api.Binary]
+                .toStringUsingUTF8
+              val mx = st.genericGetMax
+                .asInstanceOf[org.apache.parquet.io.api.Binary]
+                .toStringUsingUTF8
+              acc = acc match {
+                case Some((lo, hi)) =>
+                  Some((if (mn < lo) mn else lo, if (mx > hi) mx else hi))
+                case None => Some((mn, mx))
+              }
+            }
+          }
+        }
+      }
+      // any stats-missing row group poisons the bound (its targets are
+      // unknown, so no sound range exists for the file)
+      if (statless) None else acc
+    } catch { case _: Exception => None }
 
   private[lake] def parquetFilesIn(dir: Path): Seq[String] =
     usingStream(Files.walk(dir))(_.filter(p =>
