@@ -9,12 +9,20 @@ Usage: python3 scripts/oracle_bench.py <sfDir> <verifyOutDir> [outJson]
 The bench-vs-baseline ratio in the round verdicts is Spark's BENCH
 total divided by THIS number — and the denominator moves (DuckDB got
 ~2x faster on recursive CTEs between rounds 6 and 7, swinging the
-ratio 0.5 -> 0.9 with zero Spark change). Recording the oracle's
-cold/warm totals alongside each round's BENCH keeps the ratio a
-measurement instead of an inheritance.
+ratio 0.5 -> 0.9 with zero Spark change; ORACLE_r11's two "warm" runs
+differed 1.67x from host load alone). Two disciplines keep the
+denominator a measurement instead of host luck:
 
-Writes one JSON object: cold total, two warm totals, and the per-query
-warm times (seconds).
+- per-query MIN over N>=3 warm passes (steady-state: the minimum is
+  the run least contaminated by neighbor load), with every pass's
+  total recorded so the spread is visible in the artifact;
+- a load SENTINEL (one fixed cheap query re-timed at the start and
+  end of the warm window, mirroring Bench.scala's) so a contaminated
+  window labels itself.
+
+Writes one JSON object: cold total, each warm pass's total, the
+min-of-passes total (the contract denominator), the spread ratio,
+the sentinel pair, and per-query min times (seconds).
 """
 import json
 import sys
@@ -28,6 +36,9 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+WARM_PASSES = 3
+SENTINEL = "q100_zorder_2d"
+
 
 def run_all(con, oracle):
     times = {}
@@ -36,6 +47,12 @@ def run_all(con, oracle):
         con.execute(oracle[name]).fetchall()
         times[name] = round(time.monotonic() - t0, 3)
     return times
+
+
+def time_one(con, sql):
+    t0 = time.monotonic()
+    con.execute(sql).fetchall()
+    return round(time.monotonic() - t0, 3)
 
 
 def main(sf_dir, out_dir, out_json=None):
@@ -47,15 +64,29 @@ def main(sf_dir, out_dir, out_json=None):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     cold = run_all(con, oracle)
-    warm1 = run_all(con, oracle)
-    warm2 = run_all(con, oracle)
+    sentinel_name = SENTINEL if SENTINEL in oracle else (
+        sorted(oracle)[0] if oracle else None)
+    sentinel_start = (
+        time_one(con, oracle[sentinel_name]) if sentinel_name else None)
+    warms = [run_all(con, oracle) for _ in range(WARM_PASSES)]
+    sentinel_end = (
+        time_one(con, oracle[sentinel_name]) if sentinel_name else None)
+    per_query_min = {
+        name: min(w[name] for w in warms) for name in sorted(oracle)}
+    totals = [round(sum(w.values()), 2) for w in warms]
+    min_total = round(sum(per_query_min.values()), 2)
     result = {
         "sf_dir": sf_dir,
         "n_queries": len(oracle),
         "cold_total_sec": round(sum(cold.values()), 2),
-        "warm_total_sec": [round(sum(warm1.values()), 2),
-                           round(sum(warm2.values()), 2)],
-        "warm_queries": warm1,
+        "warm_total_sec": totals,
+        "warm_min_total_sec": min_total,
+        "warm_spread": (round(max(totals) / min(totals), 3)
+                        if totals and min(totals) > 0 else None),
+        "sentinel": {"query": sentinel_name,
+                     "start_sec": sentinel_start,
+                     "end_sec": sentinel_end},
+        "warm_queries_min": per_query_min,
     }
     line = json.dumps(result)
     print(line)

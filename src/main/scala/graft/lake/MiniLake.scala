@@ -3768,6 +3768,37 @@ object MiniLake {
         always = false)))
   }
 
+  /** The engine-reserved row-tracking column name. */
+  val RowIdCol = "_row_id"
+
+  /** ROW TRACKING (Delta 3.x row lineage): every row carries a stable
+    * `_row_id` assigned at first write and preserved across EVERY
+    * rewrite — compaction, Z-order, materializeDeletes, UPDATE,
+    * merge/mergeUpdate copy-on-write — so downstream incremental
+    * consumers can join on row identity without PK assumptions.
+    *
+    * Design note: row tracking here IS an engine-reserved GENERATED
+    * ALWAYS AS IDENTITY column. Stability is not a separate mechanism;
+    * it follows from the identity contract every verb now obeys:
+    *  - rewrites (compactFiles/compactZorder/materializeDeletes/
+    *    restore) READ existing rows through the snapshot — the column
+    *    travels with the row bytes and is never re-assigned;
+    *  - update() refuses `_row_id` assignments; mergeUpdate re-attaches
+    *    the target's ids to matched rows; merge's kept rows come from
+    *    the files themselves;
+    *  - only genuine inserts consume fresh ids (contiguous from the
+    *    high water, reservation-backed under concurrency), and DELETE
+    *    never frees one — ids are forever.
+    * The column is part of the visible schema (Delta exposes it as a
+    * metadata column; a reserved visible column keeps every read path
+    * — CDF pre/postimages, time travel, clones — carrying lineage with
+    * zero extra machinery). RowTrackingSpec pins stability across all
+    * rewrite paths; gate q296 checksums the (pk ↔ _row_id) pairing
+    * through a full lifecycle.
+    */
+  def rowTracked(spark: SparkSession, path: String): MiniLake =
+    identity(spark, path, RowIdCol)
+
   /** Bucketed layout + GENERATED AS IDENTITY — the multi-writer MERGE
     * shape: [[MiniLake!.mergeConcurrent]] needs the bucket scope for
     * provably disjoint rewrites, and identity rides the same id-range

@@ -24,6 +24,25 @@ import graft.Tables._
   */
 object Multimodal {
 
+  /** Lookup-table lowercase hex. The f"%02x"-per-byte spelling this
+    * replaces was the measured per-row cost of the codec-seam gates
+    * (q68 r11: ~84 µs/row — millions of String.format calls — against
+    * a seam fixed cost of ~0.36 s); hex encoding sits inside every
+    * payload digest, so it must be allocation-lean.
+    */
+  private[ops] def hexLower(bytes: Array[Byte]): String = {
+    val digits = "0123456789abcdef"
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      out(2 * i) = digits.charAt(v >>> 4)
+      out(2 * i + 1) = digits.charAt(v & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   final case class MediaRow(doc_id: Long, payload: Array[Byte],
       mime: String, n_bytes: Long)
   final case class MediaFeatures(doc_id: Long, n_bytes: Long,
@@ -35,7 +54,7 @@ object Multimodal {
     */
   object StubDecoder {
     def decode(payload: Array[Byte]): (String, Long, Long, Long) = {
-      val header = payload.take(4).map(b => f"${b & 0xff}%02x").mkString
+      val header = hexLower(payload.take(4))
       val n = payload.length.toLong
       (header, n % 640, (n * 31) % 480, 1 + n % 8)
     }
@@ -108,11 +127,10 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val out = StubResizer.resize(r.payload)
-        val hex = out.map(b => f"${b & 0xff}%02x").mkString
+        val hex = hexLower(out)
         md.reset()
         ResizedMedia(r.doc_id, r.n_bytes, out.length.toLong,
-          md.digest(hex.getBytes("UTF-8"))
-            .map(b => f"${b & 0xff}%02x").mkString)
+          hexLower(md.digest(hex.getBytes("UTF-8"))))
       }
     }
   }
@@ -148,9 +166,8 @@ object Multimodal {
       rows.flatMap { r =>
         val (header, _, _, frames) = StubDecoder.decode(r.payload)
         (0L until frames by 2).map { i =>
-          val sig = java.security.MessageDigest.getInstance("MD5")
-            .digest(s"$header#$i".getBytes("UTF-8"))
-            .map(b => f"${b & 0xff}%02x").mkString
+          val sig = hexLower(java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$header#$i".getBytes("UTF-8")))
           SampledFrame(r.doc_id, i, sig)
         }
       }

@@ -1387,6 +1387,257 @@ object Pipeline {
       |    min_reader_version, columns, probe)
       |ORDER BY probe""".stripMargin
 
+  /** Identity across the MULTI-WRITER verbs (q293), completing q280's
+    * reservation story (MiniLake.scala — id-range reservation at
+    * `reserveIdentityRange`): three racing `mergeConcurrent` writers
+    * whose insert sets are split by BUCKET class (provably disjoint
+    * footprints → no conflict, no retry, no burned reservation), then
+    * a `mergeUpdate` whose matched rows must KEEP their ids (updates
+    * consume nothing; only the 2 fresh inserts do), then an
+    * `appendIfAbsent` ingest whose replay must skip the data AND the
+    * ids — the foreachBatch crash-replay shape. Coverage stays exactly
+    * contiguous 1..N under every interleaving, so count/distinct/min/
+    * max/sum are closed form; the payload sum proves the update
+    * landed. At 100 TB each writer pays one distributed write plus
+    * metadata-sized reservation commits — ids never serialize data.
+    */
+  def q293IdentityMultiwriter(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_identmw").toString
+    val d = orders(s, dir).select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val t = MiniLake.bucketedIdentity(s, s"$base/orders",
+      Seq("o_orderkey"), 8, "row_id")
+    t.create(d.filter(col("o_orderkey") % 4 === 0).orderBy("o_orderkey"))
+    // the same hash MiniLake buckets by — writer w inserts exactly the
+    // keys whose bucket ≡ w (mod 3); re-inserted seed keys anti-join
+    // away and consume no ids
+    val bucketOf = pmod(xxhash64(concat_ws("",
+      col("o_orderkey").cast("string"))), lit(8))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (0 to 2).map { w =>
+      Future {
+        MiniLake(s, s"$base/orders").mergeConcurrent(
+          inserts = d.filter(bucketOf % 3 === w).orderBy("o_orderkey"),
+          deletes = MiniLake.emptyDf(s, d.schema),
+          pks = Seq("o_orderkey"))
+      }
+    }
+    Await.result(Future.sequence(writers), Duration.Inf)
+    // matched rows keep ids; keys -1,-2 insert (2 fresh ids)
+    val upd = d.filter(col("o_orderkey") % 10 === 1)
+      .withColumn("cents", lit(0L))
+      .unionByName(s.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](
+          org.apache.spark.sql.Row(-2L, 0L),
+          org.apache.spark.sql.Row(-1L, 0L)),
+        d.schema)).orderBy("o_orderkey")
+    val t2 = MiniLake(s, s"$base/orders")
+    t2.mergeUpdate(upd, pks = Seq("o_orderkey"))
+    // foreachBatch replay: same (appId, txn) twice → one commit, one id
+    val extra = s.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(-3L, 0L)), d.schema).orderBy("o_orderkey")
+    val first = t2.appendIfAbsent(extra, "ingest", 1L)
+    val replay = t2.appendIfAbsent(extra, "ingest", 1L)
+    MiniLake(s, s"$base/orders").snapshot()
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("row_id")).as("n_distinct_ids"),
+        min("row_id").as("min_id"), max("row_id").as("max_id"),
+        sum("row_id").cast("long").as("sum_id"),
+        sum("cents").cast("long").as("total_cents"))
+      .select(col("n_rows"), col("n_distinct_ids"), col("min_id"),
+        col("max_id"), col("sum_id"),
+        lit(first && !replay).as("replay_skipped"), col("total_cents"))
+  }
+
+  val q293Oracle: String =
+    """WITH c AS (SELECT count(*) + 3 AS n FROM orders),
+      |p AS (SELECT CAST(sum(CASE WHEN o_orderkey % 10 = 1 THEN 0
+      |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+      |  AS BIGINT) AS pay FROM orders)
+      |SELECT n AS n_rows, n AS n_distinct_ids,
+      |  CAST(1 AS BIGINT) AS min_id, n AS max_id,
+      |  CAST(n * (n + 1) / 2 AS BIGINT) AS sum_id,
+      |  TRUE AS replay_skipped, pay AS total_cents
+      |FROM c, p""".stripMargin
+
+  /** GENERATED BY DEFAULT AS IDENTITY + SYNC IDENTITY (q294) — the
+    * migration shape Delta ships beside ALWAYS: a backfill batch
+    * CARRIES explicit ids (2·key — the legacy system's keys), the
+    * next generated batch must resume PAST the backfill (high water
+    * advanced to max(supplied) on the sequence grid), SYNC IDENTITY
+    * re-seats idempotently, an explicit id BELOW the mark is accepted
+    * without regressing it, and ALWAYS's rejection contract is
+    * probed unchanged. Every id is a closed-form function of the
+    * orders keys, so sum/max/distinct are exact.
+    */
+  def q294IdentityByDefault(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = graft.Scratch.dir("graft_identbd").toString
+    val d = orders(s, dir).select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val t = MiniLake.identityByDefault(s, s"$base/orders", "row_id")
+    // backfill: explicit ids 2·key for keys ≡ 0 (mod 3)
+    t.create(d.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("row_id", col("o_orderkey") * 2).orderBy("o_orderkey"))
+    // generated batch resumes at max(2·key)+1
+    t.append(d.filter(col("o_orderkey") % 3 === 1).orderBy("o_orderkey"))
+    // SYNC IDENTITY: idempotent here (the write path already advanced
+    // the mark) — the returned mark itself is the assertion
+    val mark = MiniLake(s, s"$base/orders").syncIdentity()
+    // explicit id BELOW the mark: accepted, mark must not regress
+    t.append(Seq((-1L, 0L, 1L)).toDF("o_orderkey", "cents", "row_id")
+      .orderBy("o_orderkey"))
+    t.append(d.filter(col("o_orderkey") % 3 === 2).orderBy("o_orderkey"))
+    // ALWAYS keeps rejecting explicit values
+    val alwaysRejected = {
+      val a = MiniLake.identity(s, s"$base/always", "row_id")
+      a.create(Seq((1L, 0L)).toDF("o_orderkey", "cents").orderBy("o_orderkey"))
+      try { a.append(Seq((2L, 0L, 9L))
+        .toDF("o_orderkey", "cents", "row_id")); false }
+      catch { case _: IllegalArgumentException => true }
+    }
+    MiniLake(s, s"$base/orders").snapshot()
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("row_id")).as("n_distinct_ids"),
+        max("row_id").cast("long").as("max_id"),
+        sum("row_id").cast("long").as("sum_id"))
+      .select(col("n_rows"), col("n_distinct_ids"), col("max_id"),
+        col("sum_id"), lit(mark).as("sync_mark"),
+        lit(alwaysRejected).as("always_rejected"))
+  }
+
+  val q294Oracle: String =
+    """WITH k0 AS (SELECT CAST(sum(o_orderkey * 2) AS BIGINT) AS s0,
+      |    CAST(max(o_orderkey * 2) AS BIGINT) AS mx0
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |m1 AS (SELECT count(*) AS c1 FROM orders WHERE o_orderkey % 3 = 1),
+      |m2 AS (SELECT count(*) AS c2 FROM orders WHERE o_orderkey % 3 = 2)
+      |SELECT (SELECT count(*) FROM orders) + 1 AS n_rows,
+      |  (SELECT count(*) FROM orders) + 1 AS n_distinct_ids,
+      |  CAST(mx0 + c1 + c2 AS BIGINT) AS max_id,
+      |  CAST(s0 + c1 * mx0 + c1 * (c1 + 1) / 2 + 1
+      |    + c2 * (mx0 + c1) + c2 * (c2 + 1) / 2 AS BIGINT) AS sum_id,
+      |  CAST(mx0 + c1 AS BIGINT) AS sync_mark,
+      |  TRUE AS always_rejected
+      |FROM k0, m1, m2""".stripMargin
+
+  /** Timestamp-BOUNDED CDF + RESTORE TIMESTAMP AS OF (q295) —
+    * completing q287's one-sided feed: the start resolves FORWARD
+    * (first commit ≥ tsLo), the end resolves BACKWARD (last commit
+    * ≤ tsHi — "changes until 5:00" never includes the 5:01 commit),
+    * a window strictly between two commits is the schema'd EMPTY
+    * feed (nothing changed — a real answer), an inverted window and
+    * an end before history are explicit errors, and
+    * restoreToTimestamp lands the table exactly on the backward-
+    * resolved version. Three spaced commits make every count closed
+    * form.
+    */
+  def q295TimestampWindow(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_cdfwin").toString
+    import s.implicits._
+    val t = MiniLake.compact(s, s"$base/ledger")
+    t.create(Seq((1L, 10L)).toDF("k", "cents"))            // v0
+    Thread.sleep(25)
+    t.append(Seq((2L, 20L), (3L, 30L)).toDF("k", "cents")) // v1
+    Thread.sleep(25)
+    t.append(Seq((4L, 40L)).toDF("k", "cents"))            // v2
+    val ts = t.history.select("version", "timestamp_ms")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w01 = t.readChangesBetween(ts(0L), ts(1L)).count()     // 1+2
+    val w11 = t.readChangesBetween(ts(1L), ts(1L)).count()     // 2
+    val wMid = t.readChangesBetween(ts(1L) + 1, ts(2L) - 1).count() // 0
+    val w02 = t.readChangesBetween(ts(0L), ts(2L)).count()     // 4
+    val invertedRefused =
+      try { t.readChangesBetween(ts(2L), ts(0L)); false }
+      catch { case _: IllegalArgumentException => true }
+    val beforeRefused =
+      try { t.readChangesBetween(ts(0L) - 10, ts(0L) - 1); false }
+      catch { case _: IllegalArgumentException => true }
+    t.restoreToTimestamp(ts(1L)) // back to {1,2,3}
+    val fresh = MiniLake(s, s"$base/ledger") // cold reopen
+    fresh.snapshot().agg(count(lit(1)).as("n_rows"),
+        sum("cents").cast("long").as("total_cents"))
+      .select(lit(w01).as("n_w01"), lit(w11).as("n_w11"),
+        lit(wMid).as("n_between"), lit(w02).as("n_w02"),
+        lit(invertedRefused).as("inverted_refused"),
+        lit(beforeRefused).as("before_first_refused"),
+        col("n_rows"), col("total_cents"))
+  }
+
+  val q295Oracle: String =
+    """SELECT CAST(3 AS BIGINT) AS n_w01,
+      |  CAST(2 AS BIGINT) AS n_w11,
+      |  CAST(0 AS BIGINT) AS n_between,
+      |  CAST(4 AS BIGINT) AS n_w02,
+      |  TRUE AS inverted_refused,
+      |  TRUE AS before_first_refused,
+      |  CAST(3 AS BIGINT) AS n_rows,
+      |  CAST(60 AS BIGINT) AS total_cents""".stripMargin
+
+  /** ROW TRACKING (q296) — Delta 3.x stable row ids (design note at
+    * `MiniLake.rowTracked`): the (pk ↔ `_row_id`) pairing must survive
+    * a full lifecycle of rewrites — UPDATE (payload ×3), bin-pack
+    * compaction, a DV delete, materializeDeletes (the COW rewrite that
+    * folds sidecars in), and a mergeUpdate (matched rows keep ids,
+    * two fresh inserts extend the stream). The witness is
+    * `sum(pk · _row_id)`: any rewrite that re-assigned even one row's
+    * id moves it. Ids assign in create sort order (rid = rank by pk),
+    * so the oracle reconstructs every id with ROW_NUMBER — the whole
+    * lifecycle is closed form.
+    */
+  def q296RowTracking(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_rowtrk").toString
+    val d = orders(s, dir).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val t = MiniLake.rowTracked(s, s"$base/orders")
+    t.create(d.orderBy("o_orderkey")) // rid = rank(o_orderkey)
+    t.update(col("o_orderkey") % 6 === 0,
+      Map("cents" -> (col("cents") * 3)))                   // COW rewrite
+    t.compactFiles()                                        // bin-pack
+    t.deleteVectored(col("o_orderkey") % 10 === 0)          // sidecar
+    t.materializeDeletes()                                  // fold DVs in
+    val upd = d.filter(col("o_orderkey") % 14 === 2 &&
+        col("o_orderkey") % 10 =!= 0)
+      .withColumn("cents", lit(0L))
+      .unionByName(s.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](
+          org.apache.spark.sql.Row(-3L, 0L),
+          org.apache.spark.sql.Row(-1L, 0L)), d.schema))
+      .orderBy("o_orderkey")
+    val t2 = MiniLake(s, s"$base/orders")
+    t2.mergeUpdate(upd, pks = Seq("o_orderkey"))            // ids kept
+    t2.snapshot().agg(count(lit(1)).as("n_rows"),
+      sum(col(MiniLake.RowIdCol)).cast("long").as("sum_rid"),
+      sum(col("o_orderkey") * col(MiniLake.RowIdCol)).cast("long")
+        .as("checksum"),
+      sum("cents").cast("long").as("total_cents"))
+  }
+
+  val q296Oracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents0,
+      |    row_number() OVER (ORDER BY o_orderkey) AS rid
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |n AS (SELECT count(*) AS nn FROM base),
+      |surv AS (
+      |  SELECT k, rid,
+      |    CASE WHEN k % 14 = 2 THEN 0
+      |         WHEN k % 6 = 0 THEN cents0 * 3
+      |         ELSE cents0 END AS cents
+      |  FROM base WHERE k % 10 <> 0)
+      |SELECT
+      |  (SELECT count(*) FROM surv) + 2 AS n_rows,
+      |  CAST((SELECT sum(rid) FROM surv)
+      |    + (SELECT 2 * nn + 3 FROM n) AS BIGINT) AS sum_rid,
+      |  CAST((SELECT sum(k * rid) FROM surv)
+      |    + (SELECT -4 * nn - 5 FROM n) AS BIGINT) AS checksum,
+      |  CAST((SELECT sum(cents) FROM surv) AS BIGINT) AS total_cents""".stripMargin
+
   /** Symlink-format manifest interop (q235) — Delta's
     * `GENERATE symlink_format_manifest` verb: after a lifecycle whose
     * delete REWROTE the live set (so stale pre-delete files still sit
@@ -1692,6 +1943,10 @@ object Pipeline {
     "q284_concurrent_dv_delete" -> (q284ConcurrentDvDelete _),
     "q287_changes_since" -> (q287ChangesSince _),
     "q291_describe_detail" -> (q291DescribeDetail _),
+    "q293_identity_multiwriter" -> (q293IdentityMultiwriter _),
+    "q294_identity_by_default" -> (q294IdentityByDefault _),
+    "q295_timestamp_window" -> (q295TimestampWindow _),
+    "q296_row_tracking" -> (q296RowTracking _),
     "q234_generated_partition" -> (q234GeneratedPartition _),
     "q235_symlink_manifest" -> (q235SymlinkManifest _),
     "q250_double_skipping" -> (q250DoubleSkipping _)
@@ -1732,6 +1987,10 @@ object Pipeline {
     "q284_concurrent_dv_delete" -> q284Oracle,
     "q287_changes_since" -> q287Oracle,
     "q291_describe_detail" -> q291Oracle,
+    "q293_identity_multiwriter" -> q293Oracle,
+    "q294_identity_by_default" -> q294Oracle,
+    "q295_timestamp_window" -> q295Oracle,
+    "q296_row_tracking" -> q296Oracle,
     "q234_generated_partition" -> q234Oracle,
     "q235_symlink_manifest" -> q235Oracle,
     "q250_double_skipping" -> q250Oracle
