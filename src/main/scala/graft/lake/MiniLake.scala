@@ -94,15 +94,66 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   private def bucketSpec: Option[BucketSpec] = resolveCreateProps._1
 
-  /** Value-partition columns (fixed at create, recovered on reopen).
-    * Like the bucket layout, the partition value is DUPLICATED into
-    * the directory path under `_p_<col>=<value>` while the real column
-    * stays in the leaf files — so every read path (snapshot, CDF,
-    * vacuum) keeps working on schema-complete files, and partition
-    * pruning is a driver-side file-list filter plus the parquet
-    * min/max stats the files already carry.
+  /** Value-partition columns. Like the bucket layout, the partition
+    * value is DUPLICATED into the directory path under
+    * `_p_<col>=<value>` while the real column stays in the leaf files —
+    * so every read path (snapshot, CDF, vacuum) keeps working on
+    * schema-complete files, and partition pruning is a driver-side
+    * file-list filter plus the parquet min/max stats the files already
+    * carry.
+    *
+    * Unlike the bucket spec, the partition spec can EVOLVE
+    * ([[evolvePartitioning]] — Iceberg partition-spec evolution):
+    * every entry stamps the spec effective AT that commit, so the
+    * LATEST entry always carries the current spec — an O(1) driver
+    * read (the protocol-stamp pattern), re-checked against the latest
+    * version so a reopened or raced instance never writes under a
+    * stale layout.
     */
-  private def partitionCols: Seq[String] = resolveCreateProps._2
+  @volatile private var partColsCache: Option[(Long, Seq[String])] = None
+  private def partitionCols: Seq[String] = {
+    val latest = latestVersion
+    partColsCache match {
+      case Some((v, p)) if v == latest => p
+      case _ =>
+        val p =
+          if (latest < 0) partitionColsAtCreate
+          else readEntry(latest).partitionCols
+        partColsCache = Some((latest, p))
+        p
+    }
+  }
+
+  /** PARTITION SPEC EVOLUTION (Iceberg's signature layout verb,
+    * `ALTER TABLE ... ADD PARTITION FIELD`): a METADATA-ONLY commit
+    * switches the layout for FUTURE writes — files written before keep
+    * their old `_p_` directories untouched (no rewrite of history,
+    * the only evolution feasible on a 100 TB table), files written
+    * after land under the new spec, and both eras read through one
+    * snapshot because the partition value is duplicated (path + leaf
+    * column). Pruning contract on a mixed-era table: a `keep` closure
+    * must treat a MISSING key as "keep" (`m.get(c).forall(...)`) —
+    * an old-era file has no value for a newly added dimension, so it
+    * is conservatively scanned and exact filters above the scan keep
+    * results exact; pruning is a performance layer, never a
+    * correctness gate. [[replacePartitions]] refuses mixed-era live
+    * sets (compact first) because its delete scope must be provable
+    * from the path alone.
+    */
+  def evolvePartitioning(cols: Seq[String]): Unit = withCommitPlanning {
+    require(exists, s"table $path does not exist")
+    require(cols.nonEmpty,
+      s"evolvePartitioning on $path requires at least one column " +
+        "(evolving to unpartitioned is not supported)")
+    val sch = schema
+    cols.foreach(c => require(sch.fieldNames.contains(c),
+      s"partition column $c is not in the schema of $path"))
+    val v = nextVersion
+    writeEntry(CommitEntry(v, "partition-evolve",
+      System.currentTimeMillis(), sch.json, Seq.empty, Seq.empty,
+      hasChanges = false, bucketSpec = bucketSpec, partitionCols = cols))
+    partColsCache = Some((v, cols))
+  }
 
   private def bucketExpr(spec: BucketSpec): Column =
     pmod(xxhash64(concat_ws("\u0001",
@@ -2467,6 +2518,17 @@ final class MiniLake(spark: SparkSession, val path: String,
           "the replaced set (Delta replaceWhere constraint)")
     }
     val v = nextVersion
+    // the delete scope must be provable from the path alone, so a
+    // mixed-era live set (pre-evolution files missing current spec
+    // keys) refuses — compaction rewrites everything under the
+    // current spec first
+    val preEvo = liveFiles(v - 1).filterNot(f =>
+      partitionCols.forall(c => partValuesOf(f).contains(c)))
+    require(preEvo.isEmpty,
+      s"replacePartitions on $path requires every live file under the " +
+        s"current partition spec (${partitionCols.mkString(",")}); " +
+        s"${preEvo.size} pre-evolution file(s) remain — run " +
+        "compactFiles() after evolvePartitioning()")
     val doomed = liveFiles(v - 1).filter(f => keep(partValuesOf(f)))
     val prior =
       if (doomed.isEmpty) emptyDf(spark, schema)

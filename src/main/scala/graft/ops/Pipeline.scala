@@ -1638,6 +1638,66 @@ object Pipeline {
       |    + (SELECT -4 * nn - 5 FROM n) AS BIGINT) AS checksum,
       |  CAST((SELECT sum(cents) FROM surv) AS BIGINT) AS total_cents""".stripMargin
 
+  /** PARTITION SPEC EVOLUTION (q299) — Iceberg's signature layout verb
+    * (`ALTER TABLE ... ADD PARTITION FIELD`), the layout change a
+    * 100 TB table can actually afford: a day-partitioned events table
+    * evolves to (day, event_type) in a METADATA-ONLY commit; files
+    * written before keep their `_p_day=` directories, files after land
+    * under both keys, and ONE snapshot reads both eras (the partition
+    * value is duplicated path + leaf column). The day-window report
+    * prunes in BOTH eras; the event-type read conservatively keeps the
+    * old era (missing key = keep) with the exact filter above the scan
+    * — pruning is a performance layer, never a correctness gate. Time
+    * travel crosses the evolve commit, and replacePartitions refuses
+    * the mixed-era live set explicitly (its delete scope must be
+    * provable from paths alone).
+    */
+  def q299PartitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_partevo").toString
+    val e = events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"),
+      date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"))
+    val t = MiniLake.partitioned(s, s"$base/events", Seq("day"))
+    t.create(e.filter(col("event_id") % 2 === 0))       // era 1: day
+    t.evolvePartitioning(Seq("day", "event_type"))      // metadata-only
+    t.append(e.filter(col("event_id") % 2 === 1))       // era 2: day+type
+    val fresh = MiniLake(s, s"$base/events")            // cold reopen
+    val win = fresh.snapshotWhere(m =>
+        m.get("day").forall(d => d >= "2024-01-05" && d <= "2024-01-07"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum("cents"), lit(0L)).cast("long").as("c")).head
+    val views = fresh.snapshotWhere(m =>
+        m.get("event_type").forall(_ == "view"))
+      .filter(col("event_type") === "view").count()
+    val nPre = fresh.snapshot(0).count()                // across the evolve
+    val mixedRefused =
+      try {
+        fresh.replacePartitions(m => m.get("day").contains("2024-01-05"),
+          MiniLake.emptyDf(s, e.schema)); false
+      } catch { case _: IllegalArgumentException => true }
+    fresh.snapshot().agg(count(lit(1)).as("n_total"))
+      .select(col("n_total"), lit(nPre).as("n_pre"),
+        lit(win.getLong(0)).as("n_win"), lit(win.getLong(1)).as("cents_win"),
+        lit(views).as("n_views"), lit(mixedRefused).as("mixed_refused"))
+  }
+
+  val q299Oracle: String =
+    """WITH e AS (SELECT event_id, event_type,
+      |   CAST(round(value * 100) AS BIGINT) AS cents,
+      |   strftime(ts, '%Y-%m-%d') AS day FROM events)
+      |SELECT count(*) AS n_total,
+      |  CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_pre,
+      |  CAST(sum(CASE WHEN day BETWEEN '2024-01-05' AND '2024-01-07'
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_win,
+      |  CAST(sum(CASE WHEN day BETWEEN '2024-01-05' AND '2024-01-07'
+      |    THEN cents ELSE 0 END) AS BIGINT) AS cents_win,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_views,
+      |  TRUE AS mixed_refused
+      |FROM e""".stripMargin
+
   /** Symlink-format manifest interop (q235) — Delta's
     * `GENERATE symlink_format_manifest` verb: after a lifecycle whose
     * delete REWROTE the live set (so stale pre-delete files still sit
@@ -1947,6 +2007,7 @@ object Pipeline {
     "q294_identity_by_default" -> (q294IdentityByDefault _),
     "q295_timestamp_window" -> (q295TimestampWindow _),
     "q296_row_tracking" -> (q296RowTracking _),
+    "q299_partition_evolution" -> (q299PartitionEvolution _),
     "q234_generated_partition" -> (q234GeneratedPartition _),
     "q235_symlink_manifest" -> (q235SymlinkManifest _),
     "q250_double_skipping" -> (q250DoubleSkipping _)
@@ -1991,6 +2052,7 @@ object Pipeline {
     "q294_identity_by_default" -> q294Oracle,
     "q295_timestamp_window" -> q295Oracle,
     "q296_row_tracking" -> q296Oracle,
+    "q299_partition_evolution" -> q299Oracle,
     "q234_generated_partition" -> q234Oracle,
     "q235_symlink_manifest" -> q235Oracle,
     "q250_double_skipping" -> q250Oracle

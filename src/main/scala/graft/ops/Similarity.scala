@@ -946,7 +946,150 @@ object Similarity {
       |SELECT overlap10, count(*) AS n_queries
       |FROM ov GROUP BY overlap10 ORDER BY overlap10""".stripMargin
 
+  /** Margin-based bitext mining (q297) — Artetxe & Schwenk, ACL 2019
+    * ("Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings"; the CCMatrix/LASER mining criterion): a candidate
+    * pair (x, y) scores cos(x,y) normalized by the MEAN similarity of
+    * each side's k nearest neighbors —
+    * `margin = cos(x,y) / (Σ_NNk(x)/2k + Σ_NNk(y)/2k)` — so a hub
+    * vector that is "close to everything" cannot flood the mined set
+    * with false pairs (raw-cosine thresholding's failure mode). Lang A
+    * is the bounded query slice (even vec_id < 100), lang B the odd
+    * vectors; k = 4; the mined pair per source is its forward top-1.
+    *
+    * Determinism: 6-dp sims, exact DECIMAL kNN sums, and the margin
+    * as `(sim · 2k) / (sumA + sumB)` — ONE identically-parenthesized
+    * float division, 6-dp rounded, vec_id tie-breaks throughout.
+    *
+    * Scale: the grid is Q×N with Q bounded and the corpus side
+    * broadcast (q45's contract); at corpus scale both directions ride
+    * the q46/q55 ANN candidate sets (the paper mines from FAISS
+    * shortlists the same way) and this exact grid is their recall
+    * oracle. The margin itself is a per-candidate scalar — it adds
+    * no shuffle to whatever candidate generation supplies.
+    */
+  def q297BitextMining(s: SparkSession, dir: String): DataFrame = {
+    val vecs = vecsDouble(s, dir)
+    val srcs = vecs.filter(col("vec_id") % 2 === 0 && col("vec_id") < 100)
+      .select(col("vec_id").as("src_id"), col("v").as("sv"))
+    val tgts = vecs.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("tgt_id"), col("v").as("tv"))
+    val grid = srcs.join(tgts.hint("broadcast"))
+      .withColumn("sim", round(cosine_similarity(col("sv"), col("tv")), 6))
+      .select("src_id", "tgt_id", "sim")
+    val wS = Window.partitionBy("src_id")
+      .orderBy(col("sim").desc, col("tgt_id"))
+    val fwd = grid.withColumn("rn", row_number().over(wS))
+    val fwdSum = fwd.filter(col("rn") <= 4).groupBy("src_id")
+      .agg(sum(col("sim").cast("decimal(18,6)")).as("ssum"))
+    val wT = Window.partitionBy("tgt_id")
+      .orderBy(col("sim").desc, col("src_id"))
+    val bwdSum = grid.withColumn("rn", row_number().over(wT))
+      .filter(col("rn") <= 4).groupBy("tgt_id")
+      .agg(sum(col("sim").cast("decimal(18,6)")).as("tsum"))
+    fwd.filter(col("rn") === 1)
+      .join(fwdSum, "src_id").join(bwdSum, "tgt_id")
+      .select(col("src_id"), col("tgt_id"),
+        round((col("sim") * lit(8.0)) /
+          (col("ssum") + col("tsum")).cast("double"), 6).as("margin"))
+      .orderBy("src_id")
+  }
+
+  val q297Oracle: String =
+    """WITH e AS (SELECT vec_id,
+      |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      | FROM embeddings WHERE embedding IS NOT NULL),
+      |s AS (SELECT vec_id AS src_id, v FROM e
+      |  WHERE vec_id % 2 = 0 AND vec_id < 100),
+      |t AS (SELECT vec_id AS tgt_id, v FROM e WHERE vec_id % 2 = 1),
+      |grid AS (SELECT src_id, tgt_id,
+      |   round(list_cosine_similarity(s.v, t.v), 6) AS sim
+      | FROM s CROSS JOIN t),
+      |fwd AS (SELECT *, row_number() OVER (PARTITION BY src_id
+      |   ORDER BY sim DESC, tgt_id) AS rn FROM grid),
+      |fsum AS (SELECT src_id, sum(CAST(sim AS DECIMAL(18,6))) AS ssum
+      | FROM fwd WHERE rn <= 4 GROUP BY src_id),
+      |bwd AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
+      |   ORDER BY sim DESC, src_id) AS rn FROM grid),
+      |bsum AS (SELECT tgt_id, sum(CAST(sim AS DECIMAL(18,6))) AS tsum
+      | FROM bwd WHERE rn <= 4 GROUP BY tgt_id),
+      |top1 AS (SELECT src_id, tgt_id, sim FROM fwd WHERE rn = 1)
+      |SELECT p.src_id, p.tgt_id,
+      |  round((p.sim * 8.0) / CAST(f.ssum + b.tsum AS DOUBLE), 6)
+      |    AS margin
+      |FROM top1 p
+      |JOIN fsum f USING (src_id) JOIN bsum b USING (tgt_id)
+      |ORDER BY src_id""".stripMargin
+
+  /** Hard-negative mining (q298) — the contrastive-training batch
+    * builder (DPR, Karpukhin et al. EMNLP 2020; Sentence-BERT): for
+    * each anchor, its nearest SAME-label candidate is the positive and
+    * the top-3 most similar DIFFERENT-label candidates are the hard
+    * negatives — the triplets a contrastive loss learns most from
+    * (random negatives are trivially separable; hard ones carry the
+    * gradient). Emits per (anchor, negative): both sims and the
+    * anchor's positive, so the downstream loader needs no second pass.
+    * Anchors whose label has no candidate representative mine nothing
+    * (inner join — mirrored in the oracle).
+    *
+    * Scale: same bounded-Q broadcast grid as q45; at corpus scale the
+    * negative shortlist comes from q46/q55 ANN candidates and the
+    * positive from the label index — the margin/top-k machinery here
+    * is unchanged.
+    */
+  def q298HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val vecs = vecsDouble(s, dir)
+    val anchors = vecs.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"))
+    val cands = vecs.filter(col("vec_id") >= 50)
+    val grid = anchors.join(cands.hint("broadcast"))
+      .withColumn("sim", round(cosine_similarity(col("qv"), col("v")), 6))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        col("sim"))
+    val wQ = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val pos = grid.filter(col("label") === col("qlabel"))
+      .withColumn("rn", row_number().over(wQ)).filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id").as("pos_id"),
+        col("sim").as("pos_sim"))
+    val negs = grid.filter(col("label") =!= col("qlabel"))
+      .withColumn("rn", row_number().over(wQ)).filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id").as("neg_id"),
+        col("sim").as("neg_sim"), col("rn").cast("long").as("rn"))
+    negs.join(pos, "qid")
+      .select(col("qid"), col("neg_id"), col("neg_sim"), col("rn"),
+        col("pos_id"), col("pos_sim"))
+      .orderBy("qid", "rn")
+  }
+
+  val q298Oracle: String =
+    """WITH e AS (SELECT vec_id, label,
+      |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      | FROM embeddings WHERE embedding IS NOT NULL),
+      |grid AS (
+      | SELECT q.vec_id AS qid, q.label AS qlabel, c.vec_id, c.label,
+      |   round(list_cosine_similarity(q.v, c.v), 6) AS sim
+      | FROM e q JOIN e c ON q.vec_id < 50 AND c.vec_id >= 50),
+      |pos AS (
+      | SELECT qid, vec_id AS pos_id, sim AS pos_sim,
+      |   row_number() OVER (PARTITION BY qid
+      |     ORDER BY sim DESC, vec_id) AS rp
+      | FROM grid WHERE label = qlabel),
+      |negs AS (
+      | SELECT qid, vec_id AS neg_id, sim AS neg_sim,
+      |   row_number() OVER (PARTITION BY qid
+      |     ORDER BY sim DESC, vec_id) AS rn
+      | FROM grid WHERE label <> qlabel)
+      |SELECT n.qid, n.neg_id, n.neg_sim, CAST(n.rn AS BIGINT) AS rn,
+      |  p.pos_id, p.pos_sim
+      |FROM negs n JOIN pos p ON n.qid = p.qid AND p.rp = 1
+      |WHERE n.rn <= 3
+      |ORDER BY n.qid, n.rn""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q297_bitext_mining" -> (q297BitextMining _),
+    "q298_hard_negatives" -> (q298HardNegatives _),
     "q44_embedding_near_dup" -> (q44EmbeddingNearDup _),
     "q45_cosine_topk" -> (q45CosineTopK _),
     "q286_scalar_quantization" -> (q286ScalarQuantization _),
@@ -960,6 +1103,8 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "q297_bitext_mining" -> q297Oracle,
+    "q298_hard_negatives" -> q298Oracle,
     "q44_embedding_near_dup" -> q44Oracle,
     "q45_cosine_topk" -> q45Oracle,
     "q286_scalar_quantization" -> q286Oracle,

@@ -190,7 +190,9 @@ object EventsStream {
     "q84_partitioned_ingest" -> (LakeIngestStream.q84PartitionedIngest _),
     "q88_stream_upsert" -> (LakeIngestStream.q88StreamUpsert _),
     "q116_streaming_view" -> (LakeIngestStream.q116StreamingView _),
-    "q200_ann_stream_ingest" -> (LakeIngestStream.q200AnnStreamIngest _)
+    "q200_ann_stream_ingest" -> (LakeIngestStream.q200AnnStreamIngest _),
+    "q300_stream_identity_ingest" ->
+      (LakeIngestStream.q300StreamIdentityIngest _)
   )
 
   /** Identical to the batch q18 oracle — streaming must agree with
@@ -214,6 +216,7 @@ object EventsStream {
     "q88_stream_upsert" -> LakeIngestStream.q88Oracle,
     "q116_streaming_view" -> LakeIngestStream.q116Oracle,
     "q200_ann_stream_ingest" -> LakeIngestStream.q200Oracle,
+    "q300_stream_identity_ingest" -> LakeIngestStream.q300Oracle,
     // window membership stated directly: ts belongs to the 4 sliding
     // windows starting at floor15(ts) - k*15min, k in 0..3
     "q102_stream_sliding" ->

@@ -310,6 +310,75 @@ object LakeIngestStream {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Streaming ingest into a ROW-TRACKED (identity) table (q300) — the
+    * q58 firehose landing on a surrogate-key bronze table, the first
+    * thing a lakehouse user builds once identity columns exist (the
+    * exact shape the pre-r12 verbs refused): each micro-batch flows
+    * through [[MiniLake.appendIfAbsent]], whose (appId, batchId)
+    * marker commits in the SAME atomic log entry as the data AND the
+    * id high-water advance — so a crash-replayed batch is skipped
+    * WHOLESALE: no duplicate rows, no duplicate ids, no burned range.
+    * Coverage is contiguous 1..N regardless of micro-batch boundaries
+    * (each batch's ids are pinned to its claimed version, the
+    * pin-v-first discipline), which is what makes count/min/max/sum
+    * closed form. The explicit replay probe re-offers batch 0's
+    * marker and must be refused.
+    */
+  def q300StreamIdentityIngest(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val watch = graft.Scratch.dir("graft_identing_src")
+    val lakePath =
+      graft.Scratch.dir("graft_identing_lake").toString + "/events"
+    stageDayChunks(s, dir, watch)
+
+    val ingestSchema = StructType(Seq(
+      StructField("day", StringType), StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val stream = s.readStream.schema(ingestSchema)
+      .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+    val sink: (Dataset[Row], Long) => Unit = (batch, batchId) => {
+      MiniLake.rowTracked(s, lakePath)
+        .appendIfAbsent(batch, "q300_ingest", batchId)
+      ()
+    }
+    val query = stream.writeStream.foreachBatch(sink).start()
+    try query.processAllAvailable() finally query.stop()
+
+    val t = MiniLake(s, lakePath)
+    // empty source: zero staged files, zero micro-batches, no table —
+    // the report over nothing is nothing
+    if (!t.exists)
+      return s.range(0).select(lit(0L).as("n_rows"),
+        lit(0L).as("n_distinct_ids"), lit(0L).as("min_id"),
+        lit(0L).as("max_id"), lit(0L).as("sum_id"),
+        lit(0L).as("total_cents"), lit(false).as("replay_refused"))
+    // crash-replay probe: batch 0's marker re-offered → refused before
+    // any data or id work
+    val replayRefused = !t.appendIfAbsent(
+      MiniLake.emptyDf(s, ingestSchema), "q300_ingest", 0L)
+    t.snapshot().agg(count(lit(1)).as("n_rows"),
+        count_distinct(col(MiniLake.RowIdCol)).as("n_distinct_ids"),
+        min(MiniLake.RowIdCol).as("min_id"),
+        max(MiniLake.RowIdCol).as("max_id"),
+        sum(MiniLake.RowIdCol).cast("long").as("sum_id"),
+        sum(round(col("value") * 100, 0).cast("long")).cast("long")
+          .as("total_cents"))
+      .select(col("n_rows"), col("n_distinct_ids"), col("min_id"),
+        col("max_id"), col("sum_id"), col("total_cents"),
+        lit(replayRefused).as("replay_refused"))
+  }
+
+  val q300Oracle: String =
+    """WITH c AS (SELECT count(*) AS n FROM events)
+      |SELECT n AS n_rows, n AS n_distinct_ids,
+      |  CAST(1 AS BIGINT) AS min_id, n AS max_id,
+      |  CAST(n * (n + 1) / 2 AS BIGINT) AS sum_id,
+      |  CAST((SELECT sum(CAST(round(value * 100, 0) AS BIGINT))
+      |    FROM events) AS BIGINT) AS total_cents,
+      |  TRUE AS replay_refused
+      |FROM c""".stripMargin
+
   /** STREAMING maintenance of the persisted ANN index — the missing
     * hop between q58 (stream→lake) and q199 (batch index lifecycle):
     * new embedding files land in a watch dir, each micro-batch encodes
