@@ -493,8 +493,12 @@ final class MiniLake(spark: SparkSession, val path: String,
       liveFiles = s.liveFiles.filterNot(removed) ++ e.adds,
       liveDvFiles = s.liveDvFiles.filterNot(dvRemoved) ++ e.dvAdds,
       constraints = e.mode match {
-        case "addConstraint"  => s.constraints ++ e.constraints
-        case "dropConstraint" => s.constraints -- e.constraints.keySet
+        case "addConstraint" | "setProperty" | "clone" =>
+          // clone entries seed the source's full constraint/property map
+          // (Delta clone preserves table metadata)
+          s.constraints ++ e.constraints
+        case "dropConstraint" | "unsetProperty" =>
+          s.constraints -- e.constraints.keySet
         case _                => s.constraints
       },
       renames = s.renames ++ e.cloneRenames ++
@@ -1960,6 +1964,54 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   def checkConstraints: Map[String, String] =
     state(latestVersion).constraints
+      .filterNot { case (k, _) => k.startsWith(MiniLake.PropPrefix) }
+
+  /** Table properties (Delta `ALTER TABLE ... SET TBLPROPERTIES`):
+    * key → value pairs folded from metadata-only commits. They ride
+    * the same log fold as CHECK constraints under a reserved `prop:`
+    * namespace — the value travels in the predicate slot and is NEVER
+    * evaluated (checkConstraints and the write probe filter the
+    * namespace out), so properties survive checkpoints, clones, and
+    * cold reopens with zero new persistence machinery.
+    */
+  def tableProperties: Map[String, String] =
+    state(latestVersion).constraints.collect {
+      case (k, v) if k.startsWith(MiniLake.PropPrefix) =>
+        k.stripPrefix(MiniLake.PropPrefix) -> v
+    }
+
+  def setTableProperty(key: String, value: String): Unit = {
+    require(exists, s"table $path does not exist")
+    writeEntry(CommitEntry(nextVersion, "setProperty",
+      System.currentTimeMillis(), schema.json, Seq.empty, Seq.empty,
+      hasChanges = false, bucketSpec = bucketSpec,
+      constraints = Map(MiniLake.PropPrefix + key -> value)))
+  }
+
+  def unsetTableProperty(key: String): Unit = {
+    require(tableProperties.contains(key),
+      s"no table property '$key' on $path")
+    writeEntry(CommitEntry(nextVersion, "unsetProperty",
+      System.currentTimeMillis(), schema.json, Seq.empty, Seq.empty,
+      hasChanges = false, bucketSpec = bucketSpec,
+      constraints = Map(MiniLake.PropPrefix + key -> "")))
+  }
+
+  /** `delta.appendOnly` enforcement (the Delta writer feature): once
+    * set, every verb that would remove or change an existing row —
+    * DELETE (COW and DV), UPDATE, MERGE (both flavors), overwrite,
+    * replacePartitions, RESTORE — refuses; appends (plain, concurrent,
+    * txn-marked), OPTIMIZE/Z-order compaction, materializeDeletes and
+    * vacuum remain legal because they preserve the logical row set.
+    * The guard is a driver-side map lookup on the already-folded
+    * state — zero cost on the write path.
+    */
+  private def requireNotAppendOnly(verb: String): Unit =
+    require(!tableProperties.get(MiniLake.AppendOnlyProp)
+        .contains("true"),
+      s"$verb is not allowed on append-only table $path " +
+        s"(table property ${MiniLake.AppendOnlyProp}=true; unset it " +
+        "to mutate existing rows)")
 
   /** ALTER TABLE ADD CONSTRAINT ... CHECK (Delta semantics): rejects
     * unless EVERY existing row satisfies the predicate (one snapshot
@@ -2501,6 +2553,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     require(partitionCols.nonEmpty,
       s"replacePartitions requires a partitioned table ($path has no " +
         "partition columns)")
+    requireNotAppendOnly("replacePartitions")
     // identity keeps counting upward across the partition rewrite
     // (replaced rows never free their ids — the same contract
     // overwrite has); BY DEFAULT batches may carry explicit ids
@@ -2631,6 +2684,7 @@ final class MiniLake(spark: SparkSession, val path: String,
 
   def overwrite(batch: DataFrame): Unit = {
     if (!exists) { create(batch); return }
+    requireNotAppendOnly("overwrite")
     // compute absent generated columns here too — every insert-style
     // verb (create/append/appendIfAbsent/appendConcurrent/merge)
     // already does, and a raw batch failing on overwrite but passing
@@ -2672,6 +2726,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   def merge(inserts: DataFrame, deletes: DataFrame,
       pks: Seq[String]): (Long, Long) = withCommitPlanning {
+    requireNotAppendOnly("merge")
     // identity: insert-side rows get ids assigned AFTER the
     // not-matched anti-join (only rows that actually insert consume
     // ids), continuing from the high-water mark — merge is a
@@ -2828,6 +2883,7 @@ final class MiniLake(spark: SparkSession, val path: String,
   private[lake] def mergeConcurrentImpl(inserts: DataFrame,
       deletes: DataFrame, pks: Seq[String], maxRetries: Int,
       beforePublish: () => Unit): (Long, Long) = withCommitPlanning {
+    requireNotAppendOnly("mergeConcurrent")
     // identity under concurrent MERGE rides the same id-range
     // reservation appendConcurrent uses (Delta's discipline): count
     // the rows that actually insert, durably claim the range in a
@@ -2996,6 +3052,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   def mergeUpdate(rawSource: DataFrame, pks: Seq[String]): (Long, Long) =
     withCommitPlanning {
+      requireNotAppendOnly("mergeUpdate")
       // identity: matched rows KEEP their ids (the update replaces
       // only non-key payload — ids are immutable once assigned, the
       // Delta contract), inserts generate from the high water.
@@ -3074,6 +3131,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   def update(pred: Column, assignments: Map[String, Column],
       trackChanges: Boolean = true): Unit = withCommitPlanning {
+    requireNotAppendOnly("update")
     // identity values are immutable once assigned (both ALWAYS and
     // BY DEFAULT — Delta refuses UPDATE SET on identity columns)
     identitySpec.foreach(spec => require(!assignments.contains(spec.name),
@@ -3186,6 +3244,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     * through [[merge]], which rewrites only the affected buckets.
     */
   def delete(pred: Column): Long = withCommitPlanning {
+    requireNotAppendOnly("delete")
     val target = snapshot()
     val matched = coalesce(pred, lit(false))
     val doomed = target.filter(matched)
@@ -3230,6 +3289,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     * of that version, no more, no fewer.
     */
   def deleteVectored(pred: Column): Long = withCommitPlanning {
+    requireNotAppendOnly("deleteVectored")
     val files = liveFiles(latestVersion)
     val sch = schema
     val matched = coalesce(pred, lit(false))
@@ -3299,6 +3359,7 @@ final class MiniLake(spark: SparkSession, val path: String,
   private[lake] def deleteVectoredConcurrentImpl(pred: Column,
       maxRetries: Int, beforePublish: () => Unit): Long =
       withCommitPlanning {
+    requireNotAppendOnly("deleteVectoredConcurrent")
     val readV = latestVersion
     val files = liveFiles(readV)
     val sch = schema
@@ -3414,6 +3475,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     * (file-level log replay serves the read).
     */
   def restoreTo(v: Long): Unit = withCommitPlanning {
+    requireNotAppendOnly("restoreTo")
     val latest = latestVersion
     val st = state(latest)
     val curSchema = schema
@@ -3833,6 +3895,12 @@ object MiniLake {
   /** The engine-reserved row-tracking column name. */
   val RowIdCol = "_row_id"
 
+  /** Reserved constraint-fold namespace for table properties. */
+  private[lake] val PropPrefix = "prop:"
+
+  /** The Delta append-only writer-feature property key. */
+  val AppendOnlyProp = "delta.appendOnly"
+
   /** ROW TRACKING (Delta 3.x row lineage): every row carries a stable
     * `_row_id` assigned at first write and preserved across EVERY
     * rewrite — compaction, Z-order, materializeDeletes, UPDATE,
@@ -3958,6 +4026,11 @@ object MiniLake {
       // (ids diverge after the clone, like the data itself)
       identitySpec = src.identitySpec,
       identityHighWater = src.identityHighWater,
+      // CHECK constraints and table properties (incl. appendOnly) ride
+      // the clone entry too — a clone that silently dropped the
+      // source's write-side invariants would accept rows the source
+      // refuses
+      constraints = srcState.constraints,
       // the source's protocol floor rides the entry: a clone of a
       // column-mapped source is itself column-mapped from birth
       minReader = src.protocolVersion.toInt,

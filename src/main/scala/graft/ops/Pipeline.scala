@@ -1698,6 +1698,69 @@ object Pipeline {
       |  TRUE AS mixed_refused
       |FROM e""".stripMargin
 
+  /** Append-only tables (q301) — Delta's `delta.appendOnly` writer
+    * feature via SET TBLPROPERTIES: once set, every row-mutating verb
+    * (DELETE — COW and DV —, UPDATE, both MERGE flavors, overwrite,
+    * RESTORE) refuses, while appends (plain, concurrent, txn-marked),
+    * OPTIMIZE compaction, and vacuum stay legal because they preserve
+    * the logical row set — the audit-log / event-sourcing contract.
+    * The gate exercises the full cycle: set → appends through all
+    * three paths → eight refusal probes → compact+vacuum under the
+    * property → unset → one real delete. Every count and flag is
+    * closed form over orders.
+    */
+  def q301AppendOnly(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_apponly").toString
+    val d = orders(s, dir).select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val t = MiniLake(s, s"$base/orders")
+    t.create(d.filter(col("o_orderkey") % 3 === 0).orderBy("o_orderkey"))
+    t.setTableProperty(MiniLake.AppendOnlyProp, "true")
+    t.append(d.filter(col("o_orderkey") % 3 === 1).orderBy("o_orderkey"))
+    t.appendConcurrent(
+      d.filter(col("o_orderkey") % 3 === 2).orderBy("o_orderkey"))
+    def refused(f: => Any): Boolean =
+      try { f; false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("append-only") }
+    val nRefused = Seq(
+      refused(t.delete(col("o_orderkey") === 3L)),
+      refused(t.deleteVectored(col("o_orderkey") === 3L)),
+      refused(t.deleteVectoredConcurrent(col("o_orderkey") === 3L)),
+      refused(t.update(col("o_orderkey") === 3L,
+        Map("cents" -> lit(0L)))),
+      refused(t.overwrite(d.limit(1))),
+      refused(t.merge(MiniLake.emptyDf(s, d.schema),
+        d.filter(col("o_orderkey") === 3L), Seq("o_orderkey"))),
+      refused(t.mergeUpdate(d.filter(col("o_orderkey") === 3L)
+        .withColumn("cents", lit(0L)), Seq("o_orderkey"))),
+      refused(t.restoreTo(0L))).count(identity)
+    t.compactFiles() // legal: logical rows intact
+    t.vacuum(retainMillis = 0L)
+    val fresh = MiniLake(s, s"$base/orders") // cold reopen
+    val stillAppendOnly =
+      fresh.tableProperties.get(MiniLake.AppendOnlyProp).contains("true")
+    fresh.unsetTableProperty(MiniLake.AppendOnlyProp)
+    val nDel = fresh.delete(col("o_orderkey") % 10 === 0)
+    fresh.snapshot().agg(count(lit(1)).as("n_rows"),
+        sum("cents").cast("long").as("total_cents"))
+      .select(lit(8L).as("n_probes"), lit(nRefused.toLong).as("n_refused"),
+        lit(stillAppendOnly).as("survived_reopen"),
+        lit(nDel).as("n_deleted_after_unset"),
+        col("n_rows"), col("total_cents"))
+  }
+
+  val q301Oracle: String =
+    """SELECT CAST(8 AS BIGINT) AS n_probes,
+      |  CAST(8 AS BIGINT) AS n_refused,
+      |  TRUE AS survived_reopen,
+      |  CAST((SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0)
+      |    AS BIGINT) AS n_deleted_after_unset,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM orders WHERE o_orderkey % 10 <> 0""".stripMargin
+
   /** Symlink-format manifest interop (q235) — Delta's
     * `GENERATE symlink_format_manifest` verb: after a lifecycle whose
     * delete REWROTE the live set (so stale pre-delete files still sit
@@ -2008,6 +2071,7 @@ object Pipeline {
     "q295_timestamp_window" -> (q295TimestampWindow _),
     "q296_row_tracking" -> (q296RowTracking _),
     "q299_partition_evolution" -> (q299PartitionEvolution _),
+    "q301_append_only" -> (q301AppendOnly _),
     "q234_generated_partition" -> (q234GeneratedPartition _),
     "q235_symlink_manifest" -> (q235SymlinkManifest _),
     "q250_double_skipping" -> (q250DoubleSkipping _)
@@ -2053,6 +2117,7 @@ object Pipeline {
     "q295_timestamp_window" -> q295Oracle,
     "q296_row_tracking" -> q296Oracle,
     "q299_partition_evolution" -> q299Oracle,
+    "q301_append_only" -> q301Oracle,
     "q234_generated_partition" -> q234Oracle,
     "q235_symlink_manifest" -> q235Oracle,
     "q250_double_skipping" -> q250Oracle
