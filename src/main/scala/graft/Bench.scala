@@ -160,7 +160,7 @@ object Bench {
       110, 113, 125, 138, 145, 163, 164, 175, 176, 177, 187, 199, 208,
       223, 226, 227, 232, 234, 235, 250, 254, 255, 262, 272, 275,
       277, 278, 279, 280, 283, 284, 287, 291, 293, 294, 295, 296, 299,
-      301)
+      301, 302)
     val streamingQs = Set(48, 51, 58, 62, 63, 64, 88, 99, 102, 116, 131,
       161, 168, 171, 200, 233, 240, 273, 300)
     def category(k: String): String = {

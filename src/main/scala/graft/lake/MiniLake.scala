@@ -227,6 +227,45 @@ final class MiniLake(spark: SparkSession, val path: String,
           "data)")
   }
 
+  /** WRITER protocol (the minWriter half of the Delta contract; the
+    * reader half is [[currentMinReader]]): the running max of the
+    * WRITE-affecting features the table uses — recovered O(1) from
+    * the latest entry's stamp like the reader level.
+    */
+  @volatile private var writerProtoCache: Option[Int] = None
+  def writerProtocolVersion: Long = currentMinWriter.toLong
+  private def currentMinWriter: Int = writerProtoCache.getOrElse {
+    val p =
+      if (!exists) 1
+      else readEntry(listVersions.max).minWriter
+    writerProtoCache = Some(p)
+    p
+  }
+
+  /** Refuse COMMITS (reads stay legal — that is the whole point of a
+    * separate writer level) when the table's writer protocol exceeds
+    * this build's [[MiniLake.SupportedWriterVersion]] (or the
+    * test-override conf). A writer that ignored a newer write-side
+    * feature would corrupt the table in ways readers cannot detect:
+    * unaware of CHECK constraints it appends violating rows, unaware
+    * of identity it appends rows with no ids, unaware of append-only
+    * it deletes from an audit log. Enforced at [[writeEntry]], the
+    * single funnel every commit passes through.
+    */
+  private def requireWritable(): Unit = {
+    val supported = spark.conf
+      .getOption("graft.lake.maxSupportedWriter").map(_.toInt)
+      .getOrElse(SupportedWriterVersion)
+    val needed = currentMinWriter
+    if (needed > supported)
+      throw new IllegalStateException(
+        s"table $path requires writer protocol version $needed " +
+          s"(this writer supports $supported): upgrade the writer or " +
+          "treat the table as read-only — a writer ignoring newer " +
+          "write-side features (constraints, identity, append-only) " +
+          "would corrupt data readers cannot detect")
+  }
+
   /** (as-of version, high water). The cache is validated against the
     * CURRENT latest version on every read: an instance whose table
     * advanced underneath it (another instance's appendConcurrent
@@ -972,6 +1011,8 @@ final class MiniLake(spark: SparkSession, val path: String,
         .map(_.asInstanceOf[Number].longValue()),
       minReader = Option(m.get("minReader"))
         .map(_.asInstanceOf[Number].intValue()).getOrElse(1),
+      minWriter = Option(m.get("minWriter"))
+        .map(_.asInstanceOf[Number].intValue()).getOrElse(1),
       addDefaults = Option(m.get("addDefaults"))
         .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap)
         .getOrElse(Map.empty),
@@ -1091,6 +1132,9 @@ final class MiniLake(spark: SparkSession, val path: String,
     * committed, so two racing writers can't both win.
     */
   private def writeEntry(e0: CommitEntry): Unit = {
+    // the single funnel every commit passes through — the writer
+    // protocol gate lives here so no verb can forget it
+    requireWritable()
     val e =
       if (e0.adds.nonEmpty && e0.stats.isEmpty && e0.statsStr.isEmpty) {
         // files written by the driver-side fast path computed their
@@ -1229,13 +1273,31 @@ final class MiniLake(spark: SparkSession, val path: String,
     val withProto =
       if (stampedProto <= 1) withIdHw
       else withIdHw + ("minReader" -> Int.box(stampedProto))
+    // writer protocol (the minWriter half): 2 = CHECK constraints /
+    // generated columns (write-side validation an unaware writer would
+    // skip), 3 = identity columns (write-side assignment it would
+    // omit), 4 = append-only (write-side refusal it would ignore).
+    // Running max, never downgraded (dropping a constraint does not
+    // lower the level — the Delta rule), stamped on every entry for
+    // O(1) recovery.
+    val derivedWriter = Seq(
+      if (e.constraints.get(PropPrefix + AppendOnlyProp).contains("true"))
+        4 else 1,
+      if (tableId.nonEmpty) 3 else 1,
+      if (e.constraints.exists(!_._1.startsWith(PropPrefix)) ||
+        tableGen.nonEmpty) 2 else 1).max
+    val stampedWriter =
+      math.max(math.max(derivedWriter, e.minWriter), currentMinWriter)
+    val withWriterProto =
+      if (stampedWriter <= 1) withProto
+      else withProto + ("minWriter" -> Int.box(stampedWriter))
     // cumulative default-column map rides every entry (latest entry =
     // full map, O(1) cold-open recovery — the protocol-stamp pattern)
     val tableDefaults =
       if (e.addDefaults.nonEmpty) e.addDefaults else defaultsEncoded
     val withDefaults =
-      if (tableDefaults.isEmpty) withProto
-      else withProto + ("addDefaults" -> tableDefaults.asJava)
+      if (tableDefaults.isEmpty) withWriterProto
+      else withWriterProto + ("addDefaults" -> tableDefaults.asJava)
     // clone-seeded column-mapping state rides the clone entry only;
     // the FOLD carries it forward (and checkpoints persist the folded
     // state), so later entries never repeat it
@@ -1266,6 +1328,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     try Files.createLink(logDir.resolve(s"${e.version}.json"), tmp)
     finally Files.deleteIfExists(tmp)
     protoCache = Some(stampedProto)
+    writerProtoCache = Some(stampedWriter)
     defaultsCache = Some(tableDefaults)
     maybeCheckpoint(e.version)
   }
@@ -3768,6 +3831,7 @@ object MiniLake {
       identitySpec: Option[IdentitySpec] = None,
       identityHighWater: Option[Long] = None,
       minReader: Int = 1,
+      minWriter: Int = 1,
       addDefaults: Map[String, String] = Map.empty,
       // Clone-seeded column-mapping state (set only on mode="clone"
       // entries of column-mapped sources): the source's rename chain,
@@ -3796,6 +3860,15 @@ object MiniLake {
     * old reader via the session conf `graft.lake.maxSupportedReader`.
     */
   val SupportedReaderVersion = 5
+
+  /** Highest writer protocol this build understands: 1 = plain log,
+    * 2 = CHECK constraints / generated columns, 3 = identity columns,
+    * 4 = append-only. Writer-affecting features are invisible to
+    * readers, so a too-old WRITER is refused at commit time while
+    * reads stay legal (Delta's minWriterVersion contract). Tests force
+    * an old writer via `graft.lake.maxSupportedWriter`.
+    */
+  val SupportedWriterVersion = 4
 
   /** GENERATED AS IDENTITY column: `name` is assigned
     * `start, start+step, ...`, never reused. `always = true` (Delta's
@@ -4031,9 +4104,11 @@ object MiniLake {
       // source's write-side invariants would accept rows the source
       // refuses
       constraints = srcState.constraints,
-      // the source's protocol floor rides the entry: a clone of a
-      // column-mapped source is itself column-mapped from birth
+      // the source's protocol floors ride the entry: a clone of a
+      // column-mapped source is itself column-mapped from birth, and a
+      // clone of an identity/append-only source demands the same writer
       minReader = src.protocolVersion.toInt,
+      minWriter = src.writerProtocolVersion.toInt,
       // initial-default map: without it, pre-addColumn files in the
       // clone would silently read NULL where the declared default
       // belongs — the same silent-wrong-read this clone path exists

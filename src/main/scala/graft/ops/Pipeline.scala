@@ -1761,6 +1761,67 @@ object Pipeline {
       |    AS total_cents
       |FROM orders WHERE o_orderkey % 10 <> 0""".stripMargin
 
+  /** WRITER protocol versions (q302) — the minWriter half of Delta's
+    * protocol, completing q275's reader half: write-affecting features
+    * are INVISIBLE to readers (a CHECK constraint, an identity column,
+    * an append-only property change no bytes a reader interprets), so
+    * a too-old writer must be refused AT COMMIT TIME while its reads
+    * stay legal — the opposite split from the reader contract. The
+    * lifecycle stamps each level (1 plain → 2 constraints → 3 identity
+    * → 4 append-only), probes that a capped writer
+    * (`graft.lake.maxSupportedWriter=1`) is refused on commit but
+    * reads the identity table fine, and every number is closed form.
+    */
+  def q302WriterProtocol(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_wproto").toString
+    val d = orders(s, dir).select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val tA = MiniLake(s, s"$base/a")
+    tA.create(d.filter(col("o_orderkey") % 2 === 0).orderBy("o_orderkey"))
+    val w0 = tA.writerProtocolVersion
+    tA.addCheckConstraint("pos", "cents >= 0")
+    val w1 = tA.writerProtocolVersion
+    val tB = MiniLake.identity(s, s"$base/b", "row_id")
+    tB.create(d.filter(col("o_orderkey") % 2 === 1).orderBy("o_orderkey"))
+    val w2 = MiniLake(s, s"$base/b").writerProtocolVersion // cold reopen
+    tA.setTableProperty(MiniLake.AppendOnlyProp, "true")
+    val w3 = tA.writerProtocolVersion
+    def asOldWriter[T](cap: Int)(f: => T): T = {
+      s.conf.set("graft.lake.maxSupportedWriter", cap.toString)
+      try f finally s.conf.unset("graft.lake.maxSupportedWriter")
+    }
+    val refused = asOldWriter(1) {
+      try { MiniLake(s, s"$base/a").append(d.limit(1)); false }
+      catch { case _: IllegalStateException => true }
+    }
+    // the split the writer level exists for: the same capped build
+    // READS the identity table it may not write
+    val readByOld = asOldWriter(1) {
+      MiniLake(s, s"$base/b").snapshot().count()
+    }
+    MiniLake(s, s"$base/a").snapshot()
+      .agg(count(lit(1)).as("n_rows_a"),
+        sum("cents").cast("long").as("cents_a"))
+      .select(lit(w0).as("w_create"), lit(w1).as("w_constraint"),
+        lit(w2).as("w_identity"), lit(w3).as("w_append_only"),
+        lit(refused).as("old_writer_refused"),
+        lit(readByOld).as("n_read_by_old_writer"),
+        col("n_rows_a"), col("cents_a"))
+  }
+
+  val q302Oracle: String =
+    """SELECT CAST(1 AS BIGINT) AS w_create,
+      |  CAST(2 AS BIGINT) AS w_constraint,
+      |  CAST(3 AS BIGINT) AS w_identity,
+      |  CAST(4 AS BIGINT) AS w_append_only,
+      |  TRUE AS old_writer_refused,
+      |  CAST((SELECT count(*) FROM orders WHERE o_orderkey % 2 = 1)
+      |    AS BIGINT) AS n_read_by_old_writer,
+      |  CAST(count(*) AS BIGINT) AS n_rows_a,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents_a
+      |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin
+
   /** Symlink-format manifest interop (q235) — Delta's
     * `GENERATE symlink_format_manifest` verb: after a lifecycle whose
     * delete REWROTE the live set (so stale pre-delete files still sit
@@ -2072,6 +2133,7 @@ object Pipeline {
     "q296_row_tracking" -> (q296RowTracking _),
     "q299_partition_evolution" -> (q299PartitionEvolution _),
     "q301_append_only" -> (q301AppendOnly _),
+    "q302_writer_protocol" -> (q302WriterProtocol _),
     "q234_generated_partition" -> (q234GeneratedPartition _),
     "q235_symlink_manifest" -> (q235SymlinkManifest _),
     "q250_double_skipping" -> (q250DoubleSkipping _)
@@ -2118,6 +2180,7 @@ object Pipeline {
     "q296_row_tracking" -> q296Oracle,
     "q299_partition_evolution" -> q299Oracle,
     "q301_append_only" -> q301Oracle,
+    "q302_writer_protocol" -> q302Oracle,
     "q234_generated_partition" -> q234Oracle,
     "q235_symlink_manifest" -> q235Oracle,
     "q250_double_skipping" -> q250Oracle

@@ -48,6 +48,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q297/q298: the mining grid BROADCASTS its bounded side (the " +
+      "q45 contract — never a shuffle cartesian) and every ranking " +
+      "window is key-partitioned") {
+    for (df <- Seq(graft.ops.Similarity.q297BitextMining(spark, sf),
+        graft.ops.Similarity.q298HardNegatives(spark, sf))) {
+      val plan = planOf(df)
+      // the grid is an intentional bounded-Q cross join; its legal
+      // physical form is broadcast-nested-loop (candidates broadcast),
+      // never a non-broadcast CartesianProduct
+      assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      import org.apache.spark.sql.execution.window.WindowExec
+      val unpartitioned = df.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty,
+        s"single-partition window found:\n${unpartitioned.mkString("\n")}")
+    }
+  }
+
   test("q180: semdedup pairs join on cell keys and centroids broadcast — " +
       "never a nested loop") {
     val plan = planOf(graft.ops.Dedup.q180SemDedup(spark, sf))
