@@ -44,6 +44,9 @@ class MiniLakeModelSpec extends AnyFunSuite {
   // application of the stranded DV) fails the snapshot/journal asserts
   private case object CrashTorn extends Op
   private case object CrashDv extends Op
+  // partition-spec evolution: layout-only, model unchanged — every
+  // read after it crosses mixed `_p_` eras
+  private case object Evolve extends Op
 
   private val kvGen: Gen[(Long, String)] = for {
     k <- Gen.choose(0L, 20L)
@@ -66,7 +69,8 @@ class MiniLakeModelSpec extends AnyFunSuite {
     1 -> Gen.const(Vacuum),
     1 -> Gen.const(Compact),
     2 -> Gen.const(CrashTorn),
-    2 -> Gen.const(CrashDv))
+    2 -> Gen.const(CrashDv),
+    1 -> Gen.const(Evolve))
 
   private def df(rows: Map[Long, String]) =
     rows.toSeq.toDF("key", "value")
@@ -303,6 +307,21 @@ class MiniLakeModelSpec extends AnyFunSuite {
                 .coalesce(1).write.parquet(dvDir)
               debris += dvDir
             }
+          case Evolve =>
+            // alternate specs on partitioned runs (part ↔ part+value);
+            // on unpartitioned runs the table becomes partitioned
+            // mid-sequence (ADD PARTITION FIELD on a plain table) —
+            // either way the model is untouched and every later op
+            // plus the final change-feed replay crosses mixed eras.
+            // The duplicated `_p_` dirs are pruning hints only (the
+            // real column stays in the leaf files), so even
+            // empty-string values (Hive default-partition mangling in
+            // the dir name) cannot corrupt a read.
+            val spec =
+              if (!partitioned) Seq("value")
+              else if (t.latestVersion % 2 == 0) Seq("part")
+              else Seq("part", "value")
+            t.evolvePartitioning(spec)
           case Compact =>
             if (partitioned && model.nonEmpty && i % 2 == 0) {
               // partition-scoped OPTIMIZE of one modeled partition;
