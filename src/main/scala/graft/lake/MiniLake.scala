@@ -1402,17 +1402,24 @@ final class MiniLake(spark: SparkSession, val path: String,
     * empty answer to "what changed since X" must mean "nothing", not
     * "you asked past the end of history".
     */
-  def readChangesSince(tsMillis: Long): DataFrame = {
+  def readChangesSince(tsMillis: Long): DataFrame =
+    readChanges(versionAtOrAfter(tsMillis), latestVersion)
+
+  /** FORWARD timestamp resolution (the mirror of [[versionAt]]): the
+    * first version committed at or after `tsMillis`. Shared by the
+    * batch since-feed, the bounded window, and the streaming source's
+    * `startingTimestamp` option. Past the end of history is an
+    * explicit error, never an empty answer.
+    */
+  def versionAtOrAfter(tsMillis: Long): Long = {
     val vs = listVersions
     require(vs.nonEmpty, s"table $path does not exist")
-    vs.find(v => readEntry(v).timestampMs >= tsMillis) match {
-      case Some(v) => readChanges(v, latestVersion)
-      case None => throw new IllegalArgumentException(
+    vs.find(v => readEntry(v).timestampMs >= tsMillis).getOrElse(
+      throw new IllegalArgumentException(
         s"no version of $path committed at or after timestamp " +
           s"$tsMillis (latest is ${readEntry(vs.last).timestampMs}); " +
           "a CDF start past the end of history is an error, not an " +
-          "empty feed")
-    }
+          "empty feed"))
   }
 
   /** CDF bounded by timestamps on BOTH ends — the `endingTimestamp`

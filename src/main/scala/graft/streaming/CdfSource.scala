@@ -59,10 +59,25 @@ final class MiniLakeCdfSourceProvider
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
-    new MiniLakeCdfSource(lakeFor(sqlContext, parameters),
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      parameters: Map[String, String]): Source = {
+    val lake = lakeFor(sqlContext, parameters)
+    // Delta's streaming startingTimestamp: resolved FORWARD at stream
+    // start (first commit at or after the instant — the same rule as
+    // the batch readChangesSince, so "stream changes since 9am" never
+    // silently includes the 8:59 commit); an instant past the end of
+    // history is an explicit error, never a silent empty stream.
+    // Mutually exclusive with startingVersion, like Delta.
+    val fromTs = parameters.get("startingTimestamp").map { ts =>
+      require(!parameters.contains("startingVersion"),
+        "minilake-cdf: startingVersion and startingTimestamp are " +
+          "mutually exclusive")
+      lake.versionAtOrAfter(ts.toLong)
+    }
+    new MiniLakeCdfSource(lake,
+      fromTs.orElse(parameters.get("startingVersion").map(_.toLong))
+        .getOrElse(0L),
       parameters.get("maxCommitsPerBatch").map(_.toLong))
+  }
 }
 
 /** Driver gates for the streaming change-feed source. */

@@ -108,6 +108,62 @@ class CdfSourceSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(run() === Seq.empty)
   }
 
+  test("startingTimestamp resolves FORWARD at stream start (the q287 " +
+      "rule): between-commit instants start at the next commit; " +
+      "past-the-end and combining with startingVersion are errors") {
+    val t = MiniLake.compact(spark, dir)
+    t.create(kv(1L -> "a"))                    // v0
+    Thread.sleep(25)
+    t.append(kv(2L -> "b"), mergeSchema = false) // v1
+    val ts = t.history.select("version", "timestamp_ms")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    def collectFrom(tsMillis: Long): Seq[(Long, Long)] = {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val q = spark.readStream
+        .format(classOf[MiniLakeCdfSourceProvider].getName)
+        .option("path", dir).option("startingTimestamp", tsMillis.toString)
+        .load()
+        .writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            seen.synchronized {
+              seen ++= batch.select("key", MiniLake.CommitVersion)
+                .collect().map(r => (r.getLong(0), r.getLong(1)))
+            }
+            ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      seen.toSeq.sorted
+    }
+
+    assert(collectFrom(ts(0L)) === Seq(1L -> 0L, 2L -> 1L))
+    // an instant strictly between the commits starts at v1
+    assert(collectFrom(ts(0L) + 1) === Seq(2L -> 1L))
+    // past the end of history: explicit error, never an empty stream
+    val exPast = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      collectFrom(ts(1L) + 1)
+    }
+    assert(exPast.getMessage.contains("at or after") ||
+      Option(exPast.getCause).exists(_.getMessage.contains("at or after")))
+    // mutually exclusive with startingVersion, like Delta
+    val exBoth = intercept[Exception] {
+      val q = spark.readStream
+        .format(classOf[MiniLakeCdfSourceProvider].getName)
+        .option("path", dir).option("startingTimestamp", ts(0L).toString)
+        .option("startingVersion", "0").load()
+        .writeStream.foreachBatch {
+          (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) => ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(exBoth).exists(_.contains("mutually exclusive")))
+  }
+
   test("mid-stream schema evolution fails the stream explicitly; " +
       "a restart picks up the new schema") {
     val t = MiniLake(spark, dir)
