@@ -1248,9 +1248,26 @@ object Features {
 
   /** The LPA loop over an arbitrary undirected (u, v) edge list —
     * factored so GraphSpec can pin community structure on hand graphs.
+    * Size-based arm switch (the q198 pattern, VERDICT r12 ask #2):
+    * below [[GraphLocal.maxEdges]] the identical synchronous
+    * recurrence runs as one single-task job ([[GraphLocal.lpa]]);
+    * above it the standing-partition rounds below are the 100 TB path.
     */
   private[graft] def labelPropagation(s: SparkSession, edges: DataFrame,
       rounds: Int): DataFrame = {
+    val localCap = GraphLocal.maxEdges(s)
+    if (localCap > 0) {
+      val e = edges.persist()
+      if (GraphLocal.localArmEligible(e, localCap, Seq("u", "v"))) {
+        // kernel output is node-sized: materialize off the cached edge
+        // frame before releasing it
+        val out = GraphLocal.lpa(s, e, rounds)
+          .select(col("node"), col("community")).localCheckpoint()
+        e.unpersist(false)
+        return out
+      }
+      e.unpersist(false)
+    }
     val bidir = bidirPartitioned(s, edges)
     try {
       var labels = bidir.select(col("src").as("node")).distinct()
@@ -1486,13 +1503,29 @@ object Features {
     */
   def q207BfsHops(s: SparkSession, dir: String): DataFrame =
     bfsHistogram(s, coPurchaseEdges(s, dir),
-      n => pmod(n, lit(97L)) === 0, GraphRounds)
+      n => pmod(n, lit(97L)) === 0, n => n % 97 == 0, GraphRounds)
 
   /** The frontier-BFS loop over an arbitrary undirected (u, v) edge
     * list — factored so GraphSpec can pin hop counts on hand graphs.
+    * `seed`/`seedLocal` are the same predicate in Column and Long form
+    * (the arm switch needs both; GraphSpec pins the arms equal on the
+    * gate's mod-97 seed so the two cannot drift): below
+    * [[GraphLocal.maxEdges]] the identical frontier recurrence runs as
+    * one single-task job ([[GraphLocal.bfs]]).
     */
   private[graft] def bfsHistogram(s: SparkSession, edges: DataFrame,
-      seed: Column => Column, rounds: Int): DataFrame = {
+      seed: Column => Column, seedLocal: Long => Boolean,
+      rounds: Int): DataFrame = {
+    val localCap = GraphLocal.maxEdges(s)
+    if (localCap > 0) {
+      val e = edges.persist()
+      if (GraphLocal.localArmEligible(e, localCap, Seq("u", "v"))) {
+        val out = GraphLocal.bfs(s, e, seedLocal, rounds).localCheckpoint()
+        e.unpersist(false)
+        return out
+      }
+      e.unpersist(false)
+    }
     val bidir = bidirPartitioned(s, edges)
     try {
       val nodes = bidir.select(col("src").as("node")).distinct()
@@ -1722,16 +1755,30 @@ object Features {
       .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
       .agg(min(col("a.cents") + col("b.cents")).as("w"))
     relaxDistances(s, wEdges,
-      n => pmod(n, lit(97L)) === 0, GraphRounds)
+      n => pmod(n, lit(97L)) === 0, n => n % 97 == 0, GraphRounds)
   }
 
   /** The k-round Bellman-Ford loop over an arbitrary undirected
     * weighted `(u, v, w)` edge list — factored so GraphSpec can pin
     * the defining relaxation property (a longer-hop path beating a
-    * direct edge) on hand graphs.
+    * direct edge) on hand graphs. `seed`/`seedLocal` are the same
+    * predicate in Column and Long form; below [[GraphLocal.maxEdges]]
+    * the identical double-buffered synchronous relaxation runs as one
+    * single-task job ([[GraphLocal.sssp]]).
     */
   private[graft] def relaxDistances(s: SparkSession, wEdges: DataFrame,
-      seed: Column => Column, rounds: Int): DataFrame = {
+      seed: Column => Column, seedLocal: Long => Boolean,
+      rounds: Int): DataFrame = {
+    val localCap = GraphLocal.maxEdges(s)
+    if (localCap > 0) {
+      val e = wEdges.persist()
+      if (GraphLocal.localArmEligible(e, localCap, Seq("u", "v", "w"))) {
+        val out = GraphLocal.sssp(s, e, seedLocal, rounds).localCheckpoint()
+        e.unpersist(false)
+        return out
+      }
+      e.unpersist(false)
+    }
     val parts = math.max(s.sparkContext.defaultParallelism, 8)
     val bidir = wEdges
       .select(col("u").as("src"), col("v").as("dst"), col("w"))
@@ -2699,6 +2746,22 @@ object Features {
       .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= CoEdgeMinOrders)
+    // size-based arm switch (the q198 pattern): below the cap the
+    // identical fixed-point integer recurrence runs as ONE single-task
+    // job instead of GraphRounds × (join + agg + checkpoint) whose
+    // scheduling dominates at gate scale; above it the
+    // standing-partition loop below is the 100 TB path
+    val localCap = GraphLocal.maxEdges(s)
+    if (localCap > 0) {
+      val e = ew.persist()
+      if (GraphLocal.localArmEligible(e, localCap, Seq("u", "v", "w"))) {
+        val out = GraphLocal.pagerank(s, e, GraphRounds)
+          .orderBy(col("pr_scaled").desc, col("part")).localCheckpoint()
+        e.unpersist(false)
+        return out
+      }
+      e.unpersist(false)
+    }
     val parts = math.max(s.sparkContext.defaultParallelism, 8)
     val edges = ew.select(col("u").as("src"), col("v").as("dst"), col("w"))
       .unionByName(ew.select(col("v").as("src"), col("u").as("dst"),

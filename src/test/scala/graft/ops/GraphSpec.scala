@@ -40,7 +40,7 @@ class GraphSpec extends AnyFunSuite {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
       (100L, 101L)).toDF("u", "v")
     val got = Features.bfsHistogram(spark, edges,
-        n => n === 1L, 4).collect()
+        n => n === 1L, n => n == 1L, 4).collect()
       .map(r => r.getAs[Long]("dist") ->
         ((r.getAs[Long]("n"), r.getAs[Long]("min_node"),
           r.getAs[Long]("max_node")))).toMap
@@ -78,6 +78,30 @@ class GraphSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  // Arm-equality pins for the size-based switch (VERDICT r12 ask #2):
+  // each gate runs once on the default conf (single-task arm at these
+  // edge counts) and once with graft.graph.localMaxEdges=0 (the
+  // distributed standing-partition loop); the two must agree row for
+  // row. sf0.001 exercises the REAL gate derivations including the
+  // mod-97 seed predicates, so the Column/Long seed forms cannot drift.
+  private def bothArms(fn: => Array[String]): (Seq[String], Seq[String]) = {
+    val local = fn.toSeq
+    spark.conf.set("graft.graph.localMaxEdges", "0")
+    try { (local, fn.toSeq) }
+    finally spark.conf.unset("graft.graph.localMaxEdges")
+  }
+
+  test("arm equality: q206/q207/q220/q224/q230 local == distributed") {
+    val dir = "/root/testdata/sf0.001"
+    for (q <- Seq("q206_label_propagation", "q207_bfs_hops",
+        "q220_sssp_relax", "q224_modularity", "q230_pagerank_parts")) {
+      val run = () => Features.queries(q)(spark, dir)
+        .collect().map(_.toString)
+      val (localRows, distRows) = bothArms(run())
+      assert(localRows === distRows, s"arm mismatch for $q")
+    }
+  }
+
   test("q220 loop: a two-hop path undercuts the direct edge") {
     // 0 -10- 1 -10- 2 with a direct 0-2 edge of length 100: BFS-style
     // frontier logic would settle node 2 at 100 in round 1 and never
@@ -87,7 +111,7 @@ class GraphSpec extends AnyFunSuite {
     val edges = Seq((0L, 1L, 10L), (1L, 2L, 10L), (0L, 2L, 100L),
       (2L, 3L, 10L), (3L, 4L, 10L)).toDF("u", "v", "w")
     def run(k: Int): Map[Long, Long] =
-      Features.relaxDistances(spark, edges, n => n === 0L, k)
+      Features.relaxDistances(spark, edges, n => n === 0L, n => n == 0L, k)
         .collect()
         .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist_cents"))
         .toMap
