@@ -3191,6 +3191,100 @@ final class MiniLake(spark: SparkSession, val path: String,
       (nUpd, nIns)
     }
 
+  /** MERGE with all THREE Delta clauses (Delta 2.3+): whenMatched
+    * UPDATE ∪ whenNotMatched INSERT ∪ `whenNotMatchedBySource` DELETE —
+    * the dimension-mirror sync (make the target equal the source,
+    * keyed on `pks`): matched rows take the source payload, absent
+    * rows insert, and target rows the source no longer carries are
+    * deleted. [[mergeUpdate]] is the two-clause prefix of this verb;
+    * the third clause is what a replicate-a-dimension pipeline needs
+    * (VERDICT r12 #6).
+    *
+    * CDF: update_preimage/update_postimage for matched rows, insert
+    * for absent rows, delete PREIMAGES for the by-source deletes — so
+    * a downstream CDC consumer can replay the sync exactly. Identity /
+    * row tracking: matched rows KEEP their ids bit-for-bit (the q296
+    * witness extends across this verb), inserts generate from the high
+    * water, deletes never free ids. DV-aware by construction: the
+    * snapshot read applies live deletion vectors and the commit
+    * retires them with the rewrite (same discipline as mergeUpdate).
+    *
+    * Scale: two anti-joins + one semi/inner join keyed on `pks` (all
+    * shuffle-or-broadcast on batch-vs-table key frames), one full
+    * rewrite write — the same COW envelope as UPDATE; at 100 TB the
+    * bucketed layout bounds the rewrite exactly as it does for merge.
+    * Returns (nUpdated, nInserted, nDeleted).
+    */
+  def mergeSync(rawSource: DataFrame,
+      pks: Seq[String]): (Long, Long, Long) = withCommitPlanning {
+    requireNotAppendOnly("mergeSync")
+    identitySpec.foreach { spec =>
+      require(!pks.contains(spec.name),
+        s"cannot merge on GENERATED AS IDENTITY column " +
+          s"'${spec.name}' of $path: incoming rows can never supply it")
+      require(!rawSource.columns.contains(spec.name),
+        s"GENERATED AS IDENTITY column '${spec.name}' cannot be " +
+          "user-supplied to mergeSync (matched rows keep their ids; " +
+          "inserts generate)")
+    }
+    val source = withGenerated(rawSource)
+    requireSchemaMatchExceptIdentity(source)
+    val target = snapshot()
+    val srcKeys = source.select(pks.map(col): _*).distinct()
+    val pre = target.join(srcKeys, pks, "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the third clause: target rows NOT matched by any source key
+    val dropped = target.join(srcKeys, pks, "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // postimage re-attaches the target's id by PK (1:1 — both sides
+    // PK-unique per the verb's contract), identical to mergeUpdate
+    val postRaw = identitySpec match {
+      case Some(spec) =>
+        source.join(target.select((pks :+ spec.name).map(col): _*),
+          pks, "inner")
+      case None =>
+        source.join(target.select(pks.map(col): _*), pks, "left_semi")
+    }
+    val post = postRaw.select(target.columns.map(col).toSeq: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val insertsRaw = source.join(target.select(pks.map(col): _*), pks,
+      "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nUpd = post.rdd.count()
+    val nIns = insertsRaw.rdd.count()
+    val nDel = dropped.rdd.count()
+    val (inserts, idHw) = identitySpec match {
+      case Some(spec) if nIns > 0 =>
+        val base = identityHighWater.getOrElse(spec.start - spec.step)
+        val (stamp, hw) = assignIdentityFrom(insertsRaw, spec, base,
+          expectN = Some(nIns))
+        (stamp.select(target.columns.map(col).toSeq: _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          Some(hw))
+      case _ => (insertsRaw, None)
+    }
+    val v = nextVersion
+    // nothing else survives: every target row either matched (post),
+    // or was deleted by the third clause; absent source rows insert
+    val newData = post.unionByName(inserts)
+    val changes = pre.withColumn(ChangeType, lit("update_preimage"))
+      .unionByName(post.withColumn(ChangeType, lit("update_postimage")))
+      .unionByName(inserts.withColumn(ChangeType, lit("insert")))
+      .unionByName(dropped.withColumn(ChangeType, lit("delete")))
+    val (adds, chg) = inParallel(
+      writeData(newData, v),
+      writeChanges(changes, v, rowHint = Some(2 * nUpd + nIns + nDel)))
+    writeEntry(CommitEntry(v, "merge-sync", System.currentTimeMillis(),
+      target.schema.json, adds, liveFiles(v - 1), hasChanges = true,
+      bucketSpec = bucketSpec, changeFiles = chg,
+      dvRemoves = liveDvFiles(v - 1), identityHighWater = idHw))
+    idHw.foreach(h => idHwCache = Some((v, h)))
+    pre.unpersist(); post.unpersist(); insertsRaw.unpersist()
+    dropped.unpersist()
+    if (!(inserts eq insertsRaw)) inserts.unpersist()
+    (nUpd, nIns, nDel)
+  }
+
   /** In-place column update of rows matching `pred` (S5 — the watermark
     * bump). Records Delta-style update_preimage/update_postimage change
     * rows (common_types.py:70-77). Internal bookkeeping tables whose

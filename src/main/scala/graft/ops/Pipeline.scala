@@ -1822,6 +1822,80 @@ object Pipeline {
       |    AS cents_a
       |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin
 
+  /** MERGE `whenNotMatchedBySource` (q303) — the three-clause Delta
+    * 2.3 sync (VERDICT r12 #6): a row-tracked dimension mirror is
+    * brought to equality with a shifted source in ONE
+    * [[graft.lake.MiniLake.mergeSync]]: matched keys (≡1 mod 3) take
+    * the doubled payload and KEEP their row ids bit-for-bit, absent
+    * keys (≡2) insert with fresh contiguous ids, and target keys the
+    * source no longer carries (≡0) are deleted with CDF delete
+    * preimages. Witnesses are order-independent closed forms: the
+    * matched-row id checksum Σ k·rid over create-rank rids, the total
+    * id sum (create-survivor ranks + the contiguous insert range),
+    * and the sync commit's change-feed composition
+    * (pre/post/insert/delete counts all cross-checked).
+    */
+  def q303MergeSync(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_mergesync").toString
+    val d = orders(s, dir).select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val t = MiniLake.rowTracked(s, s"$base/dim")
+    // mirror: keys ≡ 0,1 (mod 3); rid = rank by key (ordered create)
+    t.create(d.filter(col("o_orderkey") % 3 < 2).orderBy("o_orderkey"))
+    // the dimension moved on: keys ≡ 1,2 now live, payload doubled
+    val src = d.filter(col("o_orderkey") % 3 >= 1)
+      .withColumn("cents", col("cents") * 2)
+      .orderBy("o_orderkey")
+    val t2 = MiniLake(s, s"$base/dim")
+    val (nUpd, nIns, nDel) = t2.mergeSync(src, Seq("o_orderkey"))
+    val v = t2.latestVersion
+    val byType = t2.readChanges(v, v)
+      .groupBy(col(MiniLake.ChangeType)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cdfOk = byType.getOrElse("update_preimage", 0L) == nUpd &&
+      byType.getOrElse("update_postimage", 0L) == nUpd &&
+      byType.getOrElse("insert", 0L) == nIns &&
+      byType.getOrElse("delete", 0L) == nDel
+    t2.snapshot().agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(MiniLake.RowIdCol)).cast("long").as("sum_rid"),
+        sum(when(col("o_orderkey") % 3 === 1,
+          col("o_orderkey") * col(MiniLake.RowIdCol)))
+          .cast("long").as("checksum_upd"),
+        sum("cents").cast("long").as("total_cents"))
+      .select(col("n_rows"), col("sum_rid"), col("checksum_upd"),
+        col("total_cents"), lit(nUpd).as("n_upd"), lit(nIns).as("n_ins"),
+        lit(nDel).as("n_del"), lit(cdfOk).as("cdf_consistent"))
+  }
+
+  val q303Oracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    row_number() OVER (ORDER BY o_orderkey) AS rid
+      |  FROM orders WHERE o_orderkey % 3 < 2),
+      |nb AS (SELECT count(*) AS n FROM base),
+      |counts AS (SELECT
+      |  CAST(sum(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_upd,
+      |  CAST(sum(CASE WHEN o_orderkey % 3 = 2 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_ins,
+      |  CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_del,
+      |  CAST(sum(CASE WHEN o_orderkey % 3 >= 1
+      |    THEN 2 * CAST(round(o_totalprice * 100) AS BIGINT)
+      |    ELSE 0 END) AS BIGINT) AS total_cents
+      | FROM orders)
+      |SELECT c.n_upd + c.n_ins AS n_rows,
+      |  CAST((SELECT sum(rid) FROM base WHERE k % 3 = 1)
+      |    + c.n_ins * nb.n + c.n_ins * (c.n_ins + 1) / 2
+      |    AS BIGINT) AS sum_rid,
+      |  CAST((SELECT sum(k * rid) FROM base WHERE k % 3 = 1)
+      |    AS BIGINT) AS checksum_upd,
+      |  c.total_cents, c.n_upd, c.n_ins, c.n_del,
+      |  TRUE AS cdf_consistent
+      |FROM counts c CROSS JOIN nb""".stripMargin
+
   /** Symlink-format manifest interop (q235) — Delta's
     * `GENERATE symlink_format_manifest` verb: after a lifecycle whose
     * delete REWROTE the live set (so stale pre-delete files still sit
@@ -2134,6 +2208,7 @@ object Pipeline {
     "q299_partition_evolution" -> (q299PartitionEvolution _),
     "q301_append_only" -> (q301AppendOnly _),
     "q302_writer_protocol" -> (q302WriterProtocol _),
+    "q303_merge_sync" -> (q303MergeSync _),
     "q234_generated_partition" -> (q234GeneratedPartition _),
     "q235_symlink_manifest" -> (q235SymlinkManifest _),
     "q250_double_skipping" -> (q250DoubleSkipping _)
@@ -2181,6 +2256,7 @@ object Pipeline {
     "q299_partition_evolution" -> q299Oracle,
     "q301_append_only" -> q301Oracle,
     "q302_writer_protocol" -> q302Oracle,
+    "q303_merge_sync" -> q303Oracle,
     "q234_generated_partition" -> q234Oracle,
     "q235_symlink_manifest" -> q235Oracle,
     "q250_double_skipping" -> q250Oracle
