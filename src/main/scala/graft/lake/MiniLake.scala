@@ -1131,10 +1131,28 @@ final class MiniLake(spark: SparkSession, val path: String,
     * hard-link it into place — link creation fails if `v` was already
     * committed, so two racing writers can't both win.
     */
-  private def writeEntry(e0: CommitEntry): Unit = {
+  private def writeEntry(e1: CommitEntry): Unit = {
     // the single funnel every commit passes through — the writer
     // protocol gate lives here so no verb can forget it
     requireWritable()
+    // In-commit-timestamp monotonicity (Delta ICT intent, VERDICT r12
+    // #9): wall clocks skew between writers, and q295's forward/
+    // backward timestamp resolvers assume the recorded sequence is
+    // non-decreasing — clamp each entry to predecessor + 1 ms here at
+    // the funnel, so order wins over a skewed clock while honest wall
+    // time is kept everywhere else. Clones start a fresh log at a
+    // non-zero version with no predecessor entry — they keep their
+    // own stamp.
+    val e0 = {
+      val stamped = MiniLake.clockForTests.fold(e1)(c =>
+        e1.copy(timestampMs = c()))
+      if (stamped.version > 0 &&
+          Files.exists(logDir.resolve(s"${stamped.version - 1}.json"))) {
+        val prev = readEntry(stamped.version - 1).timestampMs
+        if (stamped.timestampMs <= prev) stamped.copy(timestampMs = prev + 1)
+        else stamped
+      } else stamped
+    }
     val e =
       if (e0.adds.nonEmpty && e0.stats.isEmpty && e0.statsStr.isEmpty) {
         // files written by the driver-side fast path computed their
@@ -1918,7 +1936,36 @@ final class MiniLake(spark: SparkSession, val path: String,
     */
   def changeRetentionFloor: Long = state(latestVersion).changeFloor
 
-  def readChanges(lo: Long, hi: Long): DataFrame = {
+  def readChanges(lo: Long, hi: Long): DataFrame =
+    readChangesWhere(lo, hi, _ => true)
+
+  /** Change composition of commit `v` from METADATA alone (no change
+    * file opened): "none" (publishes no CDF rows — optimize, vacuumed
+    * metadata, clones), "insert-only" (blind appends / pure-insert
+    * merges whose feed is the added data), "delete-only" (COW and DV
+    * deletes), or "update" (rewrites that mix preimages/postimages —
+    * update, merge with deletes, merge-update, merge-sync, overwrite,
+    * restore). The streaming source's `skipChangeCommits` /
+    * `ignoreDeletes` options classify commits with this before any
+    * file is read — Delta's convenience-option contract.
+    */
+  def changeClassAt(v: Long): String = {
+    val e = readEntry(v)
+    if (!e.hasChanges) "none"
+    else if (e.changesMode == "insertsFromData") "insert-only"
+    else e.mode match {
+      case "delete" | "delete-dv" => "delete-only"
+      case _ => "update"
+    }
+  }
+
+  /** [[readChanges]] restricted to the commits `admit` accepts: the
+    * pruning happens at the ENTRY level, so a skipped commit's change
+    * files are never opened — on a 100 TB table a reader skipping a
+    * full-rewrite commit skips the rewrite-sized change read too.
+    */
+  private[graft] def readChangesWhere(lo: Long, hi: Long,
+      admit: Long => Boolean): DataFrame = {
     val sch = schema
     // retention boundary: change metadata below the floor was pruned
     // by a checkpoint (files released to vacuum) — refuse explicitly
@@ -1930,7 +1977,7 @@ final class MiniLake(spark: SparkSession, val path: String,
         s"change data for versions < $floor of $path has passed the " +
           s"retention horizon (requested [$lo, $hi]); re-read from a " +
           "snapshot or start at a retained version")
-    val versions = listVersions.filter(v => v >= lo && v <= hi)
+    val versions = listVersions.filter(v => v >= lo && v <= hi && admit(v))
     val withChanges = versions.map(v => (v, readEntry(v))).filter(_._2.hasChanges)
     if (withChanges.isEmpty) {
       emptyDf(spark, changeSchema(sch))
@@ -2157,9 +2204,15 @@ final class MiniLake(spark: SparkSession, val path: String,
   private def writeData(df: DataFrame, v: Long,
       rowHint: Option[Long] = None,
       dirOverride: Option[Path] = None,
-      checked: Boolean = true): Seq[String] = {
+      checked: Boolean = true,
+      preserveLayout: Boolean = false): Seq[String] = {
     if (checked) requireCheckConstraints(df)
     val dir = dirOverride.getOrElse(attemptDir("data", v))
+    // a layout-bearing frame (Z-order's range-partitioned file fan)
+    // must keep its partitioning — the file COUNT is the layout, so
+    // the small-batch driver fast path is excluded wholesale
+    def localBatch(d: DataFrame): Option[(Seq[Row], StructType)] =
+      if (preserveLayout) None else localBatchRows(d, rowHint)
     bucketSpec match {
       case Some(spec) =>
         // hash-bucketed layout: files land under _bucket=<k>/ so a
@@ -2174,10 +2227,17 @@ final class MiniLake(spark: SparkSession, val path: String,
         // still lands correctly because partitionBy splits by value
         // regardless of task layout. Rows sort by PK within each task
         // so parquet min/max stats stay tight for row-group skipping.
-        df.withColumn(BucketCol, bucketExpr(spec))
-          .repartition(spec.numBuckets, col(BucketCol))
-          .sortWithinPartitions((BucketCol +: spec.pks).map(col): _*)
-          .write.partitionBy(BucketCol).parquet(dir.toString)
+        // Small batches take the driver fast path: same one file per
+        // live bucket, same PK sort, stats computed inline.
+        val withB = df.withColumn(BucketCol, bucketExpr(spec))
+        localBatch(withB) match {
+          case Some((rows, sch)) =>
+            writeLocalGrouped(rows, sch, Seq(BucketCol), spec.pks, dir)
+          case None =>
+            withB.repartition(spec.numBuckets, col(BucketCol))
+              .sortWithinPartitions((BucketCol +: spec.pks).map(col): _*)
+              .write.partitionBy(BucketCol).parquet(dir.toString)
+        }
       case None if partitionCols.nonEmpty =>
         // value-partitioned layout: duplicate each partition column
         // into a path-only `_p_<col>` string so leaf files keep the
@@ -2186,14 +2246,27 @@ final class MiniLake(spark: SparkSession, val path: String,
         // pruning. Repartitioning on the partition values bounds the
         // commit at one file per live partition value — without it,
         // every input task fans out one file per value it sees.
+        // Small batches whose partition values are path-literal (no
+        // escaping, no nulls) take the driver fast path: same one
+        // file per live value, same directory naming.
         val pCols = partitionCols.map(c => s"$PartPrefix$c")
         val withP = partitionCols.zip(pCols).foldLeft(df) {
           case (d, (c, p)) => d.withColumn(p, col(c).cast("string"))
         }
-        withP.repartition(partitionCols.map(col): _*)
-          .write.partitionBy(pCols: _*).parquet(dir.toString)
+        val local = localBatch(withP).filter { case (rows, sch) =>
+          val idx = pCols.map(sch.fieldIndex)
+          rows.forall(r => idx.forall(i =>
+            !r.isNullAt(i) && MiniLake.PathSafe.matches(r.getString(i))))
+        }
+        local match {
+          case Some((rows, sch)) =>
+            writeLocalGrouped(rows, sch, pCols, Seq.empty, dir)
+          case None =>
+            withP.repartition(partitionCols.map(col): _*)
+              .write.partitionBy(pCols: _*).parquet(dir.toString)
+        }
       case None =>
-        localBatchRows(df) match {
+        localBatch(df) match {
           case Some((rows, sch)) =>
             writeLocalParquet(rows, sch, dir)
           case None =>
@@ -2205,27 +2278,55 @@ final class MiniLake(spark: SparkSession, val path: String,
     parquetFilesIn(dir)
   }
 
-  /** Fast path probe for `compact` tables: a batch that is statically
-    * a driver-local relation of simply-typed rows (the watermark-bump
-    * / streaming-marker / scripted-lifecycle shape) can skip the Spark
-    * write job entirely. A distributed write for one metadata row
-    * costs ~100 ms of job launch + committer protocol; at one commit
-    * per micro-batch that overhead IS the ingest latency floor.
+  /** Fast path probe for small commits: a batch that is statically a
+    * driver-local relation of simply-typed rows (the watermark-bump /
+    * streaming-marker / scripted-lifecycle shape), OR an arbitrary
+    * plan whose Catalyst size estimate (or the caller's row count) is
+    * metadata-sized, can skip the Spark write job entirely — collected
+    * in ONE job (or zero for a LocalRelation) and written by the
+    * driver. A distributed write for a tiny batch costs ~100-200 ms of
+    * job launch + committer protocol; gate lifecycles commit dozens of
+    * such batches and at one commit per micro-batch that overhead IS
+    * the ingest latency floor (VERDICT r12 #3: the old gate fired only
+    * for LocalRelation plans, so parquet-derived small frames paid the
+    * full job).
+    *
+    * File-count parity: the driver path writes ONE file (per layout
+    * value); every layout-deterministic distributed shape it replaces
+    * (compact's coalesce(1), rowHint's filesFor ≤ 1M rows, bucketed /
+    * partitioned one-file-per-value repartition) writes the same.
+    * The row cap stays far below [[RowsPerFile]] so the rowHint
+    * equivalence can never cross a file boundary.
     */
-  private def localBatchRows(df: DataFrame): Option[(Seq[Row], StructType)] = {
+  private def localBatchRows(df: DataFrame,
+      rowHint: Option[Long] = None): Option[(Seq[Row], StructType)] = {
     import org.apache.spark.sql.types._
     val simple = df.schema.fields.forall(_.dataType match {
       case LongType | IntegerType | DoubleType | BooleanType |
            StringType => true
       case _ => false
     })
-    if (!compact || !simple) None
+    if (!simple) None
     else df.queryExecution.optimizedPlan match {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
           if l.data.length <= MaxLocalFastPathRows =>
         // LocalTableScanExec.executeCollect is driver-local: no job
         Some((df.collect().toSeq, df.schema))
-      case _ => None
+      case p =>
+        // Stats-gated bounded collect: trust the caller's count when
+        // present, else Catalyst's size estimate (parquet-backed plans
+        // estimate from file bytes, so a 100 TB rewrite can never look
+        // small). The row cap re-checks AFTER the collect — a frame a
+        // lying estimate let through still spills to the job path
+        // rather than producing an over-wide driver file.
+        val small = rowHint.map(_ <= MaxDriverWriteRows)
+          .getOrElse(p.stats.sizeInBytes <= MaxDriverWriteBytes)
+        if (!small) None
+        else {
+          val rows = df.collect()
+          if (rows.length <= MaxDriverWriteRows) Some((rows.toSeq, df.schema))
+          else None
+        }
     }
   }
 
@@ -2242,6 +2343,40 @@ final class MiniLake(spark: SparkSession, val path: String,
   private val pendingStats = scala.collection.concurrent.TrieMap.empty[
     String, (Map[String, (Long, Long)], Map[String, (String, String)],
       Map[String, (Double, Double)])]
+
+  /** Driver-side write of a small LAYOUT-GROUPED batch: rows split by
+    * the `groupCols` values into one file per live value under the
+    * same `<col>=<value>/` directories `partitionBy` would create,
+    * sorted within each group by `sortCols` (the bucketed layout's PK
+    * sort — tight parquet min/max for row-group skipping), with the
+    * group columns stripped from the files exactly as `partitionBy`
+    * strips its partition columns. Callers guarantee the group values
+    * are path-literal (bucket ids are integers; the partitioned branch
+    * pre-checks [[MiniLake.PathSafe]]).
+    */
+  private def writeLocalGrouped(rows: Seq[Row], sch: StructType,
+      groupCols: Seq[String], sortCols: Seq[String],
+      dir: Path): Seq[String] = {
+    // the attempt dir must exist even when the batch is empty (zero
+    // groups): parquetFilesIn walks it unconditionally, exactly as a
+    // distributed write would have created it
+    Files.createDirectories(dir)
+    val gIdx = groupCols.map(sch.fieldIndex)
+    val keep = sch.fields.indices.filterNot(gIdx.contains)
+    val leafSchema = StructType(keep.map(sch.fields))
+    val ord = MiniLake.rowOrdering(leafSchema, sortCols)
+    rows.groupBy(r => gIdx.map(i => r.get(i))).toSeq
+      .flatMap { case (values, group) =>
+        val sub = groupCols.zip(values).foldLeft(dir) {
+          case (d, (c, v)) => d.resolve(s"$c=$v")
+        }
+        val stripped = group.map(r =>
+          Row.fromSeq(keep.map(r.get)): Row)
+        val sorted =
+          if (sortCols.isEmpty) stripped else stripped.sorted(ord)
+        writeLocalParquet(sorted, leafSchema, sub)
+      }
+  }
 
   private def writeLocalParquet(rows: Seq[Row], sch: StructType,
       dir: Path): Seq[String] = {
@@ -2310,11 +2445,21 @@ final class MiniLake(spark: SparkSession, val path: String,
   private def writeChanges(changes: DataFrame, v: Long,
       rowHint: Option[Long] = None): Seq[String] = {
     val dir = attemptDir("changes", v)
-    val sized =
-      if (compact) changes.coalesce(1)
-      else rowHint.map(n => changes.coalesce(filesFor(n))).getOrElse(changes)
-    sized.write.parquet(dir.toString)
-    parquetFilesIn(dir)
+    localBatchRows(changes, rowHint) match {
+      case Some((rows, sch)) =>
+        val fs = writeLocalParquet(rows, sch, dir)
+        // change files never ride the adds stats — drop the inline
+        // entry writeEntry would otherwise leave parked forever
+        fs.foreach(pendingStats.remove)
+        fs
+      case None =>
+        val sized =
+          if (compact) changes.coalesce(1)
+          else rowHint.map(n => changes.coalesce(filesFor(n)))
+            .getOrElse(changes)
+        sized.write.parquet(dir.toString)
+        parquetFilesIn(dir)
+    }
   }
 
   /** First write / full replace without history (S3). `overwrite` on an
@@ -2571,7 +2716,7 @@ final class MiniLake(spark: SparkSession, val path: String,
         val data = readFiles(prior, v - 1)
         val adds = writeData(
           graft.ops.Layout.zorderWrite(data, cols, numFiles), v,
-          checked = false)
+          checked = false, preserveLayout = true)
         writeEntry(CommitEntry(v, "optimize", System.currentTimeMillis(),
           sch.json, adds, prior, hasChanges = false,
           bucketSpec = bucketSpec, dvRemoves = liveDvFiles(v - 1)))
@@ -3754,6 +3899,70 @@ object MiniLake {
     */
   private[lake] val MaxLocalFastPathRows: Int = 10000
 
+  /** Caps for the stats-gated driver-write fast path (the non-
+    * LocalRelation arm of `localBatchRows`): a plan estimated under
+    * [[MaxDriverWriteBytes]] (or row-counted under
+    * [[MaxDriverWriteRows]]) collects in one job and writes driver-
+    * side. The row cap is deliberately far below [[RowsPerFile]] so
+    * the single driver file can never diverge from the file count the
+    * rowHint path (`filesFor`) would have produced, and small enough
+    * that the serial driver encode stays well under the distributed
+    * write it replaces (~200k simple-typed rows ≈ tens of ms).
+    */
+  private[lake] val MaxDriverWriteRows: Int = 200000
+  private[lake] val MaxDriverWriteBytes: Long = 8L << 20
+
+  /** Test seam for commit timestamps: the monotonicity clamp at the
+    * writeEntry funnel is only observable under a skewed clock, so
+    * specs inject one here; production always reads the wall clock.
+    */
+  private[lake] var clockForTests: Option[() => Long] = None
+
+  /** Partition values the driver-write fast path may place in a
+    * directory name verbatim — exactly the characters Spark's
+    * `partitionBy` writes unescaped, so the two paths produce
+    * byte-identical directory trees. Anything else (escapes, nulls)
+    * falls back to the distributed writer.
+    */
+  private[lake] val PathSafe = "[0-9A-Za-z._-]+".r
+
+  /** Null-first ascending ordering over the named columns of
+    * simply-typed Rows — the driver-write equivalent of
+    * `sortWithinPartitions(cols)` (Spark sorts NULLS FIRST asc).
+    */
+  private[lake] def rowOrdering(sch: StructType,
+      cols: Seq[String]): Ordering[Row] = {
+    val idx = cols.map(sch.fieldIndex)
+    val types = idx.map(i => sch.fields(i).dataType)
+    new Ordering[Row] {
+      override def compare(a: Row, b: Row): Int = {
+        var k = 0
+        while (k < idx.length) {
+          val i = idx(k)
+          val an = a.isNullAt(i); val bn = b.isNullAt(i)
+          val c =
+            if (an && bn) 0
+            else if (an) -1
+            else if (bn) 1
+            else types(k) match {
+              case org.apache.spark.sql.types.LongType =>
+                java.lang.Long.compare(a.getLong(i), b.getLong(i))
+              case org.apache.spark.sql.types.IntegerType =>
+                Integer.compare(a.getInt(i), b.getInt(i))
+              case org.apache.spark.sql.types.DoubleType =>
+                java.lang.Double.compare(a.getDouble(i), b.getDouble(i))
+              case org.apache.spark.sql.types.BooleanType =>
+                java.lang.Boolean.compare(a.getBoolean(i), b.getBoolean(i))
+              case _ => a.getString(i).compareTo(b.getString(i))
+            }
+          if (c != 0) return c
+          k += 1
+        }
+        0
+      }
+    }
+  }
+
   /** Parquet message type for a simply-typed Spark schema (the
     * tiny-commit fast path). All fields OPTIONAL — Spark treats
     * parquet nullability as advisory on read, and OPTIONAL is always
@@ -4142,7 +4351,65 @@ object MiniLake {
     * without copying a byte of data.
     */
   def shallowClone(spark: SparkSession, srcPath: String,
+      destPath: String): MiniLake =
+    cloneImpl(spark, srcPath, destPath, (f: String) => f,
+      dvOverride = None)
+
+  /** DEEP CLONE (Delta `CREATE TABLE ... CLONE src`, the default deep
+    * form): a full, INDEPENDENT copy — every live data file's bytes
+    * land under the destination root (source-era `v=N` path segments
+    * preserved, so column-mapping-era resolution composes exactly as
+    * in a shallow clone), live deletion-vector sidecars are rewritten
+    * with their target paths re-rooted to the copied files, and the
+    * clone entry re-keys the skipping stats to the copied paths. The
+    * result shares NO bytes with the source: vacuum on the source can
+    * never invalidate it (the shallow clone's documented hazard), and
+    * divergence on either side is invisible to the other — the
+    * backup / DR / environment-promotion verb (VERDICT r12 #7).
+    *
+    * Cost is the honest one: one byte-copy of the live set (no
+    * decode/re-encode — file copies, not a rewrite), plus one bounded
+    * read/rewrite of the DV sidecars (churn-sized, not table-sized).
+    */
+  def deepClone(spark: SparkSession, srcPath: String,
       destPath: String): MiniLake = {
+    val srcRoot = Paths.get(srcPath)
+    val destRoot = Paths.get(destPath)
+    def mapped(f: String): String =
+      destRoot.resolve(srcRoot.relativize(Paths.get(f))).toString
+    val src = new MiniLake(spark, srcPath)
+    require(src.exists, s"source table $srcPath does not exist")
+    val v = src.latestVersion
+    src.liveFiles(v).foreach { f =>
+      val to = Paths.get(mapped(f))
+      Files.createDirectories(to.getParent)
+      Files.copy(Paths.get(f), to)
+    }
+    // live DV sidecars reference their target data files BY PATH in
+    // the rows: re-root those references to the copied files (a plain
+    // byte copy would leave the clone's vectors pointing at the
+    // source, re-coupling what deep clone exists to decouple)
+    val dvs = src.liveDvFiles(v)
+    val dvAdds =
+      if (dvs.isEmpty) Seq.empty[String]
+      else {
+        val dvDir = destRoot.resolve(s"dv/v=$v/w-clone")
+        // sidecar rows store the target as `_metadata.file_path` spells
+        // it — a file: URI — so re-root by literal substring replace of
+        // the source root wherever it sits inside that URI
+        spark.read.parquet(dvs: _*)
+          .withColumn(DvFileCol, expr(
+            s"replace($DvFileCol, '${srcRoot.toString}', " +
+              s"'${destRoot.toString}')"))
+          .coalesce(1).write.parquet(dvDir.toString)
+        parquetFilesIn(dvDir)
+      }
+    cloneImpl(spark, srcPath, destPath, mapped, dvOverride = Some(dvAdds))
+  }
+
+  private def cloneImpl(spark: SparkSession, srcPath: String,
+      destPath: String, mapFile: String => String,
+      dvOverride: Option[Seq[String]]): MiniLake = {
     val src = new MiniLake(spark, srcPath)
     require(src.exists, s"source table $srcPath does not exist")
     val dest = new MiniLake(spark, destPath)
@@ -4153,10 +4420,14 @@ object MiniLake {
     val live = src.liveFiles(v).toSet
     // carry the source's skipping index for the referenced files —
     // re-reading 100 TB worth of footers to rebuild it would defeat
-    // the metadata-only point
+    // the metadata-only point. A deep clone re-keys the index to the
+    // copied paths (same bytes, same bounds).
     val stats = srcState.stats.filter(f => live(f._1))
+      .map { case (f, m) => mapFile(f) -> m }
     val statsStr = srcState.statsStr.filter(f => live(f._1))
+      .map { case (f, m) => mapFile(f) -> m }
     val statsDbl = srcState.statsDbl.filter(f => live(f._1))
+      .map { case (f, m) => mapFile(f) -> m }
     // Column-mapped or defaulted sources (rename history, reborn
     // columns, initial defaults): the per-era resolution state lives
     // in the SOURCE's log, so the clone entry must carry it — the
@@ -4185,11 +4456,11 @@ object MiniLake {
     // era. History and time travel simply begin at the clone point,
     // like a Delta clone whose history begins at the clone commit.
     dest.writeEntry(CommitEntry(v, "clone", System.currentTimeMillis(),
-      src.schemaAt(v).json, src.liveFiles(v), Seq.empty,
+      src.schemaAt(v).json, src.liveFiles(v).map(mapFile), Seq.empty,
       hasChanges = false, bucketSpec = entry.bucketSpec,
       partitionCols = entry.partitionCols,
       stats = stats, statsStr = statsStr, statsDbl = statsDbl,
-      dvAdds = src.liveDvFiles(v),
+      dvAdds = dvOverride.getOrElse(src.liveDvFiles(v)),
       // GENERATED ALWAYS AS rules ride the clone entry (Delta clone
       // preserves table metadata): without this the clone would
       // accept wrong caller-supplied values unvalidated, breaking
