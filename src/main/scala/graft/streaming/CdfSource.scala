@@ -76,7 +76,11 @@ final class MiniLakeCdfSourceProvider
     new MiniLakeCdfSource(lake,
       fromTs.orElse(parameters.get("startingVersion").map(_.toLong))
         .getOrElse(0L),
-      parameters.get("maxCommitsPerBatch").map(_.toLong))
+      parameters.get("maxCommitsPerBatch").map(_.toLong),
+      skipChangeCommits =
+        parameters.get("skipChangeCommits").exists(_.toBoolean),
+      ignoreDeletes =
+        parameters.get("ignoreDeletes").exists(_.toBoolean))
   }
 }
 
@@ -267,11 +271,37 @@ object CdfStream {
 }
 
 final class MiniLakeCdfSource(lake: MiniLake, startingVersion: Long,
-    maxCommitsPerBatch: Option[Long] = None)
-    extends Source {
+    maxCommitsPerBatch: Option[Long] = None,
+    skipChangeCommits: Boolean = false,
+    ignoreDeletes: Boolean = false)
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   require(maxCommitsPerBatch.forall(_ > 0),
     s"maxCommitsPerBatch must be positive, got $maxCommitsPerBatch")
+
+  /** Delta's streaming convenience options, classified from commit
+    * METADATA before any change file is opened
+    * ([[MiniLake.changeClassAt]]): `skipChangeCommits` drops every
+    * commit that deletes or modifies existing rows (insert-only
+    * commits still stream); `ignoreDeletes` drops delete-ONLY commits
+    * but keeps erroring on rewrites (Delta's narrower legacy option —
+    * a stream that silently dropped an update commit would be wrong,
+    * not convenient). Skipping happens inside the served version
+    * range, so the never-redeliver cursor advances past skipped
+    * commits exactly once, like Delta's.
+    */
+  private def admitVersion(v: Long): Boolean = lake.changeClassAt(v) match {
+    case "none" | "insert-only" => true
+    case "delete-only" => !(skipChangeCommits || ignoreDeletes)
+    case _ =>
+      if (skipChangeCommits) false
+      else if (ignoreDeletes) throw new IllegalStateException(
+        s"MiniLake CDF stream over ${lake.path}: commit $v modifies " +
+          "existing rows; ignoreDeletes only skips delete commits — " +
+          "use skipChangeCommits to skip rewrites as well")
+      else true
+  }
 
   /** Highest version this source has already offered/served — the
     * admission cursor for rate limiting (the `maxFilesPerTrigger`
@@ -307,15 +337,58 @@ final class MiniLakeCdfSource(lake: MiniLake, startingVersion: Long,
       s"unexpected offset type: $other")
   }
 
-  /** Latest committed version — one `_log` listing, no data touched —
-    * capped to `admitted + maxCommitsPerBatch` when rate-limited.
+  /** End-of-backlog snapshot for `Trigger.AvailableNow`: captured ONCE
+    * when the engine calls [[prepareForTriggerAvailableNow]], so the
+    * run drains exactly the commits that existed at start (in
+    * rate-limited batches) and then stops — commits landing mid-drain
+    * wait for the next scheduled run. This is why the source
+    * implements the trait itself rather than riding Spark's
+    * deprecated V1 wrapper: the wrapper captures the source's CAPPED
+    * first offer as the end, so a rate-limited backlog would stop
+    * after one batch instead of draining.
     */
-  override def getOffset: Option[Offset] = {
-    val v = lake.latestVersion
-    if (v < startingVersion) None
-    else Some(LongOffset(maxCommitsPerBatch
-      .fold(v)(k => math.min(v, admitted + k))))
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(lake.latestVersion)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** The shared admission computation: latest commit (capped at the
+    * AvailableNow end when one is pinned), rate-limited to
+    * `admitted + maxCommitsPerBatch`. One `_log` listing, no data
+    * touched.
+    */
+  private def offeredEnd(): Option[Long] = {
+    val latest = availableNowEnd.fold(lake.latestVersion)(
+      math.min(lake.latestVersion, _))
+    if (latest < startingVersion) None
+    else Some(maxCommitsPerBatch
+      .fold(latest)(k => math.min(latest, admitted + k)))
   }
+
+  override def getOffset: Option[Offset] = offeredEnd().map(LongOffset(_))
+
+  /** Admission-control form of [[getOffset]] — the surface the engine
+    * drives `Trigger.AvailableNow` through (prepare pins the end;
+    * each call offers the next rate-limited slice; an offer equal to
+    * `start` ends the run).
+    */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    offeredEnd().map(LongOffset(_)).orNull
+
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    offeredEnd().map(LongOffset(_)).orNull
+
+  override def initialOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    LongOffset(startingVersion - 1)
 
   /** Changes of versions (start, end] — exactly the batch CDF read,
     * so a stream-maintained table provably equals its batch-CDC
@@ -365,7 +438,8 @@ final class MiniLakeCdfSource(lake: MiniLake, startingVersion: Long,
     // signatures just matched) — kept so the bound ordinals are
     // guaranteed by construction, not by readChanges' column order.
     org.apache.spark.sql.GraftStreamingBridge.asStreamingFrame(
-      MiniLake.conformTo(lake.readChanges(lo, hi), schema))
+      MiniLake.conformTo(lake.readChangesWhere(lo, hi, admitVersion),
+        schema))
   }
 
   override def stop(): Unit = ()

@@ -307,4 +307,90 @@ class CdfSourceSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
     assert(ex.getMessage.contains("must be positive"))
   }
+
+  test("Trigger.AvailableNow drains the backlog in capped batches and " +
+      "STOPS at the start snapshot; the restart picks up only new work") {
+    val t = MiniLake.compact(spark, dir)
+    t.create(kv(1L -> "a"))                                    // v0
+    for (i <- 2L to 6L) t.append(kv(i -> s"v$i"))              // v1..v5
+    val ckpt = Files.createTempDirectory("cdfan").toString
+    def drain(): Seq[(Long, Long, Long)] = {
+      val batches =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val q = spark.readStream
+        .format(classOf[MiniLakeCdfSourceProvider].getName)
+        .option("path", dir)
+        .option("maxCommitsPerBatch", "2")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) =>
+            val r = b.agg(count(lit(1)),
+              countDistinct(col(MiniLake.CommitVersion))).collect().head
+            batches.synchronized {
+              batches += ((id, r.getLong(0), r.getLong(1))) }
+            ()
+        }.start()
+      // run-to-current-then-stop: the QUERY terminates itself — no
+      // processAllAvailable/stop driving from the test
+      assert(q.awaitTermination(60000), "AvailableNow query did not stop")
+      batches.toSeq
+    }
+    // 6 commits at cap 2 → exactly 3 bounded batches, then termination
+    assert(drain().map(_._3) === Seq(2L, 2L, 2L))
+    // append AFTER the drain; a fresh AvailableNow run serves only it
+    t.append(kv(7L -> "v7"))                                   // v6
+    assert(drain().map(_._3) === Seq(1L))
+    // idle restart: terminates with nothing
+    assert(drain() === Seq.empty)
+  }
+
+  test("skipChangeCommits streams inserts only, skipping rewrite " +
+      "commits wholesale; ignoreDeletes skips delete-only commits " +
+      "but errors on rewrites") {
+    val t = MiniLake(spark, dir)
+    t.create(kv(1L -> "a", 2L -> "b"))                         // v0 insert
+    t.append(kv(3L -> "c"))                                    // v1 insert
+    t.merge(inserts = MiniLake.emptyDf(spark, t.schema),
+      deletes = kv(2L -> "b"), pks = Seq("key"))               // v2 delete
+    t.update(col("key") === 1L, Map("value" -> lit("A")))      // v3 update
+    t.append(kv(4L -> "d"))                                    // v4 insert
+    def collectWith(opts: Map[String, String]): Seq[(Long, String, Long)] = {
+      val seen =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      val ckpt = Files.createTempDirectory("cdfskip").toString
+      var reader = spark.readStream
+        .format(classOf[MiniLakeCdfSourceProvider].getName)
+        .option("path", dir)
+      opts.foreach { case (k, v) => reader = reader.option(k, v) }
+      val q = reader.load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            seen.synchronized {
+              seen ++= b.select("key", MiniLake.ChangeType,
+                  MiniLake.CommitVersion).collect()
+                .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+            }
+            ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      seen.toSeq
+    }
+    // skipChangeCommits: v2 (delete) and v3 (update) vanish wholesale
+    val skipped = collectWith(Map("skipChangeCommits" -> "true"))
+    assert(skipped.map(_._3).distinct.sorted === Seq(0L, 1L, 4L), skipped)
+    assert(skipped.forall(_._2 == "insert"), skipped)
+    // ignoreDeletes alone: v2 skips, v3 (a rewrite) fails the stream
+    val ex = intercept[Exception] {
+      collectWith(Map("ignoreDeletes" -> "true"))
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => Option(c.getMessage)
+      .exists(_.contains("ignoreDeletes only skips delete commits"))), ex)
+  }
 }
