@@ -2313,13 +2313,23 @@ final class MiniLake(spark: SparkSession, val path: String,
         // LocalTableScanExec.executeCollect is driver-local: no job
         Some((df.collect().toSeq, df.schema))
       case p =>
+        // A caller who repartitioned the batch chose its file fan —
+        // Z-order's range-partitioned curve, a bucketing experiment —
+        // and collapsing that to one driver file silently destroys the
+        // layout (ZorderSpec caught exactly this). Any
+        // RepartitionOperation in the plan opts the frame out.
+        val callerShaped = p.exists {
+          case _: org.apache.spark.sql.catalyst.plans.logical
+              .RepartitionOperation => true
+          case _ => false
+        }
         // Stats-gated bounded collect: trust the caller's count when
         // present, else Catalyst's size estimate (parquet-backed plans
         // estimate from file bytes, so a 100 TB rewrite can never look
         // small). The row cap re-checks AFTER the collect — a frame a
         // lying estimate let through still spills to the job path
         // rather than producing an over-wide driver file.
-        val small = rowHint.map(_ <= MaxDriverWriteRows)
+        val small = !callerShaped && rowHint.map(_ <= MaxDriverWriteRows)
           .getOrElse(p.stats.sizeInBytes <= MaxDriverWriteBytes)
         if (!small) None
         else {
@@ -3406,7 +3416,13 @@ final class MiniLake(spark: SparkSession, val path: String,
         (stamp.select(target.columns.map(col).toSeq: _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
           Some(hw))
-      case _ => (insertsRaw, None)
+      case Some(spec) =>
+        // zero inserts on an identity table: insertsRaw is empty but
+        // still lacks the identity column — conform it so the
+        // newData/changes unions resolve (nothing to stamp, no HW move)
+        (insertsRaw.withColumn(spec.name, lit(null).cast("long"))
+          .select(target.columns.map(col).toSeq: _*), None)
+      case None => (insertsRaw, None)
     }
     val v = nextVersion
     // nothing else survives: every target row either matched (post),
