@@ -27,6 +27,17 @@ object Bench {
       // exactly the guard expansion joins need; the tiny queries pay
       // sub-ms extra scheduling per stage.
       .config("spark.locality.wait", "0s")
+      // This runtime ships no native-hadoop library, so the default
+      // FileContext checkpoint manager's per-file permission ops fall
+      // back to fork+exec of `chmod` — one process per state-store
+      // delta / offset-log file, every micro-batch (profiled: the
+      // single largest non-compute cost of the streaming gates). The
+      // FileSystem-based manager does the same atomic same-directory
+      // rename on local/HDFS paths without the FileContext permission
+      // path. Deployments with native libs are indifferent.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing" +
+          ".FileSystemBasedCheckpointFileManager")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet-footer paths once so the first timed

@@ -21,6 +21,10 @@ object RunOne {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // no native-hadoop in this runtime: see Bench.scala
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing" +
+          ".FileSystemBasedCheckpointFileManager")
     // ad-hoc conf experiments: SPARK_GRAFT_CONF="k=v;k=v"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })

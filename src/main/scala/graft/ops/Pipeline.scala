@@ -649,6 +649,19 @@ object Pipeline {
     // between bursts — the shape of N streaming jobs feeding one
     // table with a nightly maintenance window
     val nWriters = 8
+    // identical rows/schema to `Seq((k, v)).toDF("k", "cents")`, built
+    // via createDataFrame on a shared StructType: the toDF form pays a
+    // fresh ScalaReflection/encoder derivation per commit — at ~1,000
+    // commits that fixed cost dominated the gate (q232 profiler)
+    val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cents",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    def rowDf(k: Long): org.apache.spark.sql.DataFrame =
+      s.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(k, k * 37L % 1000L): org.apache.spark.sql.Row),
+        rowSchema)
     def appendBlock(lo: Long, hi: Long): Unit = {
       val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
       val threads = (0 until nWriters).map { w =>
@@ -657,8 +670,7 @@ object Pipeline {
             val mine = MiniLake.compact(s, path)
             var k = lo + w
             while (k <= hi) {
-              mine.appendConcurrent(
-                Seq((k, k * 37L % 1000L)).toDF("k", "cents"))
+              mine.appendConcurrent(rowDf(k))
               k += nWriters
             }
           } catch { case e: Throwable => failure.compareAndSet(null, e) }

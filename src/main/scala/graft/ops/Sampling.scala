@@ -521,11 +521,7 @@ object Sampling {
     // coverage universe = token BIGRAMS: a realistic spanning target
     // (the unigram vocabulary is tiny enough here that one document
     // covers it, ending greedy in one round at every SF)
-    val ws = tokens(col("text"))
-    val bigrams = when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    import graft.functions.Text.bigrams
     // (measured: a standing repartition(doc_id) to elide the per-round
     // agg exchange LOST time here — the loop is scheduler-bound on
     // ~50k-row stages, and the extra build shuffle outweighed the
@@ -541,10 +537,13 @@ object Sampling {
     // 6.6 s total on one core) — a sub-MB exchange buys 32-way
     // tokenization. On a production corpus the scan has natural
     // parallelism and this exchange stays input-partition-count cheap.
+    // token array materialized as a column BEFORE the bigram lambda
+    // (see Text.bigrams — the inline form re-splits per bigram)
     val tokD = documents(s, dir)
       .repartition(math.max(8, s.sparkContext.defaultParallelism))
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
       .select(col("doc_id"),
-        explode(array_distinct(bigrams)).as("tk"))
+        explode(array_distinct(bigrams(col("ws")))).as("tk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the covered set is never materialized: it is BY CONSTRUCTION the
     // tokens of the ≤K picked documents, so each round re-derives it
@@ -559,6 +558,68 @@ object Sampling {
     // remaining per-round cost is the greedy algorithm's own
     // sequential driver round-trip — the measured floor, recorded in
     // SCALE.md.)
+    // Size-based arm switch (the q198/GraphLocal device, VERDICT r12
+    // #2): below the cap the WHOLE greedy recurrence runs inside ONE
+    // task over the persisted token frame — one job total, instead of
+    // rounds × (anti join + aggregate + TakeOrdered) whose per-round
+    // scheduler floor is the measured cost at gate scale (~0.3 s/round
+    // of sub-MB stages). The kernel replays the EXACT recurrence:
+    // gain(d) = #{tk ∈ d : tk ∉ covered}, argmax by (gain desc, doc
+    // asc), stop when every gain is 0 (⇔ the distributed arm's empty
+    // uncovered frame). SamplingSpec pins the arms equal; the
+    // distributed loop below is unchanged — the 100 TB path — and
+    // `graft.coverage.localMaxRows=0` forces it.
+    val localCap = s.conf.getOption("graft.coverage.localMaxRows")
+      .map(_.toLong).getOrElse(4000000L)
+    if (localCap > 0 && tokD.count() <= localCap) {
+      import s.implicits._
+      val kernelRows = tokD.as[(Long, String)].coalesce(1)
+        .mapPartitions { it =>
+          val docs = new java.util.HashMap[java.lang.Long,
+            scala.collection.mutable.ArrayBuffer[String]]()
+          it.foreach { case (d, tk) =>
+            docs.computeIfAbsent(d,
+              _ => scala.collection.mutable.ArrayBuffer.empty) += tk
+          }
+          val covered = new java.util.HashSet[String]()
+          val out = new scala.collection.mutable.ArrayBuffer[
+            (Long, Long, Long, Long)]()
+          var total0 = 0L
+          var r = 1
+          var stop = false
+          while (r <= CoverageRounds && !stop) {
+            var bestDoc = Long.MaxValue
+            var bestGain = 0L
+            val dit = docs.entrySet().iterator()
+            while (dit.hasNext) {
+              val e = dit.next()
+              var g = 0L
+              val ts = e.getValue
+              var i = 0
+              while (i < ts.length) {
+                if (!covered.contains(ts(i))) g += 1
+                i += 1
+              }
+              val d = e.getKey.longValue()
+              if (g > bestGain || (g == bestGain && g > 0 && d < bestDoc)) {
+                bestGain = g; bestDoc = d
+              }
+            }
+            if (bestGain == 0L) stop = true
+            else {
+              total0 += bestGain
+              out += ((r.toLong, bestDoc, bestGain, total0))
+              docs.get(bestDoc).foreach(covered.add)
+              r += 1
+            }
+          }
+          out.iterator
+        }.collect().toSeq // ≤ CoverageRounds rows — metadata-sized
+      tokD.unpersist()
+      return s.createDataFrame(kernelRows)
+        .toDF("round", "doc_id", "gain", "covered_total")
+        .orderBy("round")
+    }
     val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
     val picks = Seq.newBuilder[(Long, Long, Long, Long)]
     var total = 0L

@@ -906,12 +906,31 @@ object TextAnalysis {
     * saw.
     */
   private[graft] def nbPredictions(s: SparkSession, dir: String,
-      trainCap: String): DataFrame = {
+      trainCap: String): DataFrame =
+    nbPredictionsFrom(s, dir, trainCap, nbTokenFrame(s, dir))
+
+  /** The (doc_id, lang, hx, tk) token stream every NB pass consumes —
+    * factored so the q228 curve can derive it ONCE (localCheckpoint)
+    * instead of re-tokenizing the corpus ~3× per curve point (model,
+    * vocabulary, and likelihood subtrees each re-scanned it: 12
+    * tokenization passes for 4 points, the dominant cost at gate
+    * scale and a 3× reduction in corpus scans at any scale).
+    */
+  private def nbTokenFrame(s: SparkSession, dir: String): DataFrame = {
+    val split = substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    documents(s, dir).filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("lang"), split.as("hx"),
+        explode(tokens(col("text"))).as("tk"))
+  }
+
+  private def nbPredictionsFrom(s: SparkSession, dir: String,
+      trainCap: String, tok: DataFrame): DataFrame = {
     val split = substring(
       md5(col("doc_id").cast("string").cast("binary")), 1, 2)
     val docs = documents(s, dir).filter(col("lang").isNotNull)
-    val trainTok = docs.filter(split < trainCap)
-      .select(col("lang").as("c"), explode(tokens(col("text"))).as("tk"))
+    val trainTok = tok.filter(col("hx") < trainCap)
+      .select(col("lang").as("c"), col("tk"))
     // model: class priors + class totals + V, all in two tiny aggs
     val classStats = trainTok.groupBy("c")
       .agg(count(lit(1)).as("tok_c"))
@@ -937,9 +956,8 @@ object TextAnalysis {
       .select(col("c"), col("tk"),
         round(log((col("cnt") + lit(1.0)) / col("denom")), 6)
           .cast("decimal(12,6)").as("lik"))
-    val testTok = docs.filter(split >= "e6")
-      .select(col("doc_id"), col("lang"),
-        explode(tokens(col("text"))).as("tk"))
+    val testTok = tok.filter(col("hx") >= "e6")
+      .select(col("doc_id"), col("lang"), col("tk"))
     val perClass = testTok
       .join(broadcast(model.select(col("c"), col("prior"), col("unseen"))))
       .join(broadcast(lik), Seq("c", "tk"), "left")
@@ -1027,9 +1045,13 @@ object TextAnalysis {
     * is the q215 plan — vocabulary-sized broadcast model, one
     * map-side scoring pass — so the curve costs K linear passes.
     */
-  def q228LearningCurve(s: SparkSession, dir: String): DataFrame =
+  def q228LearningCurve(s: SparkSession, dir: String): DataFrame = {
+    // one tokenization for all four curve points (see nbTokenFrame):
+    // localCheckpoint materializes the stream once and cuts lineage,
+    // the q130/q57 shared-consumer device
+    val tok = nbTokenFrame(s, dir).localCheckpoint()
     CurveCaps.zipWithIndex.map { case (cap, i) =>
-      nbPredictions(s, dir, cap)
+      nbPredictionsFrom(s, dir, cap, tok)
         .agg(count(lit(1)).as("n_test"),
           sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
         .select(lit((i + 1) * 20L).as("train_pct_approx"),
@@ -1038,6 +1060,7 @@ object TextAnalysis {
             col("n_test").cast("double"), 6).as("accuracy"))
     }.reduce(_ unionByName _)
       .orderBy("train_cap")
+  }
 
   val q228Oracle: String =
     CurveCaps.zipWithIndex.map { case (cap, i) =>
@@ -1301,19 +1324,19 @@ object TextAnalysis {
     * co-partitioned LEFT ANTI join on the bigram — never doc×doc.
     */
   def q248NoveltyRate(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Text.tokens
-    val ws = tokens(col("text"))
-    val bigrams = when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    import graft.functions.Text.{tokens, bigrams}
     val bucket = substring(
       md5(col("doc_id").cast("string").cast("binary")), 1, 2)
     // ONE pass: group every bigram once with head/tail presence flags
     // (map-side combinable), instead of two corpus-scale DISTINCTs
-    // plus an anti join — measured 5.2 s -> the single-exchange form
+    // plus an anti join — measured 5.2 s -> the single-exchange form.
+    // The token array materializes as a column BEFORE the bigram
+    // lambda (see Text.bigrams): the inline form re-split the document
+    // per bigram — 4.3 s of the gate's 4.5 s.
     val d = documents(s, dir)
-      .select(bucket.as("b"), explode(array_distinct(bigrams)).as("tk"))
+      .select(bucket.as("b"), tokens(col("text")).as("ws"))
+      .select(col("b"),
+        explode(array_distinct(bigrams(col("ws")))).as("tk"))
     d.groupBy("tk")
       .agg(max(when(col("b") < "c0", 1).otherwise(0)).as("in_head"),
         max(when(col("b") >= "c0", 1).otherwise(0)).as("in_tail"))

@@ -25,6 +25,25 @@ object GraftSql {
       : DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Driver-local rows of a frame whose ANALYZED plan is already a
+    * [[catalyst.plans.logical.LocalRelation]]: extracted straight from
+    * the relation's InternalRows — no optimizer pass, no physical
+    * planning, no Spark job. The metadata-sized commit path calls this
+    * hundreds of times per lifecycle (one per tiny commit), where the
+    * full `collect()` pipeline costs a few ms of pure fixed overhead
+    * each.
+    */
+  def localRelationRows(df: DataFrame,
+      maxRows: Int): Option[Seq[Row]] =
+    df.queryExecution.analyzed match {
+      case l: catalyst.plans.logical.LocalRelation
+          if l.data.length <= maxRows =>
+        val conv = catalyst.CatalystTypeConverters
+          .createToScalaConverter(l.schema)
+        Some(l.data.map(r => conv(r).asInstanceOf[Row]))
+      case _ => None
+    }
+
   /** Register the engine's native expressions for SQL callers:
     * `SELECT graft_cosine_similarity(a, b)` / `graft_dot_product(a, b)`.
     */

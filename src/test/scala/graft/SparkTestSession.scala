@@ -18,6 +18,11 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // no native-hadoop in this runtime: see Bench.scala — avoids a
+      // fork+exec per checkpoint file in the streaming suites
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing" +
+          ".FileSystemBasedCheckpointFileManager")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

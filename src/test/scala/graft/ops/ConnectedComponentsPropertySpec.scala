@@ -38,9 +38,19 @@ class ConnectedComponentsPropertySpec extends AnyFunSuite {
     val pairs =
       if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("id1", "id2")
       else edges.toDF("id1", "id2")
-    val got = Dedup.connectedComponents(nodes, pairs).collect()
+    // both arms of the size-based switch must match the model: the
+    // default conf takes the single-task union-find arm at these
+    // sizes; localMaxRows=0 forces the distributed pointer-doubling
+    // loop (the 100 TB path)
+    val local = Dedup.connectedComponents(nodes, pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === unionFind(n, edges))
+    spark.conf.set("graft.cc.localMaxRows", "0")
+    val dist = try Dedup.connectedComponents(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally spark.conf.unset("graft.cc.localMaxRows")
+    val expect = unionFind(n, edges)
+    assert(local === expect)
+    assert(dist === expect)
   }
 
   test("random graphs match driver-side union-find") {

@@ -34,4 +34,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(n("val") - 500 * 25.0 / 256) < 35)
     assert(math.abs(n("test") - 500 * 26.0 / 256) < 35)
   }
+
+  // Arm-equality pin for q216's size-based switch (the GraphSpec
+  // device): the single-task greedy kernel and the distributed
+  // per-round anti-join loop must agree row for row on the REAL gate
+  // derivation — gains, tie-breaks, early stop, cumulative totals.
+  test("q216 arm equality: single-task greedy == distributed greedy") {
+    def run(): Seq[String] =
+      Sampling.q216CoverageSelect(spark, sf).collect().map(_.toString).toSeq
+    val local = run()
+    spark.conf.set("graft.coverage.localMaxRows", "0")
+    val dist = try run()
+    finally spark.conf.unset("graft.coverage.localMaxRows")
+    assert(local.nonEmpty)
+    assert(local === dist)
+  }
 }
