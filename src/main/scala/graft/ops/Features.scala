@@ -228,6 +228,13 @@ object Features {
     degreeOriented(edges)
   }
 
+  /** The raw (ok, pk) projection the in-task co-purchase derivations
+    * start from (dedupe/thresholding happens inside the kernel).
+    */
+  private def rawOkPk(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+
   /** Degree-ordered orientation of an arbitrary undirected edge list
     * `(u, v)` with u < v — factored from [[coPurchaseGraph]] so
     * FeatureSpec can drive [[q259ClusteringCoeff]]'s kernel on
@@ -253,6 +260,14 @@ object Features {
   }
 
   def q154Triangles(s: SparkSession, dir: String): DataFrame = {
+    // in-task arm (guarded in-kernel; overflow → the distributed
+    // pipeline below, the 100 TB path; graft.graph.localMaxEdges=0
+    // forces it — GraphSpec pins the arms equal on the real gate)
+    if (GraphLocal.maxEdges(s) > 0)
+      GraphLocal.trianglesCoPurchase(s, rawOkPk(s, dir)) match {
+        case Some(out) => return out
+        case None =>
+      }
     val (_, oriented) = coPurchaseGraph(s, dir)
     val wedgeLt = col("e1.ddst") < col("e2.ddst") ||
       (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))
@@ -358,6 +373,11 @@ object Features {
     * and DECIMAL-quantized before the order-independent mean.
     */
   def q259ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    if (GraphLocal.maxEdges(s) > 0)
+      GraphLocal.clusteringCoPurchase(s, rawOkPk(s, dir)) match {
+        case Some(out) => return out
+        case None =>
+      }
     val (deg, oriented) = coPurchaseGraph(s, dir)
     clusteringSummary(s, deg, oriented)
   }
@@ -885,6 +905,13 @@ object Features {
     * one-row-per-value summary however large the corpus.
     */
   def q198Coreness(s: SparkSession, dir: String): DataFrame = {
+    // in-task arm: derive + peel in ONE job (the derivation was the
+    // gate's remaining cost once the peel went single-task)
+    if (GraphLocal.maxEdges(s) > 0)
+      GraphLocal.corenessCoPurchase(s, rawOkPk(s, dir)) match {
+        case Some(out) => return out
+        case None =>
+      }
     val li = lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -1199,7 +1226,24 @@ object Features {
     * never cross orders) and the threshold is a map-side-combinable
     * count on the pair key.
     */
-  private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    coPurchaseEdgesWeighted(s, dir).select("u", "v")
+
+  /** [[coPurchaseEdges]] with the distinct-order count kept as `w`
+    * (q230's edge weight). In-task arm below the cap (the derivation
+    * — a corpus-scale self-join + count — was the dominant remaining
+    * cost of every graph gate once the kernels went single-task);
+    * the distributed join/agg is the 100 TB path and the overflow
+    * fallback.
+    */
+  private[graft] def coPurchaseEdgesWeighted(
+      s: SparkSession, dir: String): DataFrame = {
+    if (GraphLocal.maxEdges(s) > 0)
+      GraphLocal.coPurchaseEdgesLocal(s, rawOkPk(s, dir),
+          CoEdgeMinOrders) match {
+        case Some(out) => return out
+        case None =>
+      }
     val li = lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -1209,7 +1253,6 @@ object Features {
       .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= CoEdgeMinOrders)
-      .select("u", "v")
   }
 
   /** Both directions of [[coPurchaseEdges]], hash-partitioned ONCE by
@@ -1608,6 +1651,18 @@ object Features {
       .filter(col("o_orderdate") >= ts("1995-01-01") &&
         col("o_orderdate") < ts("1995-07-01"))
       .select(col("o_orderkey"))
+    // in-task arm: the window join stays distributed (the order-key
+    // side is broadcast, so the single kernel task reads the lineitem
+    // scan through a narrow join), then the whole edge derivation +
+    // Adamic-Adar fold runs in ONE task
+    if (GraphLocal.maxEdges(s) > 0)
+      GraphLocal.adamicAdarCoPurchase(s,
+        lineitem(s, dir)
+          .join(broadcast(inWindow), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))) match {
+        case Some(out) => return out
+        case None =>
+      }
     val li = lineitem(s, dir)
       .join(inWindow, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -1683,6 +1738,21 @@ object Features {
     * rounds; top-10s are distributed TakeOrdered.
     */
   def q219Hits(s: SparkSession, dir: String): DataFrame = {
+    // in-task arm: the order→customer side is broadcast so the kernel
+    // task reads the lineitem scan through a narrow join; dedupe and
+    // all four sweeps run in ONE task (sentinel-guarded: nulls,
+    // ids ≥ 2³² or an oversized row count fall back below)
+    if (GraphLocal.maxEdges(s) > 0)
+      GraphLocal.hitsBipartite(s,
+        lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .join(broadcast(orders(s, dir)
+            .select(col("o_orderkey").as("ok"), col("o_custkey").as("c"))),
+            "ok")
+          .select("c", "p")) match {
+        case Some(out) => return out
+        case None =>
+      }
     val cp = lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .join(orders(s, dir)
@@ -1749,6 +1819,15 @@ object Features {
     val li = lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    // derive-in-kernel arm: below the cap, the wEdges derivation (the
+    // gate's dominant cost — a corpus-scale self-join + groupBy) AND
+    // the relaxation run in ONE task; the distributed derivation +
+    // relaxDistances below is the 100 TB path, forceable via
+    // graft.graph.localMaxEdges=0 (GraphSpec pins the arms equal)
+    val localCap = GraphLocal.maxEdges(s)
+    if (localCap > 0 && GraphLocal.coPurchaseEligible(li, localCap))
+      return GraphLocal.ssspCoPurchase(s, li, n => n % 97 == 0,
+        GraphRounds).localCheckpoint()
     val wEdges = li.as("a")
       .join(li.as("b"), col("a.ok") === col("b.ok") &&
         col("a.pk") < col("b.pk"))
@@ -2737,15 +2816,7 @@ object Features {
     * Output: top 20 by rank (distributed TakeOrdered), ties → node.
     */
   def q230PagerankParts(s: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val ew = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") &&
-        col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= CoEdgeMinOrders)
+    val ew = coPurchaseEdgesWeighted(s, dir)
     // size-based arm switch (the q198 pattern): below the cap the
     // identical fixed-point integer recurrence runs as ONE single-task
     // job instead of GraphRounds × (join + agg + checkpoint) whose

@@ -91,10 +91,12 @@ class GraphSpec extends AnyFunSuite {
     finally spark.conf.unset("graft.graph.localMaxEdges")
   }
 
-  test("arm equality: q206/q207/q220/q224/q230 local == distributed") {
+  test("arm equality: every graph gate local == distributed") {
     val dir = "/root/testdata/sf0.001"
     for (q <- Seq("q206_label_propagation", "q207_bfs_hops",
-        "q220_sssp_relax", "q224_modularity", "q230_pagerank_parts")) {
+        "q220_sssp_relax", "q224_modularity", "q230_pagerank_parts",
+        "q154_triangles", "q259_clustering_coeff", "q198_coreness",
+        "q218_link_prediction", "q219_hits", "q225_assortativity")) {
       val run = () => Features.queries(q)(spark, dir)
         .collect().map(_.toString)
       val (localRows, distRows) = bothArms(run())
