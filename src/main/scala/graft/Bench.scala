@@ -226,8 +226,13 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val sentinelJson =
       s"""{"query":"${sentinelName.map(shortKey).getOrElse("")}","start_sec":${ms(sentinelStart)},"end_sec":${ms(sentinelEnd)}}"""
+    // ms-rounded per-query map keeps the one-line contract complete
+    // ("queries" is part of the driver's parse surface) without
+    // printing 17-digit doubles
+    val lineQs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"subtotals":$catJson,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"subtotals":$catJson,"sentinel":$sentinelJson,"queries":$lineQs,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"subtotals":$catJson,"sentinel":$sentinelJson,"queries":$fullQs,"sf":"$sfDir"}""")

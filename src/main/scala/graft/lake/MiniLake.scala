@@ -330,18 +330,36 @@ final class MiniLake(spark: SparkSession, val path: String,
          else " through this verb (BY DEFAULT accepts explicit values " +
            "via create/append/overwrite/appendConcurrent/appendIfAbsent/" +
            "replacePartitions; merge verbs always generate)"))
-    val sch = df.schema
-      .add(org.apache.spark.sql.types.StructField(spec.name,
-        org.apache.spark.sql.types.LongType, nullable = false))
-    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(
-        r.toSeq :+ (base + spec.step * (i + 1)))
-    }
-    val n = rdd.count()
+    // per-partition counts (one small job), then the contiguous index
+    // is `offset(partition) + index-within-partition` evaluated as a
+    // codegen expression — identical values to the zipWithIndex layout
+    // (partition order, iteration order within) with no RDD pass and
+    // no Row boxing; the low 33 bits of monotonically_increasing_id
+    // ARE the within-partition index by its contract. The counts job
+    // and the stamping consumption MUST see the same partitioning, and
+    // two independent executions of an arbitrary plan do not guarantee
+    // that (sampled range exchanges, AQE coalescing) — localCheckpoint
+    // pins ONE physical evaluation's blocks for both. Batch-sized
+    // (never table-sized) frames; MEMORY_AND_DISK semantics.
+    val pinned = df.localCheckpoint()
+    val counts = pinned.groupBy(spark_partition_id().as("p")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
     expectN.foreach(e => require(n == e,
       s"identity batch re-evaluated to a different row count ($e -> " +
         s"$n) for $path; persist a deterministic batch"))
-    (spark.createDataFrame(rdd, sch), base + spec.step * n)
+    var acc = 0L
+    val offsets: Map[Int, Long] = counts.map { case (p, c) =>
+      val o = (p, acc); acc += c; o
+    }.toMap
+    val within =
+      monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
+    val offset =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(typedLit(offsets), spark_partition_id())
+    val stamped = pinned.withColumn(spec.name,
+      lit(base) + lit(spec.step) * (offset + within + lit(1L)))
+    (stamped, base + spec.step * n)
   }
 
   /** Assign GENERATED AS IDENTITY values continuing from the table's
@@ -2673,7 +2691,7 @@ final class MiniLake(spark: SparkSession, val path: String,
         val g = withDefaults(withGenerated(batch))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         persisted = Some(g)
-        val n = g.rdd.count()
+        val n = g.count()
         val base = reserveIdentityRange(spec, n, maxRetries)
         assignIdentityFrom(g, spec, base, expectN = Some(n))._1
     }
@@ -3069,10 +3087,10 @@ final class MiniLake(spark: SparkSession, val path: String,
       if (emptyDel) Map.empty
       else {
         val delBucket = bucketSpec.map(bucketExpr).getOrElse(lit(-1L)).cast("long")
-        toDelete.select(delBucket).rdd.map(_.getLong(0))
-          .countByValue().toMap
+        toDelete.groupBy(delBucket.as("b")).count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
       }
-    val nIns = if (emptyIns) 0L else toInsertRaw.rdd.count()
+    val nIns = if (emptyIns) 0L else toInsertRaw.count()
     val (toInsert, idHw) = identitySpec match {
       case Some(spec) if !emptyIns =>
         val base = identityHighWater.getOrElse(spec.start - spec.step)
@@ -3211,8 +3229,8 @@ final class MiniLake(spark: SparkSession, val path: String,
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def byBucket(df: DataFrame, statically: Boolean): Map[Long, Long] =
       if (statically) Map.empty
-      else df.select(bucketExpr(spec).cast("long")).rdd
-        .map(_.getLong(0)).countByValue().toMap
+      else df.groupBy(bucketExpr(spec).cast("long").as("b")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val delByBucket = byBucket(toDelete, emptyDel)
     val insByBucket = byBucket(toInsertRaw, emptyIns)
     val nDel = delByBucket.values.sum
@@ -3373,8 +3391,8 @@ final class MiniLake(spark: SparkSession, val path: String,
       val insertsRaw = source.join(target.select(pks.map(col): _*), pks,
         "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nUpd = post.rdd.count()
-      val nIns = insertsRaw.rdd.count()
+      val nUpd = post.count()
+      val nIns = insertsRaw.count()
       val (inserts, idHw) = identitySpec match {
         case Some(spec) if nIns > 0 =>
           val base = identityHighWater.getOrElse(spec.start - spec.step)
@@ -3462,9 +3480,9 @@ final class MiniLake(spark: SparkSession, val path: String,
     val insertsRaw = source.join(target.select(pks.map(col): _*), pks,
       "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nUpd = post.rdd.count()
-    val nIns = insertsRaw.rdd.count()
-    val nDel = dropped.rdd.count()
+    val nUpd = post.count()
+    val nIns = insertsRaw.count()
+    val nDel = dropped.count()
     val (inserts, idHw) = identitySpec match {
       case Some(spec) if nIns > 0 =>
         val base = identityHighWater.getOrElse(spec.start - spec.step)
@@ -3631,7 +3649,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     val matched = coalesce(pred, lit(false))
     val doomed = target.filter(matched)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDel = doomed.rdd.count()
+    val nDel = doomed.count()
     val v = nextVersion
     if (nDel == 0) {
       writeEntry(CommitEntry(v, "delete", System.currentTimeMillis(),
@@ -3683,7 +3701,7 @@ final class MiniLake(spark: SparkSession, val path: String,
       else readFiles(files, latestVersion, keepPos = true)
     val doomed = base.filter(matched)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDel = doomed.rdd.count()
+    val nDel = doomed.count()
     val v = nextVersion
     if (nDel == 0) {
       writeEntry(CommitEntry(v, "delete-dv", System.currentTimeMillis(),
@@ -3750,7 +3768,7 @@ final class MiniLake(spark: SparkSession, val path: String,
     val base = readFiles(files, readV, keepPos = true)
     val doomed = base.filter(matched)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDel = doomed.rdd.count()
+    val nDel = doomed.count()
     val myTargets: Set[String] =
       if (nDel == 0) Set.empty
       else doomed.select(col(DvFileCol)).distinct()

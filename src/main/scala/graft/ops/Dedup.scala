@@ -961,6 +961,10 @@ object Dedup {
     // costs two more full-table exchanges for the same answer
     val wG = Window.partitionBy("g")
     val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("g"))
+    // NOT checkpointed: the self-join's two prefix subtrees look
+    // duplicated in explain, but ReuseExchange shares them at runtime
+    // (measured r13: checkpointing ADDED 0.15 s of materialization for
+    // zero exchange savings)
     val prefixes = sh
       .withColumn("df", count(lit(1)).over(wG))
       .withColumn("rk", row_number().over(wDoc))

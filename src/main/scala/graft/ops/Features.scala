@@ -1823,11 +1823,15 @@ object Features {
     // gate's dominant cost — a corpus-scale self-join + groupBy) AND
     // the relaxation run in ONE task; the distributed derivation +
     // relaxDistances below is the 100 TB path, forceable via
-    // graft.graph.localMaxEdges=0 (GraphSpec pins the arms equal)
-    val localCap = GraphLocal.maxEdges(s)
-    if (localCap > 0 && GraphLocal.coPurchaseEligible(li, localCap))
-      return GraphLocal.ssspCoPurchase(s, li, n => n % 97 == 0,
-        GraphRounds).localCheckpoint()
+    // graft.graph.localMaxEdges=0 (GraphSpec pins the arms equal).
+    // Guarding rides IN the kernel (sentinel on overflow/null) — the
+    // separate eligibility probe job cost a measured 0.6 s here.
+    if (GraphLocal.maxEdges(s) > 0)
+      GraphLocal.ssspCoPurchase(s, li, n => n % 97 == 0,
+          GraphRounds) match {
+        case Some(out) => return out
+        case None =>
+      }
     val wEdges = li.as("a")
       .join(li.as("b"), col("a.ok") === col("b.ok") &&
         col("a.pk") < col("b.pk"))
@@ -2563,8 +2567,16 @@ object Features {
     val rankQ = rows.groupBy("q").agg(count(lit(1)).as("t"))
       .withColumn("l", coalesce(sum("t").over(wq), lit(0L)))
       .select(col("q"), (lit(2L) * col("l") + col("t") + 1L).as("rq2"))
-    // price midranks: sharded two-phase prefix (the q222 device)
-    val vals = rows.groupBy("x").agg(count(lit(1)).as("t"))
+    // price midranks: sharded two-phase prefix (the q222 device).
+    // The quantity-rank moments fold into this SAME per-price
+    // aggregate (t, Σrq2, Σrq2² per x), so the row-level join-back on
+    // x — a full exchange + sort-merge of every line item — never
+    // happens: every final moment is expressible from the value-level
+    // table + rx2, exactly (decimal sums of exact integers).
+    val vals = rows.join(broadcast(rankQ), Seq("q"))
+      .groupBy("x").agg(count(lit(1)).as("t"),
+        sum(dec(col("rq2"))).as("sq"),
+        sum(dec(col("rq2")) * dec(col("rq2"))).as("sqq"))
     val bounds = vals.agg(min("x"), max("x")).head()
     val (minX, maxX) =
       if (bounds.isNullAt(0)) (0.0, 1.0)
@@ -2587,17 +2599,17 @@ object Features {
     val rankX = sharded
       .withColumn("intra", coalesce(sum("t").over(wx), lit(0L)))
       .join(broadcast(offsetDf), Seq("shard"))
-      .select(col("x"),
+      .select(col("x"), col("t"), col("sq"), col("sqq"),
         (lit(2L) * (col("base") + col("intra")) + col("t") + 1L).as("rx2"))
-    val m = rows
-      .join(broadcast(rankQ), Seq("q"))
-      .join(rankX, Seq("x"))
-      .agg(count(lit(1)).as("n"),
-        sum(dec(col("rx2"))).as("sa"),
-        sum(dec(col("rq2"))).as("sb"),
-        sum(dec(col("rx2")) * dec(col("rq2"))).as("sab"),
-        sum(dec(col("rx2")) * dec(col("rx2"))).as("saa"),
-        sum(dec(col("rq2")) * dec(col("rq2"))).as("sbb"))
+    // per-row sums regroup exactly over the per-value table:
+    // Σ_rows rx2·rq2 = Σ_x rx2 · (Σ rq2 at x), etc.
+    val m = rankX
+      .agg(sum(col("t")).as("n"),
+        sum(dec(col("t")) * dec(col("rx2"))).as("sa"),
+        sum(col("sq")).as("sb"),
+        sum(dec(col("rx2")) * col("sq")).as("sab"),
+        sum(dec(col("t")) * dec(col("rx2")) * dec(col("rx2"))).as("saa"),
+        sum(col("sqq")).as("sbb"))
     m.select(col("n"),
         (dec(col("n")) * col("sab") - col("sa") * col("sb")).as("num"),
         (dec(col("n")) * col("saa") - col("sa") * col("sa")).as("da"),

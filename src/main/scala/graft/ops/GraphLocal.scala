@@ -644,112 +644,127 @@ object GraphLocal {
     * the relaxation is [[relaxKernel]]. GraphSpec pins this arm
     * against the distributed derivation on the real gate.
     *
-    * q220 keeps a separate eligibility probe ([[coPurchaseEligible]])
-    * rather than the sentinel protocol: rows with null CENTS must take
-    * the distributed arm (a pair whose only occurrences carry null
-    * cents still contributes its endpoints to the distributed node
-    * set), and the probe is where that is decided.
+    * The guards ride INSIDE the fold (sentinel protocol, like
+    * [[foldedKernel]]): row count ≤ 2·cap, raw pair fan ≤ cap, pk ∈
+    * [0, 2³²), and ANY null column — a pair whose only occurrences
+    * carry null cents still contributes its endpoints to the
+    * distributed node set, so nulls must take the distributed arm.
+    * The separate one-job eligibility probe this replaces cost a
+    * measured 0.6 s of the gate (a full groupBy of the projection)
+    * before the kernel did the identical bucketing again.
     */
   def ssspCoPurchase(s: SparkSession, li: DataFrame,
-      seed: Long => Boolean, rounds: Int): DataFrame = {
+      seed: Long => Boolean, rounds: Int): Option[DataFrame] = {
     import s.implicits._
-    li.select(col("ok").cast("long"), col("pk").cast("long"),
-        col("cents").cast("long"))
-      .as[(Long, Long, Long)]
+    val cap = maxEdges(s)
+    // primitive tuple + null FLAG, not Option columns: the Option
+    // encoder allocates three boxes per row and measured ~0.5 s on the
+    // 600k-row feed; the flag is codegen on the scan side
+    val out = li.select(
+        (col("ok").isNull || col("pk").isNull ||
+          col("cents").isNull).as("bad"),
+        coalesce(col("ok").cast("long"), lit(0L)),
+        coalesce(col("pk").cast("long"), lit(0L)),
+        coalesce(col("cents").cast("long"), lit(0L)))
+      .as[(Boolean, Long, Long, Long)]
       .coalesce(1)
       .mapPartitions { it =>
-        // bucket rows by dense order id (growable parallel arrays)
-        val okIdx = new LongLongMap(1 << 14)
-        var oids = new Array[Int](1 << 14)
-        var pks = new Array[Long](1 << 14)
-        var cts = new Array[Long](1 << 14)
-        var nRows = 0
-        while (it.hasNext) {
-          val (ok, pk, cents) = it.next()
-          if (nRows == oids.length) {
-            oids = java.util.Arrays.copyOf(oids, oids.length << 1)
-            pks = java.util.Arrays.copyOf(pks, pks.length << 1)
-            cts = java.util.Arrays.copyOf(cts, cts.length << 1)
-          }
-          val seen = okIdx.getOrElse(ok, -1L)
-          val o =
-            if (seen < 0) { val d = okIdx.size; okIdx.put(ok, d); d }
-            else seen.toInt
-          oids(nRows) = o; pks(nRows) = pk; cts(nRows) = cents
-          nRows += 1
-        }
-        val nOrders = okIdx.size
-        val cnt = new Array[Int](nOrders)
-        var i = 0
-        while (i < nRows) { cnt(oids(i)) += 1; i += 1 }
-        val off = new Array[Int](nOrders + 1)
-        i = 0
-        while (i < nOrders) { off(i + 1) = off(i) + cnt(i); i += 1 }
-        val fpk = new Array[Long](nRows); val fct = new Array[Long](nRows)
-        val cur = java.util.Arrays.copyOf(off, nOrders)
-        i = 0
-        while (i < nRows) {
-          val o = oids(i); fpk(cur(o)) = pks(i); fct(cur(o)) = cts(i)
-          cur(o) += 1; i += 1
-        }
-        // per-order pair fold: min combined cents per packed (u, v)
-        val wmap = new LongLongMap(1 << 16)
-        i = 0
-        while (i < nOrders) {
-          val a = off(i); val b = off(i + 1)
-          var p = a
-          while (p < b) {
-            var q = p + 1
-            while (q < b) {
-              val pi = fpk(p); val pj = fpk(q)
-              if (pi != pj) {
-                val key =
-                  if (pi < pj) (pi << 32) | pj else (pj << 32) | pi
-                wmap.minTo(key, fct(p) + fct(q))
-              }
-              q += 1
-            }
-            p += 1
-          }
-          i += 1
-        }
-        val m = wmap.size
-        val flat = new Array[Long](2 * m)
-        val ws = new Array[Long](m)
-        var k = 0
-        wmap.foreachEntry { (key, w) =>
-          flat(2 * k) = key >>> 32; flat(2 * k + 1) = key & 0xffffffffL
-          ws(k) = w; k += 1
-        }
-        relaxKernel(flat, ws, seed, rounds)
+        val f = foldPairsWeighted(it, cap)
+        if (f == null)
+          Iterator.single((Option.empty[Long], Option.empty[Long]))
+        else relaxKernel(f.flat, f.ws, seed, rounds)
+          .map { case (n, d) => (Option(n), Option(d)) }
       }
       .toDF("node", "dist_cents")
+      .localCheckpoint()
+    val head = out.limit(1).collect()
+    if (head.nonEmpty && head(0).isNullAt(0)) None else Some(out)
   }
 
-  /** One-job eligibility probe for [[ssspCoPurchase]]: bounds the PAIR
-    * fan-out Σ C(rows-per-order, 2) by `cap` and the buffered row
-    * count by 2·cap, requires every (ok, pk, cents) non-null (the
-    * kernel's tuple encoder and grouping are null-free; the
-    * distributed join/agg arm is total on nulls), and pins pk ∈
-    * [0, 2³²) so the packed (u, v) key is lossless. One chained
-    * aggregation — two metadata-sized exchanges, no data movement.
+  /** The weighted sibling of [[foldPairs]]: dedupe-free per-order pair
+    * fold keeping the MIN combined cents per packed (u, v) — exactly
+    * the distributed `self-join(a.ok = b.ok, a.pk < b.pk) → groupBy(u,
+    * v).agg(min(a.cents + b.cents))`. Bounds checked AS the fold runs
+    * (rows > 2·cap, raw pair fan > cap, pk outside [0, 2³²), or ANY
+    * null column → null, caller emits the sentinel).
     */
-  def coPurchaseEligible(li: DataFrame, cap: Long): Boolean = {
-    val g = li.groupBy(col("ok")).agg(
-      count(lit(1)).as("c"), count(col("ok")).as("nok"),
-      count(col("pk")).as("npk"), count(col("cents")).as("ncw"),
-      max(col("pk")).as("mp"), min(col("pk")).as("lp"))
-    val r = g.agg(
-      sum(col("c") * (col("c") - 1) / 2).as("pairs"),
-      sum(col("c")).as("rows"),
-      max(col("mp")).as("maxpk"), min(col("lp")).as("minpk"),
-      sum(col("c") - col("nok")).as("nullok"),
-      sum(col("c") - col("npk")).as("nullpk"),
-      sum(col("c") - col("ncw")).as("nullw")).head()
-    !r.isNullAt(0) && r.getDouble(0) <= cap.toDouble &&
-      r.getLong(1) <= 2L * cap &&
-      (r.isNullAt(2) || (r.getLong(2) < (1L << 32) && r.getLong(3) >= 0L)) &&
-      r.getLong(4) == 0L && r.getLong(5) == 0L && r.getLong(6) == 0L
+  private def foldPairsWeighted(
+      it: Iterator[(Boolean, Long, Long, Long)],
+      cap: Long): PairFold = {
+    val rowCap = 2L * cap
+    // bucket rows by dense order id (growable parallel arrays)
+    val okIdx = new LongLongMap(1 << 14)
+    var oids = new Array[Int](1 << 14)
+    var pks = new Array[Long](1 << 14)
+    var cts = new Array[Long](1 << 14)
+    var nRows = 0
+    while (it.hasNext) {
+      val (bad, ok, pk, cents) = it.next()
+      if (bad) return null
+      if (nRows >= rowCap) return null
+      if (pk < 0L || pk >= (1L << 32)) return null
+      if (nRows == oids.length) {
+        oids = java.util.Arrays.copyOf(oids, oids.length << 1)
+        pks = java.util.Arrays.copyOf(pks, pks.length << 1)
+        cts = java.util.Arrays.copyOf(cts, cts.length << 1)
+      }
+      val seen = okIdx.getOrElse(ok, -1L)
+      val o =
+        if (seen < 0) { val d = okIdx.size; okIdx.put(ok, d); d }
+        else seen.toInt
+      oids(nRows) = o; pks(nRows) = pk; cts(nRows) = cents
+      nRows += 1
+    }
+    val nOrders = okIdx.size
+    val cnt = new Array[Int](nOrders)
+    var i = 0
+    while (i < nRows) { cnt(oids(i)) += 1; i += 1 }
+    var fan = 0L
+    i = 0
+    while (i < nOrders) {
+      val c = cnt(i).toLong; fan += c * (c - 1) / 2; i += 1
+    }
+    if (fan > cap) return null
+    val off = new Array[Int](nOrders + 1)
+    i = 0
+    while (i < nOrders) { off(i + 1) = off(i) + cnt(i); i += 1 }
+    val fpk = new Array[Long](nRows); val fct = new Array[Long](nRows)
+    val cur = java.util.Arrays.copyOf(off, nOrders)
+    i = 0
+    while (i < nRows) {
+      val o = oids(i); fpk(cur(o)) = pks(i); fct(cur(o)) = cts(i)
+      cur(o) += 1; i += 1
+    }
+    // per-order pair fold: min combined cents per packed (u, v)
+    val wmap = new LongLongMap(1 << 16)
+    i = 0
+    while (i < nOrders) {
+      val a = off(i); val b = off(i + 1)
+      var p = a
+      while (p < b) {
+        var q = p + 1
+        while (q < b) {
+          val pi = fpk(p); val pj = fpk(q)
+          if (pi != pj) {
+            val key =
+              if (pi < pj) (pi << 32) | pj else (pj << 32) | pi
+            wmap.minTo(key, fct(p) + fct(q))
+          }
+          q += 1
+        }
+        p += 1
+      }
+      i += 1
+    }
+    val m = wmap.size
+    val flat = new Array[Long](2 * m)
+    val ws = new Array[Long](m)
+    var k = 0
+    wmap.foreachEntry { (key, w) =>
+      flat(2 * k) = key >>> 32; flat(2 * k + 1) = key & 0xffffffffL
+      ws(k) = w; k += 1
+    }
+    new PairFold(flat, ws)
   }
 
   /** Fixed-point weighted PageRank — the [[Features]] q230 recurrence

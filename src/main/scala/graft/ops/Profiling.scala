@@ -360,12 +360,19 @@ object Profiling {
     } yield (keys(i), keys(j))
     val withUnits = lineitem(s, dir).select(
       units.map { case (k, e) => e.as(k) }: _*)
-    val dec = (k: String) => col(k).cast("decimal(20,0)")
+    // products multiply in PRIMITIVE long (each factor is a per-row
+    // unit count ≤ ~1e9, so the product is ≤ ~1e18 < Long.Max — a
+    // per-ROW invariant independent of table size), and only the SUM
+    // accumulates in decimal, which is what actually overflows with
+    // row count. One decimal add per row instead of a BigDecimal
+    // multiply + add: same exact integers, ~10× cheaper per row.
+    val prod = (a: String, b: String) =>
+      (col(a) * col(b)).cast("decimal(20,0)")
     val aggCols =
       (count(lit(1)).as("n") +:
         keys.map(k => sum(col(k)).as(s"s_$k"))) ++
-      keys.map(k => sum(dec(k) * dec(k)).as(s"ss_$k")) ++
-      pairs.map { case (a, b) => sum(dec(a) * dec(b)).as(s"sp_${a}_$b") }
+      keys.map(k => sum(prod(k, k)).as(s"ss_$k")) ++
+      pairs.map { case (a, b) => sum(prod(a, b)).as(s"sp_${a}_$b") }
     val wide = withUnits.agg(aggCols.head, aggCols.tail: _*)
     // unfold the single wide row via one explode — a union of 6
     // selects would re-run the scan + aggregate per pair

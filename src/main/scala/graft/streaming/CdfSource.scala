@@ -121,21 +121,23 @@ object CdfStream {
       else silver.merge(inserts, deletes, Seq("doc_id"))
       ()
     }
-    val q = s.readStream
-      .format(classOf[MiniLakeCdfSourceProvider].getName)
-      .option("path", bronzePath).load()
-      .writeStream.option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch(apply).start()
-    try {
-      q.processAllAvailable()                                // batch: v0
-      bronze.append(docs.filter(col("doc_id") >= 300 &&
-        col("doc_id") < 400))                                // v1
-      q.processAllAvailable()                                // batch: v1
-      bronze.merge(inserts = MiniLake.emptyDf(s, bronze.schema),
-        deletes = docs.filter(col("doc_id") % 7 === 0),
-        pks = Seq("doc_id"))                                 // v2
-      q.processAllAvailable()                                // batch: v2
-    } finally q.stop()
+    StreamTune.clampedShuffle(s) {
+      val q = s.readStream
+        .format(classOf[MiniLakeCdfSourceProvider].getName)
+        .option("path", bronzePath).load()
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch(apply).start()
+      try {
+        q.processAllAvailable()                              // batch: v0
+        bronze.append(docs.filter(col("doc_id") >= 300 &&
+          col("doc_id") < 400))                              // v1
+        q.processAllAvailable()                              // batch: v1
+        bronze.merge(inserts = MiniLake.emptyDf(s, bronze.schema),
+          deletes = docs.filter(col("doc_id") % 7 === 0),
+          pks = Seq("doc_id"))                               // v2
+        q.processAllAvailable()                              // batch: v2
+      } finally q.stop()
+    }
     docs.unpersist()
     MiniLake(s, silverPath).snapshot()
       .select("doc_id", "text", "lang", "source", "n_chars")
@@ -183,21 +185,23 @@ object CdfStream {
       }
       ()
     }
-    val q = s.readStream
-      .format(classOf[MiniLakeCdfSourceProvider].getName)
-      .option("path", bronzePath).load()
-      .writeStream.option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch(apply).start()
-    try {
-      q.processAllAvailable()                                // v0
-      bronze.append(docs.filter(col("doc_id") >= 300 &&
-        col("doc_id") < 400))                                // v1
-      q.processAllAvailable()
-      bronze.merge(inserts = MiniLake.emptyDf(s, bronze.schema),
-        deletes = docs.filter(col("doc_id") % 7 === 0),
-        pks = Seq("doc_id"))                                 // v2
-      q.processAllAvailable()
-    } finally q.stop()
+    StreamTune.clampedShuffle(s) {
+      val q = s.readStream
+        .format(classOf[MiniLakeCdfSourceProvider].getName)
+        .option("path", bronzePath).load()
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch(apply).start()
+      try {
+        q.processAllAvailable()                              // v0
+        bronze.append(docs.filter(col("doc_id") >= 300 &&
+          col("doc_id") < 400))                              // v1
+        q.processAllAvailable()
+        bronze.merge(inserts = MiniLake.emptyDf(s, bronze.schema),
+          deletes = docs.filter(col("doc_id") % 7 === 0),
+          pks = Seq("doc_id"))                               // v2
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     docs.unpersist()
     MiniLake(s, countsPath).snapshot()
       .filter(col("n") > 0)
@@ -255,7 +259,9 @@ object CdfStream {
         seen.add((id, vs.getLong(0), vs.getLong(1)))
         ()
       }.start()
-    try q.processAllAvailable() finally q.stop()
+    StreamTune.clampedShuffle(s) {
+      try q.processAllAvailable() finally q.stop()
+    }
     scala.jdk.CollectionConverters.CollectionHasAsScala(seen)
       .asScala.toSeq.sortBy(_._1)
       .toDF("batch_id", "n_rows", "n_versions")

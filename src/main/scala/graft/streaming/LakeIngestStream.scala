@@ -45,8 +45,10 @@ object LakeIngestStream {
       MiniLake(s, lakePath).appendIfAbsent(batch, "q58_ingest", batchId)
       ()
     }
-    val query = stream.writeStream.foreachBatch(sink).start()
-    try query.processAllAvailable() finally query.stop()
+    StreamTune.clampedShuffle(s) {
+      val query = stream.writeStream.foreachBatch(sink).start()
+      try query.processAllAvailable() finally query.stop()
+    }
 
     MiniLake(s, lakePath).snapshot()
       .groupBy("event_type")
@@ -162,8 +164,10 @@ object LakeIngestStream {
         .appendIfAbsent(batch, "q84_ingest", batchId)
       ()
     }
-    val query = stream.writeStream.foreachBatch(sink).start()
-    try query.processAllAvailable() finally query.stop()
+    StreamTune.clampedShuffle(s) {
+      val query = stream.writeStream.foreachBatch(sink).start()
+      try query.processAllAvailable() finally query.stop()
+    }
 
     val t = MiniLake(s, lakePath)
     // empty source: zero staged files, zero micro-batches, no table —
@@ -227,8 +231,10 @@ object LakeIngestStream {
       if (!t.exists) t.create(latest)
       else { t.merge(latest, latest, pks = Seq("user_id")); () }
     }
-    val query = stream.writeStream.foreachBatch(sink).start()
-    try query.processAllAvailable() finally query.stop()
+    StreamTune.clampedShuffle(s) {
+      val query = stream.writeStream.foreachBatch(sink).start()
+      try query.processAllAvailable() finally query.stop()
+    }
 
     val latestT = MiniLake(s, lakePath)
     if (!latestT.exists)
@@ -289,8 +295,10 @@ object LakeIngestStream {
         .appendIfAbsent(delta, "q116_view", batchId)
       ()
     }
-    val query = stream.writeStream.foreachBatch(sink).start()
-    try query.processAllAvailable() finally query.stop()
+    StreamTune.clampedShuffle(s) {
+      val query = stream.writeStream.foreachBatch(sink).start()
+      try query.processAllAvailable() finally query.stop()
+    }
 
     val gold = MiniLake(s, goldPath)
     if (!gold.exists)
@@ -342,8 +350,10 @@ object LakeIngestStream {
         .appendIfAbsent(batch, "q300_ingest", batchId)
       ()
     }
-    val query = stream.writeStream.foreachBatch(sink).start()
-    try query.processAllAvailable() finally query.stop()
+    StreamTune.clampedShuffle(s) {
+      val query = stream.writeStream.foreachBatch(sink).start()
+      try query.processAllAvailable() finally query.stop()
+    }
 
     val t = MiniLake(s, lakePath)
     // empty source: zero staged files, zero micro-batches, no table —
@@ -421,11 +431,13 @@ object LakeIngestStream {
             Similarity.encodeIvfPq(s, batch, model), "q200_ann", batchId)
           ()
         }
-        val query = stream.writeStream.foreachBatch(sink)
-          .option("checkpointLocation",
-            graft.Scratch.dir("graft_ann_stream_ckpt").toString)
-          .start()
-        try query.processAllAvailable() finally query.stop()
+        StreamTune.clampedShuffle(s) {
+          val query = stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation",
+              graft.Scratch.dir("graft_ann_stream_ckpt").toString)
+            .start()
+          try query.processAllAvailable() finally query.stop()
+        }
         Similarity.adcServe(s, dir, model,
           MiniLake(s, lakePath).snapshot()
             .select("vec_id", "cell", "code"),

@@ -43,12 +43,9 @@ object KernelProbe {
           .collect()
       }
       time("scan-parallel count") { li.count() }
-      time("full ssspCoPurchase kernel") {
+      time("full ssspCoPurchase kernel (guard in-kernel)") {
         graft.ops.GraphLocal.ssspCoPurchase(spark, li, n => n % 97 == 0, 4)
-          .count()
-      }
-      time("eligibility probe") {
-        graft.ops.GraphLocal.coPurchaseEligible(li, 4000000L)
+          .foreach(_.count())
       }
     }
     spark.stop()
